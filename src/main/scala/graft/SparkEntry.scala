@@ -1,13 +1,109 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's operator inventory made executable: one entry
+  * per implemented operator; `oracleSql` carries the DuckDB-equivalent SQL
+  * the driver hash-compares against at sf0.01. Column names are aliased
+  * identically on both sides (the driver sorts columns by name before
+  * hashing). Double measures are summed as DECIMAL(18,2) on both sides so
+  * the values are exact and order-independent — reproducible under any
+  * partitioning.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"          -> (Analytics.q1PricingSummary _),
+    "q2_join_agg"     -> (Analytics.q2SegmentRevenue _),
+    "q3_join3"        -> (Analytics.q3PriorityRevenue _),
+    "q4_window"       -> (Analytics.q4TopOrdersPerCustomer _),
+    "q5_topk"         -> (Analytics.q5TopKLineitems _),
+    "q6_filter_agg"   -> (Analytics.q6ForecastRevenue _),
+    "q7_distinct"     -> (Analytics.q7EventUsers _),
+    "q8_semi_join"    -> (Analytics.q8CustomersWithOrders _),
+    "q9_anti_join"    -> (Analytics.q9CustomersWithoutOrders _),
+    "q10_union"       -> (Analytics.q10NationKeysUnion _),
+    "q11_rollup"      -> (Analytics.q11NationRollup _),
+    "q12_time_agg"    -> (Analytics.q12EventsHourly _),
+    "q13_json"        -> (Analytics.q13JsonExtract _),
+  )
+
+  /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
+    * column aliases). Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT c_mktsegment,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q3_join3" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q4_window" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, rn FROM (
+        | SELECT o_orderkey, o_custkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q5_topk" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q8_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_union" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |UNION
+        |SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q11_rollup" ->
+      """SELECT n_name AS nation_name, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name) ORDER BY nation_name NULLS FIRST""".stripMargin,
+    "q12_time_agg" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d %H')
+        |ORDER BY event_type, hour""".stripMargin,
+    "q13_json" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
 }

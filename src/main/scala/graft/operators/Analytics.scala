@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational query surface of the engine, exercised over the driver's
+  * TPC-H-ish tables. The reference itself has no joins/aggregations
+  * (SURVEY.md §2.5); these queries demonstrate the capabilities a user of
+  * the engine gets "for free" from the Spark-first design, and serve as the
+  * bench headliners.
+  *
+  * Scale notes (local[32] now, 1000-executor cluster later):
+  *  - dimension joins (`customer`, `nation`, `part`, `supplier`) are
+  *    explicitly `broadcast()` — at 100 TB the fact tables shuffle-join
+  *    only against each other, dims never shuffle;
+  *  - aggregates run partial (map-side combine) then final — guaranteed by
+  *    using built-in `sum/count` over a `groupBy`, never UDAFs;
+  *  - double-typed measures are summed as DECIMAL(18,2) then cast back to
+  *    double: the sum is then order-independent (exact decimal addition),
+  *    so results are reproducible across any partitioning / AQE re-plan —
+  *    a correctness property at 100 TB, not just an oracle trick;
+  *  - every filter is a plain `Column` predicate on scan columns so it
+  *    pushes down to the parquet reader (verified via explain: PushedFilters).
+  */
+object Analytics {
+  import Tables._
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Order-independent exact sum of a double column, returned as double. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** TPC-H Q1-style pricing summary: single shuffle on the 2 grouping
+    * cols; partial agg makes the exchange tiny regardless of input size. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue by market segment: fact `orders` shuffle-free — `customer`
+    * is broadcast, so the plan is scan→broadcast-hash-join→partial/final agg. */
+  def q2SegmentRevenue(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  /** 3-way join, dims broadcast: lineitem never shuffles for the joins. */
+  def q3PriorityRevenue(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(broadcast(orders(s, dir)
+              .join(broadcast(customer(s, dir)),
+                    col("o_custkey") === col("c_custkey"))
+              .select("o_orderkey", "o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** Ranking window: one shuffle on o_custkey; deterministic tie-break. */
+  def q4TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — per-partition heap
+    * then k-merge on the driver; no full sort, no full shuffle. */
+  def q5TopKLineitems(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+              col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  /** TPC-H Q6-style selective scan-agg: both predicates push to parquet. */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** Distinct aggregation: Spark expands to 2-phase partial-distinct. */
+  def q7EventUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Left-semi join (EXISTS): broadcast the key set, no fact shuffle. */
+  def q8CustomersWithOrders(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(broadcast(orders(s, dir).select("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+      .orderBy("c_custkey")
+
+  /** Left-anti join (NOT EXISTS). */
+  def q9CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(broadcast(orders(s, dir).select("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy("c_custkey")
+
+  /** Set op: UNION DISTINCT of two key sets. */
+  def q10NationKeysUnion(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
+      .union(supplier(s, dir).select(col("s_nationkey").cast("long")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** ROLLUP grouping-sets aggregate over a broadcast dim join. Expressed
+    * in SQL (Spark 4.1's ambiguous-self-join check misfires on
+    * `Dataset.rollup` + orderBy over the grouping column); the BROADCAST
+    * hint keeps the dim off the shuffle path. */
+  def q11NationRollup(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("graft_q11_customer")
+    nation(s, dir).createOrReplaceTempView("graft_q11_nation")
+    s.sql(
+      """SELECT /*+ BROADCAST(n) */ n_name AS nation_name,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM graft_q11_customer c JOIN graft_q11_nation n
+        |  ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name) ORDER BY nation_name NULLS FIRST""".stripMargin)
+  }
+
+  /** Event-time bucketing (batch flavor of the streaming windowed agg). */
+  def q12EventsHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"),
+               date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type", "hour")
+
+  /** JSON extraction from the semi-structured `props` column — codegen'd
+    * `get_json_object`, no UDF. */
+  def q13JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+}
