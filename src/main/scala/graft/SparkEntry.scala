@@ -33,6 +33,8 @@ object SparkEntry {
     "q11_rollup"      -> (Analytics.q11NationRollup _),
     "q12_time_agg"    -> (Analytics.q12EventsHourly _),
     "q13_json"        -> (Analytics.q13JsonExtract _),
+    "ingest_flatten"  -> (IngestQueries.flattenDemo _),
+    "singer_pipeline" -> (IngestQueries.singerRoundTrip _),
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -104,6 +106,15 @@ object SparkEntry {
         |ORDER BY event_type, hour""".stripMargin,
     "q13_json" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "ingest_flatten" ->
+      """SELECT p_partkey AS prod__key, p_name AS prod__meta__name,
+        | CAST(p_size AS BIGINT) AS prod__meta__size,
+        | '[' || chr(39) || p_brand || chr(39) || ', ' || chr(39) || p_type || chr(39) || ']' AS tags
+        |FROM part ORDER BY prod__key""".stripMargin,
+    "singer_pipeline" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts,
+        | user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.functions.FlattenColumns
+import graft.model.TargetConfig
+import graft.pipeline.SingerPipeline
+
+/** Oracle-checkable entry points for the ingest operators (SURVEY.md §2.2):
+  * the flatten projection in isolation, and the full Singer pipeline
+  * (parse → validate → flatten → per-stream parquet) round-tripped over a
+  * corpus generated from the `events` table so DuckDB can check the result
+  * against the original rows.
+  */
+object IngestQueries {
+
+  /** Flatten demo (P6/P7): build nested structs + an array from `part`,
+    * flatten back to `__` columns with the array Python-repr'd. Pure
+    * projection — stays in WholeStageCodegen except the repr UDF. */
+  def flattenDemo(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val root = p.select(struct(
+      struct(
+        col("p_partkey").as("key"),
+        struct(col("p_name").as("name"),
+               col("p_size").cast("long").as("size")).as("meta")).as("prod"),
+      array(col("p_brand"), col("p_type")).as("tags")).as("r"))
+    val schema = root.schema("r").dataType.asInstanceOf[StructType]
+    root.select(FlattenColumns.columns(col("r"), schema): _*)
+      .orderBy("prod__key")
+  }
+
+  /** Deterministic Singer corpus from the `events` table: one SCHEMA, one
+    * RECORD per row, one trailing STATE — written as a single ordered text
+    * file (orderBy + coalesce(1), standard single-file trick; corpus
+    * generation is test scaffolding, the pipeline itself never does this). */
+  def generateEventsCorpus(s: SparkSession, dir: String, corpusPath: String): Unit = {
+    val schemaLine =
+      """{"type": "SCHEMA", "stream": "events", "schema": {"properties": {
+        |"event_id": {"type": ["null", "integer"]},
+        |"ts": {"format": "date-time", "type": ["null", "string"]},
+        |"user_id": {"type": ["null", "integer"]},
+        |"event_type": {"maxLength": 64, "type": ["null", "string"]},
+        |"value": {"type": ["null", "number"]},
+        |"props": {"type": ["null", "string"]}}, "type": "object"},
+        |"key_properties": ["event_id"]}""".stripMargin.replace("\n", " ")
+    val stateLine = """{"type": "STATE", "value": {"bookmarks": {"events": {"done": true}}}}"""
+
+    val records = Tables.events(s, dir).select(
+      col("event_id"),
+      concat(lit("""{"type": "RECORD", "stream": "events", "record": """),
+        to_json(struct(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))),
+        lit("}")).as("line"))
+
+    import s.implicits._
+    val header = Seq((-1L, schemaLine)).toDF("event_id", "line")
+    val footer = Seq((Long.MaxValue, stateLine)).toDF("event_id", "line")
+    val tmp = corpusPath + ".dir"
+    header.union(records).union(footer)
+      .orderBy("event_id").select("line")
+      .coalesce(1).write.mode("overwrite").text(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.startsWith("part-"))
+      .findFirst().get()
+    Files.deleteIfExists(Paths.get(corpusPath))
+    Files.move(part, Paths.get(corpusPath))
+  }
+
+  /** Full pipeline round-trip: events → Singer messages → SingerPipeline →
+    * parquet → read back. The oracle simply selects the original rows. */
+  def singerRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = sys.props("java.io.tmpdir") + s"/graft_singer_$tag"
+    val corpus = s"$base/corpus.jsonl"
+    Files.createDirectories(Paths.get(base))
+    generateEventsCorpus(s, dir, corpus)
+    val out = s"$base/out"
+    SingerPipeline.run(s, corpus, out,
+      TargetConfig(inferExtraFields = false), clock = () => "RT")
+    s.read.parquet(s"$out/events-RT.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+import graft.model._
+import graft.schema.JsonSchemaConverter
+import graft.functions.FlattenColumns
+import graft.validate.Constraints
+
+/** The engine's core: the reference's whole dataflow
+  * (`stdin → parse → validate → flatten → partition-by-stream →
+  * micro-batch → parquet → S3`, SURVEY.md §0) re-expressed as one Spark
+  * batch job per stream.
+  *
+  * Scale design (SURVEY.md §3.2 mapping):
+  *  - RECORD lines never touch the driver: they flow scan → `from_json` →
+  *    constraint predicates → flatten select-list → parquet sink, all
+  *    codegen'd and partition-parallel. At 100 TB the input splits across
+  *    executors like any text scan.
+  *  - SCHEMA/STATE are control-plane (a handful of lines per run,
+  *    reference corpus has 13); only those are collected, preserving file
+  *    order via `monotonically_increasing_id` (monotone in file offset for
+  *    ordered text splits).
+  *  - The order constraint (record-before-schema → error, reference
+  *    __init__.py:224-229) and the state fold (P8) need only per-stream
+  *    `min(idx)` / global `max(idx)` — O(1)-output aggregates.
+  *  - The reference's producer/consumer process pair and its
+  *    stream-change flush artifact (X2) disappear: Spark's scheduler
+  *    provides the pipeline parallelism, `maxRecordsPerFile` provides the
+  *    size-based batching (X3).
+  *
+  * Documented divergences from the reference (all SURVEY.md §7.4): actual
+  * compression instead of rename-only (S9), no crash on missing prefix
+  * (S8) or zero records (X4), one parquet directory per stream instead of
+  * many change-triggered small files (X2).
+  */
+object SingerPipeline {
+
+  final case class StreamOutput(stream: String, path: String, rows: Long)
+  final case class IngestResult(
+      state: Option[String],
+      outputs: Seq[StreamOutput],
+      keyProperties: Map[String, Seq[String]])
+
+  /** Run the batch pipeline over a newline-delimited Singer message file
+    * (local path, hdfs:// or s3a://) writing one parquet dataset per
+    * stream under `outputUri`. */
+  def run(spark: SparkSession,
+          inputPath: String,
+          outputUri: String,
+          config: TargetConfig = TargetConfig(),
+          clock: () => String = Naming.defaultTimestamp _): IngestResult = {
+    import spark.implicits._
+
+    val lines = spark.read.textFile(inputPath).toDF("value")
+      .withColumn("idx", monotonically_increasing_id())
+
+    // Envelope dispatch (P2) via codegen'd JSON path extraction — the full
+    // record payload is NOT parsed here.
+    val typed = lines.select(
+      col("idx"), col("value"),
+      get_json_object(col("value"), "$.type").as("mtype"),
+      get_json_object(col("value"), "$.stream").as("stream"))
+
+    // Strict parse check (P1): any line without a $.type is either invalid
+    // JSON or not a Singer message — reference raises on the first one.
+    typed.filter(col("mtype").isNull).select("value").limit(1).collect()
+      .foreach(r => throw new RuntimeException(Singer.unparseableError(r.getString(0))))
+
+    // Control plane → driver, in file order.
+    val control = typed
+      .filter(col("mtype").isin("SCHEMA", "STATE"))
+      .select("idx", "value").collect()
+      .map(r => Singer.parseControl(r.getLong(0), r.getString(1)))
+      .sortBy(_.idx)
+
+    val schemasByStream: Map[String, SchemaMessage] =
+      control.collect { case s: SchemaMessage => s }
+        .groupBy(_.stream).view.mapValues(_.head).toMap // first SCHEMA wins registration order
+    val states = control.collect { case s: StateMessage => s }.toSeq
+
+    val records = typed.filter(col("mtype") === "RECORD")
+      .select(col("idx"), col("stream"),
+              get_json_object(col("value"), "$.record").as("rec"),
+              get_json_object(col("value"), "$.time_extracted").as("time_extracted"))
+    val multiStream = schemasByStream.size > 1
+    if (multiStream) records.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Per-stream record extent: one small aggregate powering both the
+      // order check (P4) and the state fold (P8).
+      val extents = records.groupBy("stream")
+        .agg(min("idx").as("minIdx"), max("idx").as("maxIdx"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+      extents.foreach { case (stream, (minIdx, _, _)) =>
+        schemasByStream.get(stream) match {
+          case None => throw new IllegalArgumentException(Singer.recordBeforeSchemaError(stream))
+          case Some(sm) if minIdx < sm.idx =>
+            throw new IllegalArgumentException(Singer.recordBeforeSchemaError(stream))
+          case _ => ()
+        }
+      }
+
+      val maxRecordIdx = extents.values.map(_._2).maxOption
+      val emittedState = StateFold.emittedState(states, maxRecordIdx)
+        .map(Singer.toJsonString)
+
+      val (codec, ext) = config.compressionCodecAndExt
+      val timestamp = clock()
+
+      val outputs = schemasByStream.keys.toSeq.sorted.flatMap { stream =>
+        if (!extents.contains(stream)) None // zero-record stream: no file (fixes X4 crash)
+        else {
+          val sm = schemasByStream(stream)
+          val declared = JsonSchemaConverter.toStructType(sm.schema)
+          val streamRecs = records.filter(col("stream") === stream)
+
+          // Union-schema passthrough (§1.4): find record-only fields.
+          val schema: StructType =
+            if (config.inferExtraFields) {
+              val inferred = spark.read.json(streamRecs.select("rec").as[String]).schema
+              JsonSchemaConverter.mergeSchemas(declared, inferred)
+            } else declared
+
+          val parsed = streamRecs.select(col("idx"), col("rec"), col("time_extracted"),
+            from_json(col("rec"), schema).as("r"))
+
+          if (config.strictValidation) {
+            val constraints = Constraints.compile(sm.schema)
+            Constraints.validateOrThrow(parsed, constraints, col("r"), col("rec"), stream)
+          }
+
+          // L1 metadata columns (reference legacy __init__.py:85-88):
+          // _sdc_extracted_at from the envelope, _sdc_batched_at = batch time.
+          val metaCols: Seq[Column] =
+            if (config.addMetadataColumns)
+              Seq(col("time_extracted").as("_sdc_extracted_at"),
+                  lit(timestamp).as("_sdc_batched_at"))
+            else Seq.empty
+          val flat = parsed.select(
+            FlattenColumns.columns(col("r"), schema) ++ metaCols: _*)
+
+          val path =
+            if (config.streamsInSeparateFolder) s"$outputUri/$stream"
+            else s"$outputUri/${Naming.outputKey(config, stream, timestamp)}"
+          var writer = flat.write.mode("overwrite").option("compression", codec)
+          if (config.fileSize > 0) writer = writer.option("maxRecordsPerFile", config.fileSize)
+          writer.parquet(path)
+          Some(StreamOutput(stream, path, extents(stream)._3))
+        }
+      }
+
+      IngestResult(emittedState, outputs,
+        schemasByStream.view.mapValues(_.keyProperties).toMap)
+    } finally if (multiStream) { records.unpersist(); () }
+  }
+
+  /** State emission (S10, reference __init__.py:26-31): one JSON line to
+    * stdout, nothing when state is absent. */
+  def emitState(state: Option[String]): Unit = state.foreach { s =>
+    Console.out.println(s)
+    Console.out.flush()
+  }
+}
