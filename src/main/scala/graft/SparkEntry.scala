@@ -35,6 +35,23 @@ object SparkEntry {
     "q13_json"        -> (Analytics.q13JsonExtract _),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
     "singer_pipeline" -> (IngestQueries.singerRoundTrip _),
+    "dedup_exact"     -> (Dedup.exact _),
+    "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "dedup_minhash"   -> ((s, d) => Dedup.minhashPairs(s, d, threshold = 0.9)),
+    "dedup_simhash"   -> ((s, d) => Dedup.simhashPairs(s, d, maxDist = 6)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "text_tokens"     -> (TextAnalysis.tokenCounts _),
+    "text_subtokens"  -> (TextAnalysis.regexpTokenCounts _),
+    "text_quality"    -> (TextAnalysis.qualityScores _),
+    "text_langid"     -> (TextAnalysis.languageId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprints _),
+    "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "ann_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "multimodal_summary" -> (Multimodal.assetSummary _),
+    "multimodal_features" -> ((s, d) => Multimodal.extractFeatures(s, d)
+      .toDF().select("asset_id", "modality", "n_bytes", "width", "height")
+      .orderBy("asset_id")),
+    "multimodal_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
@@ -116,5 +133,43 @@ object SparkEntry {
       """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts,
         | user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dupes
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        | FROM ts a, ts b WHERE a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.85 ORDER BY doc_a, doc_b""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        | length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        | CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+        | least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) *
+        |  (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))
+        |         BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+        | FROM embeddings q, embeddings e
+        | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "multimodal_summary" ->
+      """SELECT doc_id AS asset_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        | octet_length(encode(text)) AS n_bytes,
+        | sha256(text) AS payload_sha256,
+        | n_chars % 640 AS width
+        |FROM documents ORDER BY asset_id""".stripMargin,
   )
 }

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd primitive array<long> comparisons for the dedup operators.
+  * Same rationale as [[DotProduct]]: Spark's generic array builtins
+  * (`array_intersect`, `zip_with`) allocate/box per pair, which dominates
+  * candidate-verification scans of millions of pairs; these emit tight
+  * long-loops inside WholeStageCodegen.
+  */
+private[graft] trait LongArrayBinary extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = IntegerType
+}
+
+/** Count of positions where two equal-length long arrays agree —
+  * the MinHash signature-match estimator's kernel. */
+case class PositionalMatchCount(left: Expression, right: Expression)
+    extends LongArrayBinary {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0; var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) m += 1; i += 1 }
+    m
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, m) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("m"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Intersection size of two ASCENDING-sorted long arrays via a merge walk
+  * — O(|a|+|b|) with no allocation, the kernel for exact token-set
+  * Jaccard over pre-hashed, pre-sorted token arrays. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends LongArrayBinary {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var m = 0
+    val (na, nb) = (a.numElements(), b.numElements())
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { m += 1; i += 1; j += 1 }
+      else if (x < y) i += 1 else j += 1
+    }
+    m
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(i, j, m, na, nb, x, y) =
+        Seq("i", "j", "m", "na", "nb", "x", "y").map(ctx.freshName)
+      s"""
+         |int $i = 0; int $j = 0; int $m = 0;
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $m++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object ArrayOps {
+  def positionalMatchCount(a: Column, b: Column): Column =
+    ColumnBridge.column(PositionalMatchCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table's
+  * `Array[Float]` column.
+  *
+  * Baseline: brute-force cosine top-k — the query set is broadcast, so the
+  * corpus side streams through one scan with no shuffle of vectors; the
+  * only exchange is the per-query top-k (TakeOrdered-style via window on
+  * qid). Scale path: deterministic sign-LSH (random-hyperplane) bucketing —
+  * candidates meet through equal band values, turning the cross product
+  * into an equi-join, the standard trade of recall for a 100-1000×
+  * candidate reduction at 100 TB.
+  */
+object Similarity {
+
+  /** Raw float vectors + a precomputed norm scalar: cosine is then one
+    * codegen'd dot + a divide per pair — no per-pair normalization, no
+    * interpreted array transforms. */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"),
+              norm(col("embedding")).as("nrm"))
+
+  /** Brute-force cosine top-k for the first `nQueries` vectors. Output
+    * (query_id, neighbor_id, rank) — rank-only so the result is stable
+    * against float-vs-double library differences. */
+  def bruteForceTopK(s: SparkSession, dir: String,
+                     nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val all = corpus(s, dir)
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    all.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded, data-independent). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH bucketing: nBits hyperplane-sign bits per vector, split into
+    * `bands` band values. Returns (vec_id, v, band, bv) — one row per band. */
+  def lshBuckets(s: SparkSession, dir: String, nBits: Int = 64,
+                 bands: Int = 8): DataFrame = {
+    val dim = 64
+    val hps = hyperplanes(nBits, dim)
+    val bits: Seq[Column] = hps.toSeq.zipWithIndex.map { case (hp, i) =>
+      when(dot(col("v"), typedlit(hp.toSeq)) > 0, lit(1L << (i % (nBits / bands))))
+        .otherwise(lit(0L)).as(s"bit$i")
+    }
+    val r = nBits / bands
+    val bandCols = (0 until bands).map { b =>
+      (0 until r).map(j => bits(b * r + j)).reduce((x, y) => x.bitwiseOR(y))
+    }
+    corpus(s, dir).select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+  }
+
+  /** LSH-accelerated top-k: candidates share at least one band with the
+    * query, then exact cosine ranks them. Recall < 1 by construction; the
+    * band/bit split trades recall vs candidate count. */
+  def lshTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              nBits: Int = 64, bands: Int = 8): DataFrame = {
+    val bucketed = lshBuckets(s, dir, nBits, bands)
+    val qb = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+              col("band"), col("bv"))
+    val cand = bucketed.as("c")
+      .join(broadcast(qb).as("q"),
+        col("c.band") === col("q.band") && col("c.bv") === col("q.bv")
+          && col("c.vec_id") =!= col("q.qid"))
+      .select(col("q.qid").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("q.qv").as("qv"), col("q.qnrm").as("qnrm"),
+        col("c.v").as("v"), col("c.nrm").as("nrm"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+}

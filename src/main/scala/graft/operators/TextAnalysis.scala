@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table. All pure column expressions / built-in aggregates —
+  * partition-parallel, codegen'd, no UDFs (the language-ID wordlists ride
+  * along as a broadcast join of a literal table).
+  */
+object TextAnalysis {
+  import Tables.documents
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Token + char counting (whitespace tokenizer; the BPE-ish variant is
+    * `regexpTokenCounts`). */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  /** BPE-ish sub-word token estimate: split on word boundaries AND digit
+    * runs, the common pre-tokenizer shape. */
+  def regexpTokenCounts(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+|(?=[^a-zA-Z0-9])"), t => length(t) > 0))
+        .cast("long").as("n_subtokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/word-shape ratios combined into [0,1]. All
+    * arithmetic is integer-derived double division — bit-identical across
+    * engines, so the score itself is oracle-checkable. */
+  def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val nChars = length(col("text")).cast("long")
+    val nWords = size(tokens(col("text"))).cast("long")
+    val nSpaces = (nChars - length(regexp_replace(col("text"), " ", ""))).cast("long")
+    val avgWordLen = (nChars - nSpaces).cast("double") / nWords.cast("double")
+    val lenScore = least(lit(1.0), nWords.cast("double") / lit(100.0))
+    val shapeScore = when(avgWordLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    d.select(col("doc_id"), nWords.as("n_words"), avgWordLen.as("avg_word_len"),
+             (lenScore * shapeScore).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Tiny per-language stopword profiles (public common-word lists). */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "est", "que", "pour", "dans", "ne"))
+
+  /** Language ID by stopword-hit voting: explode tokens, broadcast-join the
+    * wordlist, argmax hits per doc (ties broken by language code). The
+    * wordlist side is constant-size, so the only data motion is one
+    * shuffle of (doc_id, lang) partial counts. */
+  def languageId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wordlist = stopwordProfiles.toSeq
+      .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
+      .toDF("lang_cand", "word")
+    val hits = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("word"))
+      .join(broadcast(wordlist), "word")
+      .groupBy("doc_id", "lang_cand").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("hits").desc, col("lang_cand"))
+    hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang_cand").as("predicted_lang"), col("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing-style document fingerprinting: hash word 3-grams, take the
+    * min hash over each sliding window of 4 shingles, keep the distinct
+    * mins. Output: per-doc fingerprint count + combined fingerprint. */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val toks = tokens(col("text"))
+    val n = lit(3)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, n))))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, 3)
+    d.select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram_hash")))
+      .withColumn("win_min", min("gram_hash").over(w))
+      .groupBy("doc_id")
+      .agg(countDistinct("win_min").as("n_fingerprints"),
+           min("win_min").as("min_fingerprint"))
+      .orderBy("doc_id")
+  }
+}

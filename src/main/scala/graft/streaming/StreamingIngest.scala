@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model._
+import graft.schema.JsonSchemaConverter
+import graft.functions.FlattenColumns
+import graft.validate.Constraints
+
+/** Structured-Streaming variant of the Singer ingest (SURVEY.md §7.1 #7):
+  * `readStream.text(dir)` → `foreachBatch` running the same
+  * dispatch/validate/flatten core per micro-batch, appending per-stream
+  * parquet and emitting the state bookmark after every committed batch —
+  * the streaming analogue of the reference's unbounded stdin loop, with
+  * Spark's checkpointing replacing its ad-hoc resume bookkeeping.
+  *
+  * Cross-batch state (the schema registry and last bookmark) lives on the
+  * driver, exactly like the reference's `schemas`/`state` dicts — SCHEMA
+  * and STATE are control-plane; RECORD data stays distributed. Because a
+  * Singer tap only re-sends SCHEMA at ITS restart, not at the target's,
+  * the registry is also persisted under `{outputUri}/_graft_registry/` (via
+  * the Hadoop FS API, so it works for local paths and s3a:// alike) and
+  * reloaded on construction — a resumed query must not fail on records
+  * whose SCHEMA arrived before the restart.
+  */
+final class StreamingIngest(
+    spark: SparkSession,
+    outputUri: String,
+    config: TargetConfig = TargetConfig()) extends Serializable {
+
+  import org.apache.hadoop.fs.Path
+
+  private def fs = new Path(outputUri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def registryDir = new Path(outputUri, "_graft_registry")
+
+  private def loadRegistry(): Map[String, SchemaMessage] = {
+    val f = fs
+    if (!f.exists(registryDir)) Map.empty
+    else f.listStatus(registryDir).toSeq
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = f.open(st.getPath)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        Singer.parseControl(-1L, line).asInstanceOf[SchemaMessage]
+      }.map(m => m.stream -> m).toMap
+  }
+
+  private def persistSchema(rawLine: String, stream: String): Unit = {
+    val f = fs
+    f.mkdirs(registryDir)
+    val out = f.create(new Path(registryDir, s"$stream.json"), true)
+    try out.write(rawLine.getBytes("UTF-8")) finally out.close()
+  }
+
+  // Driver-side registries (control-plane, tiny).
+  private val schemas = new AtomicReference(loadRegistry())
+  private val lastState = new AtomicReference[Option[String]](None)
+  @volatile private var sawRecordAfterState = false
+
+  def emittedState: Option[String] =
+    if (sawRecordAfterState) None else lastState.get()
+
+  /** Process one micro-batch of raw Singer lines (also usable directly
+    * for testing without a streaming query). */
+  def processBatch(lines: DataFrame, batchId: Long): Unit = {
+    import lines.sparkSession.implicits._
+    val typed = lines.select(
+      col("value"),
+      monotonically_increasing_id().as("idx"),
+      get_json_object(col("value"), "$.type").as("mtype"),
+      get_json_object(col("value"), "$.stream").as("stream"))
+
+    typed.filter(col("mtype").isNull).select("value").limit(1).collect()
+      .foreach(r => throw new RuntimeException(Singer.unparseableError(r.getString(0))))
+
+    val controlRaw = typed.filter(col("mtype").isin("SCHEMA", "STATE"))
+      .select("idx", "value").collect()
+      .map(r => (r.getString(1), Singer.parseControl(r.getLong(0), r.getString(1))))
+      .sortBy(_._2.idx)
+    val newSchemas = controlRaw.collect { case (raw, m: SchemaMessage) => (raw, m) }
+    newSchemas.foreach { case (raw, m) =>
+      if (!schemas.get().contains(m.stream)) persistSchema(raw, m.stream)
+    }
+    schemas.updateAndGet(reg => reg ++ newSchemas.map { case (_, m) => m.stream -> m }
+      .filterNot { case (k, _) => reg.contains(k) })
+    val states = controlRaw.collect { case (_, m: StateMessage) => m }
+
+    val records = typed.filter(col("mtype") === "RECORD")
+      .select(col("idx"), col("stream"),
+        get_json_object(col("value"), "$.record").as("rec"))
+
+    val present = records.select("stream").distinct().as[String].collect().sorted
+    val reg = schemas.get()
+    present.foreach { stream =>
+      if (!reg.contains(stream))
+        throw new IllegalArgumentException(Singer.recordBeforeSchemaError(stream))
+      val sm = reg(stream)
+      val schema = JsonSchemaConverter.toStructType(sm.schema)
+      val parsed = records.filter(col("stream") === stream)
+        .select(col("rec"), from_json(col("rec"), schema).as("r"))
+      if (config.strictValidation)
+        Constraints.validateOrThrow(parsed, Constraints.compile(sm.schema),
+          col("r"), col("rec"), stream)
+      parsed.select(FlattenColumns.columns(col("r"), schema): _*)
+        .write.mode("append")
+        .option("compression", config.compressionCodecAndExt._1)
+        .parquet(s"$outputUri/$stream")
+    }
+
+    // P8 fold across the batch: any record after the batch's last STATE
+    // nullifies; a batch with records and no trailing STATE nullifies too.
+    val maxRecIdx = records.agg(max("idx")).collect().head
+    val recIdx = if (maxRecIdx.isNullAt(0)) None else Some(maxRecIdx.getLong(0))
+    (states.lastOption, recIdx) match {
+      case (Some(st), r) =>
+        lastState.set(Some(Singer.toJsonString(st.value)))
+        sawRecordAfterState = r.exists(_ > st.idx)
+      case (None, Some(_)) => sawRecordAfterState = true
+      case (None, None) => ()
+    }
+    Bookmarks.emit(emittedState, batchId)
+  }
+
+  /** Start the streaming query over a directory of Singer message files. */
+  def start(inputDir: String, checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.text(inputDir).toDF("value")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .start()
+}
+
+private object Bookmarks {
+  /** Bookmark emission per committed batch (reference emits once at EOF;
+    * a streaming target emits after every commit). */
+  def emit(state: Option[String], batchId: Long): Unit =
+    state.foreach(s => Console.out.println(s))
+}

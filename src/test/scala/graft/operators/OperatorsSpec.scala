@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Operator semantics on tiny planted fixtures (written as parquet into a
+  * temp dir with the standard table names, so the operators run unchanged). */
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-fixture").toString
+    import spark.implicits._
+    Seq(
+      (0L, "the cat sat on the mat", "en", "s", 22L),
+      (1L, "the cat sat on the mat", "en", "s", 22L),       // exact dup of 0
+      (2L, "the cat sat on the red mat", "en", "s", 26L),   // near dup of 0
+      (3L, "der hund ist nicht auf der matte und das ist gut", "de", "s", 48L),
+      (4L, "completely different words entirely unrelated content here", "en", "s", 59L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val base = Array.fill(64)(0.1f)
+    val near = base.clone(); near(0) = 0.11f                 // ~same direction as base
+    val anti = base.map(-_)                                  // opposite
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.1f)
+    Seq((0L, base.toSeq, 0), (1L, near.toSeq, 0), (2L, anti.toSeq, 1), (3L, ortho.toSeq, 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val rows = Dedup.exact(spark, dir).collect()
+    assert(rows.length == 4) // 5 docs, one exact-dup pair
+    val dup = rows.find(_.getLong(0) == 0L).get
+    assert(dup.getLong(1) == 2L)
+  }
+
+  test("token-set jaccard: dup pair at 1.0, near pair high, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(spark, dir, threshold = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.8 && pairs((0L, 2L)) < 1.0) // {the,cat,sat,on,mat} vs +{red}
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash LSH finds the exact-dup pair with est_jaccard 1.0") {
+    val pairs = Dedup.minhashPairs(spark, dir, threshold = 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; near-dup small distance") {
+    val fps = Dedup.simhashFingerprints(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L))
+    val pairs = Dedup.simhashPairs(spark, dir, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 0L)
+  }
+
+  test("embedding near-dup finds the planted near pair, not the anti pair") {
+    val pairs = Dedup.embeddingPairs(spark, dir, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("brute-force ANN ranks the planted neighbor first") {
+    val top = Similarity.bruteForceTopK(spark, dir, nQueries = 1, k = 3).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getLong(1) == 1L && top.head.getLong(2) == 1L)
+  }
+
+  test("LSH ANN finds the near-identical vector (shares all bands)") {
+    val top = Similarity.lshTopK(spark, dir, nQueries = 1, k = 3)
+    val first = top.collect().headOption
+    assert(first.exists(r => r.getLong(1) == 1L))
+  }
+
+  test("token counts and quality formulas") {
+    val t = TextAnalysis.tokenCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(t(0L) == (6L, 22L))
+    val q = TextAnalysis.qualityScores(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // 6 words -> lenScore 0.06; avg word len (22-5)/6 = 2.83 in [2,12] -> x1.0
+    assert(math.abs(q(0L) - 0.06) < 1e-12)
+  }
+
+  test("language id: stopword voting picks en and de correctly") {
+    val langs = TextAnalysis.languageId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(0L) == "en" && langs(3L) == "de")
+  }
+
+  test("fingerprints: identical docs share identical fingerprint sets") {
+    val fp = TextAnalysis.fingerprints(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(0L) == fp(1L))
+  }
+}
