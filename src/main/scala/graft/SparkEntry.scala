@@ -103,7 +103,8 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q9_anti_join" ->
       """SELECT c_custkey FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q10_union" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer

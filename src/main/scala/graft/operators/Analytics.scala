@@ -110,10 +110,13 @@ object Analytics {
       .select(col("c_custkey"))
       .orderBy("c_custkey")
 
-  /** Left-anti join (NOT EXISTS). */
+  /** Left-anti join (NOT EXISTS): customers with no URGENT order — the
+    * pushed filter shrinks the broadcast side before the anti join. */
   def q9CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
     customer(s, dir)
-      .join(broadcast(orders(s, dir).select("o_custkey")),
+      .join(broadcast(orders(s, dir)
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select("o_custkey")),
             col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"))
       .orderBy("c_custkey")

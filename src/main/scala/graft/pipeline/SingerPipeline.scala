@@ -85,6 +85,10 @@ object SingerPipeline {
       .select(col("idx"), col("stream"),
               get_json_object(col("value"), "$.record").as("rec"),
               get_json_object(col("value"), "$.time_extracted").as("time_extracted"))
+    // Persist the parsed records only when several streams will each
+    // filter the same scan. For the single-stream case, measured at
+    // sf0.1: caching costs more than the (cheap, codegen'd) text
+    // re-scans the extent/validate/write passes perform — so don't.
     val multiStream = schemasByStream.size > 1
     if (multiStream) records.persist(StorageLevel.MEMORY_AND_DISK)
     try {

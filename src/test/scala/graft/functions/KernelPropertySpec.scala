@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.{Singer, StateFold, StateMessage}
+
+/** Property tests: the codegen kernels must agree with their naive Scala
+  * definitions on arbitrary inputs (both the interpreted `nullSafeEval`
+  * and the generated code paths execute under local[4]). */
+class KernelPropertySpec extends SparkSpec {
+
+  /** Deterministic sampling in place of the scalatestplus bridge (not in
+    * the offline dependency cache): 40 seeded samples per property. */
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 40).foreach { i =>
+      for {
+        a <- ga(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } f(a, b)
+    }
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    (0 until 40).foreach(i => ga(Gen.Parameters.default, Seed(i.toLong)).foreach(f))
+
+
+  private val longArr = Gen.listOfN(16, Gen.chooseNum(-5L, 5L))
+  private val floatArr = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+
+  private def eval2(a: Seq[Any], b: Seq[Any], f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    val df = a match {
+      case la: Seq[_] if la.headOption.exists(_.isInstanceOf[Long]) =>
+        Seq((a.asInstanceOf[Seq[Long]], b.asInstanceOf[Seq[Long]])).toDF("a", "b")
+      case _ =>
+        Seq((a.asInstanceOf[Seq[Float]], b.asInstanceOf[Seq[Float]])).toDF("a", "b")
+    }
+    df.select(f(col("a"), col("b")).as("r")).collect().head.get(0)
+  }
+
+  test("SortedIntersectCount == set-intersection size on sorted distinct arrays") {
+    forAll(longArr, longArr) { (a, b) =>
+      val sa = a.distinct.sorted; val sb = b.distinct.sorted
+      val expected = sa.toSet.intersect(sb.toSet).size
+      assert(eval2(sa, sb, ArrayOps.sortedIntersectCount) == expected)
+    }
+  }
+
+  test("PositionalMatchCount == zip equality count") {
+    forAll(longArr, longArr) { (a, b) =>
+      val expected = a.zip(b).count { case (x, y) => x == y }
+      assert(eval2(a, b, ArrayOps.positionalMatchCount) == expected)
+    }
+  }
+
+  test("DotProduct == naive double sum over float arrays") {
+    forAll(floatArr, floatArr) { (a, b) =>
+      val expected = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val got = eval2(a, b, DotProduct.dot).asInstanceOf[Double]
+      assert(math.abs(got - expected) < 1e-9)
+    }
+  }
+
+  test("pyRepr string quoting: reference quote-choice rule holds") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val r = PyRepr.reprString(s)
+      if (s.contains("'") && !s.contains("\""))
+        assert(r.head == '"' && r.last == '"')
+      else assert(r.head == '\'' && r.last == '\'')
+    }
+  }
+
+  test("state fold: emitted iff a STATE exists and no record follows it") {
+    val gen = for {
+      stateIdxs <- Gen.listOf(Gen.chooseNum(0L, 100L))
+      maxRec <- Gen.option(Gen.chooseNum(0L, 100L))
+    } yield (stateIdxs.distinct, maxRec)
+    forAll(gen) { case (idxs, maxRec) =>
+      val states = idxs.map(i => StateMessage(i, Singer.parseJson(s"""{"i":$i}""")))
+      val out = StateFold.emittedState(states, maxRec)
+      val expectEmitted = idxs.nonEmpty && maxRec.forall(_ < idxs.max)
+      assert(out.isDefined == expectEmitted)
+      if (expectEmitted) assert(Singer.toJsonString(out.get) == s"""{"i":${idxs.max}}""")
+    }
+  }
+}
