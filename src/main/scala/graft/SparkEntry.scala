@@ -47,6 +47,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprints _),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "multimodal_summary" -> (Multimodal.assetSummary _),
     "multimodal_features" -> ((s, d) => Multimodal.extractFeatures(s, d)
       .toDF().select("asset_id", "modality", "n_bytes", "width", "height")

@@ -68,6 +68,46 @@ object Similarity {
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
   }
 
+  /** IVF (inverted-file) top-k: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into lists; each query probes its `nprobe`
+    * closest lists and ranks only those candidates exactly. The centroids
+    * here are the first `nlist` corpus vectors (deterministic stand-in for
+    * a k-means codebook — at 100 TB you'd train the codebook offline and
+    * broadcast it exactly like this: centroids are driver-collected once,
+    * shipped as literals, and every distance runs codegen'd in the scan;
+    * list assignment is the shuffle key, so a probe touches nprobe/nlist
+    * of the data). */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val all = corpus(s, dir)
+    val cents: Array[Seq[Double]] = all.filter(col("vec_id") < nlist)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => r.getSeq[Float](1).map(x => x.toDouble / r.getDouble(2)).toSeq)
+    def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    val assigned = all
+      .withColumn("cd", centDots)
+      .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1"))
+      .drop("cd")
+    // queries probe their nprobe best lists
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .withColumn("cd", centDots)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(slice(reverse(array_sort(zip_with(
+          col("cd"), sequence(lit(0), lit(cents.length - 1)),
+          (d, i) => struct(d.as("d"), i.as("i"))))), 1, nprobe)).as("probe"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("probe.i").cast("long").as("list_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-accelerated top-k: candidates share at least one band with the
     * query, then exact cosine ranks them. Recall < 1 by construction; the
     * band/bit split trades recall vs candidate count. */

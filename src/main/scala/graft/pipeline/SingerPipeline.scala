@@ -64,10 +64,19 @@ object SingerPipeline {
       get_json_object(col("value"), "$.type").as("mtype"),
       get_json_object(col("value"), "$.stream").as("stream"))
 
-    // Strict parse check (P1): any line without a $.type is either invalid
-    // JSON or not a Singer message — reference raises on the first one.
-    typed.filter(col("mtype").isNull).select("value").limit(1).collect()
-      .foreach(r => throw new RuntimeException(Singer.unparseableError(r.getString(0))))
+    // Strict parse check (P1) + unknown-type accounting (reference warns
+    // per unknown message, __init__.py:246-251) in ONE scan: any line
+    // without a $.type is invalid JSON / not a Singer message.
+    val stats = typed.agg(
+      min(when(col("mtype").isNull, col("value"))).as("badLine"),
+      sum(when(col("mtype").isNotNull &&
+        !col("mtype").isin("RECORD", "SCHEMA", "STATE"), 1L).otherwise(0L))
+        .as("nUnknown")).collect().head
+    if (!stats.isNullAt(0))
+      throw new RuntimeException(Singer.unparseableError(stats.getString(0)))
+    if (stats.getLong(1) > 0)
+      System.err.println(s"[graft] warning: ${stats.getLong(1)} message(s) of " +
+        "unknown type skipped (e.g. ACTIVATE_VERSION)")
 
     // Control plane → driver, in file order.
     val control = typed

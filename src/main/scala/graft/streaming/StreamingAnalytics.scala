@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over an `events`-shaped stream
+  * (event_id, ts, user_id, event_type, value): watermarked tumbling-window
+  * aggregation and stateful sessionization — the Structured-Streaming
+  * surface the engine adds beyond the reference's arrival-order ingest
+  * (SURVEY.md §2.5 notes the reference has none of this).
+  *
+  * Both operators are partition-parallel with state sharded by group key;
+  * the watermark bounds state size, which is what makes them runnable on
+  * an unbounded 100 TB/day stream.
+  */
+object StreamingAnalytics {
+
+  /** Tumbling-window counts/sums per event type with a watermark: late
+    * events beyond `lateness` are dropped and window state is reclaimed. */
+  def windowedEventStats(events: DataFrame,
+                         windowLen: String = "1 hour",
+                         lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes after `gapMs` of user inactivity (driven by the event-time
+    * timeout, so state is bounded by the watermark). */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L,
+                 lateness: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t), nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+
+  /** Batch-mode check of the same sessionization logic (identical fold,
+    * no streaming machinery) — lets the gap semantics be oracle-tested. */
+  def sessionizeBatch(events: Seq[SessionEvent], gapMs: Long): Seq[SessionOut] = {
+    events.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(_.ts.getTime)
+      val (closed, last) = sorted.foldLeft((List.empty[SessionOut], Option.empty[SessionState])) {
+        case ((acc, cur), e) =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastSeen <= gapMs =>
+              (acc, Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1)))
+            case Some(s) =>
+              (SessionOut(uid, new Timestamp(s.start), new Timestamp(s.lastSeen), s.nEvents) :: acc,
+                Some(SessionState(t, t, 1)))
+            case None => (acc, Some(SessionState(t, t, 1)))
+          }
+      }
+      (closed.reverse ++ last.map(s =>
+        SessionOut(uid, new Timestamp(s.start), new Timestamp(s.lastSeen), s.nEvents))).toSeq
+    }.sortBy(o => (o.user_id, o.session_start.getTime))
+  }
+}

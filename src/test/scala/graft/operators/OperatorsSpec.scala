@@ -71,6 +71,12 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head.getLong(0) == 0L && top.head.getLong(1) == 1L && top.head.getLong(2) == 1L)
   }
 
+  test("IVF ANN ranks the planted neighbor first (probe covers its list)") {
+    val top = Similarity.ivfTopK(spark, dir, nQueries = 1, k = 2, nlist = 2, nprobe = 2)
+      .collect()
+    assert(top.head.getLong(0) == 0L && top.head.getLong(1) == 1L && top.head.getLong(2) == 1L)
+  }
+
   test("LSH ANN finds the near-identical vector (shares all bands)") {
     val top = Similarity.lshTopK(spark, dir, nQueries = 1, k = 3)
     val first = top.collect().headOption

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import StreamingAnalytics._
+
+class StreamingAnalyticsSpec extends SparkSpec {
+
+  // offset from epoch 0: a row whose event time equals the initial
+  // watermark (0) is dropped as late by stateful operators
+  private def ts(min: Int): Timestamp = new Timestamp((1440 + min) * 60000L)
+
+  test("watermarked windowed aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val agg = windowedEventStats(events, windowLen = "10 minutes", lateness = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_stats")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts(1), "click", 1.0), (2L, ts(2), "click", 2.0),
+                    (3L, ts(11), "click", 4.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      input.addData((4L, ts(60), "click", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000 - 1440, r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      assert(rows.take(2).toSeq == Seq((0L, 2L, 3.0), (10L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization: batch fold closes sessions on gap") {
+    val evs = Seq(
+      SessionEvent(1L, ts(0), "a"), SessionEvent(1L, ts(5), "b"),
+      SessionEvent(1L, ts(60), "c"),   // > 30min gap -> new session
+      SessionEvent(2L, ts(10), "x"))
+    val out = sessionizeBatch(evs, gapMs = 30 * 60000L)
+    assert(out.map(o => (o.user_id, o.session_start.getTime / 60000 - 1440,
+      o.session_end.getTime / 60000 - 1440, o.n_events)) == Seq(
+      (1L, 0L, 5L, 2L), (1L, 60L, 60L, 1L), (2L, 10L, 10L, 1L)))
+  }
+
+  test("stateful sessionization over a memory stream emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent]
+    val out = sessionize(input.toDS(), gapMs = 30 * 60000L, lateness = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(SessionEvent(1L, ts(0), "a"), SessionEvent(1L, ts(5), "b"))
+      q.processAllAvailable()
+      // event far in the future: watermark passes session timeout -> close
+      input.addData(SessionEvent(2L, ts(600), "x"))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, ts(1200), "y")) // push watermark again
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      assert(sessions.contains((1L, 2L))) // user 1's 2-event session closed
+    } finally q.stop()
+  }
+}
