@@ -34,7 +34,10 @@ final case class TargetConfig(
     awsSecretAccessKey: Option[String] = None,
     awsSessionToken: Option[String] = None,
     awsProfile: Option[String] = None,
-    awsEndpointUrl: Option[String] = None) {
+    awsEndpointUrl: Option[String] = None,
+    encryptionType: Option[String] = None,
+    encryptionKey: Option[String] = None,
+    decimalForMultipleOf: Boolean = false) {
 
   /** Parquet codec + the reference's filename-extension map (S9,
     * __init__.py:190-204). Unknown codec → warn-and-none, like the
@@ -73,7 +76,10 @@ object TargetConfig {
     awsSecretAccessKey = m.get("aws_secret_access_key"),
     awsSessionToken = m.get("aws_session_token"),
     awsProfile = m.get("aws_profile"),
-    awsEndpointUrl = m.get("aws_endpoint_url"))
+    awsEndpointUrl = m.get("aws_endpoint_url"),
+    encryptionType = m.get("encryption_type"),
+    encryptionKey = m.get("encryption_key"),
+    decimalForMultipleOf = m.getOrElse("decimal_for_multiple_of", "false").toBoolean)
 }
 
 /** Output-key naming (S8 + legacy L3, reference __init__.py:260-271 and

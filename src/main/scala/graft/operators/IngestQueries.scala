@@ -72,12 +72,16 @@ object IngestQueries {
 
   /** Full pipeline round-trip: events → Singer messages → SingerPipeline →
     * parquet → read back. The oracle simply selects the original rows. */
+  /** Corpus format version — bump when generateEventsCorpus changes so a
+    * cached corpus from an older layout is never reused. */
+  private val CorpusVersion = "v1"
+
   def singerRoundTrip(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = sys.props("java.io.tmpdir") + s"/graft_singer_$tag"
+    val base = sys.props("java.io.tmpdir") + s"/graft_singer_${CorpusVersion}_$tag"
     val corpus = s"$base/corpus.jsonl"
     Files.createDirectories(Paths.get(base))
-    generateEventsCorpus(s, dir, corpus)
+    if (!Files.exists(Paths.get(corpus))) generateEventsCorpus(s, dir, corpus)
     val out = s"$base/out"
     SingerPipeline.run(s, corpus, out,
       TargetConfig(inferExtraFields = false), clock = () => "RT")

@@ -128,7 +128,8 @@ object SingerPipeline {
         if (!extents.contains(stream)) None // zero-record stream: no file (fixes X4 crash)
         else {
           val sm = schemasByStream(stream)
-          val declared = JsonSchemaConverter.toStructType(sm.schema)
+          val declared = JsonSchemaConverter.toStructType(sm.schema,
+            config.decimalForMultipleOf)
           val streamRecs = records.filter(col("stream") === stream)
 
           // Union-schema passthrough (§1.4): find record-only fields.

@@ -25,14 +25,20 @@ object JsonSchemaConverter {
     case _ => Seq.empty
   }
 
-  private def leafType(prop: JsonNode): DataType = typeNames(prop) match {
+  private def leafType(prop: JsonNode, decimalForMultipleOf: Boolean): DataType =
+    typeNames(prop) match {
     case ts if ts.contains("object") =>
-      toStructType(prop) // nested object
+      toStructType(prop, decimalForMultipleOf) // nested object
     case ts if ts.contains("array") =>
-      ArrayType(Option(prop.get("items")).map(leafType).getOrElse(StringType))
+      ArrayType(Option(prop.get("items"))
+        .map(leafType(_, decimalForMultipleOf)).getOrElse(StringType))
     case ts if ts.contains("string") => StringType
     case ts if ts.contains("integer") => LongType
-    case ts if ts.contains("number") => DoubleType
+    case ts if ts.contains("number") =>
+      // legacy L2 (reference __init__.py:76-82): `multipleOf` numbers are
+      // coerced to exact decimals so step validation isn't float-fuzzy
+      if (decimalForMultipleOf && prop.has("multipleOf")) DecimalType(38, 18)
+      else DoubleType
     case ts if ts.contains("boolean") => BooleanType
     case _ => StringType // no/unknown type: reference warns and passes through
   }
@@ -41,12 +47,12 @@ object JsonSchemaConverter {
     * nullable: the reference's corpus uses `["null", X]` unions throughout
     * and missing keys are filled with null at write (reference
     * __init__.py:163-168). */
-  def toStructType(schema: JsonNode): StructType = {
+  def toStructType(schema: JsonNode, decimalForMultipleOf: Boolean = false): StructType = {
     val props = Option(schema.get("properties"))
     // .toSeq BEFORE .map: properties() is a (insertion-ordered) Set and a
     // Set.map would scramble field order.
     StructType(props.toSeq.flatMap(_.properties().asScala.toSeq.map { e =>
-      StructField(e.getKey, leafType(e.getValue), nullable = true)
+      StructField(e.getKey, leafType(e.getValue, decimalForMultipleOf), nullable = true)
     }))
   }
 

@@ -32,6 +32,15 @@ object S3Conf {
       h.set("fs.s3a.endpoint", e)
       h.set("fs.s3a.path.style.access", "true")
     }
+    // SSE-KMS server-side encryption (legacy L4, reference s3.py:58-87)
+    config.encryptionType.foreach {
+      case t if t.equalsIgnoreCase("KMS") =>
+        h.set("fs.s3a.server-side-encryption-algorithm", "SSE-KMS")
+        config.encryptionKey.foreach(h.set("fs.s3a.server-side-encryption.key", _))
+      case t if t.equalsIgnoreCase("none") => ()
+      case t => throw new UnsupportedOperationException(
+        s"encryption_type $t is not supported") // reference: NotImplementedError
+    }
     // retry/backoff parity with s3.py:16-25 (5 tries, exponential)
     h.set("fs.s3a.attempts.maximum", "5")
     h.set("fs.s3a.retry.limit", "5")

@@ -97,7 +97,8 @@ final class StreamingIngest(
       if (!reg.contains(stream))
         throw new IllegalArgumentException(Singer.recordBeforeSchemaError(stream))
       val sm = reg(stream)
-      val schema = JsonSchemaConverter.toStructType(sm.schema)
+      val schema = JsonSchemaConverter.toStructType(sm.schema,
+        config.decimalForMultipleOf)
       val parsed = records.filter(col("stream") === stream)
         .select(col("rec"), from_json(col("rec"), schema).as("r"))
       if (config.strictValidation)
