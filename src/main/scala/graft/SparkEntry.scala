@@ -33,7 +33,9 @@ object SparkEntry {
     "q11_rollup"      -> (Analytics.q11NationRollup _),
     "q12_time_agg"    -> (Analytics.q12EventsHourly _),
     "q13_json"        -> (Analytics.q13JsonExtract _),
+    "q14_sql_subquery" -> (Analytics.q14SqlSurface _),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
+    "ingest_validate" -> (IngestQueries.validateDemo _),
     "singer_pipeline" -> (IngestQueries.singerRoundTrip _),
     "dedup_exact"     -> (Dedup.exact _),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -125,6 +127,18 @@ object SparkEntry {
         |ORDER BY event_type, hour""".stripMargin,
     "q13_json" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q14_sql_subquery" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_above
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM customer WHERE c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+        |       WHERE c_nationkey = c.c_nationkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "ingest_validate" ->
+      """SELECT event_id,
+        | (length(event_type) <= 5 AND value >= 10 AND user_id <= 40) AS is_valid
         |FROM events ORDER BY event_id""".stripMargin,
     "ingest_flatten" ->
       """SELECT p_partkey AS prod__key, p_name AS prod__meta__name,

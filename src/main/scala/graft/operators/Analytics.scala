@@ -159,4 +159,20 @@ object Analytics {
       .select(col("event_id"),
               get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
+
+  /** The engine's SQL surface: the same ANSI SQL DuckDB runs as the
+    * oracle executes verbatim on `spark.sql` over registered views —
+    * correlated scalar subquery included (Catalyst decorrelates it into
+    * an aggregate + join). */
+  def q14SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_above
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM customer WHERE c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+        |       WHERE c_nationkey = c.c_nationkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
 }

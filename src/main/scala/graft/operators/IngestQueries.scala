@@ -72,6 +72,26 @@ object IngestQueries {
 
   /** Full pipeline round-trip: events → Singer messages → SingerPipeline →
     * parquet → read back. The oracle simply selects the original rows. */
+  /** Constraint-compiler demo (P5): a JSON Schema's keywords compiled to
+    * codegen'd Column predicates, evaluated over `events` — per-row
+    * validity, oracle-checkable as plain SQL CASE logic. */
+  def validateDemo(s: SparkSession, dir: String): DataFrame = {
+    import graft.validate.Constraints
+    val schema = graft.model.Singer.parseJson(
+      """{"properties": {
+        |  "event_type": {"type": ["null", "string"], "maxLength": 5},
+        |  "value": {"type": ["null", "number"], "minimum": 10},
+        |  "user_id": {"type": ["null", "integer"], "maximum": 40}}}""".stripMargin)
+    val constraints = Constraints.compile(schema)
+    val e = Tables.events(s, dir)
+      .select(col("event_id"),
+        struct(col("event_type"), col("value"), col("user_id")).as("r"))
+      .withColumn("raw", to_json(col("r")))
+    e.select(col("event_id"),
+        Constraints.violation(constraints, col("r"), col("raw")).isNull.as("is_valid"))
+      .orderBy("event_id")
+  }
+
   /** Corpus format version — bump when generateEventsCorpus changes so a
     * cached corpus from an older layout is never reused. */
   private val CorpusVersion = "v1"

@@ -36,4 +36,14 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` works over the
+    * whole corpus — the engine's SQL surface. */
+  def registerAll(s: SparkSession, d: String): Unit = names.foreach {
+    case "events" => events(s, d).createOrReplaceTempView("events")
+    case n => table(s, d, n).createOrReplaceTempView(n)
+  }
 }
