@@ -64,18 +64,25 @@ object SingerPipeline {
       get_json_object(col("value"), "$.type").as("mtype"),
       get_json_object(col("value"), "$.stream").as("stream"))
 
-    // Strict parse check (P1) + unknown-type accounting (reference warns
-    // per unknown message, __init__.py:246-251) in ONE scan: any line
-    // without a $.type is invalid JSON / not a Singer message.
-    val stats = typed.agg(
-      min(when(col("mtype").isNull, col("value"))).as("badLine"),
-      sum(when(col("mtype").isNotNull &&
-        !col("mtype").isin("RECORD", "SCHEMA", "STATE"), 1L).otherwise(0L))
-        .as("nUnknown")).collect().head
-    if (!stats.isNullAt(0))
-      throw new RuntimeException(Singer.unparseableError(stats.getString(0)))
-    if (stats.getLong(1) > 0)
-      System.err.println(s"[graft] warning: ${stats.getLong(1)} message(s) of " +
+    // ONE pre-pass over all lines covers: the strict parse check (P1 — a
+    // line without $.type is invalid JSON / not a Singer message),
+    // unknown-type accounting (reference warns per unknown message,
+    // __init__.py:246-251), AND the per-stream record extents used by the
+    // order check (P4) and state fold (P8). Output is O(streams), so the
+    // collect is control-plane-sized at any input scale.
+    val prepass = typed.groupBy("mtype", "stream")
+      .agg(min("idx").as("minIdx"), max("idx").as("maxIdx"),
+           count(lit(1)).as("n"),
+           min(when(col("mtype").isNull, col("value"))).as("sample"))
+      .collect()
+    // row layout: (mtype, stream, minIdx, maxIdx, n, sample)
+    prepass.find(_.isNullAt(0)).foreach { r =>
+      throw new RuntimeException(Singer.unparseableError(r.getString(5)))
+    }
+    val nUnknown = prepass.filter(r => !r.isNullAt(0) &&
+      !Set("RECORD", "SCHEMA", "STATE").contains(r.getString(0))).map(_.getLong(4)).sum
+    if (nUnknown > 0)
+      System.err.println(s"[graft] warning: $nUnknown message(s) of " +
         "unknown type skipped (e.g. ACTIVATE_VERSION)")
 
     // Control plane → driver, in file order.
@@ -101,12 +108,10 @@ object SingerPipeline {
     val multiStream = schemasByStream.size > 1
     if (multiStream) records.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // Per-stream record extent: one small aggregate powering both the
-      // order check (P4) and the state fold (P8).
-      val extents = records.groupBy("stream")
-        .agg(min("idx").as("minIdx"), max("idx").as("maxIdx"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // Per-stream record extents, already computed in the pre-pass.
+      val extents = prepass
+        .filter(r => !r.isNullAt(0) && r.getString(0) == "RECORD")
+        .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
 
       extents.foreach { case (stream, (minIdx, _, _)) =>
         schemasByStream.get(stream) match {

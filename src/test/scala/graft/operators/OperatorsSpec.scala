@@ -44,6 +44,14 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("inverted-index jaccard (scale path) agrees with the array strategy") {
+    val arr = Dedup.jaccardPairs(spark, dir, threshold = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val inv = Dedup.jaccardPairsInverted(spark, dir, threshold = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(arr == inv)
+  }
+
   test("minhash LSH finds the exact-dup pair with est_jaccard 1.0") {
     val pairs = Dedup.minhashPairs(spark, dir, threshold = 0.9).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
