@@ -77,7 +77,11 @@ object TextAnalysis {
 
   /** Winnowing-style document fingerprinting: hash word 3-grams, take the
     * min hash over each sliding window of 4 shingles, keep the distinct
-    * mins. Output: per-doc fingerprint count + combined fingerprint. */
+    * mins. Computed entirely with per-row array expressions — no explode,
+    * no window shuffle: each doc is independent, so the operator scales
+    * with the scan and never exchanges data (the earlier explode+window
+    * formulation shuffled every shingle and spilled under memory
+    * pressure). Output: per-doc fingerprint count + combined fingerprint. */
   def fingerprints(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
     val toks = tokens(col("text"))
@@ -85,13 +89,13 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, n))))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, 3)
-    d.select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram_hash")))
-      .withColumn("win_min", min("gram_hash").over(w))
-      .groupBy("doc_id")
-      .agg(countDistinct("win_min").as("n_fingerprints"),
-           min("win_min").as("min_fingerprint"))
+    val winMins = transform(sequence(lit(0), size(col("grams")) - 1),
+      i => array_min(slice(col("grams"), i + 1, lit(4))))
+    d.select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"), winMins.as("win_mins"))
+      .select(col("doc_id"),
+        size(array_distinct(col("win_mins"))).cast("long").as("n_fingerprints"),
+        array_min(col("win_mins")).as("min_fingerprint"))
       .orderBy("doc_id")
   }
 }
