@@ -34,6 +34,9 @@ object SparkEntry {
     "q12_time_agg"    -> (Analytics.q12EventsHourly _),
     "q13_json"        -> (Analytics.q13JsonExtract _),
     "q14_sql_subquery" -> (Analytics.q14SqlSurface _),
+    "q15_except"      -> (Analytics.q15Except _),
+    "q16_intersect"   -> (Analytics.q16Intersect _),
+    "q17_pivot"       -> (Analytics.q17Pivot _),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
     "ingest_validate" -> (IngestQueries.validateDemo _),
     "singer_pipeline" -> (IngestQueries.singerRoundTrip _),
@@ -136,6 +139,22 @@ object SparkEntry {
         |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
         |       WHERE c_nationkey = c.c_nationkey)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q15_except" ->
+      """SELECT o_orderkey AS orderkey FROM orders
+        |EXCEPT SELECT l_orderkey FROM lineitem
+        |ORDER BY orderkey""".stripMargin,
+    "q16_intersect" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q17_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        | COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin,
     "ingest_validate" ->
       """SELECT event_id,
         | (length(event_type) <= 5 AND value >= 10 AND user_id <= 40) AS is_valid

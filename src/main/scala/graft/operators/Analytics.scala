@@ -160,6 +160,29 @@ object Analytics {
               get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  /** Set op: EXCEPT DISTINCT — orders with no lineitems. */
+  def q15Except(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).select(col("o_orderkey").as("orderkey"))
+      .except(lineitem(s, dir).select(col("l_orderkey")))
+      .orderBy("orderkey")
+
+  /** Set op: INTERSECT DISTINCT — nations with both. */
+  def q16Intersect(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
+      .intersect(supplier(s, dir).select(col("s_nationkey").cast("long")))
+      .orderBy("nationkey")
+
+  /** Pivot: event counts per user bucket × event type. Pivot values are
+    * listed explicitly so the schema is static (no extra distinct scan —
+    * also what keeps it planner-friendly at scale). */
+  def q17Pivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_bucket")
+
   /** The engine's SQL surface: the same ANSI SQL DuckDB runs as the
     * oracle executes verbatim on `spark.sql` over registered views —
     * correlated scalar subquery included (Catalyst decorrelates it into
