@@ -37,6 +37,8 @@ object SparkEntry {
     "q15_except"      -> (Analytics.q15Except _),
     "q16_intersect"   -> (Analytics.q16Intersect _),
     "q17_pivot"       -> (Analytics.q17Pivot _),
+    "q18_cube"        -> (Analytics.q18Cube _),
+    "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
     "ingest_validate" -> (IngestQueries.validateDemo _),
     "singer_pipeline" -> (IngestQueries.singerRoundTrip _),
@@ -155,6 +157,17 @@ object SparkEntry {
         | COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         | COUNT(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin,
+    "q18_cube" ->
+      """SELECT c_mktsegment, n_name AS nation_name, COUNT(*) AS n_cust
+        |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)
+        |ORDER BY c_mktsegment NULLS FIRST, nation_name NULLS FIRST""".stripMargin,
+    "asof_join" ->
+      """SELECT e.event_id, p.event_id AS purchase_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
     "ingest_validate" ->
       """SELECT event_id,
         | (length(event_type) <= 5 AND value >= 10 AND user_id <= 40) AS is_valid

@@ -183,6 +183,21 @@ object Analytics {
       .na.fill(0L)
       .orderBy("user_bucket")
 
+  /** CUBE grouping sets over segment × nation (all four grouping
+    * combinations in one pass — Catalyst expands to a single Expand +
+    * aggregate, not four scans). */
+  def q18Cube(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("graft_q18_customer")
+    nation(s, dir).createOrReplaceTempView("graft_q18_nation")
+    s.sql(
+      """SELECT /*+ BROADCAST(n) */ c_mktsegment, n_name AS nation_name,
+        | COUNT(*) AS n_cust
+        |FROM graft_q18_customer c JOIN graft_q18_nation n
+        |  ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)
+        |ORDER BY c_mktsegment NULLS FIRST, nation_name NULLS FIRST""".stripMargin)
+  }
+
   /** The engine's SQL surface: the same ANSI SQL DuckDB runs as the
     * oracle executes verbatim on `spark.sql` over registered views —
     * correlated scalar subquery included (Catalyst decorrelates it into

@@ -91,6 +91,21 @@ class OperatorsSpec extends SparkSpec {
     assert(first.exists(r => r.getLong(1) == 1L))
   }
 
+  test("as-of join picks the most recent preceding right row per key") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    val clicks = Seq((1L, ts(10), "c1"), (1L, ts(30), "c2"), (2L, ts(5), "c3"))
+      .toDF("uid", "ts", "click_id")
+    val buys = Seq((1L, ts(8), "b1"), (1L, ts(20), "b2"), (3L, ts(1), "b3"))
+      .toDF("uid", "ts", "buy_id")
+    val out = AsOfJoin.asOf(clicks, buys, "uid", "ts", Seq("buy_id"))
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(out("c1") == "b1")  // ts 10: latest buy <= 10 is b1(8)
+    assert(out("c2") == "b2")  // ts 30: latest buy <= 30 is b2(20)
+    assert(out("c3") == null)  // user 2 has no buys
+  }
+
   test("token counts and quality formulas") {
     val t = TextAnalysis.tokenCounts(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
