@@ -38,6 +38,8 @@ object SparkEntry {
     "q16_intersect"   -> (Analytics.q16Intersect _),
     "q17_pivot"       -> (Analytics.q17Pivot _),
     "q18_cube"        -> (Analytics.q18Cube _),
+    "q19_quantiles"   -> (Analytics.q19Quantiles _),
+    "q20_approx_distinct" -> (Analytics.q20ApproxDistinct _),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
     "ingest_validate" -> (IngestQueries.validateDemo _),
@@ -162,6 +164,11 @@ object SparkEntry {
         |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
         |GROUP BY CUBE(c_mktsegment, n_name)
         |ORDER BY c_mktsegment NULLS FIRST, nation_name NULLS FIRST""".stripMargin,
+    "q19_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "asof_join" ->
       """SELECT e.event_id, p.event_id AS purchase_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e

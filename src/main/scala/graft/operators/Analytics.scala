@@ -198,6 +198,25 @@ object Analytics {
         |ORDER BY c_mktsegment NULLS FIRST, nation_name NULLS FIRST""".stripMargin)
   }
 
+  /** Exact interpolated percentiles (median/p90) per return flag — both
+    * engines implement the standard linear-interpolation definition. */
+  def q19Quantiles(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+           expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .orderBy("l_returnflag")
+
+  /** Sketch aggregates: HyperLogLog distinct estimate per event type.
+    * Implementation-specific estimates can't hash-match another engine's
+    * HLL, so this is a rows-only query; the spec bounds its error vs the
+    * exact count instead. */
+  def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+      .orderBy("event_type")
+
   /** The engine's SQL surface: the same ANSI SQL DuckDB runs as the
     * oracle executes verbatim on `spark.sql` over registered views —
     * correlated scalar subquery included (Catalyst decorrelates it into

@@ -91,6 +91,18 @@ class OperatorsSpec extends SparkSpec {
     assert(first.exists(r => r.getLong(1) == 1L))
   }
 
+  test("HLL approx distinct is within 5% of exact on the events table") {
+    val sf = "/root/testdata/sf0.001"
+    val approx = Analytics.q20ApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Analytics.q7EventUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
   test("as-of join picks the most recent preceding right row per key") {
     import spark.implicits._
     import java.sql.Timestamp
