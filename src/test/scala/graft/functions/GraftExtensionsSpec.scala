@@ -1,0 +1,15 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftExtensionsSpec extends SparkSpec {
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        | sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS i,
+        | positional_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 11.0 && r.getInt(1) == 2 && r.getInt(2) == 2)
+  }
+}
