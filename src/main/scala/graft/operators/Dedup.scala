@@ -26,6 +26,19 @@ object Dedup {
       .select("doc_id", "n_dupes")
       .orderBy("doc_id")
 
+  /** Exact dedup, at-scale variant: group on xxhash64(text) so the
+    * shuffle carries 8-byte keys instead of document bodies; the min/count
+    * per hash group equals [[exact]]'s output modulo 64-bit collisions
+    * (~n²/2⁶⁵ — none expected below ~10⁹ distinct docs; pinned against
+    * [[exact]] by OperatorsSpec). */
+  def exactByHash(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dupes"))
+      .select("doc_id", "n_dupes")
+      .orderBy("doc_id")
+
   /** Distinct word tokens per doc: (doc_id, token) exploded pairs. */
   private def tokenSet(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),

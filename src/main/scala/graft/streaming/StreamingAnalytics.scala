@@ -30,6 +30,22 @@ object StreamingAnalytics {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Watermarked stream-stream interval join: each click joins the
+    * impression with the same key at most `joinWindow` earlier. Both
+    * watermarks bound the join state (impressions older than the click
+    * watermark minus the window are dropped), which is what makes an
+    * unbounded two-stream join feasible. */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame,
+                       joinWindow: String = "10 minutes",
+                       lateness: String = "5 minutes"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", lateness)
+    val clk = clicks.withWatermark("click_ts", lateness)
+    imp.join(clk,
+      expr(s"""imp_key = click_key AND
+              |click_ts >= imp_ts AND
+              |click_ts <= imp_ts + interval $joinWindow""".stripMargin))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

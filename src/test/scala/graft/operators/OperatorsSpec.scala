@@ -44,6 +44,12 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
+    val byText = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byHash = Dedup.exactByHash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byText == byHash)
+  }
+
   test("inverted-index jaccard (scale path) agrees with the array strategy") {
     val arr = Dedup.jaccardPairs(spark, dir, threshold = 0.5).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -34,6 +34,28 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to impressions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val impIn = MemoryStream[(Long, Timestamp)]
+    val clkIn = MemoryStream[(Long, Timestamp)]
+    val joined = clickAttribution(
+      impIn.toDF().toDF("imp_key", "imp_ts"),
+      clkIn.toDF().toDF("click_key", "click_ts"),
+      joinWindow = "10 minutes", lateness = "2 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      impIn.addData((1L, ts(0)), (2L, ts(0)))
+      clkIn.addData((1L, ts(5)),   // within window -> joins
+                    (2L, ts(25)))  // outside 10-min window -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("sessionization: batch fold closes sessions on gap") {
     val evs = Seq(
       SessionEvent(1L, ts(0), "a"), SessionEvent(1L, ts(5), "b"),
