@@ -44,6 +44,7 @@ object SparkEntry {
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
     "ingest_validate" -> (IngestQueries.validateDemo _),
     "singer_pipeline" -> (IngestQueries.singerRoundTrip _),
+    "doc_pipeline"    -> ((s, d) => DocPipeline.curate(s, d)),
     "dedup_exact"     -> (Dedup.exact _),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.minhashPairs(s, d, threshold = 0.9)),
@@ -188,6 +189,24 @@ object SparkEntry {
       """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts,
         | user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+    "doc_pipeline" ->
+      """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM ts a, ts b
+        | WHERE a.doc_id < b.doc_id
+        |   AND a.doc_id IN (SELECT doc_id FROM survivors)
+        |   AND b.doc_id IN (SELECT doc_id FROM survivors)
+        |   AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |       (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9),
+        |kept AS (SELECT doc_id FROM survivors
+        |         WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs))
+        |SELECT d.doc_id, d.lang,
+        | len(string_split(d.text, ' ')) AS n_tokens,
+        | length(d.text) AS n_chars
+        |FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+        |WHERE len(string_split(d.text, ' ')) >= 5
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation pipeline, composed from the
+  * engine's operators: exact dedup → near-dup removal → quality filter →
+  * token accounting. One DataFrame chain, so Catalyst plans the whole
+  * thing together (the dedup group-by and the near-dup pair join are the
+  * only shuffles; everything else stays in the scan pipeline).
+  *
+  * Removal semantics are deterministic and order-free: a doc is dropped
+  * iff some SURVIVING-exact-dedup doc with a smaller id is a near-dup of
+  * it (jaccard >= `nearDupThreshold`) — no greedy iteration, so the
+  * result is independent of partitioning and exactly SQL-expressible for
+  * the oracle.
+  */
+object DocPipeline {
+
+  def curate(s: SparkSession, dir: String,
+             nearDupThreshold: Double = 0.9,
+             minWords: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+
+    // 1. exact dedup: survivor = min doc_id per identical text
+    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+    // 2. near-dup removal among survivors: drop the higher id of any
+    //    qualifying pair (pairs from the jaccard operator)
+    val pairs = Dedup.jaccardPairs(s, dir, nearDupThreshold)
+      .join(broadcast(survivors.withColumnRenamed("doc_id", "doc_a")), "doc_a")
+      .join(broadcast(survivors.withColumnRenamed("doc_id", "doc_b")), "doc_b")
+    val removed = pairs.select(col("doc_b").as("doc_id")).distinct()
+    val kept = survivors.join(removed, Seq("doc_id"), "left_anti")
+
+    // 3. quality gate + token accounting on the kept set
+    docs.join(broadcast(kept), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .filter(col("n_tokens") >= minWords)
+      .orderBy("doc_id")
+  }
+}
