@@ -37,7 +37,8 @@ final case class TargetConfig(
     awsEndpointUrl: Option[String] = None,
     encryptionType: Option[String] = None,
     encryptionKey: Option[String] = None,
-    decimalForMultipleOf: Boolean = false) {
+    decimalForMultipleOf: Boolean = false,
+    inlineValidation: Boolean = false) {
 
   /** Parquet codec + the reference's filename-extension map (S9,
     * __init__.py:190-204). Unknown codec → warn-and-none, like the

@@ -104,7 +104,8 @@ object IngestQueries {
     if (!Files.exists(Paths.get(corpus))) generateEventsCorpus(s, dir, corpus)
     val out = s"$base/out"
     SingerPipeline.run(s, corpus, out,
-      TargetConfig(inferExtraFields = false), clock = () => "RT")
+      TargetConfig(inferExtraFields = false, inlineValidation = true),
+      clock = () => "RT")
     s.read.parquet(s"$out/events-RT.parquet")
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .orderBy("event_id")

@@ -144,12 +144,27 @@ object SingerPipeline {
               JsonSchemaConverter.mergeSchemas(declared, inferred)
             } else declared
 
-          val parsed = streamRecs.select(col("idx"), col("rec"), col("time_extracted"),
+          var parsed = streamRecs.select(col("idx"), col("rec"), col("time_extracted"),
             from_json(col("rec"), schema).as("r"))
 
           if (config.strictValidation) {
             val constraints = Constraints.compile(sm.schema)
-            Constraints.validateOrThrow(parsed, constraints, col("r"), col("rec"), stream)
+            if (config.inlineValidation) {
+              // Fused validation: the guard evaluates during the write
+              // scan itself — one less full pass over the records, the
+              // right trade at 100 TB. Cost: a violating record aborts
+              // MID-write, so partial output can exist (the reference has
+              // the same hazard across its already-flushed batches,
+              // §3.2); default stays the clean two-pass abort.
+              val v = Constraints.violation(constraints, col("r"), col("rec"))
+              parsed = parsed.filter(
+                when(v.isNotNull, raise_error(concat(
+                  lit(s"Record validation failed for stream $stream: "), v))
+                  .cast("boolean"))
+                .otherwise(lit(true)))
+            } else {
+              Constraints.validateOrThrow(parsed, constraints, col("r"), col("rec"), stream)
+            }
           }
 
           // L1 metadata columns (reference legacy __init__.py:85-88):
