@@ -70,12 +70,17 @@ object SingerPipeline {
     // __init__.py:246-251), AND the per-stream record extents used by the
     // order check (P4) and state fold (P8). Output is O(streams), so the
     // collect is control-plane-sized at any input scale.
+    // Control rows (SCHEMA/STATE) ride along as a conditional
+    // collect_list — collect_list skips nulls, so the RECORD groups
+    // collect nothing and the output stays O(streams + control messages).
     val prepass = typed.groupBy("mtype", "stream")
       .agg(min("idx").as("minIdx"), max("idx").as("maxIdx"),
            count(lit(1)).as("n"),
-           min(when(col("mtype").isNull, col("value"))).as("sample"))
+           min(when(col("mtype").isNull, col("value"))).as("sample"),
+           collect_list(when(col("mtype").isin("SCHEMA", "STATE"),
+             struct(col("idx"), col("value")))).as("ctrl"))
       .collect()
-    // row layout: (mtype, stream, minIdx, maxIdx, n, sample)
+    // row layout: (mtype, stream, minIdx, maxIdx, n, sample, ctrl)
     prepass.find(_.isNullAt(0)).foreach { r =>
       throw new RuntimeException(Singer.unparseableError(r.getString(5)))
     }
@@ -86,9 +91,8 @@ object SingerPipeline {
         "unknown type skipped (e.g. ACTIVATE_VERSION)")
 
     // Control plane → driver, in file order.
-    val control = typed
-      .filter(col("mtype").isin("SCHEMA", "STATE"))
-      .select("idx", "value").collect()
+    val control = prepass.toSeq
+      .flatMap(_.getSeq[org.apache.spark.sql.Row](6))
       .map(r => Singer.parseControl(r.getLong(0), r.getString(1)))
       .sortBy(_.idx)
 
