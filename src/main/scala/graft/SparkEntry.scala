@@ -39,6 +39,7 @@ object SparkEntry {
     "q17_pivot"       -> (Analytics.q17Pivot _),
     "q18_cube"        -> (Analytics.q18Cube _),
     "q19_quantiles"   -> (Analytics.q19Quantiles _),
+    "q21_running_window" -> (Analytics.q21RunningWindow _),
     "q20_approx_distinct" -> (Analytics.q20ApproxDistinct _),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
@@ -170,6 +171,16 @@ object SparkEntry {
         | quantile_cont(l_extendedprice, 0.5) AS p50,
         | quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q21_running_window" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        | CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+        | CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "asof_join" ->
       """SELECT e.event_id, p.event_id AS purchase_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e

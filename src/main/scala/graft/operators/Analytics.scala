@@ -198,6 +198,24 @@ object Analytics {
         |ORDER BY c_mktsegment NULLS FIRST, nation_name NULLS FIRST""".stripMargin)
   }
 
+  /** Analytic window functions + running frame: per-customer cumulative
+    * order total (unbounded-preceding frame) and the gap to the previous
+    * order (lag) — the frames/analytic half of the window family (q4 is
+    * the ranking half). One shuffle on o_custkey. */
+  def q21RunningWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(col("price")).over(frame).cast("double").as("running_total"),
+        lag(col("price"), 1).over(w).cast("double").as("prev_price"),
+        lead(col("price"), 1).over(w).cast("double").as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Exact interpolated percentiles (median/p90) per return flag — both
     * engines implement the standard linear-interpolation definition. */
   def q19Quantiles(s: SparkSession, dir: String): DataFrame =

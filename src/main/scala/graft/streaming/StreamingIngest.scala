@@ -104,10 +104,11 @@ final class StreamingIngest(
       if (config.strictValidation)
         Constraints.validateOrThrow(parsed, Constraints.compile(sm.schema),
           col("r"), col("rec"), stream)
-      parsed.select(FlattenColumns.columns(col("r"), schema): _*)
+      var writer = parsed.select(FlattenColumns.columns(col("r"), schema): _*)
         .write.mode("append")
         .option("compression", config.compressionCodecAndExt._1)
-        .parquet(s"$outputUri/$stream")
+      if (config.fileSize > 0) writer = writer.option("maxRecordsPerFile", config.fileSize)
+      writer.parquet(s"$outputUri/$stream")
     }
 
     // P8 fold across the batch: any record after the batch's last STATE
