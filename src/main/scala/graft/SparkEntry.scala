@@ -40,6 +40,7 @@ object SparkEntry {
     "q18_cube"        -> (Analytics.q18Cube _),
     "q19_quantiles"   -> (Analytics.q19Quantiles _),
     "q21_running_window" -> (Analytics.q21RunningWindow _),
+    "q22_scalar_funcs" -> (Analytics.q22ScalarFunctions _),
     "q20_approx_distinct" -> (Analytics.q20ApproxDistinct _),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
@@ -181,6 +182,19 @@ object SparkEntry {
         | CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER
         |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q22_scalar_funcs" ->
+      """SELECT o_orderkey,
+        | upper(o_orderpriority) AS pri_upper,
+        | substring(o_orderpriority, 1, 1) AS pri_code,
+        | length(o_orderstatus) AS status_len,
+        | concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+        | abs(o_totalprice - 100000.0) AS dist_from_100k,
+        | CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+        | CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(day(o_orderdate) AS BIGINT) AS d,
+        | list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS is_urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "asof_join" ->
       """SELECT e.event_id, p.event_id AS purchase_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e

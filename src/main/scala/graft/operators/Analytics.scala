@@ -183,6 +183,25 @@ object Analytics {
       .na.fill(0L)
       .orderBy("user_bucket")
 
+  /** Scalar-function sweep: string/math/date/array families in one
+    * projection (the reference exposes no scalar functions at all,
+    * SURVEY.md §2.5 — here the full codegen'd library is available).
+    * Every function chosen has bit-identical semantics in DuckDB. */
+  def q22ScalarFunctions(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .select(col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        length(col("o_orderstatus")).cast("long").as("status_len"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        abs(col("o_totalprice") - 100000.0).as("dist_from_100k"),
+        floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        array_contains(split(col("o_orderpriority"), "-"), "URGENT").as("is_urgent"))
+      .orderBy("o_orderkey")
+
   /** CUBE grouping sets over segment × nation (all four grouping
     * combinations in one pass — Catalyst expands to a single Expand +
     * aggregate, not four scans). */
