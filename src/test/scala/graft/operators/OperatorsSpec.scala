@@ -58,6 +58,26 @@ class OperatorsSpec extends SparkSpec {
     assert(arr == inv)
   }
 
+  test("prefix-filtered jaccard equals brute all-pairs on real data (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val pf = Dedup.jaccardPairs(spark, sf, threshold = 0.85).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val br = Dedup.jaccardPairsBrute(spark, sf, threshold = 0.85).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pf == br)
+    assert(pf.nonEmpty) // the synthetic corpus plants near-dups; empty would mask a broken join
+  }
+
+  test("LSH-candidate embedding pairs equal brute all-pairs on real data (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val ls = Dedup.embeddingPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val br = Dedup.embeddingPairsBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ls == br)
+    assert(ls.nonEmpty)
+  }
+
   test("minhash LSH finds the exact-dup pair with est_jaccard 1.0") {
     val pairs = Dedup.minhashPairs(spark, dir, threshold = 0.9).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
