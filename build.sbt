@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked program's stdout/stderr RAW (no sbt [info]/[error]
+// prefixes) so the driver can parse Bench's one-line JSON from stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // forward stdin to the forked JVM so `tap | sbt "runMain graft.Main"`
 // (the reference's pipe-mode UX) actually receives the messages
 run / connectInput := true

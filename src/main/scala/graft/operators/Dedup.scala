@@ -251,18 +251,68 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding cosine near-dup, scale-safe default: sign-LSH band
-    * candidates ([[Similarity.lshBuckets]] — random-hyperplane hashing,
-    * Charikar STOC'02) + exact cosine verify. Two vectors land in the same
-    * band bucket with probability (1 - θ/π)^r, so candidates meet only
-    * through an equi-join on (band, band-value) — never an all-pairs
-    * enumeration — and the exact dot-product verify keeps precision 1.0.
-    * Recall is tunable via the band/bit split: defaults are chosen so the
-    * pair set matches [[embeddingPairsBrute]] exactly on the test corpus
-    * (pinned in OperatorsSpec); at a given threshold, more/narrower bands
-    * buy recall with candidate volume. */
+  /** Embedding cosine near-dup, scale-safe EXACT default: **blocked
+    * pairwise join** (block-replicated equi-join — the distributed
+    * equivalent of a tiled GEMM).
+    *
+    * Why not LSH here: the registered threshold (0.35) sits barely above
+    * the random-pair noise floor of 64-dim embeddings (p₁ = 1 - θ/π ≈ 0.61
+    * per hyperplane bit vs p₂ = 0.5 for orthogonal pairs; LSH exponent
+    * ρ = ln p₁ / ln p₂ ≈ 0.70), so ANY sign-LSH band split either misses
+    * true pairs or admits nearly all pairs as candidates — round 2's
+    * 32×2-bit config produced ~4·N² candidate rows and ran 4× slower than
+    * brute force. Exact low-threshold cosine join over dense vectors has
+    * no sub-quadratic algorithm; the scale design is therefore to make the
+    * irreducible O(N²) dot products *distributed, balanced and
+    * memory-bounded*, not to pretend candidates exist:
+    *
+    *   - each vector hashes to one of `blocks` buckets (uniform via
+    *     xxhash64), then is replicated to the block-PAIR grid: the a-side
+    *     covers (blk, j≥blk), the b-side (i≤blk, blk), so every unordered
+    *     vector pair meets in EXACTLY one (bi, bj) group;
+    *   - the join is a shuffled equi-join on (bi, bj) — never a broadcast
+    *     nested loop; each task computes one (N/B)² tile with the codegen
+    *     [[graft.functions.VectorFunctions.dot]] kernel and Spark's join
+    *     buffers spill if a tile outgrows memory;
+    *   - shuffle volume is B·N rows and per-task memory is 2·N/B vectors:
+    *     at 100 TB you raise `blocks` so tiles fit, exactly like choosing
+    *     GEMM tile sizes. B(B+1)/2 tasks keep 1000 executors busy.
+    *
+    * Sign-LSH candidates remain available as [[embeddingPairsLsh]] — the
+    * right tool when the threshold is high (≥ ~0.8) and the corpus is far
+    * from the decision boundary. */
   def embeddingPairs(s: SparkSession, dir: String, threshold: Double = 0.35,
-                     nBits: Int = 64, bands: Int = 32): DataFrame = {
+                     blocks: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("blk"))
+    val aSide = e.select(col("vec_id"), col("v"), col("nrm"), col("blk").as("bi"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+    val bSide = e.select(col("vec_id"), col("v"), col("nrm"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+    // Cross-block tiles (bi < bj) see each unordered pair exactly once (in
+    // whichever orientation puts the lower block on the a-side), so only
+    // the diagonal tiles need the vec_id tie-break.
+    aSide.as("a").join(bSide.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
+          (col("a.bi") =!= col("a.bj") || col("a.vec_id") < col("b.vec_id")))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Sign-LSH candidate generation + exact cosine verify (random
+    * hyperplane hashing, Charikar STOC'02): collision probability per
+    * r-bit band is (1 - θ/π)^r. Effective when the threshold is high
+    * enough that true pairs collide in few bands while random pairs
+    * don't (θ small → per-bit probability ≫ 0.5); see [[embeddingPairs]]
+    * for why a low threshold defeats any band split. */
+  def embeddingPairsLsh(s: SparkSession, dir: String, threshold: Double = 0.8,
+                        nBits: Int = 64, bands: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions._
     val bucketed = Similarity.lshBuckets(s, dir, nBits, bands)
     val cand = bucketed.as("a")

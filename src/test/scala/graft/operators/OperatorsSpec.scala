@@ -68,14 +68,21 @@ class OperatorsSpec extends SparkSpec {
     assert(pf.nonEmpty) // the synthetic corpus plants near-dups; empty would mask a broken join
   }
 
-  test("LSH-candidate embedding pairs equal brute all-pairs on real data (sf0.001)") {
+  test("blocked embedding pairs equal brute all-pairs on real data (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
-    val ls = Dedup.embeddingPairs(spark, sf).collect()
+    val bl = Dedup.embeddingPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val br = Dedup.embeddingPairsBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(ls == br)
-    assert(ls.nonEmpty)
+    assert(bl == br)
+    assert(bl.nonEmpty)
+  }
+
+  test("LSH embedding pairs find the high-cosine planted pair") {
+    val pairs = Dedup.embeddingPairsLsh(spark, dir, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))   // near-identical direction: all bands equal
+    assert(!pairs.contains((0L, 2L)))  // antipodal: cosine -1 filtered by verify
   }
 
   test("minhash LSH finds the exact-dup pair with est_jaccard 1.0") {
