@@ -89,7 +89,51 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** First (minimum) common element of two ASCENDING-sorted long arrays via
+  * a merge walk; NULL when disjoint. Lets a prefix-filter self-join emit
+  * each candidate pair exactly once (join token == first shared prefix
+  * token) without a post-hoc dropDuplicates shuffle — `array_intersect`
+  * builds a hash set per invocation, which measured ~10x slower across a
+  * multi-million-row candidate stream. */
+case class SortedFirstCommon(left: Expression, right: Expression)
+    extends LongArrayBinary {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0
+    val (na, nb) = (a.numElements(), b.numElements())
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) return x
+      else if (x < y) i += 1 else j += 1
+    }
+    null
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(i, j, na, nb, x, y) =
+        Seq("i", "j", "na", "nb", "x", "y").map(ctx.freshName)
+      s"""
+         |int $i = 0; int $j = 0;
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |${ev.isNull} = true;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { ${ev.isNull} = false; ${ev.value} = $x; break; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object ArrayOps {
+  def sortedFirstCommon(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedFirstCommon(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def positionalMatchCount(a: Column, b: Column): Column =
     ColumnBridge.column(PositionalMatchCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
