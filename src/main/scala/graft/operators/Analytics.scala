@@ -254,6 +254,20 @@ object Analytics {
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** HLL error gate: the sketch estimate must land within 5% of the exact
+    * distinct count per group (HLL is deterministic for a given input
+    * set, so this is a stable pass/fail, oracle-checkable as constant
+    * `true` per group). */
+  def q20ApproxDistinctGate(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"),
+           countDistinct(col("user_id")).as("exact"))
+      .select(col("event_type"),
+        (abs(col("approx") - col("exact")).cast("double") <=
+          col("exact").cast("double") * 0.05).as("within_5pct"))
+      .orderBy("event_type")
+
   /** The engine's SQL surface: the same ANSI SQL DuckDB runs as the
     * oracle executes verbatim on `spark.sql` over registered views —
     * correlated scalar subquery included (Catalyst decorrelates it into

@@ -231,6 +231,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash-band candidates + EXACT jaccard verify: the LSH banding
+    * prunes pair enumeration (same candidate scheme as [[minhashPairs]]),
+    * then the codegen merge walk computes TRUE jaccard on candidates only
+    * — precision 1.0 by construction, recall = the banding collision
+    * probability 1-(1-j^r)^b (≥ 0.99 for j ≥ 0.9 at r=8, b=8). This is
+    * the "LSH-accelerated exact" flavor a curation pipeline wants when
+    * estimator noise (k=64 sampling gives ±~0.06 on est_jaccard) would
+    * leak borderline pairs both ways. */
+  def minhashPairsVerified(s: SparkSession, dir: String, k: Int = 64,
+                           bands: Int = 8, threshold: Double = 0.9): DataFrame = {
+    import graft.functions.ArrayOps.sortedIntersectCount
+    val r = k / bands
+    val toks = hashedTokenSets(s, dir).localCheckpoint()
+    val sigs = minhashSignatures(s, dir, k)
+    val sigArr = sigs.select(col("doc_id"),
+      array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    val banded = sigArr.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("sz").as("sa")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("sz").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (sortedIntersectCount(col("toks_a"), col("toks_b")).cast("double") /
+          (col("sa") + col("sb") -
+            sortedIntersectCount(col("toks_a"), col("toks_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash fingerprints: 64-bit, token-hashed, one shuffle (64 signed
     * bit-sums folded in a single groupBy). */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
@@ -261,6 +298,31 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact all-pairs Hamming over SimHash fingerprints via the blocked
+    * pair join (see [[embeddingPairs]] for the tiling scheme) — the
+    * ground-truth counterpart that pins [[simhashPairs]]'s pigeonhole
+    * candidates (exact for maxDist <= 3). Rows are 2 longs, so even the
+    * full O(N²) popcount sweep is cheap; at real scale you'd only ever
+    * run this as a sampled audit of the banded path. */
+  def simhashPairsBrute(s: SparkSession, dir: String, maxDist: Int = 3,
+                        blocks: Int = 8): DataFrame = {
+    val fps = simhashFingerprints(s, dir)
+      .withColumn("blk", pmod(xxhash64(col("doc_id")), lit(blocks)).cast("int"))
+    val aSide = fps.select(col("doc_id"), col("simhash"), col("blk").as("bi"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+    val bSide = fps.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+    aSide.as("a").join(bSide.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
+          (col("a.bi") =!= col("a.bj") || col("a.doc_id") < col("b.doc_id")))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .orderBy("doc_a", "doc_b")
   }

@@ -82,7 +82,16 @@ object TextAnalysis {
     * with the scan and never exchanges data (the earlier explode+window
     * formulation shuffled every shingle and spilled under memory
     * pressure). Output: per-doc fingerprint count + combined fingerprint. */
-  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    fingerprintSets(s, dir)
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fingerprint"))
+      .orderBy("doc_id")
+
+  /** The full distinct fingerprint set per doc (sorted) — consumed by the
+    * near-dup-overlap gate and by anyone clustering on fingerprints. */
+  def fingerprintSets(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
     val toks = tokens(col("text"))
     val n = lit(3)
@@ -91,11 +100,9 @@ object TextAnalysis {
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, n))))
     val winMins = transform(sequence(lit(0), size(col("grams")) - 1),
       i => array_min(slice(col("grams"), i + 1, lit(4))))
-    d.select(col("doc_id"), grams.as("grams"))
-      .select(col("doc_id"), winMins.as("win_mins"))
-      .select(col("doc_id"),
-        size(array_distinct(col("win_mins"))).cast("long").as("n_fingerprints"),
-        array_min(col("win_mins")).as("min_fingerprint"))
-      .orderBy("doc_id")
+    d.select(col("doc_id"), size(toks).cast("long").as("n_tokens"), grams.as("grams"))
+      .select(col("doc_id"), col("n_tokens"), winMins.as("win_mins"))
+      .select(col("doc_id"), col("n_tokens"),
+        sort_array(array_distinct(col("win_mins"))).as("fps"))
   }
 }

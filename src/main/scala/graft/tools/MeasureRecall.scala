@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Local measurement aid: recall of the approximate similarity/dedup
+  * operators vs their exact counterparts, for gate-bound calibration. */
+object MeasureRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val s = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    import graft.operators._
+    val exact = Similarity.bruteForceTopK(s, dir).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (bands <- Seq(8, 16, 32)) {
+      val got = Similarity.lshTopK(s, dir, bands = bands)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[recall] lshTopK bands=$bands recall=${(exact & got).size.toDouble / exact.size}")
+    }
+    for (nprobe <- Seq(4, 6)) {
+      val got = Similarity.ivfTopK(s, dir, nprobe = nprobe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[recall] ivfTopK nprobe=$nprobe recall=${(exact & got).size.toDouble / exact.size}")
+    }
+    val truth = Dedup.jaccardPairs(s, dir, 0.9).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(s, dir, threshold = 0.9)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[recall] minhash est-filter recall=${(truth & mh).size.toDouble / truth.size} precision=${(truth & mh).size.toDouble / mh.size}")
+    s.stop()
+  }
+}
