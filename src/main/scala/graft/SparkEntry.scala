@@ -290,10 +290,24 @@ object SparkEntry {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) = 1
          |ORDER BY doc_id""".stripMargin
     },
+    // n_true_pairs recomputes the gate's sequence-level ground truth
+    // (3-gram shingle-set jaccard >= 0.9) from gram STRINGS — jaccard over
+    // distinct sets is invariant to the per-element hash, so the DuckDB
+    // count pins the Spark side's hashed-gram prefix join.
     "text_fingerprint" ->
-      """SELECT count(*) AS n_docs, true AS all_counts_valid,
-        | true AS neardup_overlap_ok
-        |FROM documents""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |        range(1, greatest(len(toks) - 2, 1) + 1),
+        |        i -> array_to_string(toks[i:i+2], ' '))) AS gs
+        |      FROM t),
+        |p AS (SELECT a.doc_id FROM g a, g b WHERE a.doc_id < b.doc_id
+        |      AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |          (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.9)
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        | (SELECT count(*) FROM p) AS n_true_pairs,
+        | true AS all_counts_valid,
+        | true AS neardup_overlap_ok,
+        | true AS exactdup_identical""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS asset_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'

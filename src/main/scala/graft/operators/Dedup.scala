@@ -77,10 +77,17 @@ object Dedup {
     * [[jaccardPairsBrute]] (a test pin; right only when candidates ≈ all
     * pairs anyway), and [[jaccardPairsInverted]] remains the
     * count-by-index variant. */
-  def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.85): DataFrame = {
+  def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.85): DataFrame =
+    jaccardPairsFromSets(hashedTokenSets(s, dir), threshold)
+
+  /** The prefix-filtered jaccard self-join over ANY element-hashed set
+    * relation shaped (doc_id, toks: sorted distinct array<long>, sz) —
+    * word token sets for [[jaccardPairs]], 3-gram shingle sets for the
+    * fingerprint gate's sequence-level ground truth. */
+  private[graft] def jaccardPairsFromSets(sets: DataFrame,
+                                          threshold: Double): DataFrame = {
     import graft.functions.ArrayOps.sortedIntersectCount
-    val toks = hashedTokenSets(s, dir)
-    val exploded = toks.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
+    val exploded = sets.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
     val dfCount = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
     // Rarest-first order per doc; prefix length |x| - ceil(t|x|) + 1.
     // The groupBy rebuilds the full per-doc token list in df-order, so one

@@ -89,20 +89,38 @@ object TextAnalysis {
         array_min(col("fps")).as("min_fingerprint"))
       .orderBy("doc_id")
 
+  /** Hashed word 3-grams in sequence order — the shingle stream winnowing
+    * samples from (shared by [[fingerprintSets]] and [[gramSets]]). */
+  private def gramsExpr: Column = {
+    val toks = tokens(col("text"))
+    val n = lit(3)
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, n))))
+  }
+
   /** The full distinct fingerprint set per doc (sorted) — consumed by the
     * near-dup-overlap gate and by anyone clustering on fingerprints. */
   def fingerprintSets(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
-    val toks = tokens(col("text"))
-    val n = lit(3)
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, n))))
     val winMins = transform(sequence(lit(0), size(col("grams")) - 1),
       i => array_min(slice(col("grams"), i + 1, lit(4))))
-    d.select(col("doc_id"), size(toks).cast("long").as("n_tokens"), grams.as("grams"))
+    d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"),
+        gramsExpr.as("grams"))
       .select(col("doc_id"), col("n_tokens"), winMins.as("win_mins"))
       .select(col("doc_id"), col("n_tokens"),
         sort_array(array_distinct(col("win_mins"))).as("fps"))
   }
+
+  /** Distinct sorted 3-gram shingle sets per doc, shaped like
+    * [[Dedup]]'s hashed token sets (doc_id, toks, sz) so the prefix-join
+    * pair machinery applies unchanged. Gram-set jaccard is SEQUENCE-level
+    * similarity — the right ground truth for fingerprint overlap (token-SET
+    * similarity is a different category: on a tiny vocabulary, docs with
+    * identical token sets can have unrelated word order and share zero
+    * sequence fingerprints). */
+  def gramSets(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), sort_array(array_distinct(gramsExpr)).as("toks"))
+      .withColumn("sz", size(col("toks")))
 }
