@@ -2,8 +2,10 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
 import graft.model.TargetConfig
 import graft.pipeline.SingerPipeline
+import graft.streaming.{StdinSpooler, StreamingIngest}
 import graft.sources.S3Conf
 
 /** CLI entry point with the reference's UX (reference __init__.py:334-358,
@@ -11,6 +13,19 @@ import graft.sources.S3Conf
   * `--input file` for testing), `--config config.json` with the same keys,
   * write per-stream Parquet to the bucket/prefix, emit the final state
   * bookmark to stdout.
+  *
+  * Two consumption modes:
+  *  - `--mode batch` (default): spool all of stdin, then one batch job —
+  *    right for bounded extracts and for pointing `--input` at a landing
+  *    zone.
+  *  - `--mode stream`: LIVE consumption of an unbounded pipe — stdin is
+  *    chunk-spooled into a watch directory ([[StdinSpooler]]) while a
+  *    Structured Streaming query ([[StreamingIngest]]) appends per-stream
+  *    parquet and emits a state bookmark after every committed micro-batch,
+  *    long before EOF. This matches the reference's incremental loop
+  *    (__init__.py:215) and adds crash-resume via the file-source
+  *    checkpoint. With `--input <dir>` the directory itself is watched and
+  *    stdin is not read.
   *
   * Divergences (documented, SURVEY.md §7.4): `--output` allows a local/
   * hdfs URI instead of S3 (the reference requires a bucket); compression
@@ -43,20 +58,6 @@ object Main {
         S3Conf.outputUri(config)
     }
 
-    // Spool stdin to a file so the input is splittable/re-scannable (the
-    // batch pipeline makes several passes; a 100 TB deployment points
-    // --input at the durable landing zone instead).
-    val input = opts.get("input") match {
-      case Some(p) => p
-      case None =>
-        val tmp = Files.createTempFile("singer-stdin", ".jsonl")
-        Files.copy(System.in, tmp, StandardCopyOption.REPLACE_EXISTING)
-        if (Files.size(tmp) == 0L)
-          System.err.println("[graft] warning: 0 bytes read from stdin — " +
-            "is the tap connected? (zero-message input is not an error)")
-        tmp.toString
-    }
-
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-target")
@@ -68,10 +69,55 @@ object Main {
     S3Conf(spark, config)
 
     try {
-      val result = SingerPipeline.run(spark, input, output, config)
-      result.outputs.foreach(o =>
-        System.err.println(s"[graft] wrote ${o.rows} rows -> ${o.path}"))
-      SingerPipeline.emitState(result.state)
+      if (opts.getOrElse("mode", "batch") == "stream") runStream(spark, opts, output, config)
+      else runBatch(spark, opts, output, config)
     } finally spark.stop()
+  }
+
+  /** Batch mode: spool stdin to a file so the input is splittable/
+    * re-scannable (the batch pipeline makes several passes; a 100 TB
+    * deployment points --input at the durable landing zone instead). */
+  private def runBatch(spark: SparkSession, opts: Map[String, String],
+                       output: String, config: TargetConfig): Unit = {
+    val input = opts.get("input") match {
+      case Some(p) => p
+      case None =>
+        val tmp = Files.createTempFile("singer-stdin", ".jsonl")
+        Files.copy(System.in, tmp, StandardCopyOption.REPLACE_EXISTING)
+        if (Files.size(tmp) == 0L)
+          System.err.println("[graft] warning: 0 bytes read from stdin — " +
+            "is the tap connected? (zero-message input is not an error)")
+        tmp.toString
+    }
+    val result = SingerPipeline.run(spark, input, output, config)
+    result.outputs.foreach(o =>
+      System.err.println(s"[graft] wrote ${o.rows} rows -> ${o.path}"))
+    SingerPipeline.emitState(result.state)
+  }
+
+  /** Stream mode: consume the pipe incrementally — parquet and bookmarks
+    * appear per micro-batch while the tap is still producing. */
+  private def runStream(spark: SparkSession, opts: Map[String, String],
+                        output: String, config: TargetConfig): Unit = {
+    val (watchDir, spooler) = opts.get("input") match {
+      case Some(dir) => (dir, None) // watch an existing landing directory
+      case None =>
+        val d = Files.createTempDirectory("graft-stdin-spool")
+        val s = new StdinSpooler(System.in, d,
+          maxLines = if (config.fileSize > 0) config.fileSize.toInt else 10000).start()
+        (d.toString, Some(s))
+    }
+    val checkpoint = opts.getOrElse("checkpoint",
+      Files.createTempDirectory("graft-stdin-ckpt").toString)
+    val ingest = new StreamingIngest(spark, output, config)
+    val query = ingest.start(watchDir, checkpoint,
+      Trigger.ProcessingTime("500 milliseconds"))
+    spooler match {
+      case Some(s) =>
+        s.awaitEof()                 // tap closed the pipe
+        query.processAllAvailable()  // drain the remaining chunks
+        query.stop()
+      case None => query.awaitTermination()
+    }
   }
 }
