@@ -96,9 +96,15 @@ object SingerPipeline {
       .map(r => Singer.parseControl(r.getLong(0), r.getString(1)))
       .sortBy(_.idx)
 
-    val schemasByStream: Map[String, SchemaMessage] =
+    // Schema re-registration is POSITIONAL, matching the reference, which
+    // overwrites the stream's validator on every SCHEMA message
+    // (__init__.py:239-245) — that is how Singer taps do schema evolution.
+    // Records between two SCHEMA messages are shaped/validated by the
+    // earlier one; records after a re-emit by the new one. Each (schema,
+    // record-range) pair is an "epoch" written in its own pass below.
+    val schemasByStream: Map[String, Seq[SchemaMessage]] =
       control.collect { case s: SchemaMessage => s }
-        .groupBy(_.stream).view.mapValues(_.head).toMap // first SCHEMA wins registration order
+        .groupBy(_.stream).view.mapValues(_.sortBy(_.idx).toSeq).toMap
     val states = control.collect { case s: StateMessage => s }.toSeq
 
     val records = typed.filter(col("mtype") === "RECORD")
@@ -109,7 +115,8 @@ object SingerPipeline {
     // filter the same scan. For the single-stream case, measured at
     // sf0.1: caching costs more than the (cheap, codegen'd) text
     // re-scans the extent/validate/write passes perform — so don't.
-    val multiStream = schemasByStream.size > 1
+    val multiStream = schemasByStream.size > 1 ||
+      schemasByStream.values.exists(_.size > 1)
     if (multiStream) records.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // Per-stream record extents, already computed in the pre-pass.
@@ -120,7 +127,7 @@ object SingerPipeline {
       extents.foreach { case (stream, (minIdx, _, _)) =>
         schemasByStream.get(stream) match {
           case None => throw new IllegalArgumentException(Singer.recordBeforeSchemaError(stream))
-          case Some(sm) if minIdx < sm.idx =>
+          case Some(sms) if minIdx < sms.head.idx =>
             throw new IllegalArgumentException(Singer.recordBeforeSchemaError(stream))
           case _ => ()
         }
@@ -136,63 +143,77 @@ object SingerPipeline {
       val outputs = schemasByStream.keys.toSeq.sorted.flatMap { stream =>
         if (!extents.contains(stream)) None // zero-record stream: no file (fixes X4 crash)
         else {
-          val sm = schemasByStream(stream)
-          val declared = JsonSchemaConverter.toStructType(sm.schema,
-            config.decimalForMultipleOf)
-          val streamRecs = records.filter(col("stream") === stream)
-
-          // Union-schema passthrough (§1.4): find record-only fields.
-          val schema: StructType =
-            if (config.inferExtraFields) {
-              val inferred = spark.read.json(streamRecs.select("rec").as[String]).schema
-              JsonSchemaConverter.mergeSchemas(declared, inferred)
-            } else declared
-
-          var parsed = streamRecs.select(col("idx"), col("rec"), col("time_extracted"),
-            from_json(col("rec"), schema).as("r"))
-
-          if (config.strictValidation) {
-            val constraints = Constraints.compile(sm.schema)
-            if (config.inlineValidation) {
-              // Fused validation: the guard evaluates during the write
-              // scan itself — one less full pass over the records, the
-              // right trade at 100 TB. Cost: a violating record aborts
-              // MID-write, so partial output can exist (the reference has
-              // the same hazard across its already-flushed batches,
-              // §3.2); default stays the clean two-pass abort.
-              val v = Constraints.violation(constraints, col("r"), col("rec"))
-              parsed = parsed.filter(
-                when(v.isNotNull, raise_error(concat(
-                  lit(s"Record validation failed for stream $stream: "), v))
-                  .cast("boolean"))
-                .otherwise(lit(true)))
-            } else {
-              Constraints.validateOrThrow(parsed, constraints, col("r"), col("rec"), stream)
-            }
-          }
-
-          // L1 metadata columns (reference legacy __init__.py:85-88):
-          // _sdc_extracted_at from the envelope, _sdc_batched_at = batch time.
-          val metaCols: Seq[Column] =
-            if (config.addMetadataColumns)
-              Seq(col("time_extracted").as("_sdc_extracted_at"),
-                  lit(timestamp).as("_sdc_batched_at"))
-            else Seq.empty
-          val flat = parsed.select(
-            FlattenColumns.columns(col("r"), schema) ++ metaCols: _*)
-
+          val sms = schemasByStream(stream)
+          // Epoch bounds: each schema governs records up to the next
+          // re-registration (positional last-wins, see above). The single-
+          // schema case is one epoch spanning everything — today's plan,
+          // unchanged.
+          val ends = sms.map(_.idx).drop(1) :+ Long.MaxValue
           val path =
             if (config.streamsInSeparateFolder) s"$outputUri/$stream"
             else s"$outputUri/${Naming.outputKey(config, stream, timestamp)}"
-          var writer = flat.write.mode("overwrite").option("compression", codec)
-          if (config.fileSize > 0) writer = writer.option("maxRecordsPerFile", config.fileSize)
-          writer.parquet(path)
+
+          sms.zip(ends).zipWithIndex.foreach { case ((sm, end), epoch) =>
+            val declared = JsonSchemaConverter.toStructType(sm.schema,
+              config.decimalForMultipleOf)
+            val streamRecs = records.filter(col("stream") === stream &&
+              col("idx") > sm.idx && col("idx") < end)
+
+            // Union-schema passthrough (§1.4): find record-only fields.
+            val schema: StructType =
+              if (config.inferExtraFields) {
+                val inferred = spark.read.json(streamRecs.select("rec").as[String]).schema
+                JsonSchemaConverter.mergeSchemas(declared, inferred)
+              } else declared
+
+            var parsed = streamRecs.select(col("idx"), col("rec"), col("time_extracted"),
+              from_json(col("rec"), schema).as("r"))
+
+            if (config.strictValidation) {
+              val constraints = Constraints.compile(sm.schema)
+              if (config.inlineValidation) {
+                // Fused validation: the guard evaluates during the write
+                // scan itself — one less full pass over the records, the
+                // right trade at 100 TB. Cost: a violating record aborts
+                // MID-write, so partial output can exist (the reference has
+                // the same hazard across its already-flushed batches,
+                // §3.2); default stays the clean two-pass abort.
+                val v = Constraints.violation(constraints, col("r"), col("rec"))
+                parsed = parsed.filter(
+                  when(v.isNotNull, raise_error(concat(
+                    lit(s"Record validation failed for stream $stream: "), v))
+                    .cast("boolean"))
+                  .otherwise(lit(true)))
+              } else {
+                Constraints.validateOrThrow(parsed, constraints, col("r"), col("rec"), stream)
+              }
+            }
+
+            // L1 metadata columns (reference legacy __init__.py:85-88):
+            // _sdc_extracted_at from the envelope, _sdc_batched_at = batch time.
+            val metaCols: Seq[Column] =
+              if (config.addMetadataColumns)
+                Seq(col("time_extracted").as("_sdc_extracted_at"),
+                    lit(timestamp).as("_sdc_batched_at"))
+              else Seq.empty
+            val flat = parsed.select(
+              FlattenColumns.columns(col("r"), schema) ++ metaCols: _*)
+
+            // First epoch replaces any previous run's output; later epochs
+            // append their (possibly differently-shaped) files alongside —
+            // parquet readers merge by footer schema, same as the
+            // reference's per-batch inferred files (§1.4).
+            var writer = flat.write.mode(if (epoch == 0) "overwrite" else "append")
+              .option("compression", codec)
+            if (config.fileSize > 0) writer = writer.option("maxRecordsPerFile", config.fileSize)
+            writer.parquet(path)
+          }
           Some(StreamOutput(stream, path, extents(stream)._3))
         }
       }
 
       IngestResult(emittedState, outputs,
-        schemasByStream.view.mapValues(_.keyProperties).toMap)
+        schemasByStream.view.mapValues(_.last.keyProperties).toMap)
     } finally if (multiStream) { records.unpersist(); () }
   }
 

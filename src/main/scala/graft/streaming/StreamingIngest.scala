@@ -80,11 +80,17 @@ final class StreamingIngest(
       .map(r => (r.getString(1), Singer.parseControl(r.getLong(0), r.getString(1))))
       .sortBy(_._2.idx)
     val newSchemas = controlRaw.collect { case (raw, m: SchemaMessage) => (raw, m) }
-    newSchemas.foreach { case (raw, m) =>
-      if (!schemas.get().contains(m.stream)) persistSchema(raw, m.stream)
-    }
-    schemas.updateAndGet(reg => reg ++ newSchemas.map { case (_, m) => m.stream -> m }
-      .filterNot { case (k, _) => reg.contains(k) })
+    // Last-wins registration, matching the reference's overwrite-on-every-
+    // SCHEMA (__init__.py:239-245): the registry (and its on-disk persist)
+    // holds the LATEST schema per stream; in-batch positional semantics are
+    // handled by the epoch ranges below.
+    val latestInBatch = newSchemas.groupBy(_._2.stream).view
+      .mapValues(_.maxBy(_._2.idx)).toMap
+    latestInBatch.foreach { case (stream, (raw, _)) => persistSchema(raw, stream) }
+    val baseline = schemas.get() // registry as of the previous batch
+    schemas.updateAndGet(reg => reg ++ latestInBatch.map { case (k, (_, m)) => k -> m })
+    val inBatchByStream = newSchemas.map(_._2).groupBy(_.stream).view
+      .mapValues(_.sortBy(_.idx).toSeq).toMap
     val states = controlRaw.collect { case (_, m: StateMessage) => m }
 
     val records = typed.filter(col("mtype") === "RECORD")
@@ -92,23 +98,41 @@ final class StreamingIngest(
         get_json_object(col("value"), "$.record").as("rec"))
 
     val present = records.select("stream").distinct().as[String].collect().sorted
-    val reg = schemas.get()
     present.foreach { stream =>
-      if (!reg.contains(stream))
+      // Epochs: the registry schema (if any) governs records up to the
+      // batch's first in-batch SCHEMA; each in-batch SCHEMA governs from
+      // its own position to the next — same positional semantics as the
+      // batch pipeline.
+      val epochs: Seq[(Long, SchemaMessage)] =
+        baseline.get(stream).map(m => (Long.MinValue, m)).toSeq ++
+          inBatchByStream.getOrElse(stream, Seq.empty).map(m => (m.idx, m))
+      if (epochs.isEmpty)
         throw new IllegalArgumentException(Singer.recordBeforeSchemaError(stream))
-      val sm = reg(stream)
-      val schema = JsonSchemaConverter.toStructType(sm.schema,
-        config.decimalForMultipleOf)
-      val parsed = records.filter(col("stream") === stream)
-        .select(col("rec"), from_json(col("rec"), schema).as("r"))
-      if (config.strictValidation)
-        Constraints.validateOrThrow(parsed, Constraints.compile(sm.schema),
-          col("r"), col("rec"), stream)
-      var writer = parsed.select(FlattenColumns.columns(col("r"), schema): _*)
-        .write.mode("append")
-        .option("compression", config.compressionCodecAndExt._1)
-      if (config.fileSize > 0) writer = writer.option("maxRecordsPerFile", config.fileSize)
-      writer.parquet(s"$outputUri/$stream")
+      val streamRecs = records.filter(col("stream") === stream)
+      // In-batch order check (reference __init__.py:224-229): with no
+      // prior registration, a record preceding the batch's first SCHEMA
+      // is an error — same strictness as the batch path.
+      if (!baseline.contains(stream)) {
+        val minRec = streamRecs.agg(min("idx")).collect().head
+        if (!minRec.isNullAt(0) && minRec.getLong(0) < epochs.head._1)
+          throw new IllegalArgumentException(Singer.recordBeforeSchemaError(stream))
+      }
+      val ends = epochs.map(_._1).drop(1) :+ Long.MaxValue
+      epochs.zip(ends).foreach { case ((start, sm), end) =>
+        val schema = JsonSchemaConverter.toStructType(sm.schema,
+          config.decimalForMultipleOf)
+        val parsed = streamRecs
+          .filter(col("idx") > start && col("idx") < end)
+          .select(col("rec"), from_json(col("rec"), schema).as("r"))
+        if (config.strictValidation)
+          Constraints.validateOrThrow(parsed, Constraints.compile(sm.schema),
+            col("r"), col("rec"), stream)
+        var writer = parsed.select(FlattenColumns.columns(col("r"), schema): _*)
+          .write.mode("append")
+          .option("compression", config.compressionCodecAndExt._1)
+        if (config.fileSize > 0) writer = writer.option("maxRecordsPerFile", config.fileSize)
+        writer.parquet(s"$outputUri/$stream")
+      }
     }
 
     // P8 fold across the batch: any record after the batch's last STATE

@@ -169,6 +169,25 @@ class SingerPipelineSpec extends SparkSpec {
     assert(r.getAs[String]("_sdc_batched_at") == "T2")
   }
 
+  test("re-emitted SCHEMA reshapes subsequent records (positional last-wins, P3)") {
+    val out = outDir()
+    val lines = Seq(
+      schemaMsg("alpha"),
+      """{"type": "RECORD", "stream": "alpha", "record": {"pk": 1, "v_str": "a", "v_int": 1}}""",
+      // schema evolution: the tap re-emits with an extra declared column
+      schemaMsg("alpha", """, "v_new": {"type": ["null", "string"]}"""),
+      """{"type": "RECORD", "stream": "alpha", "record": {"pk": 2, "v_str": "b", "v_int": 2, "v_new": "n"}}""")
+    // inferExtraFields=false so shapes come from the DECLARED schemas only:
+    // under the old first-wins registration v_new would be dropped entirely.
+    SingerPipeline.run(spark, writeCorpus(lines), out,
+      TargetConfig(inferExtraFields = false), clock = () => "T4")
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$out/alpha-T4.parquet")
+    assert(df.count() == 2)
+    val byPk = df.collect().map(r => r.getAs[Long]("pk") -> r.getAs[String]("v_new")).toMap
+    assert(byPk(1L) == null) // record 1 was shaped by schema v1 (no v_new)
+    assert(byPk(2L) == "n")  // record 2 by the re-emitted v2
+  }
+
   test("streams_in_separate_folder writes one folder per stream (X2 spark-native)") {
     val out = outDir()
     val res = SingerPipeline.run(spark, writeCorpus(corpus), out,

@@ -38,6 +38,51 @@ class StreamingIngestSpec extends SparkSpec {
     assert(ingest.emittedState.isEmpty) // P8: record after last STATE
   }
 
+  test("streaming: SCHEMA after its RECORD in one batch fails (in-batch order check)") {
+    val in = Files.createTempDirectory("stream-in3")
+    val out = Files.createTempDirectory("stream-out3").toString
+    val cp = Files.createTempDirectory("stream-cp3").toString
+    Files.writeString(in.resolve("b1.jsonl"), Seq(
+      """{"type": "RECORD", "stream": "s1", "record": {"pk": 1, "v": "a"}}""",
+      schemaLine).mkString("\n"))
+    val ingest = new StreamingIngest(spark, out, TargetConfig())
+    val q = ingest.start(in.toString, cp)
+    val e = intercept[Exception] { q.awaitTermination() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(
+      _.contains("A record for stream s1 was encountered before a corresponding schema")))
+  }
+
+  test("streaming: re-emitted SCHEMA reshapes records, in-batch and across batches") {
+    val in = Files.createTempDirectory("stream-in4")
+    val out = Files.createTempDirectory("stream-out4").toString
+    val cp = Files.createTempDirectory("stream-cp4").toString
+    val v2 =
+      """{"type": "SCHEMA", "stream": "s1", "schema": {"properties": {
+        |"pk": {"type": ["null", "integer"]},
+        |"v": {"maxLength": 8, "type": ["null", "string"]},
+        |"v_new": {"type": ["null", "string"]}}, "type": "object"},
+        |"key_properties": ["pk"]}""".stripMargin.replace("\n", " ")
+    val ingest = new StreamingIngest(spark, out, TargetConfig())
+
+    // batch 1: v1 record, then an in-batch re-emit to v2 and a v2 record
+    Files.writeString(in.resolve("b1.jsonl"), Seq(
+      schemaLine,
+      """{"type": "RECORD", "stream": "s1", "record": {"pk": 1, "v": "a", "v_new": "dropped"}}""",
+      v2,
+      """{"type": "RECORD", "stream": "s1", "record": {"pk": 2, "v": "b", "v_new": "kept"}}""").mkString("\n"))
+    ingest.start(in.toString, cp).awaitTermination()
+    // batch 2: registry must now hold v2 (last wins), shaping this record
+    Files.writeString(in.resolve("b2.jsonl"),
+      """{"type": "RECORD", "stream": "s1", "record": {"pk": 3, "v": "c", "v_new": "persisted"}}""")
+    ingest.start(in.toString, cp).awaitTermination()
+
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$out/s1")
+    val byPk = df.collect().map(r => r.getAs[Long]("pk") -> r.getAs[String]("v_new")).toMap
+    assert(byPk == Map(1L -> null, 2L -> "kept", 3L -> "persisted"))
+  }
+
   test("streaming: record for unknown stream fails the batch") {
     val in = Files.createTempDirectory("stream-in2")
     val out = Files.createTempDirectory("stream-out2").toString
