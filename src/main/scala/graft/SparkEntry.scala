@@ -210,7 +210,14 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
     "ingest_validate" ->
       """SELECT event_id,
-        | (length(event_type) <= 5 AND value >= 10 AND user_id <= 40) AS is_valid
+        | (length(event_type) <= 6 AND length(event_type) >= 5
+        |  AND regexp_matches(event_type, '^[a-z]+$')
+        |  AND event_type IN ('click', 'error', 'purchase', 'view')
+        |  AND value >= 10
+        |  AND CAST(value AS DECIMAL(18,2)) % CAST(0.01 AS DECIMAL(18,2)) = 0
+        |  AND user_id < 40
+        |  AND user_id % 3 = 0
+        |  AND NOT (user_id % 7 = 0)) AS is_valid
         |FROM events ORDER BY event_id""".stripMargin,
     "ingest_flatten" ->
       """SELECT p_partkey AS prod__key, p_name AS prod__meta__name,

@@ -72,20 +72,36 @@ object IngestQueries {
 
   /** Full pipeline round-trip: events → Singer messages → SingerPipeline →
     * parquet → read back. The oracle simply selects the original rows. */
-  /** Constraint-compiler demo (P5): a JSON Schema's keywords compiled to
-    * codegen'd Column predicates, evaluated over `events` — per-row
-    * validity, oracle-checkable as plain SQL CASE logic. */
+  /** Constraint-compiler demo (P5): the FULL Draft-4 keyword set compiled
+    * to codegen'd Column predicates, evaluated over `events` — per-row
+    * validity, oracle-checkable as plain SQL CASE logic. Each keyword is
+    * discriminative on this corpus (or, for multipleOf 0.01 on the
+    * 2-decimal `value`, discriminative against a float-mod implementation),
+    * so a regression in any one keyword flips rows. `props` is nulled for
+    * user_id % 7 == 0 rows — to_json drops null fields, exercising
+    * `required` key-presence semantics. multipleOf note: a double becomes
+    * its SHORTEST decimal representation (Python Decimal(str(x))
+    * semantics; JSON numbers are decimal text), so 65.51 IS a multiple of
+    * 0.01 — the oracle casts at the data's scale, DECIMAL(18,2), because
+    * DuckDB's double→DECIMAL(38,18) keeps the full binary expansion. */
   def validateDemo(s: SparkSession, dir: String): DataFrame = {
     import graft.validate.Constraints
     val schema = graft.model.Singer.parseJson(
-      """{"properties": {
-        |  "event_type": {"type": ["null", "string"], "maxLength": 5},
-        |  "value": {"type": ["null", "number"], "minimum": 10},
-        |  "user_id": {"type": ["null", "integer"], "maximum": 40}}}""".stripMargin)
+      """{"required": ["props"],
+        |  "properties": {
+        |  "event_type": {"type": ["null", "string"], "maxLength": 6,
+        |                 "minLength": 5, "pattern": "^[a-z]+$",
+        |                 "enum": ["click", "error", "purchase", "view"]},
+        |  "value": {"type": ["null", "number"], "minimum": 10, "multipleOf": 0.01},
+        |  "user_id": {"type": ["null", "integer"], "maximum": 40,
+        |              "exclusiveMaximum": true, "multipleOf": 3},
+        |  "props": {"type": ["null", "string"]}}}""".stripMargin)
     val constraints = Constraints.compile(schema)
     val e = Tables.events(s, dir)
       .select(col("event_id"),
-        struct(col("event_type"), col("value"), col("user_id")).as("r"))
+        struct(col("event_type"), col("value"), col("user_id"),
+          when(pmod(col("user_id"), lit(7)) === 0, lit(null).cast("string"))
+            .otherwise(col("props")).as("props")).as("r"))
       .withColumn("raw", to_json(col("r")))
     e.select(col("event_id"),
         Constraints.violation(constraints, col("r"), col("raw")).isNull.as("is_valid"))
