@@ -27,15 +27,19 @@ object DocPipeline {
       .select("doc_id")
 
     // 2. near-dup removal among survivors: drop the higher id of any
-    //    qualifying pair (pairs from the jaccard operator)
+    //    qualifying pair (pairs from the jaccard operator). No broadcast
+    //    hints: the survivor id set is O(N), so forcing it to every
+    //    executor breaks at scale — semi-joins on the id keep every
+    //    exchange keyed, and AQE still broadcasts when a side is
+    //    genuinely small at runtime.
     val pairs = Dedup.jaccardPairs(s, dir, nearDupThreshold)
-      .join(broadcast(survivors.withColumnRenamed("doc_id", "doc_a")), "doc_a")
-      .join(broadcast(survivors.withColumnRenamed("doc_id", "doc_b")), "doc_b")
+      .join(survivors.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
     val removed = pairs.select(col("doc_b").as("doc_id")).distinct()
     val kept = survivors.join(removed, Seq("doc_id"), "left_anti")
 
     // 3. quality gate + token accounting on the kept set
-    docs.join(broadcast(kept), "doc_id")
+    docs.join(kept, "doc_id")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"))
