@@ -58,13 +58,16 @@ object Main {
         S3Conf.outputUri(config)
     }
 
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-target")
       .config("spark.sql.shuffle.partitions",
               sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // L7 temp_dir (reference __init__.py:46-50,91): shuffle/spill scratch
+    // space follows the configured staging directory too.
+    config.tempDir.foreach(d => builder = builder.config("spark.local.dir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     S3Conf(spark, config)
 
@@ -74,6 +77,14 @@ object Main {
     } finally spark.stop()
   }
 
+  /** Spool/staging root: `temp_dir` from config (L7) or the system default. */
+  private def tempRoot(config: TargetConfig): Option[java.nio.file.Path] =
+    config.tempDir.map { d =>
+      val p = Paths.get(d)
+      Files.createDirectories(p)
+      p
+    }
+
   /** Batch mode: spool stdin to a file so the input is splittable/
     * re-scannable (the batch pipeline makes several passes; a 100 TB
     * deployment points --input at the durable landing zone instead). */
@@ -82,7 +93,10 @@ object Main {
     val input = opts.get("input") match {
       case Some(p) => p
       case None =>
-        val tmp = Files.createTempFile("singer-stdin", ".jsonl")
+        val tmp = tempRoot(config) match {
+          case Some(root) => Files.createTempFile(root, "singer-stdin", ".jsonl")
+          case None => Files.createTempFile("singer-stdin", ".jsonl")
+        }
         Files.copy(System.in, tmp, StandardCopyOption.REPLACE_EXISTING)
         if (Files.size(tmp) == 0L)
           System.err.println("[graft] warning: 0 bytes read from stdin — " +
@@ -99,16 +113,20 @@ object Main {
     * appear per micro-batch while the tap is still producing. */
   private def runStream(spark: SparkSession, opts: Map[String, String],
                         output: String, config: TargetConfig): Unit = {
+    def tmpDir(prefix: String): java.nio.file.Path = tempRoot(config) match {
+      case Some(root) => Files.createTempDirectory(root, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
     val (watchDir, spooler) = opts.get("input") match {
       case Some(dir) => (dir, None) // watch an existing landing directory
       case None =>
-        val d = Files.createTempDirectory("graft-stdin-spool")
+        val d = tmpDir("graft-stdin-spool")
         val s = new StdinSpooler(System.in, d,
           maxLines = if (config.fileSize > 0) config.fileSize.toInt else 10000).start()
         (d.toString, Some(s))
     }
     val checkpoint = opts.getOrElse("checkpoint",
-      Files.createTempDirectory("graft-stdin-ckpt").toString)
+      tmpDir("graft-stdin-ckpt").toString)
     val ingest = new StreamingIngest(spark, output, config)
     val query = ingest.start(watchDir, checkpoint,
       Trigger.ProcessingTime("500 milliseconds"))

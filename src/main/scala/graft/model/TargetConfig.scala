@@ -19,6 +19,9 @@ package graft.model
   * @param inferExtraFields record fields absent from the declared schema survive to
   *                        the output (reference §1.4 union-schema behavior)
   * @param strictValidation abort on the first JSON-Schema violation (reference P5)
+  * @param tempDir         local spool/staging directory (L7, reference
+  *                        __init__.py:46-50,91): batch stdin spool files, stream-mode
+  *                        watch/checkpoint dirs, and spark.local.dir all land here
   */
 final case class TargetConfig(
     s3Bucket: Option[String] = None,
@@ -38,7 +41,8 @@ final case class TargetConfig(
     encryptionType: Option[String] = None,
     encryptionKey: Option[String] = None,
     decimalForMultipleOf: Boolean = false,
-    inlineValidation: Boolean = false) {
+    inlineValidation: Boolean = false,
+    tempDir: Option[String] = None) {
 
   /** Parquet codec + the reference's filename-extension map (S9,
     * __init__.py:190-204). Unknown codec → warn-and-none, like the
@@ -80,7 +84,11 @@ object TargetConfig {
     awsEndpointUrl = m.get("aws_endpoint_url"),
     encryptionType = m.get("encryption_type"),
     encryptionKey = m.get("encryption_key"),
-    decimalForMultipleOf = m.getOrElse("decimal_for_multiple_of", "false").toBoolean)
+    decimalForMultipleOf = m.getOrElse("decimal_for_multiple_of", "false").toBoolean,
+    strictValidation = m.getOrElse("strict_validation", "true").toBoolean,
+    inlineValidation = m.getOrElse("inline_validation", "false").toBoolean,
+    inferExtraFields = m.getOrElse("infer_extra_fields", "true").toBoolean,
+    tempDir = m.get("temp_dir"))
 }
 
 /** Output-key naming (S8 + legacy L3, reference __init__.py:260-271 and

@@ -26,6 +26,18 @@ class ConfigSpec extends AnyFunSuite {
       Seq("Required key is missing from config: [s3_bucket]"))
     assert(TargetConfig.validate(Map("s3_bucket" -> "b")).isEmpty)
   }
+  test("fromMap wires validation/staging keys from config.json (L7 + round-2 ADVICE)") {
+    val c = TargetConfig.fromMap(Map(
+      "temp_dir" -> "/tmp/stage",
+      "strict_validation" -> "false",
+      "inline_validation" -> "true",
+      "infer_extra_fields" -> "false"))
+    assert(c.tempDir.contains("/tmp/stage"))
+    assert(!c.strictValidation && c.inlineValidation && !c.inferExtraFields)
+    // defaults when absent
+    val d = TargetConfig.fromMap(Map.empty)
+    assert(d.tempDir.isEmpty && d.strictValidation && !d.inlineValidation && d.inferExtraFields)
+  }
   test("compression extension map incl. unknown->none (reference __init__.py:190-204)") {
     assert(TargetConfig(compression = Some("gzip")).compressionCodecAndExt == ("gzip", ".gz"))
     assert(TargetConfig(compression = Some("ZSTD")).compressionCodecAndExt == ("zstd", ".zstd"))
