@@ -40,23 +40,32 @@ object PyRepr {
     sb.append(quote).toString
   }
 
-  /** Python repr of a double (common cases: integral → "1.0"). */
+  /** Python repr of a double, mirroring CPython `float_repr`: shortest
+    * round-trip digits (Java's `Double.toString` supplies them), decimal
+    * notation while the decimal exponent is in [-4, 16), e-notation with a
+    * signed >=2-digit exponent outside. Java's OWN notation switch differs
+    * — it goes exponential below 1e-3 and at 1e7 — so the digits are
+    * re-rendered under Python's thresholds (round-2 ADVICE: [1e-4,1e-3)
+    * and [1e7,1e16) previously came out as E-notation). */
   def reprDouble(d: Double): String =
     if (d.isNaN) "nan"
     else if (d.isInfinity) { if (d > 0) "inf" else "-inf" }
-    else if (d == Math.rint(d) && Math.abs(d) < 1e16) {
-      val l = d.toLong
-      s"$l.0"
-    } else {
-      val s = d.toString // Java shortest-roundtrip, matches Python for non-exponent forms
-      if (s.contains("E")) {
-        // Python: 1e-05, 1e+16 style
-        val Array(m, e) = s.split("E")
-        val mant = if (m.endsWith(".0")) m.dropRight(2) else m
-        val exp = e.toInt
-        val sign = if (exp < 0) "-" else "+"
-        f"${mant}e$sign${Math.abs(exp)}%02d"
-      } else s
+    else if (d == 0.0) { if (1.0 / d < 0) "-0.0" else "0.0" }
+    else {
+      val neg = if (d < 0) "-" else ""
+      val bd = new java.math.BigDecimal(java.lang.Double.toString(Math.abs(d)))
+        .stripTrailingZeros()
+      val digits = bd.unscaledValue.toString
+      val exp10 = digits.length - 1 - bd.scale // decimal exponent of the leading digit
+      if (exp10 >= -4 && exp10 < 16) {
+        if (d == Math.rint(d)) s"$neg${Math.abs(d).toLong}.0" // integral: 1.0, 1e15 -> ...000.0
+        else neg + bd.toPlainString
+      } else {
+        val mant = if (digits.length == 1) digits
+                   else s"${digits.head}.${digits.tail}"
+        val sign = if (exp10 < 0) "-" else "+"
+        f"$neg${mant}e$sign${Math.abs(exp10)}%02d"
+      }
     }
 
   def renderNode(n: JsonNode): String =

@@ -23,4 +23,35 @@ class PyReprSpec extends AnyFunSuite {
   test("null cell stays null") {
     assert(PyRepr.jsonToPyRepr(null) == null)
   }
+
+  test("doubles match CPython repr across the notation-switch boundaries") {
+    // Ground truth from CPython repr(). Java's Double.toString switches to
+    // E-notation below 1e-3 and at 1e7; Python switches at 1e-4 and 1e16.
+    val cases: Seq[(Double, String)] = Seq(
+      0.0001 -> "0.0001",                // Java: "1.0E-4"
+      0.000123 -> "0.000123",            // Java: "1.23E-4"
+      1.23e-05 -> "1.23e-05",
+      1e-05 -> "1e-05",
+      12345678.9 -> "12345678.9",        // Java: "1.23456789E7"
+      123456789.125 -> "123456789.125",
+      9999999.5 -> "9999999.5",
+      1e15 -> "1000000000000000.0",
+      1234567890123456.0 -> "1234567890123456.0",
+      1e16 -> "1e+16",
+      1.5e16 -> "1.5e+16",
+      1e17 -> "1e+17",
+      0.1 -> "0.1",
+      0.3 -> "0.3",
+      0.001 -> "0.001",
+      0.00012345678901234567 -> "0.00012345678901234567",
+      -0.0001 -> "-0.0001",
+      -1.5e-07 -> "-1.5e-07",
+      2.5e-10 -> "2.5e-10",
+      -0.0 -> "-0.0",
+      1e100 -> "1e+100",
+      7.006492321624085e-46 -> "7.006492321624085e-46")
+    cases.foreach { case (d, expected) =>
+      assert(PyRepr.reprDouble(d) == expected, s"for $d")
+    }
+  }
 }
