@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every registered query against
   * `SPARK_GRAFT_SF_DIR`, one warm-up pass (JIT + codegen + parquet footer
@@ -8,6 +8,21 @@ import org.apache.spark.sql.SparkSession
   * session warm-up, not plan cost. The JSON result line goes to stdout
   * (raw — build.sbt sets run/outputStrategy := StdoutOutput so sbt does
   * not prefix it) and to `bench_result.json` in the working directory.
+  *
+  * Five registered entries are correctness GATES whose time is dominated
+  * by computing the exact ground truth, not by the operator under test —
+  * those operators are additionally timed raw under `raw_operators`
+  * (excluded from the headline total, which covers exactly the registered
+  * queries). A query that throws lands in `errors` with a near-zero
+  * timing; rounds 1-3 silently swallowed the exception and under-reported
+  * the total.
+  *
+  * Queries are driven through the noop sink, not `count()`: count(1) lets
+  * Catalyst COLUMN-PRUNE every output-only expression (measured: a gate's
+  * whole comparison pipeline disappeared — count 0.9 s vs collect 2.3 s —
+  * and scalar-function queries were reduced to row counting), so rounds
+  * 1-3 under-measured exactly the queries with expensive projections. The
+  * noop write computes every output column and discards the rows.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,24 +35,54 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
+        case t: Throwable => errors.getOrElseUpdate(name,
+          s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(160)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
+    def median(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      val ts = Seq.fill(math.max(1, reps))(timeOnce(name, fn)).sorted
+      ts(ts.length / 2)
+    }
+
+    // The five gate-registered operators, timed RAW so operator-level perf
+    // regressions stay visible next to the gate numbers (BASELINE.md).
+    val rawOps: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dedup_minhash"    -> ((s, d) => operators.Dedup.minhashPairsVerified(s, d)),
+      "dedup_simhash"    -> ((s, d) => operators.Dedup.simhashPairs(s, d, maxDist = 3)),
+      "text_fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprints(s, d)),
+      "ann_lsh"          -> ((s, d) => operators.Similarity.lshTopK(s, d)),
+      "ann_ivf"          -> ((s, d) => operators.Similarity.ivfTopK(s, d)))
+
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local profiling aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    val selectedRaw = rawOps.filter { case (n, _) => only.forall(_(n)) }
     // Warm-up pass: not timed.
-    selected.foreach { case (_, fn) => timeOnce(fn) }
-    val results = selected.map { case (name, fn) =>
-      val ts = Seq.fill(math.max(1, reps))(timeOnce(fn)).sorted
-      name -> ts(ts.length / 2)
+    selected.foreach { case (n, fn) => timeOnce(n, fn) }
+    selectedRaw.foreach { case (n, fn) => timeOnce(n, fn) }
+    errors.clear() // warm-up errors re-surface in the timed pass
+    val results = selected.map { case (name, fn) => name -> median(name, fn) }
+    val rawResults = selectedRaw.map { case (name, fn) =>
+      s"${name}_raw" -> median(s"${name}_raw", fn) }
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(kvs: Iterable[(String, String)]): String =
+      kvs.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val qs = obj(results.map { case (k, v) => k -> v.toString })
+    val raws = obj(rawResults.map { case (k, v) => k -> v.toString })
+    val errs = obj(errors.map { case (k, v) => k -> s""""${esc(v)}"""" })
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""raw_operators":$raws,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       line.getBytes("UTF-8"))

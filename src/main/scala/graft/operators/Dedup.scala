@@ -129,11 +129,20 @@ object Dedup {
     def inter(ta: Column, tb: Column) = sortedIntersectCount(ta, tb)
     val jaccardExpr = inter(col("a.toks"), col("b.toks")).cast("double") /
       (col("a.sz") + col("b.sz") - inter(col("a.toks"), col("b.toks"))).cast("double")
+    // Output side: the merge walk runs ONCE per surviving pair (projected
+    // as `inter`, then divided) — CollapseProject keeps the two projects
+    // apart because `inter` is non-cheap and referenced twice. The division
+    // uses the identical operands as the condition's jaccardExpr, so the
+    // emitted value is bit-for-bit the same.
     prefix.as("a").join(prefix.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
           && sizeOk && firstShared && jaccardExpr >= threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccardExpr.as("jaccard"))
+        inter(col("a.toks"), col("b.toks")).as("inter"),
+        (col("a.sz") + col("b.sz")).as("ssum"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("ssum") - col("inter")).cast("double")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -263,14 +272,19 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // One merge walk per candidate: `inter` is projected once and the
+    // jaccard division derives from it (the old single-projection form
+    // evaluated the walk twice there, and a third time when the filter
+    // re-substituted the expression).
     cand
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("sz").as("sa")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("sz").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (sortedIntersectCount(col("toks_a"), col("toks_b")).cast("double") /
-          (col("sa") + col("sb") -
-            sortedIntersectCount(col("toks_a"), col("toks_b"))).cast("double"))
-          .as("jaccard"))
+        sortedIntersectCount(col("toks_a"), col("toks_b")).as("inter"),
+        (col("sa") + col("sb")).as("ssum"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("ssum") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -377,13 +391,18 @@ object Dedup {
     // Cross-block tiles (bi < bj) see each unordered pair exactly once (in
     // whichever orientation puts the lower block on the a-side), so only
     // the diagonal tiles need the vec_id tie-break.
+    // One dot product per pair: `d` is projected once, the cosine divides
+    // it (a single-projection cosine re-evaluated the dot when the filter
+    // substituted the expression into the join condition).
     aSide.as("a").join(bSide.as("b"),
         col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
           (col("a.bi") =!= col("a.bj") || col("a.vec_id") < col("b.vec_id")))
       .select(
         least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+        dot(col("a.v"), col("b.v")).as("d"),
+        (col("a.nrm") * col("b.nrm")).as("nn"))
+      .select(col("vec_a"), col("vec_b"), (col("d") / col("nn")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
@@ -410,7 +429,8 @@ object Dedup {
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+        dot(col("va"), col("vb")).as("d"), (col("na") * col("nb")).as("nn"))
+      .select(col("vec_a"), col("vec_b"), (col("d") / col("nn")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
