@@ -78,12 +78,26 @@ object Dedup {
     * pairs anyway), and [[jaccardPairsInverted]] remains the
     * count-by-index variant. */
   def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.85): DataFrame =
+    jaccardPairsUnsorted(s, dir, threshold)
+      // Checkpoint BEFORE the global sort: range partitioning samples its
+      // child, and sampling an unmaterialized join re-executes the whole
+      // join (measured 10.5 -> 6.3 s at sf0.1). The checkpointed pair
+      // table is tiny (24 B/row); ContextCleaner reclaims it.
+      .localCheckpoint()
+      .orderBy("doc_a", "doc_b")
+
+  /** The pair SET without the presentation sort (and without its
+    * checkpoint): gates and pipeline stages join/aggregate the result, so
+    * ordering — and the materialization that makes the sort affordable —
+    * would be pure overhead there. */
+  private[graft] def jaccardPairsUnsorted(s: SparkSession, dir: String,
+                                          threshold: Double): DataFrame =
     jaccardPairsFromSets(hashedTokenSets(s, dir), threshold)
 
   /** The prefix-filtered jaccard self-join over ANY element-hashed set
     * relation shaped (doc_id, toks: sorted distinct array<long>, sz) —
     * word token sets for [[jaccardPairs]], 3-gram shingle sets for the
-    * fingerprint gate's sequence-level ground truth. */
+    * fingerprint gate's sequence-level ground truth. UNSORTED. */
   private[graft] def jaccardPairsFromSets(sets: DataFrame,
                                           threshold: Double): DataFrame = {
     import graft.functions.ArrayOps.sortedIntersectCount
@@ -143,7 +157,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("ssum") - col("inter")).cast("double")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** The round-1 all-pairs strategy: broadcast nested-loop self-join with
@@ -256,7 +269,15 @@ object Dedup {
     * estimator noise (k=64 sampling gives ±~0.06 on est_jaccard) would
     * leak borderline pairs both ways. */
   def minhashPairsVerified(s: SparkSession, dir: String, k: Int = 64,
-                           bands: Int = 8, threshold: Double = 0.9): DataFrame = {
+                           bands: Int = 8, threshold: Double = 0.9): DataFrame =
+    minhashPairsVerifiedUnsorted(s, dir, k, bands, threshold)
+      .localCheckpoint() // sort sampling must not re-run the verify join
+      .orderBy("doc_a", "doc_b")
+
+  /** See [[jaccardPairsUnsorted]] for why gates consume the unsorted set. */
+  private[graft] def minhashPairsVerifiedUnsorted(
+      s: SparkSession, dir: String, k: Int = 64,
+      bands: Int = 8, threshold: Double = 0.9): DataFrame = {
     import graft.functions.ArrayOps.sortedIntersectCount
     val r = k / bands
     val toks = hashedTokenSets(s, dir).localCheckpoint()
@@ -286,7 +307,6 @@ object Dedup {
         (col("inter").cast("double") /
           (col("ssum") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash fingerprints: 64-bit, token-hashed, one shuffle (64 signed
@@ -404,6 +424,7 @@ object Dedup {
         (col("a.nrm") * col("b.nrm")).as("nn"))
       .select(col("vec_a"), col("vec_b"), (col("d") / col("nn")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .localCheckpoint() // sort sampling must not re-run the O(N²/B) tiles
       .orderBy("vec_a", "vec_b")
   }
 

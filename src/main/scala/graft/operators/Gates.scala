@@ -25,8 +25,8 @@ object Gates {
     * at sf0.01, theoretical 1-(1-0.9^8)^8 = 0.988 at the 0.9 threshold. */
   def minhashGate(s: SparkSession, dir: String, threshold: Double = 0.9,
                   recallBound: Double = 0.95): DataFrame = {
-    val truth = Dedup.jaccardPairs(s, dir, threshold).select("doc_a", "doc_b")
-    val found = Dedup.minhashPairsVerified(s, dir, threshold = threshold)
+    val truth = Dedup.jaccardPairsUnsorted(s, dir, threshold).select("doc_a", "doc_b")
+    val found = Dedup.minhashPairsVerifiedUnsorted(s, dir, threshold = threshold)
       .select(col("doc_a").as("fa"), col("doc_b").as("fb"))
     truth.join(found,
         col("doc_a") === col("fa") && col("doc_b") === col("fb"), "left_outer")

@@ -87,6 +87,8 @@ object TextAnalysis {
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fingerprints"),
         array_min(col("fps")).as("min_fingerprint"))
+      // sort sampling must not re-run the winnowing array pipeline
+      .localCheckpoint()
       .orderBy("doc_id")
 
   /** Hashed word 3-grams in sequence order — the shingle stream winnowing

@@ -3,8 +3,10 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Local profiling aid (not part of the library surface): times variants
-  * of the jaccard prefix-filter join at a given SF dir. */
+/** Local profiling aid (not part of the library surface): stage-by-stage
+  * cost breakdown of the jaccard prefix-filter join at a given SF dir,
+  * driven through the noop sink (same as Bench — count() would prune the
+  * very projections being measured). */
 object ProfileJaccard {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -13,6 +15,7 @@ object ProfileJaccard {
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     import graft.functions.ArrayOps.{sortedIntersectCount, sortedFirstCommon}
+    def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       System.err.println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
@@ -34,48 +37,28 @@ object ProfileJaccard {
         sort_array(slice(col("ordered.tok"), lit(1), prefLen)).as("pref"))
       .select(col("doc_id"), col("sz"), col("toks"), col("pref"),
         explode(col("pref")).as("ptok"))
-    val prefixCk = t("prefix build (arrays)") { prefixFull.localCheckpoint() }
+    val prefixCk = t("1 prefix build+checkpoint") { prefixFull.localCheckpoint() }
     val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") /
       greatest(col("a.sz"), col("b.sz")) >= threshold
     val firstShared = col("a.ptok") ===
       sortedFirstCommon(col("a.pref"), col("b.pref"))
-    // variant A: join + all conditions, project ids only, count
-    t("A join+conds count") {
-      val n = prefixCk.as("a").join(prefixCk.as("b"),
-          col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
-            && sizeOk && firstShared)
-        .select(col("a.doc_id")).count()
-      System.err.println("  rows=" + n)
-    }
-    // variant B: join without firstShared, ids only
-    t("B join no-firstShared") {
-      val n = prefixCk.as("a").join(prefixCk.as("b"),
-          col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id") && sizeOk)
-        .select(col("a.doc_id")).count()
-      System.err.println("  rows=" + n)
-    }
-    // variant C: full new pipeline (verify inline + sort)
-    t("C full verify inline") {
-      val n = prefixCk.as("a").join(prefixCk.as("b"),
-          col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
-            && sizeOk && firstShared)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          sortedIntersectCount(col("a.toks"), col("b.toks")).as("inter"),
-          col("a.sz").as("sa"), col("b.sz").as("sb"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") /
-            (col("sa") + col("sb") - col("inter")).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-        .count()
-      System.err.println("  rows=" + n)
-    }
-    // variant D: slim join (no arrays carried), conditions minus firstShared
-    val slim = prefixCk.select("doc_id", "sz", "ptok")
-    t("D slim join count") {
-      val n = slim.as("a").join(slim.as("b"),
-          col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id") && sizeOk)
-        .select(col("a.doc_id")).count()
-      System.err.println("  rows=" + n)
+    val jaccardExpr = sortedIntersectCount(col("a.toks"), col("b.toks")).cast("double") /
+      (col("a.sz") + col("b.sz") - sortedIntersectCount(col("a.toks"), col("b.toks"))).cast("double")
+    def joined = prefixCk.as("a").join(prefixCk.as("b"),
+      col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
+        && sizeOk && firstShared && jaccardExpr >= threshold)
+    t("2 join+verify, ids only") { noop(joined.select(col("a.doc_id"), col("b.doc_id"))) }
+    val projected = joined
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        sortedIntersectCount(col("a.toks"), col("b.toks")).as("inter"),
+        (col("a.sz") + col("b.sz")).as("ssum"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("ssum") - col("inter")).cast("double")).as("jaccard"))
+    t("3 + output jaccard") { noop(projected) }
+    t("4 + orderBy (= operator)") { noop(projected.orderBy("doc_a", "doc_b")) }
+    t("5 checkpoint + orderBy") {
+      noop(projected.localCheckpoint().orderBy("doc_a", "doc_b"))
     }
     s.stop()
   }
