@@ -97,27 +97,46 @@ object Dedup {
   /** The prefix-filtered jaccard self-join over ANY element-hashed set
     * relation shaped (doc_id, toks: sorted distinct array<long>, sz) —
     * word token sets for [[jaccardPairs]], 3-gram shingle sets for the
-    * fingerprint gate's sequence-level ground truth. UNSORTED. */
-  private[graft] def jaccardPairsFromSets(sets: DataFrame,
-                                          threshold: Double): DataFrame = {
+    * fingerprint gate's sequence-level ground truth. UNSORTED.
+    *
+    * Prefix filtering is EXACT under any one consistent global token
+    * order; the order only affects candidate volume. `rarestFirst = true`
+    * (default) orders by document frequency — two extra keyed shuffles
+    * (df count + per-doc rebuild), minimal candidates; the right trade
+    * for low-entropy elements like word tokens on a dense corpus.
+    * `rarestFirst = false` takes the prefix straight off the numerically
+    * sorted hash array — ZERO extra exchanges — and is the right trade
+    * for high-entropy elements (3-gram shingles: df ≈ 1, so hash order
+    * is nearly df order; identical pair output, and the fingerprint
+    * gate's truth side dropped 8.7 → 6.2 s at sf0.1). */
+  private[graft] def jaccardPairsFromSets(sets: DataFrame, threshold: Double,
+                                          rarestFirst: Boolean = true): DataFrame = {
     import graft.functions.ArrayOps.sortedIntersectCount
-    val exploded = sets.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
-    val dfCount = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
-    // Rarest-first order per doc; prefix length |x| - ceil(t|x|) + 1.
-    // The groupBy rebuilds the full per-doc token list in df-order, so one
-    // aggregation yields BOTH the prefix (slice) and the numerically
-    // sorted set for the merge-walk verify — the arrays ride along through
-    // the prefix join and no re-join against the corpus is ever needed.
+    // Prefix length |x| - ceil(t|x|) + 1.
     val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
-    // localCheckpoint: the prefix build (tokenize + df join + per-doc
-    // sort) would otherwise be recomputed for BOTH join sides; reclaimed
-    // by the ContextCleaner (never .persist inside an operator).
-    val prefix = exploded.join(dfCount, "tok")
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ordered"))
-      .select(col("doc_id"), col("sz"),
-        sort_array(col("ordered.tok")).as("toks"),
-        sort_array(slice(col("ordered.tok"), lit(1), prefLen)).as("pref"))
+    // localCheckpoint: the prefix build would otherwise be recomputed for
+    // BOTH join sides; reclaimed by the ContextCleaner (never .persist
+    // inside an operator).
+    val prefix = (if (rarestFirst) {
+      // The groupBy rebuilds the full per-doc token list in df-order, so
+      // one aggregation yields BOTH the prefix (slice) and the numerically
+      // sorted set for the merge-walk verify — the arrays ride along
+      // through the prefix join and no re-join against the corpus is ever
+      // needed.
+      val exploded = sets.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
+      val dfCount = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+      exploded.join(dfCount, "tok")
+        .groupBy(col("doc_id"), col("sz"))
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+        .select(col("doc_id"), col("sz"),
+          sort_array(col("ordered.tok")).as("toks"),
+          sort_array(slice(col("ordered.tok"), lit(1), prefLen)).as("pref"))
+    } else {
+      // Hash order: `toks` is already sorted, so the prefix is a slice —
+      // the whole build is one scan-side projection.
+      sets.select(col("doc_id"), col("sz"), col("toks"),
+        slice(col("toks"), lit(1), prefLen).as("pref"))
+    })
       .select(col("doc_id"), col("sz"), col("toks"), col("pref"),
         explode(col("pref")).as("ptok"))
       .localCheckpoint()
