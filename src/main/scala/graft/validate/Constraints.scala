@@ -126,7 +126,11 @@ object Constraints {
       val str = parsed.cast("string")
       val typeCheck: Seq[Column] =
         if (c.declaredTypes.isEmpty || c.declaredTypes.contains("array")) Seq.empty
-        else Seq(when(rawCell.isNotNull && parsed.isNull,
+        // parsed.isNull FIRST: And short-circuits in codegen, so the
+        // get_json_object re-parse of the raw record only runs for rows
+        // whose parsed cell is null — on clean data that is almost never,
+        // keeping the hot validation scan free of redundant JSON parsing.
+        else Seq(when(parsed.isNull && rawCell.isNotNull,
           format_string("%s is not of type %s", rawCell,
             lit(c.declaredTypes.mkString("'", "', '", "'")))))
       val minCheck = c.minimum.toSeq.map { m =>

@@ -68,6 +68,20 @@ class OperatorsSpec extends SparkSpec {
     assert(pf.nonEmpty) // the synthetic corpus plants near-dups; empty would mask a broken join
   }
 
+  test("hash-order prefix equals rarest-first prefix on real data (sf0.001)") {
+    // Prefix filtering is exact under ANY consistent global token order;
+    // the order choice only affects candidate volume (BASELINE.md 1b).
+    val sf = "/root/testdata/sf0.001"
+    def pairs(rarestFirst: Boolean) =
+      Dedup.jaccardPairsFromSets(
+          TextAnalysis.gramSets(spark, sf), 0.9, rarestFirst)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val hashOrder = pairs(rarestFirst = false)
+    val dfOrder = pairs(rarestFirst = true)
+    assert(hashOrder == dfOrder)
+    assert(hashOrder.nonEmpty)
+  }
+
   test("blocked embedding pairs equal brute all-pairs on real data (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val bl = Dedup.embeddingPairs(spark, sf).collect()
