@@ -22,8 +22,13 @@ object DocPipeline {
              minWords: Int = 5): DataFrame = {
     val docs = Tables.documents(s, dir)
 
-    // 1. exact dedup: survivor = min doc_id per identical text
-    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+    // 1. exact dedup: survivor = min doc_id per identical text, grouped on
+    //    xxhash64(text) so the shuffle carries 8-byte keys instead of
+    //    document bodies (the [[Dedup.exactByHash]] scale path, pinned
+    //    equal to text-keyed grouping; ~n²/2⁶⁵ collision odds are nil
+    //    below ~10⁹ distinct docs)
+    val survivors = docs.select(col("doc_id"), xxhash64(col("text")).as("th"))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
     // 2. near-dup removal among survivors: drop the higher id of any
