@@ -49,6 +49,7 @@ object SparkEntry {
     "doc_pipeline"    -> ((s, d) => DocPipeline.curate(s, d)),
     "dedup_exact"     -> (Dedup.exact _),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
     // Seeded-hash operators are not ANSI-SQL-expressible; their entries
     // run the recall/precision/equality gates vs exact in-repo
     // counterparts (see Gates) so the driver gets a hard pass/fail.
@@ -257,6 +258,22 @@ object SparkEntry {
         |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
         | FROM ts a, ts b WHERE a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.85 ORDER BY doc_a, doc_b""".stripMargin,
+    // Transitive closure via recursive CTE: reach(d, r) = r reachable
+    // from d over near-dup edges; cluster id = min reachable.
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+        |ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |e AS (
+        | SELECT a.doc_id AS src, b.doc_id AS dst FROM ts a, ts b
+        | WHERE a.doc_id <> b.doc_id
+        |   AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |       (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.85),
+        |reach(doc_id, r) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.doc_id)
+        |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
       """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
         |SELECT count(*) AS n_true, true AS recall_ok FROM (

@@ -328,6 +328,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected-components near-dup clustering: cluster_id = the smallest
+    * doc_id reachable through near-dup pair edges (the TRANSITIVE closure
+    * of [[jaccardPairs]] — pair-based removal alone under-merges chains
+    * A~B~C where A and C are not directly similar).
+    *
+    * Iterative min-label propagation: every round is one keyed join + one
+    * min-aggregate, fully distributed; the driver touches only the
+    * converged-count scalar — the same orchestration shape GraphX's CC
+    * uses. Labels are monotonically non-increasing with fixed point =
+    * component minimum; rounds needed = component diameter, and near-dup
+    * components are near-cliques (a handful of rounds). Each round
+    * localCheckpoints the label table: bounded lineage, reclaimed by the
+    * ContextCleaner. */
+  def clusterAssignments(s: SparkSession, dir: String,
+                         threshold: Double = 0.85, maxIters: Int = 50): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"))
+    val pairs = jaccardPairsUnsorted(s, dir, threshold).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nmin"))
+      val updated = labels.as("l")
+        .join(neighborMin.as("n"), col("l.doc_id") === col("n.src"), "left_outer")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"), coalesce(col("n.nmin"), col("l.cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = updated.as("u")
+        .join(labels.as("o"), col("u.doc_id") === col("o.doc_id"))
+        .filter(col("u.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0L
+      iter += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** SimHash fingerprints: 64-bit, token-hashed, one shuffle (64 signed
     * bit-sums folded in a single groupBy). */
   def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {

@@ -68,6 +68,14 @@ class OperatorsSpec extends SparkSpec {
     assert(pf.nonEmpty) // the synthetic corpus plants near-dups; empty would mask a broken join
   }
 
+  test("cluster assignments: transitive closure merges chains, isolates keep own id") {
+    // pairs at 0.5: (0,1) exact, (0,2)/(1,2) near -> component {0,1,2};
+    // docs 3 and 4 are isolated.
+    val cl = Dedup.clusterAssignments(spark, dir, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("hash-order prefix equals rarest-first prefix on real data (sf0.001)") {
     // Prefix filtering is exact under ANY consistent global token order;
     // the order choice only affects candidate volume (BASELINE.md 1b).
