@@ -333,43 +333,63 @@ object Dedup {
     * of [[jaccardPairs]] — pair-based removal alone under-merges chains
     * A~B~C where A and C are not directly similar).
     *
-    * Iterative min-label propagation: every round is one keyed join + one
-    * min-aggregate, fully distributed; the driver touches only the
-    * converged-count scalar — the same orchestration shape GraphX's CC
-    * uses. Labels are monotonically non-increasing with fixed point =
-    * component minimum; rounds needed = component diameter, and near-dup
-    * components are near-cliques (a handful of rounds). Each round
-    * localCheckpoints the label table: bounded lineage, reclaimed by the
-    * ContextCleaner. */
+    * Boruvka-style edge CONTRACTION, not plain label propagation: each
+    * round maps every active node to the minimum of its closed
+    * neighborhood (one keyed aggregate), rewrites the edge list between
+    * the new labels and DEDUPES it (near-dup components are near-cliques,
+    * so the 10⁶-edge raw graph collapses to a handful of label-level
+    * edges after one contraction — plain propagation re-scans the full
+    * edge list every round), and composes the node→label map. The loop
+    * ends when no cross-label edge remains — no extra confirming round.
+    * Termination is guaranteed: m(x) = min({x} ∪ N(x)) ≤ x, so every
+    * surviving edge's larger endpoint strictly decreases each round;
+    * the component minimum maps to itself, so the fixed point is
+    * cluster_id = component-min doc_id. Only edge-endpoint nodes
+    * participate: isolated docs provably keep their own id and join back
+    * once at the end — at real scale the duplicate subgraph is a small
+    * fraction of the corpus. Every per-round table is localCheckpointed:
+    * bounded lineage, reclaimed by the ContextCleaner; the driver only
+    * ever sees the is-empty scalar. */
   def clusterAssignments(s: SparkSession, dir: String,
                          threshold: Double = 0.85, maxIters: Int = 50): DataFrame = {
     val docs = documents(s, dir).select(col("doc_id"))
-    val pairs = jaccardPairsUnsorted(s, dir, threshold).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // jaccardPairsUnsorted emits doc_a < doc_b, so the pair list IS the
+    // undirected label-level edge list of round 0.
+    var e = jaccardPairsUnsorted(s, dir, threshold)
+      .select(col("doc_a").as("la"), col("doc_b").as("lb"))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var comp = e.select(col("la").as("node")).union(e.select(col("lb").as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min("cluster_id").as("nmin"))
-      val updated = labels.as("l")
-        .join(neighborMin.as("n"), col("l.doc_id") === col("n.src"), "left_outer")
-        .select(col("l.doc_id").as("doc_id"),
-          least(col("l.cluster_id"), coalesce(col("n.nmin"), col("l.cluster_id")))
-            .as("cluster_id"))
+    while (!e.isEmpty && iter < maxIters) {
+      val sym = e.select(col("la").as("x"), col("lb").as("y"))
+        .union(e.select(col("lb").as("x"), col("la").as("y")))
+      // m(x) = min of x's closed neighborhood in the contracted graph.
+      val m = sym.groupBy("x").agg(min("y").as("ny"))
+        .select(col("x"), least(col("x"), col("ny")).as("mx"))
         .localCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.as("o"), col("u.doc_id") === col("o.doc_id"))
-        .filter(col("u.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count()
-      labels = updated
-      converged = changed == 0L
+      // Contract: rewrite both endpoints, drop self-loops, dedupe. The
+      // label-level edge set after contraction is orders of magnitude
+      // smaller than the raw pair list on clique-ish dup structure.
+      e = e.join(m.select(col("x").as("la"), col("mx").as("ma")), "la")
+        .join(m.select(col("x").as("lb"), col("mx").as("mb")), "lb")
+        .select(least(col("ma"), col("mb")).as("la"),
+          greatest(col("ma"), col("mb")).as("lb"))
+        .filter(col("la") =!= col("lb"))
+        .distinct()
+        .localCheckpoint()
+      // Compose the node→label map with this round's contraction.
+      comp = comp.join(m.select(col("x").as("label"), col("mx")), Seq("label"), "left_outer")
+        .select(col("node"), coalesce(col("mx"), col("label")).as("label"))
+        .localCheckpoint()
       iter += 1
     }
-    labels.orderBy("doc_id")
+    docs.join(comp.select(col("node").as("doc_id"), col("label").as("cluster_id")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** SimHash fingerprints: 64-bit, token-hashed, one shuffle (64 signed
