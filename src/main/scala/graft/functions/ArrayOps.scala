@@ -129,7 +129,47 @@ case class SortedFirstCommon(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** First index (0-based) where two equal-length long arrays agree
+  * positionally; NULL when none. The banded-LSH twin of
+  * [[SortedFirstCommon]]: requiring the joined band index to equal the
+  * FIRST agreeing band makes each candidate pair survive the band
+  * self-join exactly once, with no dropDuplicates exchange over the raw
+  * match stream (a very similar pair matches in most of its b bands).
+  * The zip_with + array_position spelling of the same predicate is not
+  * codegen'd and allocates a boolean array per raw match — this kernel
+  * is a tight loop inside the join's generated code. */
+case class PositionalFirstMatch(left: Expression, right: Expression)
+    extends LongArrayBinary {
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) return i; i += 1 }
+    null
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i) = (ctx.freshName("n"), ctx.freshName("i"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.isNull} = true;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) {
+         |    ${ev.isNull} = false; ${ev.value} = $i; break;
+         |  }
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object ArrayOps {
+  def positionalFirstMatch(a: Column, b: Column): Column =
+    ColumnBridge.column(PositionalFirstMatch(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def sortedFirstCommon(a: Column, b: Column): Column =
     ColumnBridge.column(SortedFirstCommon(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

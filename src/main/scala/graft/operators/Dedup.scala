@@ -245,9 +245,9 @@ object Dedup {
     * Tuning: r = k/bands controls candidate selectivity — collision
     * probability per band is j^r, so r=8 (default) keeps near-all recall
     * at j≥0.9 (1-(1-0.9^8)^8 ≈ 0.99) while pruning the j≈0.6 bulk
-    * (≈13% leak) that r=4 would admit wholesale. Band rows carry only
-    * (doc_id, band, hash); the 64-long signatures are re-joined broadcast
-    * AFTER pair dedup, so the candidate shuffle is 24 bytes/row. */
+    * (≈13% leak) that r=4 would admit wholesale. Band rows carry
+    * (doc_id, band, hash, the 8-long band-hash vector); the 64-long
+    * signatures are re-joined broadcast after candidate generation. */
   def minhashPairs(s: SparkSession, dir: String, k: Int = 64, bands: Int = 8,
                    threshold: Double = 0.9): DataFrame = {
     import graft.functions.ArrayOps.positionalMatchCount
@@ -260,15 +260,7 @@ object Dedup {
     val sigArr = sigs.select(col("doc_id"),
       array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
       .localCheckpoint()
-    val banded = sigArr.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = bandCandidates(sigArr, bands, r)
     cand
       .join(broadcast(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
       .join(broadcast(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
@@ -293,6 +285,31 @@ object Dedup {
       .localCheckpoint() // sort sampling must not re-run the verify join
       .orderBy("doc_a", "doc_b")
 
+  /** Banded LSH candidate pairs, each generated EXACTLY ONCE: the join
+    * keeps a band match only when it is the FIRST band where the two
+    * signatures agree (positional zip over the band-hash vectors — 8
+    * longs, evaluated in-task), so the j-of-b duplicate matches a very
+    * similar pair produces never leave the join and there is no
+    * dropDuplicates exchange over the raw match stream (which on a dense
+    * corpus is ~b× the candidate count). The first-match test is the
+    * codegen [[graft.functions.PositionalFirstMatch]] kernel — the
+    * zip_with spelling allocates per raw match and blocks codegen. Same
+    * scheme as [[jaccardPairsFromSets]]'s first-shared-prefix-token
+    * condition. Candidate SET is bit-identical to the dedupe version. */
+  private[graft] def bandCandidates(sigArr: DataFrame, bands: Int, r: Int): DataFrame = {
+    import graft.functions.ArrayOps.positionalFirstMatch
+    val banded = sigArr.select(col("doc_id"),
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + 1, lit(r)))).as("bhs"))
+      .select(col("doc_id"), col("bhs"), posexplode(col("bhs")).as(Seq("band", "bh")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id")
+          && col("a.band") === positionalFirstMatch(col("a.bhs"), col("b.bhs")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
   /** See [[jaccardPairsUnsorted]] for why gates consume the unsorted set. */
   private[graft] def minhashPairsVerifiedUnsorted(
       s: SparkSession, dir: String, k: Int = 64,
@@ -303,15 +320,7 @@ object Dedup {
     val sigs = minhashSignatures(s, dir, k)
     val sigArr = sigs.select(col("doc_id"),
       array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-    val banded = sigArr.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = bandCandidates(sigArr, bands, r)
     // One merge walk per candidate: `inter` is projected once and the
     // jaccard division derives from it (the old single-projection form
     // evaluated the walk twice there, and a third time when the filter
