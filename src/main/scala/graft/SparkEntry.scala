@@ -50,6 +50,10 @@ object SparkEntry {
     "dedup_exact"     -> (Dedup.exact _),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
+    "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
+    "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
+    "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
+    "curate_pack"     -> ((s, d) => Curation.packSequences(s, d)),
     // Seeded-hash operators are not ANSI-SQL-expressible; their entries
     // run the recall/precision/equality gates vs exact in-repo
     // counterparts (see Gates) so the driver gets a hard pass/fail.
@@ -274,6 +278,42 @@ object SparkEntry {
         | SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.doc_id)
         |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Contamination truth from gram STRINGS — the shared-distinct-gram
+    // count is invariant to the per-element hash the Spark side joins on.
+    "curate_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, greatest(len(toks) - 2, 1) + 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+        |      FROM t),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0)
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM g JOIN e USING (gram) WHERE doc_id % 100 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "curate_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, i AS chunk_id,
+        | array_to_string(toks[i*64+1:(i+1)*64], ' ') AS chunk_text,
+        | len(toks[i*64+1:(i+1)*64]) AS n_chunk_tokens
+        |FROM (SELECT doc_id, toks,
+        |      unnest(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS i FROM t)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "curate_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        | SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rk
+        | FROM documents) t
+        |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    "curate_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM t)
+        |SELECT doc_id, n_tokens, cum // 256 AS pack_id, cum % 256 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
       """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
         |SELECT count(*) AS n_true, true AS recall_ok FROM (

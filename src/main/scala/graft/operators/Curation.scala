@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup/similarity: benchmark
+  * decontamination, token-budget chunking, deterministic stratified
+  * sampling, and concat-and-split sequence packing — the remaining steps
+  * a real LLM data pipeline runs between "raw corpus" and "training
+  * shards". All deterministic (no RNG, no timestamps) so every operator
+  * is DuckDB-oracle-checkable, and every exchange is keyed — nothing here
+  * broadcasts an O(corpus) set or sorts the world in one partition.
+  */
+object Curation {
+  import Tables.documents
+
+  /** Train/eval n-gram decontamination: flags every training document
+    * that shares at least one distinct word 3-gram with the held-out eval
+    * split (here the deterministic `doc_id % 100 == 0` slice — in
+    * production the eval side is the benchmark suite). Output: the
+    * contaminated doc ids with how many distinct grams they share.
+    *
+    * Plan shape: both sides explode their DISTINCT gram sets (reusing
+    * [[TextAnalysis.gramSets]]' hashed shingles), the eval side is
+    * deduped to one row per gram, and contamination is one equi-join on
+    * the 8-byte gram hash + one count per doc — shuffle bounded by gram
+    * multiplicity, never by pair enumeration. At 100 TB the eval side is
+    * a benchmark suite (tiny) and AQE broadcasts it on its own; no
+    * explicit broadcast hint so a huge holdout degrades to a keyed
+    * shuffle join instead of OOMing the executors. */
+  def decontaminate(s: SparkSession, dir: String, evalMod: Int = 100): DataFrame = {
+    val grams = TextAnalysis.gramSets(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select("gram").distinct()
+    grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(evalGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget chunking: split each document into consecutive chunks
+    * of at most `chunkTokens` whitespace tokens (context-window prep).
+    * Pure per-row array expressions — the operator never exchanges data;
+    * it scales with the scan exactly like a projection. */
+  def docChunks(s: SparkSession, dir: String, chunkTokens: Int = 64): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens))))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", col("chunk")).as("chunk_text"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Deterministic stratified sampling: up to `perGroup` docs per
+    * language, chosen by an LCG permutation of doc_id (seedless RNG-free
+    * pseudo-shuffle — the same rows come back on every run and on every
+    * engine, which is what makes a 100-TB sampling job resumable and its
+    * output diffable). One shuffle (the per-group window).
+    *
+    * Scale note: rank-within-group sorts each group; for quota ≪ group
+    * size on huge groups, pre-filter with an approximate key threshold
+    * (quantile of the LCG key) first, then rank the survivors — same
+    * output, bounded sort. Not needed at bench scale. */
+  def sampleStratified(s: SparkSession, dir: String, perGroup: Int = 50): DataFrame = {
+    val key = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
+    val w = Window.partitionBy("lang").orderBy(key, col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perGroup)
+      .orderBy("lang", "rk")
+  }
+
+  /** Concat-and-split sequence packing: lay all documents' tokens end to
+    * end in doc_id order and cut every `budget` tokens — each doc reports
+    * the pack it starts in and its offset there (GPT-style training-shard
+    * packing; docs may straddle packs by construction).
+    *
+    * The global running token count is computed in TWO PHASES so no
+    * executor ever sorts the corpus in one partition: doc_id-block-local
+    * prefix sums (keyed window over `blockSize`-wide blocks), plus an
+    * all-blocks prefix over the block TOTALS — N/blockSize rows, control-
+    * plane sized (1M rows at a billion docs), the only single-partition
+    * window in the plan. The block-offset join is keyed; AQE broadcasts
+    * the tiny side on its own. */
+  def packSequences(s: SparkSession, dir: String, budget: Int = 256,
+                    blockSize: Int = 1024): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("blk", (col("doc_id") / blockSize).cast("long"))
+    val wLocal = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBlocks = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockPrefix = d.groupBy("blk").agg(sum("n_tokens").as("blk_total"))
+      .withColumn("blk_prefix", coalesce(sum("blk_total").over(wBlocks), lit(0L)))
+      .select("blk", "blk_prefix")
+    d.withColumn("local_prefix", coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+      .join(blockPrefix, "blk")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("blk_prefix") + col("local_prefix")).as("cum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") / budget).cast("long").as("pack_id"),
+        (col("cum") % budget).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+}

@@ -76,6 +76,51 @@ class OperatorsSpec extends SparkSpec {
     assert(cl == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("decontaminate: exact/near dups of the eval doc flagged, unrelated not") {
+    // eval split = doc 0 (0 % 100 == 0); doc 1 is its exact dup, doc 2 a
+    // near dup sharing grams; docs 3 and 4 share no 3-gram with it.
+    val rows = Curation.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.contains(1L) && rows.contains(2L))
+    assert(rows(1L) == 4L) // "the cat sat on the mat": 4 distinct 3-grams, all shared
+    assert(!rows.contains(3L) && !rows.contains(4L))
+  }
+
+  test("doc chunks: budget respected, reassembly reproduces the text") {
+    val chunks = Curation.docChunks(spark, dir, chunkTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(chunks.forall(_._4 <= 3))
+    val reassembled = chunks.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._3).mkString(" ") }
+    val original = Tables.documents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reassembled == original)
+    // doc 3: 11 tokens -> chunks of 3,3,3,2
+    assert(chunks.filter(_._1 == 3L).map(_._4).toSeq == Seq(3L, 3L, 3L, 2L))
+  }
+
+  test("stratified sample: quota per group, deterministic across runs") {
+    val s1 = Curation.sampleStratified(spark, dir, perGroup = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(s1.groupBy(_._2).forall(_._2.length <= 2))
+    assert(s1.count(_._2 == "en") == 2 && s1.count(_._2 == "de") == 1)
+    val s2 = Curation.sampleStratified(spark, dir, perGroup = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("pack sequences: cumulative offsets consistent with doc order") {
+    val rows = Curation.packSequences(spark, dir, budget = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // reconstruct the global cumsum and check pack/offset arithmetic
+    var cum = 0L
+    rows.foreach { case (_, n, packId, off) =>
+      assert(packId == cum / 10 && off == cum % 10)
+      cum += n
+    }
+  }
+
   test("hash-order prefix equals rarest-first prefix on real data (sf0.001)") {
     // Prefix filtering is exact under ANY consistent global token order;
     // the order choice only affects candidate volume (BASELINE.md 1b).
