@@ -34,7 +34,15 @@ object GraftExtensions {
     ("positional_match_count",
       info("positional_match_count",
         "positional_match_count(a, b) - count of positions where two bigint arrays agree"),
-      (args: Seq[Expression]) => PositionalMatchCount(args(0), args(1))))
+      (args: Seq[Expression]) => PositionalMatchCount(args(0), args(1))),
+    ("positional_first_match",
+      info("positional_first_match",
+        "positional_first_match(a, b) - first position (0-based) where two bigint arrays agree, NULL if none"),
+      (args: Seq[Expression]) => PositionalFirstMatch(args(0), args(1))),
+    ("sorted_first_common",
+      info("sorted_first_common",
+        "sorted_first_common(a, b) - smallest common element of two sorted bigint arrays, NULL if disjoint"),
+      (args: Seq[Expression]) => SortedFirstCommon(args(0), args(1))))
 
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -8,8 +8,12 @@ class GraftExtensionsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         | sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS i,
-        | positional_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m""".stripMargin)
+        | positional_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m,
+        | positional_first_match(array(1L, 2L, 3L), array(9L, 2L, 3L)) AS f,
+        | positional_first_match(array(1L, 2L), array(3L, 4L)) AS fn,
+        | sorted_first_common(array(1L, 4L, 7L), array(2L, 4L, 9L)) AS c""".stripMargin)
       .collect().head
     assert(r.getDouble(0) == 11.0 && r.getInt(1) == 2 && r.getInt(2) == 2)
+    assert(r.getInt(3) == 1 && r.isNullAt(4) && r.getLong(5) == 4L)
   }
 }
