@@ -46,6 +46,21 @@ object StreamingAnalytics {
               |click_ts <= imp_ts + interval $joinWindow""".stripMargin))
   }
 
+  /** Streaming exact dedup: emit only the FIRST occurrence of each
+    * content hash; re-arrivals within the watermark horizon are dropped.
+    * The unbounded-stream counterpart of [[graft.operators.Dedup.exactByHash]]:
+    * state is keyed by the 8-byte xxhash64 of the text — document bodies
+    * are never held in state — and `dropDuplicatesWithinWatermark`
+    * reclaims a key once the watermark passes its event time, so state
+    * size is bounded by the dedup horizon, not the stream length (an
+    * unbounded-horizon dedup over 100 TB/day cannot exist; the horizon
+    * IS the knob). */
+  def dedupStream(docs: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", xxhash64(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

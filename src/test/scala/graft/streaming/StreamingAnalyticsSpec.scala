@@ -87,4 +87,24 @@ class StreamingAnalyticsSpec extends SparkSpec {
       assert(sessions.contains((1L, 2L))) // user 1's 2-event session closed
     } finally q.stop()
   }
+
+  test("streaming exact dedup emits first occurrence only, within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val out = dedupStream(docs, lateness = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((0L, ts(1), "the cat sat"), (1L, ts(2), "the cat sat"),
+                    (2L, ts(3), "unrelated words"))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER batch, still inside the horizon
+      input.addData((3L, ts(4), "the cat sat"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(0L, 2L)) // 1 (same batch) and 3 (later batch) dropped
+    } finally q.stop()
+  }
 }
