@@ -70,6 +70,8 @@ object SparkEntry {
     "text_langid"     -> (TextAnalysis.languageId _),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "embed_cluster"   -> ((s, d) => Similarity.ivfAssignments(s, d)
+      .select("vec_id", "list_id").orderBy("vec_id")),
     "ann_lsh"         -> (Gates.annLshGate _),
     "ann_ivf"         -> (Gates.annIvfGate _),
     "multimodal_summary" -> (Multimodal.assetSummary _),
@@ -406,6 +408,16 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "embed_cluster" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |           WHERE vec_id < 16),
+        |a AS (SELECT e.vec_id, c.cid,
+        |       list_cosine_similarity(e.embedding, c.cv) AS cos
+        |      FROM embeddings e CROSS JOIN c)
+        |SELECT vec_id, cid AS list_id FROM a
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |  ORDER BY cos DESC, cid) = 1
+        |ORDER BY vec_id""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

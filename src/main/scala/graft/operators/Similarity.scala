@@ -77,13 +77,33 @@ object Similarity {
     * shipped as literals, and every distance runs codegen'd in the scan;
     * list assignment is the shuffle key, so a probe touches nprobe/nlist
     * of the data). */
-  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val all = corpus(s, dir)
-    val cents: Array[Seq[Double]] = all.filter(col("vec_id") < nlist)
+  /** The deterministic stand-in codebook [[ivfTopK]] quantizes against:
+    * the first `nlist` corpus vectors, normalized, driver-collected once
+    * (control-plane; a trained k-means codebook broadcasts identically). */
+  private def centroids(all: DataFrame, nlist: Int): Array[Seq[Double]] =
+    all.filter(col("vec_id") < nlist)
       .orderBy("vec_id")
       .collect()
       .map(r => r.getSeq[Float](1).map(x => x.toDouble / r.getDouble(2)).toSeq)
+
+  /** Coarse-quantizer assignment: every vector to its highest-cosine
+    * centroid. This IS the IVF list-build / corpus-bucketing step,
+    * exposed as its own operator: centroid dots run codegen'd inside the
+    * scan (no shuffle at all — the output is a projection), ties broken
+    * by lower list id via array_position's first-match semantics. */
+  def ivfAssignments(s: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val all = corpus(s, dir)
+    val cents = centroids(all, nlist)
+    val centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    all.withColumn("cd", centDots)
+      .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1"))
+      .drop("cd")
+  }
+
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val all = corpus(s, dir)
+    val cents = centroids(all, nlist)
     def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
     val assigned = all
       .withColumn("cd", centDots)

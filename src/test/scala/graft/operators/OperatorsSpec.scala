@@ -121,6 +121,14 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivf assignment: every vector lands on its own centroid when all are centroids") {
+    // fixture has 4 embeddings, all within the nlist=16 codebook; cosine
+    // with itself is 1.0 which strictly dominates any distinct direction.
+    val asg = Similarity.ivfAssignments(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(asg == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("hash-order prefix equals rarest-first prefix on real data (sf0.001)") {
     // Prefix filtering is exact under ANY consistent global token order;
     // the order choice only affects candidate volume (BASELINE.md 1b).
