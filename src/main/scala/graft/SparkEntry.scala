@@ -43,6 +43,7 @@ object SparkEntry {
     "q22_scalar_funcs" -> (Analytics.q22ScalarFunctions _),
     "q20_approx_distinct" -> (Analytics.q20ApproxDistinctGate _),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
+    "range_join"      -> ((s, d) => RangeJoin.eventBands(s, d)),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
     "ingest_validate" -> (IngestQueries.validateDemo _),
     "singer_pipeline" -> (IngestQueries.singerRoundTrip _),
@@ -215,6 +216,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND p.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "range_join" -> {
+      val bands = graft.operators.RangeJoin.valueBands
+        .map { case (id, lo, hi) => s"($id, $lo, $hi)" }.mkString(", ")
+      s"""WITH bands(band_id, lo, hi) AS (VALUES $bands)
+         |SELECT event_id, CAST(band_id AS BIGINT) AS band_id
+         |FROM events JOIN bands ON value BETWEEN lo AND hi
+         |ORDER BY event_id, band_id""".stripMargin
+    },
     "ingest_validate" ->
       """SELECT event_id,
         | (length(event_type) <= 6 AND length(event_type) >= 5

@@ -129,6 +129,24 @@ class OperatorsSpec extends SparkSpec {
     assert(asg == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("bucketized range join equals the naive interval join (sf0.001)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    val bands = RangeJoin.valueBands.toDF("band_id", "lo", "hi")
+    val naive = events.join(bands, col("value") >= col("lo") && col("value") <= col("hi"))
+      .select("event_id", "band_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // several widths, including one wider than every band span
+    for (w <- Seq(16.0, 64.0, 500.0)) {
+      val bucketed = RangeJoin.bucketed(events, "value", bands, "lo", "hi", w)
+        .select("event_id", "band_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketed == naive, s"width $w")
+    }
+    assert(naive.nonEmpty)
+    // the overlapping bands really produce one-to-many matches
+    assert(naive.groupBy(_._1).exists(_._2.size > 1))
+  }
+
   test("hash-order prefix equals rarest-first prefix on real data (sf0.001)") {
     // Prefix filtering is exact under ANY consistent global token order;
     // the order choice only affects candidate volume (BASELINE.md 1b).
