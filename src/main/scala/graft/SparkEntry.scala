@@ -69,6 +69,7 @@ object SparkEntry {
     "text_subtokens"  -> (TextAnalysis.regexpTokenCounts _),
     "text_quality"    -> (TextAnalysis.qualityScores _),
     "text_langid"     -> (TextAnalysis.languageId _),
+    "text_keyterms"   -> ((s, d) => TextAnalysis.keyTerms(s, d)),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "embed_cluster"   -> ((s, d) => Similarity.ivfAssignments(s, d)
@@ -365,6 +366,15 @@ object SparkEntry {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) = 1
          |ORDER BY doc_id""".stripMargin
     },
+    "text_keyterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |            FROM documents),
+        |d AS (SELECT token, count(*) AS df FROM tok GROUP BY token)
+        |SELECT doc_id, token, df, rk FROM (
+        | SELECT doc_id, token, df,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, token) AS rk
+        | FROM tok JOIN d USING (token)) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     // n_true_pairs recomputes the gate's sequence-level ground truth
     // (3-gram shingle-set jaccard >= 0.9) from gram STRINGS — jaccard over
     // distinct sets is invariant to the per-element hash, so the DuckDB

@@ -75,6 +75,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Key-term extraction: each document's `k` most distinctive terms —
+    * the present terms with the LOWEST corpus document frequency (the
+    * integer-exact analogue of tf-idf ranking: for distinct-term sets,
+    * idf ordering IS ascending-df ordering, with the term string as the
+    * tie-break — no floating-point log anywhere, so the output is
+    * hash-comparable across engines). One df shuffle + one token-keyed
+    * join + a per-doc top-k window (WindowGroupLimit prunes map-side);
+    * the df table is corpus-vocabulary-sized and AQE broadcasts it when
+    * small. */
+  def keyTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+    val dfCount = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+    toks.join(dfCount, "token")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("df"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Winnowing-style document fingerprinting: hash word 3-grams, take the
     * min hash over each sliding window of 4 shingles, keep the distinct
     * mins. Computed entirely with per-row array expressions — no explode,

@@ -129,6 +129,16 @@ class OperatorsSpec extends SparkSpec {
     assert(asg == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("key terms: rarest distinct tokens win, df ties break by token") {
+    val kt = TextAnalysis.keyTerms(spark, dir, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 2's rarest token is "red" (df=1); every other of its tokens has df>=3
+    val d2 = kt.filter(_._1 == 2L).sortBy(_._4)
+    assert(d2.head._2 == "red" && d2.head._3 == 1L)
+    // per-doc quota respected
+    assert(kt.groupBy(_._1).forall(_._2.length <= 2))
+  }
+
   test("bucketized range join equals the naive interval join (sf0.001)") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
