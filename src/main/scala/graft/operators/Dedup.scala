@@ -208,9 +208,11 @@ object Dedup {
     val filtered =
       if (maxDf == Long.MaxValue) toks
       else {
+        // No broadcast hint: the surviving vocabulary is O(corpus) in the
+        // worst case; AQE broadcasts it on its own when small.
         val df = toks.groupBy("token").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf)
-        toks.join(broadcast(df.select("token")), "token")
+        toks.join(df.select("token"), "token")
       }
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = filtered.as("a")
@@ -219,8 +221,8 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("inter")).cast("double")).as("jaccard"))
@@ -247,7 +249,8 @@ object Dedup {
     * at j≥0.9 (1-(1-0.9^8)^8 ≈ 0.99) while pruning the j≈0.6 bulk
     * (≈13% leak) that r=4 would admit wholesale. Band rows carry
     * (doc_id, band, hash, the 8-long band-hash vector); the 64-long
-    * signatures are re-joined broadcast after candidate generation. */
+    * signatures are re-joined keyed after candidate generation (AQE
+    * broadcasts the signature side when it is actually small). */
   def minhashPairs(s: SparkSession, dir: String, k: Int = 64, bands: Int = 8,
                    threshold: Double = 0.9): DataFrame = {
     import graft.functions.ArrayOps.positionalMatchCount
@@ -261,9 +264,11 @@ object Dedup {
       array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
       .localCheckpoint()
     val cand = bandCandidates(sigArr, bands, r)
+    // No broadcast hints on the O(N) signature table: AQE broadcasts it
+    // when actually small and degrades to a keyed shuffle when not.
     cand
-      .join(broadcast(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
-      .join(broadcast(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (positionalMatchCount(col("sig_a"), col("sig_b")).cast("double") / k)
           .as("est_jaccard"))
