@@ -53,6 +53,23 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("SortedFirstCommon == min of set intersection, null when disjoint") {
+    forAll(longArr, longArr) { (a, b) =>
+      val sa = a.distinct.sorted; val sb = b.distinct.sorted
+      val inter = sa.toSet.intersect(sb.toSet)
+      val expected = if (inter.isEmpty) null else inter.min
+      assert(eval2(sa, sb, ArrayOps.sortedFirstCommon) == expected)
+    }
+  }
+
+  test("PositionalFirstMatch == first zip-equal index, null when none") {
+    forAll(longArr, longArr) { (a, b) =>
+      val idx = a.zip(b).indexWhere { case (x, y) => x == y }
+      val expected = if (idx < 0) null else idx
+      assert(eval2(a, b, ArrayOps.positionalFirstMatch) == expected)
+    }
+  }
+
   test("DotProduct == naive double sum over float arrays") {
     forAll(floatArr, floatArr) { (a, b) =>
       val expected = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
