@@ -53,4 +53,27 @@ object DocPipeline {
       .localCheckpoint()
       .orderBy("doc_id")
   }
+
+  /** Materialize the curated corpus as training shards: parquet
+    * partitioned by language, `maxRecordsPerFile`-bounded, rows inside a
+    * shard in doc_id order (reader locality + diffable output).
+    *
+    * Layout reasoning for 100 TB: `partitionBy(lang)` gives the
+    * directory pruning a per-language training job wants;
+    * `repartition(lang, doc_id-block)` keeps MANY tasks per big language
+    * (a plain repartition(lang) funnels each language through ONE task)
+    * while bounding the file count per partition dir to shuffle
+    * parallelism × nothing — each task writes only the languages it
+    * holds; `maxRecordsPerFile` caps shard size regardless. */
+  def writeShards(s: SparkSession, dir: String, out: String,
+                  maxRecordsPerFile: Int = 100000,
+                  tasksPerLang: Int = 8): Unit =
+    curate(s, dir)
+      .repartition(col("lang"), pmod(col("doc_id"), lit(tasksPerLang)))
+      .sortWithinPartitions("doc_id")
+      .write
+      .partitionBy("lang")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .mode("overwrite")
+      .parquet(out)
 }

@@ -139,6 +139,19 @@ class OperatorsSpec extends SparkSpec {
     assert(kt.groupBy(_._1).forall(_._2.length <= 2))
   }
 
+  test("shard writer: lang-partitioned layout, round-trips the curated set") {
+    val out = Files.createTempDirectory("graft-shards").toString + "/shards"
+    DocPipeline.writeShards(spark, dir, out)
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(dirs.toSet == Set("lang=en", "lang=de"))
+    val back = spark.read.parquet(out)
+      .select("doc_id", "lang", "n_tokens", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = DocPipeline.curate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(back == expected && back.nonEmpty)
+  }
+
   test("bucketized range join equals the naive interval join (sf0.001)") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
