@@ -121,20 +121,38 @@ object Main {
       case Some(dir) => (dir, None) // watch an existing landing directory
       case None =>
         val d = tmpDir("graft-stdin-spool")
-        val s = new StdinSpooler(System.in, d,
-          maxLines = if (config.fileSize > 0) config.fileSize.toInt else 10000).start()
+        // file_size is the OUTPUT records-per-file knob; reused here only
+        // as a rough spool granularity hint, clamped into int range (an
+        // unchecked .toInt of a >2^31 Long flips negative and crashes the
+        // spooler's require at launch).
+        val spoolLines =
+          if (config.fileSize > 0) config.fileSize.min(1000000L).toInt else 10000
+        val s = new StdinSpooler(System.in, d, maxLines = spoolLines).start()
         (d.toString, Some(s))
     }
+    // Watch-dir mode defaults to a STABLE checkpoint under the output so a
+    // re-run after a crash resumes instead of re-ingesting every landing
+    // file into the append-mode output (duplicating all rows). Stdin-spool
+    // mode keeps a per-run checkpoint: its spool dir is per-run and a pipe
+    // is not replayable across process restarts anyway.
     val checkpoint = opts.getOrElse("checkpoint",
-      tmpDir("graft-stdin-ckpt").toString)
+      if (spooler.isEmpty) s"$output/_graft_checkpoint"
+      else tmpDir("graft-stdin-ckpt").toString)
     val ingest = new StreamingIngest(spark, output, config)
     val query = ingest.start(watchDir, checkpoint,
       Trigger.ProcessingTime("500 milliseconds"))
     spooler match {
       case Some(s) =>
-        s.awaitEof()                 // tap closed the pipe
-        query.processAllAvailable()  // drain the remaining chunks
-        query.stop()
+        // Wait for EOF *or* query death — blocking on EOF alone hangs the
+        // process forever when the query fails mid-pipe (and the tap keeps
+        // producing). awaitTermination throws the streaming error.
+        while (!s.eofReached && query.isActive)
+          query.awaitTermination(500)
+        if (query.isActive) {
+          query.processAllAvailable()  // tap closed the pipe: drain chunks
+          query.stop()
+        } else query.awaitTermination() // died: surface the real failure
+        s.rethrowIfFailed()
       case None => query.awaitTermination()
     }
   }

@@ -19,7 +19,20 @@ object DocPipeline {
 
   def curate(s: SparkSession, dir: String,
              nearDupThreshold: Double = 0.9,
-             minWords: Int = 5): DataFrame = {
+             minWords: Int = 5): DataFrame =
+    curateUnsorted(s, dir, nearDupThreshold, minWords)
+      // sort sampling must not re-run the dedup + near-dup pipeline
+      .localCheckpoint()
+      .orderBy("doc_id")
+
+  /** The curated set without the presentation sort (and its checkpoint):
+    * [[writeShards]] repartitions by (lang, block) immediately, which
+    * would destroy a global doc_id ordering — consuming the sorted
+    * variant there paid a full range-partition exchange + sort of the
+    * whole corpus for nothing. */
+  private[graft] def curateUnsorted(s: SparkSession, dir: String,
+                                    nearDupThreshold: Double = 0.9,
+                                    minWords: Int = 5): DataFrame = {
     val docs = Tables.documents(s, dir)
 
     // 1. exact dedup: survivor = min doc_id per identical text, grouped on
@@ -49,9 +62,6 @@ object DocPipeline {
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"))
       .filter(col("n_tokens") >= minWords)
-      // sort sampling must not re-run the dedup + near-dup pipeline
-      .localCheckpoint()
-      .orderBy("doc_id")
   }
 
   /** Materialize the curated corpus as training shards: parquet
@@ -68,7 +78,7 @@ object DocPipeline {
   def writeShards(s: SparkSession, dir: String, out: String,
                   maxRecordsPerFile: Int = 100000,
                   tasksPerLang: Int = 8): Unit =
-    curate(s, dir)
+    curateUnsorted(s, dir)
       .repartition(col("lang"), pmod(col("doc_id"), lit(tasksPerLang)))
       .sortWithinPartitions("doc_id")
       .write

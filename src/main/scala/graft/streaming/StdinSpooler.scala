@@ -47,14 +47,25 @@ final class StdinSpooler(in: InputStream, watchDir: Path,
     lastFlush = System.nanoTime()
   }
 
+  @volatile private var readFailure: Option[Throwable] = None
+
   private val reader = new Thread(() => {
-    val br = new BufferedReader(new InputStreamReader(in, UTF_8))
-    var line = br.readLine()
-    while (line != null) {
-      synchronized { buf += line; if (buf.size >= maxLines) flushLocked() }
-      line = br.readLine()
+    try {
+      val br = new BufferedReader(new InputStreamReader(in, UTF_8))
+      var line = br.readLine()
+      while (line != null) {
+        synchronized { buf += line; if (buf.size >= maxLines) flushLocked() }
+        line = br.readLine()
+      }
+    } catch {
+      // A dying pipe must not look like clean EOF: record the failure so
+      // awaitEof/rethrowIfFailed surface it instead of exiting 0 with the
+      // tail of the input silently dropped.
+      case t: Throwable => readFailure = Some(t)
+    } finally {
+      // Flush whatever was read either way, and release the flusher loop.
+      synchronized { flushLocked(); eof = true }
     }
-    synchronized { flushLocked(); eof = true }
   }, "graft-stdin-spooler")
 
   private val flusher = new Thread(() => {
@@ -68,14 +79,25 @@ final class StdinSpooler(in: InputStream, watchDir: Path,
   }, "graft-spool-flusher")
 
   def start(): this.type = {
+    // Daemon: a failed streaming query must be able to exit the JVM even
+    // while this thread is still blocked in readLine() on a live pipe.
+    reader.setDaemon(true)
     reader.start()
     flusher.setDaemon(true)
     flusher.start()
     this
   }
 
-  /** Blocks until the input reaches EOF and the final chunk is on disk. */
-  def awaitEof(): Unit = reader.join()
+  /** Blocks until the input reaches EOF and the final chunk is on disk;
+    * rethrows if the reader died on an input error. */
+  def awaitEof(): Unit = { reader.join(); rethrowIfFailed() }
+
+  /** True once the input has reached EOF (or failed) and the final chunk
+    * is on disk. */
+  def eofReached: Boolean = eof
+
+  /** Surfaces a reader-thread failure (broken pipe, I/O error). */
+  def rethrowIfFailed(): Unit = readFailure.foreach(t => throw t)
 
   def chunksWritten: Int = synchronized(nChunks)
 }

@@ -80,15 +80,9 @@ final class StreamingIngest(
       .map(r => (r.getString(1), Singer.parseControl(r.getLong(0), r.getString(1))))
       .sortBy(_._2.idx)
     val newSchemas = controlRaw.collect { case (raw, m: SchemaMessage) => (raw, m) }
-    // Last-wins registration, matching the reference's overwrite-on-every-
-    // SCHEMA (__init__.py:239-245): the registry (and its on-disk persist)
-    // holds the LATEST schema per stream; in-batch positional semantics are
-    // handled by the epoch ranges below.
     val latestInBatch = newSchemas.groupBy(_._2.stream).view
       .mapValues(_.maxBy(_._2.idx)).toMap
-    latestInBatch.foreach { case (stream, (raw, _)) => persistSchema(raw, stream) }
     val baseline = schemas.get() // registry as of the previous batch
-    schemas.updateAndGet(reg => reg ++ latestInBatch.map { case (k, (_, m)) => k -> m })
     val inBatchByStream = newSchemas.map(_._2).groupBy(_.stream).view
       .mapValues(_.sortBy(_.idx).toSeq).toMap
     val states = controlRaw.collect { case (_, m: StateMessage) => m }
@@ -98,25 +92,44 @@ final class StreamingIngest(
         get_json_object(col("value"), "$.record").as("rec"))
 
     val present = records.select("stream").distinct().as[String].collect().sorted
+
+    // Epochs per stream: the registry schema (if any) governs records up
+    // to the batch's first in-batch SCHEMA; each in-batch SCHEMA governs
+    // from its own position to the next — same positional semantics as
+    // the batch pipeline.
+    def epochsFor(stream: String): Seq[(Long, SchemaMessage)] =
+      baseline.get(stream).map(m => (Long.MinValue, m)).toSeq ++
+        inBatchByStream.getOrElse(stream, Seq.empty).map(m => (m.idx, m))
+
+    // ALL order checks run BEFORE any schema is persisted or registered:
+    // a batch that fails the record-before-SCHEMA check must fail
+    // identically when the restarted query retries it — persisting first
+    // would make the protocol error vanish on the second attempt (the
+    // record would silently take the schema that arrived after it).
     present.foreach { stream =>
-      // Epochs: the registry schema (if any) governs records up to the
-      // batch's first in-batch SCHEMA; each in-batch SCHEMA governs from
-      // its own position to the next — same positional semantics as the
-      // batch pipeline.
-      val epochs: Seq[(Long, SchemaMessage)] =
-        baseline.get(stream).map(m => (Long.MinValue, m)).toSeq ++
-          inBatchByStream.getOrElse(stream, Seq.empty).map(m => (m.idx, m))
+      val epochs = epochsFor(stream)
       if (epochs.isEmpty)
         throw new IllegalArgumentException(Singer.recordBeforeSchemaError(stream))
-      val streamRecs = records.filter(col("stream") === stream)
       // In-batch order check (reference __init__.py:224-229): with no
       // prior registration, a record preceding the batch's first SCHEMA
       // is an error — same strictness as the batch path.
       if (!baseline.contains(stream)) {
-        val minRec = streamRecs.agg(min("idx")).collect().head
+        val minRec = records.filter(col("stream") === stream)
+          .agg(min("idx")).collect().head
         if (!minRec.isNullAt(0) && minRec.getLong(0) < epochs.head._1)
           throw new IllegalArgumentException(Singer.recordBeforeSchemaError(stream))
       }
+    }
+
+    // Last-wins registration, matching the reference's overwrite-on-every-
+    // SCHEMA (__init__.py:239-245): the registry (and its on-disk persist)
+    // holds the LATEST schema per stream.
+    latestInBatch.foreach { case (stream, (raw, _)) => persistSchema(raw, stream) }
+    schemas.updateAndGet(reg => reg ++ latestInBatch.map { case (k, (_, m)) => k -> m })
+
+    present.foreach { stream =>
+      val epochs = epochsFor(stream)
+      val streamRecs = records.filter(col("stream") === stream)
       val ends = epochs.map(_._1).drop(1) :+ Long.MaxValue
       epochs.zip(ends).foreach { case ((start, sm), end) =>
         val schema = JsonSchemaConverter.toStructType(sm.schema,

@@ -122,7 +122,14 @@ object Constraints {
     val leafChecks: Seq[Column] = cc.leaves.flatMap { c =>
       val parsed = field(root, c.path)
       val rawCell = get_json_object(raw, c.jsonPath)
-      val num = parsed.cast(Dec)
+      // min/max compare in DOUBLE like the reference's Python floats — a
+      // Decimal(38,18) cast of |v| >= 1e20 THROWS under ANSI (default in
+      // Spark 4), so one huge value would kill the whole validation job;
+      // try_cast makes it NULL instead, and the double comparisons keep
+      // the bound checks from going vacuous exactly for the most
+      // out-of-range values.
+      val num = parsed.cast("double")
+      val dec = parsed.try_cast(Dec)
       val str = parsed.cast("string")
       val typeCheck: Seq[Column] =
         if (c.declaredTypes.isEmpty || c.declaredTypes.contains("array")) Seq.empty
@@ -149,9 +156,16 @@ object Constraints {
           when(num > m.bigDecimal,
             format_string(s"%s is greater than the maximum of $m", str))
       }
-      val multCheck = c.multipleOf.toSeq.map(m =>
-        when(pmod(num, lit(m.bigDecimal).cast(Dec)) =!= lit(0).cast(Dec),
-          format_string(s"%s is not a multiple of $m", str)))
+      // multipleOf stays exact in DECIMAL(38,18) (0.3 IS a multiple of
+      // 0.1 — the L2 closure); the double pmod is only the fallback for
+      // values outside decimal range, where Python float % is what the
+      // reference computes anyway.
+      val multCheck = c.multipleOf.toSeq.map { m =>
+        val exact = pmod(dec, lit(m.bigDecimal).cast(Dec)) =!= lit(0).cast(Dec)
+        val approx = pmod(num, lit(m.bigDecimal.doubleValue)) =!= lit(0.0)
+        when(coalesce(exact, approx),
+          format_string(s"%s is not a multiple of $m", str))
+      }
       val maxLenCheck = c.maxLength.toSeq.map(n =>
         when(length(str) > n,
           format_string(s"%s is too long (maxLength $n)", str)))

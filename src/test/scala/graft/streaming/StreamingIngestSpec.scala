@@ -52,6 +52,16 @@ class StreamingIngestSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(
       _.contains("A record for stream s1 was encountered before a corresponding schema")))
+
+    // Crash-resume retry of the SAME batch must fail IDENTICALLY: the
+    // failing attempt must not have persisted the batch's SCHEMA (else
+    // the retry finds it registered, skips the order check, and the
+    // protocol error silently vanishes).
+    val ingest2 = new StreamingIngest(spark, out, TargetConfig())
+    val q2 = ingest2.start(in.toString, cp)
+    val e2 = intercept[Exception] { q2.awaitTermination() }
+    assert(messages(e2).exists(
+      _.contains("A record for stream s1 was encountered before a corresponding schema")))
   }
 
   test("streaming: re-emitted SCHEMA reshapes records, in-batch and across batches") {

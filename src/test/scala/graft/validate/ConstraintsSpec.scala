@@ -63,6 +63,19 @@ class ConstraintsSpec extends SparkSpec {
     assert(violation(ints, """{"v": 10}""").exists(_.contains("not a multiple of 3")))
   }
 
+  test("bounds still enforced beyond Decimal(38,18) range (overflow not vacuous)") {
+    val s = s"""{"properties": {"a": {"type": ["null", "number"], "maximum": 100}}}"""
+    // 1e21 overflows DECIMAL(38,18) to NULL; the double comparison must
+    // still flag it rather than passing a value 10^19x over the bound.
+    assert(violation(s, """{"a": 1e21}""").exists(_.contains("greater than")))
+    val sm = s"""{"properties": {"a": {"type": ["null", "number"], "minimum": -100}}}"""
+    assert(violation(sm, """{"a": -1e21}""").exists(_.contains("less than")))
+    // multipleOf falls back to float mod out of decimal range (Python
+    // float % is what the reference computes there) — 1e21 % 0.5 == 0.0
+    val mult = s"""{"properties": {"a": {"type": ["null", "number"], "multipleOf": 0.5}}}"""
+    assert(violation(mult, """{"a": 1e21}""").isEmpty)
+  }
+
   test("pattern is an unanchored search, like Python re.search") {
     val s = """{"properties": {"v": {"type": ["null", "string"], "pattern": "b+"}}}"""
     assert(violation(s, """{"v": "abc"}""").isEmpty) // substring match suffices
