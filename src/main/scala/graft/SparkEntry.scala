@@ -54,6 +54,7 @@ object SparkEntry {
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
+    "curate_mix"      -> ((s, d) => Curation.mixSources(s, d)),
     "curate_pack"     -> ((s, d) => Curation.packSequences(s, d)),
     // Seeded-hash operators are not ANSI-SQL-expressible; their entries
     // run the recall/precision/equality gates vs exact in-repo
@@ -317,6 +318,17 @@ object SparkEntry {
         |    ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rk
         | FROM documents) t
         |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    "curate_mix" -> {
+      val qs = graft.operators.Curation.mixQuotas
+        .map { case (src, n) => s"('$src', $n)" }.mkString(", ")
+      s"""WITH q(source, quota) AS (VALUES $qs),
+         |r AS (SELECT doc_id, source,
+         |       ROW_NUMBER() OVER (PARTITION BY source
+         |         ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rk
+         |      FROM documents)
+         |SELECT doc_id, source, rk FROM r JOIN q USING (source)
+         |WHERE rk <= quota ORDER BY source, rk""".stripMargin
+    },
     "curate_pack" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |           FROM documents),

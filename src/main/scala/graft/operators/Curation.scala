@@ -80,6 +80,40 @@ object Curation {
       .orderBy("lang", "rk")
   }
 
+  /** Per-source quotas for [[mixSources]], shared with the oracle SQL so
+    * the two can never drift (the synthetic corpus has sources
+    * src0..src4; src3 is deliberately over-asked to exercise the
+    * quota > group-size case). */
+  val mixQuotas: Seq[(String, Int)] = Seq(
+    "src0" -> 40, "src1" -> 20, "src2" -> 10, "src3" -> 1000, "src4" -> 5)
+
+  /** Weighted source mixing: draw up to a per-source quota of documents,
+    * deterministically (same LCG pseudo-shuffle as [[sampleStratified]]) —
+    * the "data mixing" step that rebalances a crawl-heavy corpus toward
+    * target source proportions. A quota larger than the source takes the
+    * whole source (no error, matching how mixing configs are written).
+    * One shuffle (the per-source window; WindowGroupLimit prunes
+    * map-side); the quota table is a literal — never a collected
+    * DataFrame. */
+  def mixSources(s: SparkSession, dir: String,
+                 quotas: Seq[(String, Int)] = mixQuotas): DataFrame = {
+    import s.implicits._
+    val q = quotas.toDF("source", "quota")
+    val key = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
+    val w = Window.partitionBy("source").orderBy(key, col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      // literal rank bound FIRST: it turns the window into a map-side-
+      // pruned WindowGroupLimit; the exact per-source quota then applies
+      // after the (broadcast) join against the literal quota table.
+      .filter(col("rk") <= quotas.map(_._2).max)
+      .join(q, "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
   /** Concat-and-split sequence packing: lay all documents' tokens end to
     * end in doc_id order and cut every `budget` tokens — each doc reports
     * the pack it starts in and its offset there (GPT-style training-shard

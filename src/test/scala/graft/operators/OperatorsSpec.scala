@@ -109,6 +109,16 @@ class OperatorsSpec extends SparkSpec {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("source mixing: per-source quotas, oversized quota takes whole source") {
+    val mixed = Curation.mixSources(spark, dir,
+        quotas = Seq("s" -> 3)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(mixed.length == 3 && mixed.forall(_._2 == "s"))
+    val all = Curation.mixSources(spark, dir, quotas = Seq("s" -> 100)).collect()
+    assert(all.length == 5) // quota > group size -> whole source, no error
+    assert(Curation.mixSources(spark, dir, quotas = Seq("nope" -> 9)).isEmpty)
+  }
+
   test("pack sequences: cumulative offsets consistent with doc order") {
     val rows = Curation.packSequences(spark, dir, budget = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
