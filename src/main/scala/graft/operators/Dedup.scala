@@ -230,14 +230,22 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signatures: k independent permutations approximated by
-    * seeded xxhash64, folded into k min-aggregates in ONE shuffle. */
-  def minhashSignatures(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
-    val toks = tokenSet(s, dir)
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("token"))).as(s"h$i"))
-    toks.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  /** MinHash signature ARRAYS: k independent permutations approximated by
+    * seeded xxhash64 over the pre-hashed tokens, computed per-row by the
+    * codegen [[graft.functions.MinHashSignature]] kernel — ZERO shuffle
+    * (the old explode + 64-min-aggregate paid a 600k-row exchange at
+    * sf0.1 and hashed the token STRING k times per occurrence). */
+  private[graft] def minhashSignatureArrays(s: SparkSession, dir: String,
+                                            k: Int = 64): DataFrame = {
+    import graft.functions.MinHashSignature.minhashSignature
+    hashedTokenSets(s, dir)
+      .select(col("doc_id"), minhashSignature(col("toks"), k).as("sig"))
   }
+
+  /** Wide-column view of [[minhashSignatureArrays]] (doc_id, h0..h{k-1}). */
+  def minhashSignatures(s: SparkSession, dir: String, k: Int = 64): DataFrame =
+    minhashSignatureArrays(s, dir, k).select(
+      col("doc_id") +: (0 until k).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
 
   /** MinHash + LSH banding near-dup: signatures → b bands of r rows →
     * band-hash equi-join for candidates → signature-estimated Jaccard
@@ -255,14 +263,11 @@ object Dedup {
                    threshold: Double = 0.9): DataFrame = {
     import graft.functions.ArrayOps.positionalMatchCount
     val r = k / bands
-    val sigs = minhashSignatures(s, dir, k)
     // localCheckpoint (not persist): materialized once, reused by the
-    // band join + both broadcast re-joins, and reclaimed by the
-    // ContextCleaner when unreferenced — a .persist here would leak cache
-    // across the session since the operator never sees query completion.
-    val sigArr = sigs.select(col("doc_id"),
-      array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-      .localCheckpoint()
+    // band join + both re-joins, and reclaimed by the ContextCleaner
+    // when unreferenced — a .persist here would leak cache across the
+    // session since the operator never sees query completion.
+    val sigArr = minhashSignatureArrays(s, dir, k).localCheckpoint()
     val cand = bandCandidates(sigArr, bands, r)
     // No broadcast hints on the O(N) signature table: AQE broadcasts it
     // when actually small and degrades to a keyed shuffle when not.
@@ -280,7 +285,8 @@ object Dedup {
     * prunes pair enumeration (same candidate scheme as [[minhashPairs]]),
     * then the codegen merge walk computes TRUE jaccard on candidates only
     * — precision 1.0 by construction, recall = the banding collision
-    * probability 1-(1-j^r)^b (≥ 0.99 for j ≥ 0.9 at r=8, b=8). This is
+    * probability 1-(1-j^r)^b (0.988 theoretical at j = 0.9, r = b = 8;
+    * measured 0.986 at sf0.01 under the kernel hash family). This is
     * the "LSH-accelerated exact" flavor a curation pipeline wants when
     * estimator noise (k=64 sampling gives ±~0.06 on est_jaccard) would
     * leak borderline pairs both ways. */
@@ -320,11 +326,12 @@ object Dedup {
       s: SparkSession, dir: String, k: Int = 64,
       bands: Int = 8, threshold: Double = 0.9): DataFrame = {
     import graft.functions.ArrayOps.sortedIntersectCount
+    import graft.functions.MinHashSignature.minhashSignature
     val r = k / bands
     val toks = hashedTokenSets(s, dir).localCheckpoint()
-    val sigs = minhashSignatures(s, dir, k)
-    val sigArr = sigs.select(col("doc_id"),
-      array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    // Signatures derive from the SAME checkpointed token arrays the
+    // verify step joins back to — one scan feeds both.
+    val sigArr = toks.select(col("doc_id"), minhashSignature(col("toks"), k).as("sig"))
     val cand = bandCandidates(sigArr, bands, r)
     // One merge walk per candidate: `inter` is projected once and the
     // jaccard division derives from it (the old single-projection form

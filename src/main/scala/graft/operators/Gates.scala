@@ -30,8 +30,9 @@ object Gates {
 
   /** MinHash-banded + exact-verified near-dup vs full exact jaccard:
     * precision is 1.0 by construction (every emitted pair is re-checked
-    * with true jaccard), so the gate is banding recall — measured 0.993
-    * at sf0.01, theoretical 1-(1-0.9^8)^8 = 0.988 at the 0.9 threshold. */
+    * with true jaccard), so the gate is banding recall — measured 0.986
+    * at sf0.01 under the MinHashSignature kernel family (theoretical
+    * 1-(1-0.9^8)^8 = 0.988 at the 0.9 threshold). */
   def minhashGate(s: SparkSession, dir: String, threshold: Double = 0.9,
                   recallBound: Double =
                     Gates.envBound("GRAFT_MINHASH_RECALL_BOUND", 0.95)): DataFrame = {

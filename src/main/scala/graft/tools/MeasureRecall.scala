@@ -33,6 +33,10 @@ object MeasureRecall {
       .select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"[recall] minhash est-filter recall=${(truth & mh).size.toDouble / truth.size} precision=${(truth & mh).size.toDouble / mh.size}")
+    val mhv = Dedup.minhashPairsVerified(s, dir, threshold = 0.9)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[recall] minhash verified (gate path) recall=${(truth & mhv).size.toDouble / truth.size} precision=${(truth & mhv).size.toDouble / mhv.size}")
     s.stop()
   }
 }
