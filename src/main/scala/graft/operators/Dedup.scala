@@ -178,6 +178,12 @@ object Dedup {
           (col("ssum") - col("inter")).cast("double")).as("jaccard"))
   }
 
+  /** Measurement hook for tools/CompareOrders: the word-token prefix join
+    * under an explicit prefix-order choice. */
+  private[graft] def wordPairsWithOrder(s: SparkSession, dir: String,
+                                        threshold: Double, rarestFirst: Boolean): DataFrame =
+    jaccardPairsFromSets(hashedTokenSets(s, dir), threshold, rarestFirst)
+
   /** The round-1 all-pairs strategy: broadcast nested-loop self-join with
     * a size prefilter and the codegen merge-walk kernel. Kept as a
     * correctness pin for [[jaccardPairs]] (OperatorsSpec asserts equal
