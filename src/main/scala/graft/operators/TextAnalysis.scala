@@ -113,24 +113,28 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Hashed word 3-grams in sequence order — the shingle stream winnowing
-    * samples from (shared by [[fingerprintSets]] and [[gramSets]]). */
-  private def gramsExpr: Column = {
-    val toks = tokens(col("text"))
-    val n = lit(3)
-    transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, n))))
-  }
+    * samples from (shared by [[fingerprintSets]] and [[gramSets]]).
+    * Tokens hash ONCE each, then the codegen [[graft.functions.HashedNGrams]]
+    * kernel chains them per gram — the interpreted transform it replaces
+    * built a string per gram (concat_ws over a slice) and hashed THAT,
+    * one allocation + string hash per gram per row. Gram identity is a
+    * different (equally injective) hash; every oracle-checked quantity
+    * is hash-invariant. */
+  private def gramsExpr: Column =
+    graft.functions.NGramOps.hashedNGrams(
+      transform(tokens(col("text")), t => xxhash64(t)), 3)
 
   /** The full distinct fingerprint set per doc (sorted) — consumed by the
-    * near-dup-overlap gate and by anyone clustering on fingerprints. */
+    * near-dup-overlap gate and by anyone clustering on fingerprints.
+    * The window-min pass is the codegen [[graft.functions.WinnowingMins]]
+    * kernel (the transform/slice/array_min spelling allocated a slice
+    * per window). */
   def fingerprintSets(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
-    val winMins = transform(sequence(lit(0), size(col("grams")) - 1),
-      i => array_min(slice(col("grams"), i + 1, lit(4))))
     d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"),
         gramsExpr.as("grams"))
-      .select(col("doc_id"), col("n_tokens"), winMins.as("win_mins"))
+      .select(col("doc_id"), col("n_tokens"),
+        graft.functions.NGramOps.winnowingMins(col("grams"), 4).as("win_mins"))
       .select(col("doc_id"), col("n_tokens"),
         sort_array(array_distinct(col("win_mins"))).as("fps"))
   }

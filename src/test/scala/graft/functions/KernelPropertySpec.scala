@@ -70,6 +70,41 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  private def eval1(a: Seq[Long], f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[Long] = {
+    import spark.implicits._
+    Seq(Tuple1(a)).toDF("a").select(f(col("a")).as("r"))
+      .collect().head.getSeq[Long](0).toSeq
+  }
+
+  test("HashedNGrams == per-gram chained hash; short docs yield one gram") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    forAll(longArr) { a =>
+      val n = 3
+      def gram(i: Int): Long =
+        a.slice(i, math.min(i + n, a.length)).foldLeft(42L)((h, t) => XXH64.hashLong(t, h))
+      val expected = (0 until math.max(a.length - n + 1, 1)).map(gram)
+      assert(eval1(a, c => NGramOps.hashedNGrams(c, n)) == expected)
+    }
+  }
+
+  test("WinnowingMins == per-window minimum with shortened tail windows") {
+    forAll(longArr) { a =>
+      val w = 4
+      val expected = a.indices.map(i => a.slice(i, math.min(i + w, a.length)).min)
+      assert(eval1(a, c => NGramOps.winnowingMins(c, w)) == expected)
+    }
+  }
+
+  test("MinHashSignature == per-seed min of XXH64.hashLong over the array") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    forAll(longArr) { a =>
+      val k = 8
+      val expected = (0 until k).map(i =>
+        if (a.isEmpty) Long.MaxValue else a.map(t => XXH64.hashLong(t, i.toLong)).min)
+      assert(eval1(a, c => MinHashSignature.minhashSignature(c, k)) == expected)
+    }
+  }
+
   test("DotProduct == naive double sum over float arrays") {
     forAll(floatArr, floatArr) { (a, b) =>
       val expected = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
