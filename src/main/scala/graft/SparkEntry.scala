@@ -312,19 +312,19 @@ object SparkEntry {
         |      unnest(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS i FROM t)
         |ORDER BY doc_id, chunk_id""".stripMargin,
     "curate_sample" ->
-      """SELECT doc_id, lang, rk FROM (
-        | SELECT doc_id, lang,
-        |  ROW_NUMBER() OVER (PARTITION BY lang
-        |    ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rk
-        | FROM documents) t
-        |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+      s"""SELECT doc_id, lang, rk FROM (
+         | SELECT doc_id, lang,
+         |  ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY ${graft.operators.Curation.lcgKeySql}, doc_id) AS rk
+         | FROM documents) t
+         |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
     "curate_mix" -> {
       val qs = graft.operators.Curation.mixQuotas
         .map { case (src, n) => s"('$src', $n)" }.mkString(", ")
       s"""WITH q(source, quota) AS (VALUES $qs),
          |r AS (SELECT doc_id, source,
          |       ROW_NUMBER() OVER (PARTITION BY source
-         |         ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rk
+         |         ORDER BY ${graft.operators.Curation.lcgKeySql}, doc_id) AS rk
          |      FROM documents)
          |SELECT doc_id, source, rk FROM r JOIN q USING (source)
          |WHERE rk <= quota ORDER BY source, rk""".stripMargin

@@ -26,10 +26,17 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
       s"expected array<bigint> input and k > 0, got ${child.dataType} / k=$k")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
+    // NULL for an empty set: an all-MaxValue signature would band-collide
+    // every pair of empty docs with est_jaccard 1.0 (true jaccard is
+    // 0/0); a null signature drops out of banding at the posexplode. The
+    // replaced explode+aggregate emitted no row for empty sets — same
+    // outcome.
+    if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
@@ -51,16 +58,20 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
         Seq("n", "mins", "i", "j", "t", "h").map(ctx.freshName)
       s"""
          |int $n = $a.numElements();
-         |long[] $mins = new long[$k];
-         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |for (int $j = 0; $j < $n; $j++) {
-         |  long $t = $a.getLong($j);
-         |  for (int $i = 0; $i < $k; $i++) {
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($t, (long) $i);
-         |    if ($h < $mins[$i]) $mins[$i] = $h;
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $t = $a.getLong($j);
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($t, (long) $i);
+         |      if ($h < $mins[$i]) $mins[$i] = $h;
+         |    }
          |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

@@ -70,9 +70,15 @@ object Curation {
     * size on huge groups, pre-filter with an approximate key threshold
     * (quantile of the LCG key) first, then rank the survivors — same
     * output, bounded sort. Not needed at bench scale. */
+  /** The shared deterministic pseudo-shuffle key (LCG permutation of
+    * doc_id); [[lcgKeySql]] is its DuckDB spelling — one definition each
+    * side so operator and oracle cannot drift. */
+  private[graft] def lcgKey: org.apache.spark.sql.Column =
+    (col("doc_id") * 1103515245L + 12345L) % 2147483648L
+  private[graft] val lcgKeySql: String = "(doc_id * 1103515245 + 12345) % 2147483648"
+
   def sampleStratified(s: SparkSession, dir: String, perGroup: Int = 50): DataFrame = {
-    val key = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
-    val w = Window.partitionBy("lang").orderBy(key, col("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(lcgKey, col("doc_id"))
     documents(s, dir)
       .select(col("doc_id"), col("lang"))
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -99,15 +105,15 @@ object Curation {
                  quotas: Seq[(String, Int)] = mixQuotas): DataFrame = {
     import s.implicits._
     val q = quotas.toDF("source", "quota")
-    val key = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
-    val w = Window.partitionBy("source").orderBy(key, col("doc_id"))
+    val w = Window.partitionBy("source").orderBy(lcgKey, col("doc_id"))
     documents(s, dir)
       .select(col("doc_id"), col("source"))
       .withColumn("rk", row_number().over(w).cast("long"))
       // literal rank bound FIRST: it turns the window into a map-side-
       // pruned WindowGroupLimit; the exact per-source quota then applies
       // after the (broadcast) join against the literal quota table.
-      .filter(col("rk") <= quotas.map(_._2).max)
+      // maxOption: an empty mixing config means zero rows, not empty.max.
+      .filter(col("rk") <= quotas.map(_._2).maxOption.getOrElse(0))
       .join(q, "source")
       .filter(col("rk") <= col("quota"))
       .select(col("doc_id"), col("source"), col("rk"))

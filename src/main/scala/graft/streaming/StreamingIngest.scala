@@ -121,12 +121,6 @@ final class StreamingIngest(
       }
     }
 
-    // Last-wins registration, matching the reference's overwrite-on-every-
-    // SCHEMA (__init__.py:239-245): the registry (and its on-disk persist)
-    // holds the LATEST schema per stream.
-    latestInBatch.foreach { case (stream, (raw, _)) => persistSchema(raw, stream) }
-    schemas.updateAndGet(reg => reg ++ latestInBatch.map { case (k, (_, m)) => k -> m })
-
     present.foreach { stream =>
       val epochs = epochsFor(stream)
       val streamRecs = records.filter(col("stream") === stream)
@@ -147,6 +141,19 @@ final class StreamingIngest(
         writer.parquet(s"$outputUri/$stream")
       }
     }
+
+    // Last-wins registration, matching the reference's overwrite-on-every-
+    // SCHEMA (__init__.py:239-245): the registry (and its on-disk persist)
+    // holds the LATEST schema per stream. Registered only AFTER the write
+    // loop: a batch that fails mid-write is retried by the restarted query
+    // against the SAME baseline, so pre-SCHEMA records re-parse under the
+    // schema that actually governed them (persisting first would reshape
+    // them under the batch's later schema on retry). Append-mode epoch
+    // files already written by the failed attempt can duplicate on retry —
+    // the trade the reference makes in the opposite direction (it LOSES
+    // everything since its last state on a crash).
+    latestInBatch.foreach { case (stream, (raw, _)) => persistSchema(raw, stream) }
+    schemas.updateAndGet(reg => reg ++ latestInBatch.map { case (k, (_, m)) => k -> m })
 
     // P8 fold across the batch: any record after the batch's last STATE
     // nullifies; a batch with records and no trailing STATE nullifies too.

@@ -140,20 +140,28 @@ object Constraints {
         else Seq(when(parsed.isNull && rawCell.isNotNull,
           format_string("%s is not of type %s", rawCell,
             lit(c.declaredTypes.mkString("'", "', '", "'")))))
+      // Exact decimal comparison when the value fits Decimal(38,18)
+      // (doubles lose integer precision past 2^53 — 2^53+1 over a 2^53
+      // bound must still flag); double fallback outside decimal range,
+      // where Python float comparison is the reference semantics anyway.
+      def bound(cmpDec: Column => Column, cmpDbl: Column => Column): Column =
+        coalesce(cmpDec(dec), cmpDbl(num))
       val minCheck = c.minimum.toSeq.map { m =>
+        val md = m.bigDecimal; val dd = m.bigDecimal.doubleValue
         if (c.exclusiveMinimum)
-          when(num <= m.bigDecimal,
+          when(bound(_ <= md, _ <= dd),
             format_string(s"%s is less than or equal to the minimum of $m", str))
         else
-          when(num < m.bigDecimal,
+          when(bound(_ < md, _ < dd),
             format_string(s"%s is less than the minimum of $m", str))
       }
       val maxCheck = c.maximum.toSeq.map { m =>
+        val md = m.bigDecimal; val dd = m.bigDecimal.doubleValue
         if (c.exclusiveMaximum)
-          when(num >= m.bigDecimal,
+          when(bound(_ >= md, _ >= dd),
             format_string(s"%s is greater than or equal to the maximum of $m", str))
         else
-          when(num > m.bigDecimal,
+          when(bound(_ > md, _ > dd),
             format_string(s"%s is greater than the maximum of $m", str))
       }
       // multipleOf stays exact in DECIMAL(38,18) (0.3 IS a multiple of

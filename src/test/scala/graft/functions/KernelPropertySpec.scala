@@ -95,14 +95,20 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
-  test("MinHashSignature == per-seed min of XXH64.hashLong over the array") {
+  test("MinHashSignature == per-seed min of XXH64.hashLong; empty set -> null") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
+    import spark.implicits._
     forAll(longArr) { a =>
       val k = 8
-      val expected = (0 until k).map(i =>
-        if (a.isEmpty) Long.MaxValue else a.map(t => XXH64.hashLong(t, i.toLong)).min)
+      val expected = (0 until k).map(i => a.map(t => XXH64.hashLong(t, i.toLong)).min)
       assert(eval1(a, c => MinHashSignature.minhashSignature(c, k)) == expected)
     }
+    // empty token set must yield NULL, not an all-MaxValue signature that
+    // would band-collide every pair of empty docs at est_jaccard 1.0
+    val r = Seq(Tuple1(Seq.empty[Long])).toDF("a")
+      .select(MinHashSignature.minhashSignature(col("a"), 8).as("r"))
+      .collect().head
+    assert(r.isNullAt(0))
   }
 
   test("DotProduct == naive double sum over float arrays") {

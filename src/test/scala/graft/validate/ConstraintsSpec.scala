@@ -76,6 +76,14 @@ class ConstraintsSpec extends SparkSpec {
     assert(violation(mult, """{"a": 1e21}""").isEmpty)
   }
 
+  test("bounds are exact past double precision (2^53 + 1 over a 2^53 bound)") {
+    // both sides round to the same double; the decimal comparison must
+    // still see the difference (Python compares arbitrary-precision ints)
+    val s = s"""{"properties": {"a": {"type": ["null", "integer"], "maximum": 9007199254740992}}}"""
+    assert(violation(s, """{"a": 9007199254740993}""").exists(_.contains("greater than")))
+    assert(violation(s, """{"a": 9007199254740992}""").isEmpty)
+  }
+
   test("pattern is an unanchored search, like Python re.search") {
     val s = """{"properties": {"v": {"type": ["null", "string"], "pattern": "b+"}}}"""
     assert(violation(s, """{"v": "abc"}""").isEmpty) // substring match suffices
