@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off: how many DISTINCT token sets the corpus has per SF — the
+  * shrink factor available to a collapse-before-pairwise jaccard. */
+object CountDistinctSets {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    for (dir <- args) {
+      val toks = graft.operators.Tables.documents(s, dir).select(
+        xxhash64(sort_array(array_distinct(transform(split(col("text"), " "),
+          t => xxhash64(t))))).as("h"))
+      val n = toks.count(); val d = toks.distinct().count()
+      println(s"[sets] $dir docs=$n distinct_token_sets=$d ratio=${n.toDouble / d}")
+    }
+    s.stop()
+  }
+}

@@ -1,0 +1,15 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Replicates the driver's flagship smoke check: SparkEntry.entry rows > 0. */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    println(s"[entry] rows=${graft.SparkEntry.entry(s).count()}")
+    s.stop()
+  }
+}
