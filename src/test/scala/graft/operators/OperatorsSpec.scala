@@ -117,6 +117,7 @@ class OperatorsSpec extends SparkSpec {
     val all = Curation.mixSources(spark, dir, quotas = Seq("s" -> 100)).collect()
     assert(all.length == 5) // quota > group size -> whole source, no error
     assert(Curation.mixSources(spark, dir, quotas = Seq("nope" -> 9)).isEmpty)
+    assert(Curation.mixSources(spark, dir, quotas = Seq.empty).isEmpty) // no crash
   }
 
   test("pack sequences: cumulative offsets consistent with doc order") {

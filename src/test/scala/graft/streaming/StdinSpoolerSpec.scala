@@ -59,4 +59,22 @@ class StdinSpoolerSpec extends SparkSpec {
       assert(ingest.emittedState.isEmpty) // P8: record after the last STATE
     } finally query.stop()
   }
+
+  test("reader I/O failure: buffered lines flush, awaitEof rethrows (no silent EOF)") {
+    val watch = Files.createTempDirectory("spool-fail")
+    val boom = new java.io.IOException("broken pipe")
+    val in = new java.io.InputStream {
+      private val data = "line-1\nline-2\n".getBytes(UTF_8)
+      private var i = 0
+      override def read(): Int =
+        if (i < data.length) { val b = data(i); i += 1; b & 0xff }
+        else throw boom
+    }
+    val spooler = new StdinSpooler(in, watch, maxLines = 100,
+      maxIntervalMs = 60000).start()
+    val e = intercept[java.io.IOException] { spooler.awaitEof() }
+    assert(e eq boom)
+    assert(spooler.eofReached) // flusher released, final chunk on disk
+    assert(spooler.chunksWritten == 1) // the two buffered lines were NOT dropped
+  }
 }
