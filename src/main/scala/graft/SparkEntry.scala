@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_exact"     -> (Dedup.exact _),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
+    "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -275,6 +276,21 @@ object SparkEntry {
         |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
         | FROM ts a, ts b WHERE a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.85 ORDER BY doc_a, doc_b""".stripMargin,
+    // Sequence-level near-dup from gram STRINGS: jaccard over distinct
+    // 3-gram shingle sets is invariant to the per-gram hash the Spark
+    // side joins on, and the value itself is a ratio of set sizes.
+    "dedup_shingle" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |        range(1, greatest(len(toks) - 2, 1) + 1),
+        |        i -> array_to_string(toks[i:i+2], ' '))) AS gs
+        |      FROM t)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |  (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
+        | FROM g a, g b WHERE a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     // Transitive closure via recursive CTE: reach(d, r) = r reachable
     // from d over near-dup edges; cluster id = min reachable.
     "dedup_cluster" ->

@@ -184,6 +184,20 @@ object Dedup {
                                         threshold: Double, rarestFirst: Boolean): DataFrame =
     jaccardPairsFromSets(hashedTokenSets(s, dir), threshold, rarestFirst)
 
+  /** SEQUENCE-level near-dup: jaccard over 3-gram shingle sets — the
+    * standard document near-dup for LLM curation (two docs are near-dups
+    * when they share most of their word order, not merely their
+    * vocabulary; [[jaccardPairs]] is the set-level complement). Same
+    * prefix-join machinery over [[TextAnalysis.gramSets]]; hash-order
+    * prefix, since shingles are high-entropy (df ≈ 1 — BASELINE.md 1b).
+    * The jaccard VALUE is a ratio of set sizes, so it is invariant to
+    * the gram hash and oracle-checkable from gram strings. */
+  def shinglePairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
+    jaccardPairsFromSets(TextAnalysis.gramSets(s, dir), threshold,
+        rarestFirst = false)
+      .localCheckpoint() // sort sampling must not re-run the prefix join
+      .orderBy("doc_a", "doc_b")
+
   /** The round-1 all-pairs strategy: broadcast nested-loop self-join with
     * a size prefilter and the codegen merge-walk kernel. Kept as a
     * correctness pin for [[jaccardPairs]] (OperatorsSpec asserts equal
@@ -380,10 +394,35 @@ object Dedup {
   def clusterAssignments(s: SparkSession, dir: String,
                          threshold: Double = 0.85, maxIters: Int = 50): DataFrame = {
     val docs = documents(s, dir).select(col("doc_id"))
-    // jaccardPairsUnsorted emits doc_a < doc_b, so the pair list IS the
-    // undirected label-level edge list of round 0.
-    var e = jaccardPairsUnsorted(s, dir, threshold)
-      .select(col("doc_a").as("la"), col("doc_b").as("lb"))
+    val comp = connectedComponents(jaccardPairsUnsorted(s, dir, threshold), maxIters,
+      assumeNormalized = true) // prefix join emits doc_a < doc_b exactly once
+    docs.join(comp.select(col("node").as("doc_id"), col("label").as("cluster_id")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components over ANY undirected pair table shaped
+    * (doc_a, doc_b) — jaccard pairs, minhash-verified pairs, shingle
+    * pairs, embedding pairs all qualify. Returns (node, label) for every
+    * edge-endpoint node, label = component-min id; isolated nodes (no
+    * edges) are absent — the caller joins them back as their own
+    * singleton cluster (see [[clusterAssignments]]). Algorithm notes on
+    * that method. `assumeNormalized = true` skips the defensive
+    * normalize-and-dedupe exchange for inputs that already emit each
+    * undirected edge exactly once as doc_a < doc_b (all the pair
+    * operators here do). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+                          assumeNormalized: Boolean = false): DataFrame = {
+    // Checkpoint either way: both union branches below reference this plan.
+    var e = (if (assumeNormalized)
+      pairs.select(col("doc_a").as("la"), col("doc_b").as("lb"))
+    else
+      pairs
+        .select(least(col("doc_a"), col("doc_b")).as("la"),
+          greatest(col("doc_a"), col("doc_b")).as("lb"))
+        .filter(col("la") =!= col("lb"))
+        .distinct())
       .localCheckpoint()
     var comp = e.select(col("la").as("node")).union(e.select(col("lb").as("node")))
       .distinct()
@@ -413,10 +452,7 @@ object Dedup {
         .localCheckpoint()
       iter += 1
     }
-    docs.join(comp.select(col("node").as("doc_id"), col("label").as("cluster_id")),
-        Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .orderBy("doc_id")
+    comp
   }
 
   /** SimHash fingerprints: 64-bit, token-hashed, one shuffle (64 signed

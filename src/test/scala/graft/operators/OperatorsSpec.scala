@@ -68,6 +68,23 @@ class OperatorsSpec extends SparkSpec {
     assert(pf.nonEmpty) // the synthetic corpus plants near-dups; empty would mask a broken join
   }
 
+  test("shingle near-dup: exact dup at 1.0, word-order matters") {
+    val pairs = Dedup.shinglePairs(spark, dir, threshold = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)            // identical text -> identical grams
+    assert(pairs.get((0L, 2L)).exists(j => j > 0.3 && j < 1.0)) // insert "red"
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("connected components: generic over any pair table") {
+    import spark.implicits._
+    // two chains and one isolate among ids 1..7 (5 never appears)
+    val pairs = Seq((2L, 1L), (3L, 2L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 6L, 7L -> 6L))
+  }
+
   test("cluster assignments: transitive closure merges chains, isolates keep own id") {
     // pairs at 0.5: (0,1) exact, (0,2)/(1,2) near -> component {0,1,2};
     // docs 3 and 4 are isolated.
