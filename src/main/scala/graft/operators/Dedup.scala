@@ -48,7 +48,7 @@ object Dedup {
     * once up front makes the exact verify a zero-allocation merge walk
     * (SortedIntersectCount) instead of array_intersect's per-pair
     * hash-set build (~30x measured on this corpus). */
-  private def hashedTokenSets(s: SparkSession, dir: String): DataFrame =
+  private[graft] def hashedTokenSets(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),
       sort_array(array_distinct(transform(split(col("text"), " "), t => xxhash64(t))))
         .as("toks"))
@@ -193,10 +193,18 @@ object Dedup {
     * The jaccard VALUE is a ratio of set sizes, so it is invariant to
     * the gram hash and oracle-checkable from gram strings. */
   def shinglePairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
-    jaccardPairsFromSets(TextAnalysis.gramSets(s, dir), threshold,
-        rarestFirst = false)
+    shinglePairsUnsorted(s, dir, threshold)
       .localCheckpoint() // sort sampling must not re-run the prefix join
       .orderBy("doc_a", "doc_b")
+
+  /** The ONE definition of the shingle-jaccard pair plan — consumed by
+    * [[shinglePairs]], the fingerprint gate's sequence-level truth and
+    * tools/GateMargins, so threshold/prefix-order tuning cannot drift
+    * between operator, gate and calibration tool. */
+  private[graft] def shinglePairsUnsorted(s: SparkSession, dir: String,
+                                          threshold: Double = 0.9): DataFrame =
+    jaccardPairsFromSets(TextAnalysis.gramSets(s, dir), threshold,
+      rarestFirst = false) // high-entropy shingles: hash order ≈ df order
 
   /** The round-1 all-pairs strategy: broadcast nested-loop self-join with
     * a size prefilter and the codegen merge-walk kernel. Kept as a

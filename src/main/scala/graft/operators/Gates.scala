@@ -118,8 +118,7 @@ object Gates {
       min((size(col("fps")) >= 1 &&
         size(col("fps")) <= greatest(col("n_tokens") - 2, lit(1))).cast("int"))
         .as("valid_min"))
-    val truth = Dedup.jaccardPairsFromSets(TextAnalysis.gramSets(s, dir), 0.9,
-        rarestFirst = false) // high-entropy shingles: hash order ≈ df order
+    val truth = Dedup.shinglePairsUnsorted(s, dir, 0.9)
       .select("doc_a", "doc_b")
     val overlapAgg = truth
       .join(fsets.select(col("doc_id").as("doc_a"), col("fps").as("fps_a")), "doc_a")

@@ -12,9 +12,10 @@ object CountDistinctSets {
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     for (dir <- args) {
-      val toks = graft.operators.Tables.documents(s, dir).select(
-        xxhash64(sort_array(array_distinct(transform(split(col("text"), " "),
-          t => xxhash64(t))))).as("h"))
+      // The REAL jaccard input (Dedup.hashedTokenSets), hashed per set —
+      // an inline re-spelling here would drift if the tokenizer changes.
+      val toks = graft.operators.Dedup.hashedTokenSets(s, dir)
+        .select(xxhash64(col("toks")).as("h"))
       val n = toks.count(); val d = toks.distinct().count()
       println(s"[sets] $dir docs=$n distinct_token_sets=$d ratio=${n.toDouble / d}")
     }

@@ -9,7 +9,9 @@ object EntrySmoke {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    println(s"[entry] rows=${graft.SparkEntry.entry(s).count()}")
+    val rows = graft.SparkEntry.entry(s).count()
+    println(s"[entry] rows=$rows")
     s.stop()
+    if (rows == 0) sys.exit(1) // an advertised smoke check must actually gate
   }
 }

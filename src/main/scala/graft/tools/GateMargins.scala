@@ -20,8 +20,7 @@ object GateMargins {
     import graft.functions.ArrayOps.sortedIntersectCount
     args.foreach { dir =>
       val fsets = TextAnalysis.fingerprintSets(spark, dir).localCheckpoint()
-      val truth = Dedup.jaccardPairsFromSets(TextAnalysis.gramSets(spark, dir), 0.9,
-          rarestFirst = false)
+      val truth = Dedup.shinglePairsUnsorted(spark, dir, 0.9)
         .select("doc_a", "doc_b")
       val ov = truth
         .join(fsets.select(col("doc_id").as("doc_a"), col("fps").as("fps_a")), "doc_a")
