@@ -49,6 +49,15 @@ def main():
         if not ok_shape:
             print(f"FAIL {name}: shape/cols spark={spark_df.shape}{list(spark_df.columns)} duck={duck_df.shape}{list(duck_df.columns)}")
             n_fail += 1; continue
+        # The driver hashes rendered values, so an int column on one side
+        # vs float on the other (e.g. DuckDB HUGEINT -> float64) is a real
+        # failure even when the numbers compare equal ("5" != "5.0").
+        kinds = [(c, spark_df[c].dtype.kind, duck_df[c].dtype.kind)
+                 for c in spark_df.columns
+                 if spark_df[c].dtype.kind != duck_df[c].dtype.kind]
+        if kinds:
+            print(f"FAIL {name}: dtype-kind mismatch {kinds}")
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(spark_df, duck_df,
                                           check_dtype=False, check_exact=True)

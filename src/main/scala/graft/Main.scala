@@ -64,6 +64,7 @@ object Main {
       .config("spark.sql.shuffle.partitions",
               sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // L7 temp_dir (reference __init__.py:46-50,91): shuffle/spill scratch
     // space follows the configured staging directory too.
     config.tempDir.foreach(d => builder = builder.config("spark.local.dir", d))

@@ -352,7 +352,9 @@ object SparkEntry {
         |       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         |      FROM t)
-        |SELECT doc_id, n_tokens, cum // 256 AS pack_id, cum % 256 AS pack_offset
+        |SELECT doc_id, n_tokens,
+        | CAST(cum // 256 AS BIGINT) AS pack_id,
+        | CAST(cum % 256 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
       """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)

@@ -73,9 +73,15 @@ object Curation {
   /** The shared deterministic pseudo-shuffle key (LCG permutation of
     * doc_id); [[lcgKeySql]] is its DuckDB spelling — one definition each
     * side so operator and oracle cannot drift. */
+  /* doc_id is reduced mod 2^31 BEFORE the multiply: (a mod m)*c + b ≡
+   * a*c + b (mod m), so the key is unchanged, but the intermediate stays
+   * ≤ (2^31-1)*1103515245 < 2^63 for any doc_id — a raw multiply wraps
+   * silently in Spark (and errors in DuckDB) past doc_id ≈ 8.4e9, i.e.
+   * within billion-doc range. */
   private[graft] def lcgKey: org.apache.spark.sql.Column =
-    (col("doc_id") * 1103515245L + 12345L) % 2147483648L
-  private[graft] val lcgKeySql: String = "(doc_id * 1103515245 + 12345) % 2147483648"
+    ((col("doc_id") % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+  private[graft] val lcgKeySql: String =
+    "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648"
 
   def sampleStratified(s: SparkSession, dir: String, perGroup: Int = 50): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(lcgKey, col("doc_id"))
@@ -149,8 +155,12 @@ object Curation {
       .join(blockPrefix, "blk")
       .select(col("doc_id"), col("n_tokens"),
         (col("blk_prefix") + col("local_prefix")).as("cum"))
+      // `div` (integral division) keeps pack_id exact past 2^53 cumulative
+      // tokens — a double divide would round there, and 100-TB corpora
+      // reach it. The oracle casts DuckDB's HUGEINT sum back to BIGINT so
+      // both sides hash as int64.
       .select(col("doc_id"), col("n_tokens"),
-        (col("cum") / budget).cast("long").as("pack_id"),
+        expr(s"cum div $budget").as("pack_id"),
         (col("cum") % budget).as("pack_offset"))
       .orderBy("doc_id")
   }

@@ -481,18 +481,24 @@ object Dedup {
     * maxDist <= 3 (4 chunks); larger maxDist keeps the same candidate set
     * and is therefore recall-approximate (documented). */
   def simhashPairs(s: SparkSession, dir: String, maxDist: Int = 12): DataFrame = {
+    import graft.functions.ArrayOps.positionalFirstMatch
     val fps = simhashFingerprints(s, dir)
     val chunks = array((0 until 4).map(c =>
       shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val chunked = fps.select(col("doc_id"), col("simhash"),
+    // Exactly-once candidates: keep a chunk match only when it is the
+    // FIRST chunk where the two fingerprints agree (same codegen
+    // first-match scheme as [[bandCandidates]]) — a near-identical pair
+    // agrees in up to all 4 chunks, and the dropDuplicates exchange this
+    // replaces paid for every duplicate match.
+    val chunked = fps.select(col("doc_id"), col("simhash"), chunks.as("chs"),
       posexplode(chunks).as(Seq("chunk", "cv")))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv")
-          && col("a.doc_id") < col("b.doc_id"))
+          && col("a.doc_id") < col("b.doc_id")
+          && col("a.chunk") === positionalFirstMatch(col("a.chs"), col("b.chs")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxDist)
       .orderBy("doc_a", "doc_b")
   }
@@ -591,13 +597,16 @@ object Dedup {
   def embeddingPairsLsh(s: SparkSession, dir: String, threshold: Double = 0.8,
                         nBits: Int = 64, bands: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions._
+    import graft.functions.ArrayOps.positionalFirstMatch
     val bucketed = Similarity.lshBuckets(s, dir, nBits, bands)
+    // First-agreeing-band condition (see [[bandCandidates]]): exactly-once
+    // candidates with no dropDuplicates exchange.
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.vec_id") < col("b.vec_id"))
+          && col("a.vec_id") < col("b.vec_id")
+          && col("a.band") === positionalFirstMatch(col("a.bvs"), col("b.bvs")))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"), norm(col("embedding")).as("nrm"))
     cand

@@ -51,7 +51,11 @@ object Similarity {
   }
 
   /** Sign-LSH bucketing: nBits hyperplane-sign bits per vector, split into
-    * `bands` band values. Returns (vec_id, v, band, bv) — one row per band. */
+    * `bands` band values. Returns (vec_id, v, nrm, bvs, band, bv) — one row
+    * per band; `bvs` is the full band-value array, kept so consumers can
+    * require the joined band to be the FIRST agreeing one
+    * ([[graft.functions.ArrayOps.positionalFirstMatch]]) and generate each
+    * candidate exactly once with no dropDuplicates exchange. */
   def lshBuckets(s: SparkSession, dir: String, nBits: Int = 64,
                  bands: Int = 8): DataFrame = {
     val dim = 64
@@ -65,6 +69,7 @@ object Similarity {
       (0 until r).map(j => bits(b * r + j)).reduce((x, y) => x.bitwiseOR(y))
     }
     corpus(s, dir).select(col("vec_id"), col("v"), col("nrm"),
+      array(bandCols: _*).as("bvs"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
   }
 
@@ -137,18 +142,21 @@ object Similarity {
     * bands regain their ~16x candidate reduction. */
   def lshTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
               nBits: Int = 64, bands: Int = 16): DataFrame = {
+    import graft.functions.ArrayOps.positionalFirstMatch
     val bucketed = lshBuckets(s, dir, nBits, bands)
     val qb = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
-              col("band"), col("bv"))
+              col("bvs"), col("band"), col("bv"))
+    // First-agreeing-band condition → each (query, neighbor) candidate
+    // survives exactly once; no dropDuplicates exchange over raw matches.
     val cand = bucketed.as("c")
       .join(broadcast(qb).as("q"),
         col("c.band") === col("q.band") && col("c.bv") === col("q.bv")
-          && col("c.vec_id") =!= col("q.qid"))
+          && col("c.vec_id") =!= col("q.qid")
+          && col("c.band") === positionalFirstMatch(col("c.bvs"), col("q.bvs")))
       .select(col("q.qid").as("query_id"), col("c.vec_id").as("neighbor_id"),
         col("q.qv").as("qv"), col("q.qnrm").as("qnrm"),
         col("c.v").as("v"), col("c.nrm").as("nrm"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cand.select(col("query_id"), col("neighbor_id"),
         (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))

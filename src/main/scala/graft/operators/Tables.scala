@@ -16,9 +16,17 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark rejects by
     * default; read it as a nanos long and rebuild a (µs-truncated)
-    * TimestampType column. */
+    * TimestampType column.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
+    * build (all graft mains and the test harness set it). The loader
+    * deliberately does NOT set it here: mutating session config inside a
+    * table loader is a global side effect that would surprise a shared
+    * session. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.parquet is TIMESTAMP(NANOS))")
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts",
