@@ -28,7 +28,8 @@ import graft.validate.Constraints
 final class StreamingIngest(
     spark: SparkSession,
     outputUri: String,
-    config: TargetConfig = TargetConfig()) extends Serializable {
+    config: TargetConfig = TargetConfig(),
+    clock: () => String = Naming.defaultTimestamp _) extends Serializable {
 
   import org.apache.hadoop.fs.Path
 
@@ -89,7 +90,8 @@ final class StreamingIngest(
 
     val records = typed.filter(col("mtype") === "RECORD")
       .select(col("idx"), col("stream"),
-        get_json_object(col("value"), "$.record").as("rec"))
+        get_json_object(col("value"), "$.record").as("rec"),
+        get_json_object(col("value"), "$.time_extracted").as("time_extracted"))
 
     val present = records.select("stream").distinct().as[String].collect().sorted
 
@@ -121,24 +123,50 @@ final class StreamingIngest(
       }
     }
 
+    // Config parity with the batch path (SingerPipeline.run): the
+    // reference's naming (__init__.py:264-271), §1.4 extra-field
+    // passthrough, and L1 metadata columns apply to EVERY write, not just
+    // batch-mode ones. One timestamp per micro-batch — under the default
+    // naming each batch lands in its own timestamped key, the streaming
+    // analogue of the reference's one-file-per-batch output.
+    val timestamp = clock()
+    val (codec, _) = config.compressionCodecAndExt
     present.foreach { stream =>
       val epochs = epochsFor(stream)
       val streamRecs = records.filter(col("stream") === stream)
       val ends = epochs.map(_._1).drop(1) :+ Long.MaxValue
+      val path =
+        if (config.streamsInSeparateFolder) s"$outputUri/$stream"
+        else s"$outputUri/${Naming.outputKey(config, stream, timestamp)}"
       epochs.zip(ends).foreach { case ((start, sm), end) =>
-        val schema = JsonSchemaConverter.toStructType(sm.schema,
+        val declared = JsonSchemaConverter.toStructType(sm.schema,
           config.decimalForMultipleOf)
-        val parsed = streamRecs
-          .filter(col("idx") > start && col("idx") < end)
-          .select(col("rec"), from_json(col("rec"), schema).as("r"))
+        val epochRecs = streamRecs.filter(col("idx") > start && col("idx") < end)
+        // Union-schema passthrough (§1.4), same as the batch path: record-
+        // only fields survive. Costs one inference pass per epoch per
+        // micro-batch — the same trade the batch path makes per epoch.
+        val schema =
+          if (config.inferExtraFields) {
+            val inferred = spark.read.json(epochRecs.select("rec").as[String]).schema
+            JsonSchemaConverter.mergeSchemas(declared, inferred)
+          } else declared
+        val parsed = epochRecs
+          .select(col("rec"), col("time_extracted"), from_json(col("rec"), schema).as("r"))
         if (config.strictValidation)
           Constraints.validateOrThrow(parsed, Constraints.compile(sm.schema),
             col("r"), col("rec"), stream)
-        var writer = parsed.select(FlattenColumns.columns(col("r"), schema): _*)
+        // L1 metadata columns, mirroring SingerPipeline: extracted-at from
+        // the envelope, batched-at = this micro-batch's timestamp.
+        val metaCols: Seq[org.apache.spark.sql.Column] =
+          if (config.addMetadataColumns)
+            Seq(col("time_extracted").as("_sdc_extracted_at"),
+                lit(timestamp).as("_sdc_batched_at"))
+          else Seq.empty
+        var writer = parsed.select(FlattenColumns.columns(col("r"), schema) ++ metaCols: _*)
           .write.mode("append")
-          .option("compression", config.compressionCodecAndExt._1)
+          .option("compression", codec)
         if (config.fileSize > 0) writer = writer.option("maxRecordsPerFile", config.fileSize)
-        writer.parquet(s"$outputUri/$stream")
+        writer.parquet(path)
       }
     }
 

@@ -16,7 +16,8 @@ class StreamingIngestSpec extends SparkSpec {
     val in = Files.createTempDirectory("stream-in")
     val out = Files.createTempDirectory("stream-out").toString
     val cp = Files.createTempDirectory("stream-cp").toString
-    val ingest = new StreamingIngest(spark, out, TargetConfig())
+    val ingest = new StreamingIngest(spark, out,
+      TargetConfig(streamsInSeparateFolder = true))
 
     // batch 1: schema + 2 records + trailing state
     Files.writeString(in.resolve("b1.jsonl"), Seq(
@@ -74,7 +75,11 @@ class StreamingIngestSpec extends SparkSpec {
         |"v": {"maxLength": 8, "type": ["null", "string"]},
         |"v_new": {"type": ["null", "string"]}}, "type": "object"},
         |"key_properties": ["pk"]}""".stripMargin.replace("\n", " ")
-    val ingest = new StreamingIngest(spark, out, TargetConfig())
+    // inferExtraFields off: this test pins the declared-schema reshaping
+    // (record 1's v_new is DROPPED because v1 doesn't declare it) — §1.4
+    // passthrough would keep it; that behavior has its own test below.
+    val ingest = new StreamingIngest(spark, out,
+      TargetConfig(streamsInSeparateFolder = true, inferExtraFields = false))
 
     // batch 1: v1 record, then an in-batch re-emit to v2 and a v2 record
     Files.writeString(in.resolve("b1.jsonl"), Seq(
@@ -91,6 +96,53 @@ class StreamingIngestSpec extends SparkSpec {
     val df = spark.read.option("mergeSchema", "true").parquet(s"$out/s1")
     val byPk = df.collect().map(r => r.getAs[Long]("pk") -> r.getAs[String]("v_new")).toMap
     assert(byPk == Map(1L -> null, 2L -> "kept", 3L -> "persisted"))
+  }
+
+  test("streaming: metadata columns added when configured (L1 parity with batch)") {
+    val in = Files.createTempDirectory("stream-in5")
+    val out = Files.createTempDirectory("stream-out5").toString
+    val cp = Files.createTempDirectory("stream-cp5").toString
+    val ingest = new StreamingIngest(spark, out,
+      TargetConfig(streamsInSeparateFolder = true, addMetadataColumns = true),
+      clock = () => "20260101_000000-000000")
+    Files.writeString(in.resolve("b1.jsonl"), Seq(
+      schemaLine,
+      """{"type": "RECORD", "stream": "s1", "record": {"pk": 1, "v": "a"}, "time_extracted": "2026-01-01T00:00:00Z"}""").mkString("\n"))
+    ingest.start(in.toString, cp).awaitTermination()
+    val row = spark.read.parquet(s"$out/s1").collect().head
+    assert(row.getAs[String]("_sdc_extracted_at") == "2026-01-01T00:00:00Z")
+    assert(row.getAs[String]("_sdc_batched_at") == "20260101_000000-000000")
+  }
+
+  test("streaming: extra record fields survive when infer_extra_fields (§1.4 parity)") {
+    val in = Files.createTempDirectory("stream-in6")
+    val out = Files.createTempDirectory("stream-out6").toString
+    val cp = Files.createTempDirectory("stream-cp6").toString
+    val ingest = new StreamingIngest(spark, out,
+      TargetConfig(streamsInSeparateFolder = true)) // inferExtraFields defaults true
+    Files.writeString(in.resolve("b1.jsonl"), Seq(
+      schemaLine,
+      """{"type": "RECORD", "stream": "s1", "record": {"pk": 1, "v": "a", "undeclared": "kept"}}""").mkString("\n"))
+    ingest.start(in.toString, cp).awaitTermination()
+    val row = spark.read.parquet(s"$out/s1").collect().head
+    assert(row.getAs[String]("undeclared") == "kept")
+  }
+
+  test("streaming: naming_convention + s3_key_prefix shape the output key (S8/L3 parity)") {
+    val in = Files.createTempDirectory("stream-in7")
+    val out = Files.createTempDirectory("stream-out7").toString
+    val cp = Files.createTempDirectory("stream-cp7").toString
+    val ingest = new StreamingIngest(spark, out,
+      TargetConfig(s3KeyPrefix = "pfx-",
+        namingConvention = Some("exports/{stream}-{date}.parquet")),
+      clock = () => "20260101_000000-000000")
+    Files.writeString(in.resolve("b1.jsonl"), Seq(
+      schemaLine,
+      """{"type": "RECORD", "stream": "s1", "record": {"pk": 1, "v": "a"}}""").mkString("\n"))
+    ingest.start(in.toString, cp).awaitTermination()
+    // prefix inserted after the template's last '/', same pin as NamingSpec
+    val expected = s"$out/exports/pfx-s1-20260101.parquet"
+    assert(spark.read.parquet(expected).count() == 1)
   }
 
   test("streaming: record for unknown stream fails the batch") {
