@@ -24,6 +24,36 @@ class PyReprSpec extends AnyFunSuite {
     assert(PyRepr.jsonToPyRepr(null) == null)
   }
 
+  test("JSON escapes decode before Python re-escaping") {
+    assert(PyRepr.jsonToPyRepr("""["a\nb", "q\"t", "uA"]""") ==
+      "['a\\nb', 'q\"t', 'uA']")
+    // \u-escaped quote participates in the quote-choice rule
+    assert(PyRepr.jsonToPyRepr("""["it's"]""") == "[\"it's\"]")
+  }
+
+  test("single-pass renderer agrees with the Jackson-tree oracle") {
+    val cases = Seq(
+      """["10", "11"]""",
+      """[10, -11, 0, -0]""",
+      """[1.0, 2.5, -0.0001, 1e16, 1.23e-5]""",
+      """[true, false, null]""",
+      """[{"a": 1, "b": "x"}, {"c": [1, [2, {"d": null}]]}]""",
+      """{"k": "it's", "both": "' and \""}""",
+      """[]""",
+      """{}""",
+      """["tab\tnl\nq\"bs\\"]""",
+      """[ 1 , [ 2 ,  3 ] , { "a" : 4 } ]""")
+    cases.foreach { j =>
+      assert(PyRepr.renderJson(j) == PyRepr.jsonToPyReprViaTree(j), s"for $j")
+    }
+  }
+
+  test("malformed JSON raises") {
+    Seq("""[1,""", """{"a" 1}""", """[1 2]""", """tru""", """[1],""").foreach { j =>
+      intercept[IllegalArgumentException] { PyRepr.renderJson(j) }
+    }
+  }
+
   test("doubles match CPython repr across the notation-switch boundaries") {
     // Ground truth from CPython repr(). Java's Double.toString switches to
     // E-notation below 1e-3 and at 1e7; Python switches at 1e-4 and 1e16.

@@ -36,7 +36,8 @@ class StdinSpoolerSpec extends SparkSpec {
     // test is deterministic.
     val spooler = new StdinSpooler(pipeIn, watch, maxLines = 3,
       maxIntervalMs = 60000).start()
-    val ingest = new StreamingIngest(spark, out, TargetConfig())
+    val ingest = new StreamingIngest(spark, out,
+      TargetConfig(streamsInSeparateFolder = true))
     val query = ingest.start(watch.toString, cp,
       Trigger.ProcessingTime("100 milliseconds"))
     try {
