@@ -45,16 +45,27 @@ final case class TargetConfig(
     tempDir: Option[String] = None) {
 
   /** Parquet codec + the reference's filename-extension map (S9,
-    * __init__.py:190-204). Unknown codec → warn-and-none, like the
-    * reference. */
+    * __init__.py:190-204). Unknown codec → warn-and-default, like the
+    * reference. BROTLI also warns-and-defaults: the reference "supports"
+    * it only because it never compresses (it renames the file,
+    * __init__.py:190-204), whereas this engine passes the codec to the
+    * parquet writer — and parquet-mr ships no Brotli codec, so honoring
+    * it would throw mid-write. Warned per call; calls are control-plane
+    * (once per batch run / micro-batch write). */
   def compressionCodecAndExt: (String, String) =
     compression.map(_.toUpperCase) match {
       case Some("SNAPPY") => ("snappy", ".snappy")
       case Some("GZIP")   => ("gzip", ".gz")
-      case Some("BROTLI") => ("brotli", ".br")
+      case Some("BROTLI") =>
+        Console.err.println("[graft] warning: BROTLI has no parquet-mr " +
+          "codec on this classpath; writing snappy instead")
+        ("snappy", "")
       case Some("ZSTD")   => ("zstd", ".zstd")
       case Some("LZ4")    => ("lz4", ".lz4")
-      case Some(_)        => ("snappy", "") // unsupported → warn + default
+      case Some(other)    =>
+        Console.err.println(s"[graft] warning: unknown compression " +
+          s"'$other'; writing snappy instead")
+        ("snappy", "")
       case None           => ("snappy", "") // reference default is Arrow snappy
     }
 }

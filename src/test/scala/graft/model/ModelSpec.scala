@@ -44,6 +44,27 @@ class ConfigSpec extends AnyFunSuite {
     assert(TargetConfig(compression = Some("bogus")).compressionCodecAndExt == ("snappy", ""))
     assert(TargetConfig().compressionCodecAndExt == ("snappy", ""))
   }
+  test("unsupported/unknown codecs fall back to snappy WITH a warning") {
+    def withCapturedErr(body: => (String, String)): ((String, String), String) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val r = Console.withErr(new java.io.PrintStream(buf, true, "UTF-8"))(body)
+      (r, buf.toString("UTF-8"))
+    }
+    // BROTLI: parquet-mr has no codec — honoring it would throw mid-write
+    val (brotli, warn1) =
+      withCapturedErr(TargetConfig(compression = Some("BROTLI")).compressionCodecAndExt)
+    assert(brotli == ("snappy", ""))
+    assert(warn1.contains("warning") && warn1.contains("BROTLI"))
+    // unknown value: reference warns and uses its default (__init__.py:200-204)
+    val (bogus, warn2) =
+      withCapturedErr(TargetConfig(compression = Some("bogus")).compressionCodecAndExt)
+    assert(bogus == ("snappy", ""))
+    assert(warn2.contains("warning") && warn2.contains("bogus"))
+    // known codecs stay silent
+    val (_, warn3) =
+      withCapturedErr(TargetConfig(compression = Some("gzip")).compressionCodecAndExt)
+    assert(warn3.isEmpty)
+  }
 }
 
 class NamingSpec extends AnyFunSuite {
