@@ -45,14 +45,20 @@ final case class TargetConfig(
     tempDir: Option[String] = None) {
 
   /** Parquet codec + the reference's filename-extension map (S9,
-    * __init__.py:190-204). Unknown codec → warn-and-default, like the
-    * reference. BROTLI also warns-and-defaults: the reference "supports"
-    * it only because it never compresses (it renames the file,
-    * __init__.py:190-204), whereas this engine passes the codec to the
-    * parquet writer — and parquet-mr ships no Brotli codec, so honoring
-    * it would throw mid-write. Warned per call; calls are control-plane
-    * (once per batch run / micro-batch write). */
-  def compressionCodecAndExt: (String, String) =
+    * __init__.py:190-204). Unknown codec → warn-and-default with the
+    * user's original string echoed, like the reference
+    * (__init__.py:200-204). BROTLI also warns-and-defaults: the
+    * reference "supports" it only because it never compresses (it just
+    * names the file `.br.parquet`, __init__.py:190-204), whereas this
+    * engine passes the codec to the parquet writer — and parquet-mr
+    * ships no Brotli codec, so honoring it would throw mid-write.
+    * DELIBERATE NAMING DIVERGENCE: since the bytes written are snappy,
+    * the output key carries no `.br` extension (a `.br.parquet` file of
+    * snappy bytes would lie to downstream readers); pinned by
+    * ModelSpec. Cached: the warning fires once per config instance,
+    * not per call (StreamingIngest evaluates this at least twice per
+    * micro-batch). */
+  lazy val compressionCodecAndExt: (String, String) =
     compression.map(_.toUpperCase) match {
       case Some("SNAPPY") => ("snappy", ".snappy")
       case Some("GZIP")   => ("gzip", ".gz")
@@ -62,9 +68,9 @@ final case class TargetConfig(
         ("snappy", "")
       case Some("ZSTD")   => ("zstd", ".zstd")
       case Some("LZ4")    => ("lz4", ".lz4")
-      case Some(other)    =>
+      case Some(_)        =>
         Console.err.println(s"[graft] warning: unknown compression " +
-          s"'$other'; writing snappy instead")
+          s"'${compression.get}'; writing snappy instead")
         ("snappy", "")
       case None           => ("snappy", "") // reference default is Arrow snappy
     }

@@ -382,23 +382,20 @@ object Dedup {
     * of [[jaccardPairs]] — pair-based removal alone under-merges chains
     * A~B~C where A and C are not directly similar).
     *
-    * Boruvka-style edge CONTRACTION, not plain label propagation: each
-    * round maps every active node to the minimum of its closed
-    * neighborhood (one keyed aggregate), rewrites the edge list between
-    * the new labels and DEDUPES it (near-dup components are near-cliques,
-    * so the 10⁶-edge raw graph collapses to a handful of label-level
-    * edges after one contraction — plain propagation re-scans the full
-    * edge list every round), and composes the node→label map. The loop
-    * ends when no cross-label edge remains — no extra confirming round.
-    * Termination is guaranteed: m(x) = min({x} ∪ N(x)) ≤ x, so every
-    * surviving edge's larger endpoint strictly decreases each round;
-    * the component minimum maps to itself, so the fixed point is
-    * cluster_id = component-min doc_id. Only edge-endpoint nodes
-    * participate: isolated docs provably keep their own id and join back
-    * once at the end — at real scale the duplicate subgraph is a small
-    * fraction of the corpus. Every per-round table is localCheckpointed:
-    * bounded lineage, reclaimed by the ContextCleaner; the driver only
-    * ever sees the is-empty scalar. */
+    * Alternating large-star/small-star edge rewriting (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    * is two keyed aggregates + edge rewrites, and the edge set converges
+    * to per-component stars (every node → component-min) in O(log n)
+    * rounds even on PATH-shaped components — the regime where min-of-
+    * neighborhood contraction degrades to ~1 node/round and a >maxIters
+    * near-dup chain (versioned/templated corpora) would silently split.
+    * Non-convergence within maxIters now throws instead of returning
+    * wrong labels. Only edge-endpoint nodes participate: isolated docs
+    * provably keep their own id and join back once at the end — at real
+    * scale the duplicate subgraph is a small fraction of the corpus.
+    * Every per-round table is localCheckpointed: bounded lineage,
+    * reclaimed by the ContextCleaner; the driver only ever sees the
+    * per-round convergence scalar. */
   def clusterAssignments(s: SparkSession, dir: String,
                          threshold: Double = 0.85, maxIters: Int = 50): DataFrame = {
     val docs = documents(s, dir).select(col("doc_id"))
@@ -422,45 +419,74 @@ object Dedup {
     * operators here do). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
                           assumeNormalized: Boolean = false): DataFrame = {
-    // Checkpoint either way: both union branches below reference this plan.
+    // Canonical edges (la > lb), no self-loops, each undirected edge once.
     var e = (if (assumeNormalized)
-      pairs.select(col("doc_a").as("la"), col("doc_b").as("lb"))
+      pairs.select(col("doc_b").as("la"), col("doc_a").as("lb"))
     else
       pairs
-        .select(least(col("doc_a"), col("doc_b")).as("la"),
-          greatest(col("doc_a"), col("doc_b")).as("lb"))
+        .select(greatest(col("doc_a"), col("doc_b")).as("la"),
+          least(col("doc_a"), col("doc_b")).as("lb"))
         .filter(col("la") =!= col("lb"))
         .distinct())
       .localCheckpoint()
-    var comp = e.select(col("la").as("node")).union(e.select(col("lb").as("node")))
-      .distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
-    var iter = 0
-    while (!e.isEmpty && iter < maxIters) {
-      val sym = e.select(col("la").as("x"), col("lb").as("y"))
-        .union(e.select(col("lb").as("x"), col("la").as("y")))
-      // m(x) = min of x's closed neighborhood in the contracted graph.
-      val m = sym.groupBy("x").agg(min("y").as("ny"))
-        .select(col("x"), least(col("x"), col("ny")).as("mx"))
-        .localCheckpoint()
-      // Contract: rewrite both endpoints, drop self-loops, dedupe. The
-      // label-level edge set after contraction is orders of magnitude
-      // smaller than the raw pair list on clique-ish dup structure.
-      e = e.join(m.select(col("x").as("la"), col("mx").as("ma")), "la")
-        .join(m.select(col("x").as("lb"), col("mx").as("mb")), "lb")
-        .select(least(col("ma"), col("mb")).as("la"),
-          greatest(col("ma"), col("mb")).as("lb"))
+
+    // large-star: from each node u, hook every LARGER neighbor to the min
+    // of u's closed neighborhood. Emitted edges stay canonical (v > u ≥ m).
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("la").as("u"), col("lb").as("v"))
+        .union(edges.select(col("lb").as("u"), col("la").as("v")))
+      // m over the FULL neighborhood; the join-back only needs the v > u
+      // half. The trailing distinct is load-bearing on dup graphs: near-
+      // clique components emit (v, component-min) once per edge, so E
+      // rows dedupe to ~N — map-side partial aggregation makes this cheap
+      // and keeps the next smallStar round at node scale, not edge scale.
+      val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("la"), col("m").as("lb"))
         .filter(col("la") =!= col("lb"))
         .distinct()
-        .localCheckpoint()
-      // Compose the node→label map with this round's contraction.
-      comp = comp.join(m.select(col("x").as("label"), col("mx")), Seq("label"), "left_outer")
-        .select(col("node"), coalesce(col("mx"), col("label")).as("label"))
-        .localCheckpoint()
+    }
+
+    // small-star: from each node a (over its SMALLER neighbors b), hook a
+    // and every b to min(N(a) ∪ {a}) = min(b). Canonical by construction.
+    def smallStar(edges: DataFrame): DataFrame = {
+      val m = edges.groupBy("la").agg(min(col("lb")).as("m"))
+      edges.join(m, "la")
+        .select(col("lb").as("la"), col("m").as("lb"))
+        .union(m.select(col("la"), col("m").as("lb")))
+        .filter(col("la") =!= col("lb"))
+        .distinct()
+    }
+
+    // Done ⟺ the edge set is per-component STARS: no node is both a leaf
+    // (la) and a center (lb). Both rewrites preserve connectivity and keep
+    // edges canonical (la > lb), so star-shape alone proves every center
+    // is its component's minimum — this checks the POSTCONDITION directly
+    // rather than fixed-point-ness of the composed rewrite.
+    def isStars(edges: DataFrame): Boolean =
+      edges.as("x")
+        .join(edges.as("y"), col("x.lb") === col("y.la"), "left_semi")
+        .isEmpty
+
+    // do-while shape: checking star-ness of the RAW pair set would be the
+    // single most expensive check of the loop (self-join on the full pair
+    // table) and raw near-dup pair sets are never already stars; one
+    // redundant round on a degenerate already-star input is the cheaper
+    // trade. Clique-ish dup graphs converge in 1 round, chains in O(log n).
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIters) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      converged = isStars(e)
       iter += 1
     }
-    comp
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds; " +
+          "labels would be wrong (split components) — raise maxIters")
+    e.select(col("la").as("node"), col("lb").as("label"))
+      .union(e.select(col("lb").as("node"), col("lb").as("label")))
+      .distinct()
   }
 
   /** SimHash fingerprints: 64-bit, token-hashed, one shuffle (64 signed
@@ -490,8 +516,13 @@ object Dedup {
     // first-match scheme as [[bandCandidates]]) — a near-identical pair
     // agrees in up to all 4 chunks, and the dropDuplicates exchange this
     // replaces paid for every duplicate match.
-    val chunked = fps.select(col("doc_id"), col("simhash"), chunks.as("chs"),
-      posexplode(chunks).as(Seq("chunk", "cv")))
+    // `chs` materialized below the Generate, explode the attribute —
+    // projecting the array alongside posexplode of the same expression
+    // re-evaluates it per exploded row (cheap for these bit ops, but the
+    // explode-the-column shape is strictly better; see lshBuckets).
+    val chunked = fps.withColumn("chs", chunks)
+      .select(col("doc_id"), col("simhash"), col("chs"),
+        posexplode(col("chs")).as(Seq("chunk", "cv")))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv")

@@ -68,9 +68,15 @@ object Similarity {
     val bandCols = (0 until bands).map { b =>
       (0 until r).map(j => bits(b * r + j)).reduce((x, y) => x.bitwiseOR(y))
     }
-    corpus(s, dir).select(col("vec_id"), col("v"), col("nrm"),
-      array(bandCols: _*).as("bvs"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    // `bvs` is materialized BELOW the Generate and the exploded column
+    // refers to it by attribute: projecting `array(bandCols)` alongside a
+    // posexplode of the same expression makes Catalyst re-evaluate all 64
+    // hyperplane dot products once per exploded band-row (bands× per
+    // vector) — measured 7.4× slower at sf0.1.
+    corpus(s, dir)
+      .withColumn("bvs", array(bandCols: _*))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bvs"),
+        posexplode(col("bvs")).as(Seq("band", "bv")))
   }
 
   /** IVF (inverted-file) top-k: a coarse quantizer of `nlist` centroids

@@ -85,6 +85,17 @@ class OperatorsSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 6L, 7L -> 6L))
   }
 
+  test("connected components: 200-node chain converges to one component") {
+    import spark.implicits._
+    // Path graph — the worst case for min-of-neighborhood contraction
+    // (~1 node/round); large-star/small-star must close it in O(log n).
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 200)
+    assert(comp.values.forall(_ == 1L))
+  }
+
   test("cluster assignments: transitive closure merges chains, isolates keep own id") {
     // pairs at 0.5: (0,1) exact, (0,2)/(1,2) near -> component {0,1,2};
     // docs 3 and 4 are isolated.
