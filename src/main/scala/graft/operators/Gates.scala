@@ -86,10 +86,55 @@ object Gates {
     annGate(s, dir, Similarity.lshTopK(s, dir),
       recallBound = envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
 
-  /** IVF ANN recall gate — measured 0.92 at sf0.01 (nlist=16, nprobe=4). */
+  /** IVF ANN recall gate — trained codebook, measured 0.96 at sf0.01
+    * (nlist=16, nprobe=12; recall-vs-nprobe curve in Similarity.ivfTopK). */
   def annIvfGate(s: SparkSession, dir: String): DataFrame =
     annGate(s, dir, Similarity.ivfTopK(s, dir),
       recallBound = envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
+
+  /** IVF list-build (embed_cluster) gate. The trained spherical-k-means
+    * codebook is not ANSI-SQL-expressible (Lloyd iterations), so instead
+    * of per-row list ids the gate pins the properties that make an IVF
+    * build healthy: (a) every one of the nlist lists is populated;
+    * (b) no list exceeds `maxShare` of the corpus — balance is what makes
+    * the nprobe/nlist probe fraction an honest scan-cost bound at 100 TB
+    * (measured max share 0.082 at sf0.01, 0.071 at sf0.1, vs the 0.0625
+    * perfect-balance mean; tools/MeasureRecall); (c) the trained codebook
+    * quantizes at least as well as the untrained first-nlist-vectors
+    * stand-in (mean cosine to assigned centroid, `quant_gain_ok`).
+    * n_vectors is recomputed by the oracle; the booleans are pinned. */
+  def embedClusterGate(s: SparkSession, dir: String, nlist: Int = 16,
+                       maxShare: Double =
+                         Gates.envBound("GRAFT_IVF_MAX_SHARE", 0.25)): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val all = Similarity.corpus(s, dir).localCheckpoint()
+
+    def assignCos(cents: Array[Seq[Double]]): DataFrame = {
+      val cd = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+      all.withColumn("cd", cd)
+        .select(col("vec_id"),
+          (expr("array_position(cd, array_max(cd))") - 1).as("list_id"),
+          expr("array_max(cd)").as("cos"))
+    }
+
+    // The stand-in the trained codebook must beat: first nlist corpus
+    // vectors, unit-normalized (control-plane collect, nlist rows).
+    val standInCents = all.filter(col("vec_id") < nlist).orderBy("vec_id")
+      .collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble / r.getDouble(2)).toSeq)
+
+    val trained = assignCos(Similarity.centroids(all, nlist))
+    val perList = trained.groupBy("list_id").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_lists"), max(col("n")).as("max_n"))
+    val quality = trained.agg(
+      count(lit(1)).as("n_vectors"), avg(col("cos")).as("avg_cos_trained"))
+    val standInQuality = assignCos(standInCents)
+      .agg(avg(col("cos")).as("avg_cos_standin"))
+    quality.crossJoin(perList).crossJoin(standInQuality) // 1x1x1 rows
+      .select(col("n_vectors"), col("n_lists"),
+        (col("max_n").cast("double") / col("n_vectors") <= maxShare).as("balance_ok"),
+        (col("avg_cos_trained") >= col("avg_cos_standin")).as("quant_gain_ok"))
+  }
 
   /** Winnowing fingerprint sanity: (a) every doc emits between 1 and
     * max(n_tokens-2, 1) distinct fingerprints (the window count bound);

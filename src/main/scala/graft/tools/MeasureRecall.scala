@@ -21,12 +21,21 @@ object MeasureRecall {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[recall] lshTopK bands=$bands recall=${(exact & got).size.toDouble / exact.size}")
     }
-    for (nprobe <- Seq(4, 6)) {
+    for (nprobe <- Seq(4, 6, 8, 10, 12)) {
       val got = Similarity.ivfTopK(s, dir, nprobe = nprobe)
         .select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[recall] ivfTopK nprobe=$nprobe recall=${(exact & got).size.toDouble / exact.size}")
     }
+    // IVF list balance + quantization quality (embed_cluster gate bounds)
+    val asg = Similarity.ivfAssignments(s, dir)
+    val n = asg.count()
+    val maxN = asg.groupBy("list_id").count().agg(max("count")).first().getLong(0)
+    val nLists = asg.select("list_id").distinct().count()
+    println(s"[recall] ivf n=$n n_lists=$nLists max_share=${maxN.toDouble / n}")
+    val gate = Gates.embedClusterGate(s, dir).collect().head
+    println(s"[recall] embedClusterGate row=$gate")
+
     val truth = Dedup.jaccardPairs(s, dir, 0.9).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val mh = Dedup.minhashPairs(s, dir, threshold = 0.9)
