@@ -122,6 +122,14 @@ object Constraints {
     val leafChecks: Seq[Column] = cc.leaves.flatMap { c =>
       val parsed = field(root, c.path)
       val rawCell = get_json_object(raw, c.jsonPath)
+      // Draft 4 applies string keywords (pattern/minLength/maxLength) only
+      // to STRING instances — a numeric instance must not be pattern-
+      // checked against its rendered text (jsonschema _validators.py
+      // guards each with `not isinstance(instance, str)`). The probe is a
+      // streaming early-exit walk (see JsonCellIsString for why neither
+      // from_json nor get_json_object can answer this).
+      lazy val isJsonString =
+        graft.functions.JsonCellIsString.jsonCellIsString(raw, c.path)
       // min/max compare in DOUBLE like the reference's Python floats — a
       // Decimal(38,18) cast of |v| >= 1e20 THROWS under ANSI (default in
       // Spark 4), so one huge value would kill the whole validation job;
@@ -140,6 +148,17 @@ object Constraints {
         else Seq(when(parsed.isNull && rawCell.isNotNull,
           format_string("%s is not of type %s", rawCell,
             lit(c.declaredTypes.mkString("'", "', '", "'")))))
+      // String-only declared fields: from_json coerced any token into the
+      // string slot, so `parsed.isNull` never fires — flag a non-string
+      // instance as the TYPE violation it is (ahead of the string
+      // keywords, which Draft 4 says ignore non-string instances).
+      val strTypeCheck: Seq[Column] =
+        if (c.declaredTypes.contains("string") &&
+            c.declaredTypes.forall(t => t == "string" || t == "null"))
+          Seq(when(parsed.isNotNull && !isJsonString,
+            format_string("%s is not of type %s", rawCell,
+              lit(c.declaredTypes.mkString("'", "', '", "'")))))
+        else Seq.empty
       // Exact decimal comparison when the value fits Decimal(38,18)
       // (doubles lose integer precision past 2^53 — 2^53+1 over a 2^53
       // bound must still flag); double fallback outside decimal range,
@@ -175,18 +194,18 @@ object Constraints {
           format_string(s"%s is not a multiple of $m", str))
       }
       val maxLenCheck = c.maxLength.toSeq.map(n =>
-        when(length(str) > n,
+        when(isJsonString && (length(str) > n),
           format_string(s"%s is too long (maxLength $n)", str)))
       val minLenCheck = c.minLength.toSeq.map(n =>
-        when(length(str) < n,
+        when(isJsonString && (length(str) < n),
           format_string(s"%s is too short (minLength $n)", str)))
       val patCheck = c.pattern.toSeq.map(p =>
-        when(!str.rlike(p),
+        when(isJsonString && !str.rlike(p),
           format_string(s"%s does not match '$p'", str)))
       val enumCheck = c.enumVals.toSeq.map(vs =>
         when(!parsed.isin(vs: _*),
           format_string(s"%s is not one of ${vs.mkString("[", ", ", "]")}", str)))
-      (typeCheck ++ minCheck ++ maxCheck ++ multCheck ++
+      (typeCheck ++ strTypeCheck ++ minCheck ++ maxCheck ++ multCheck ++
         maxLenCheck ++ minLenCheck ++ patCheck ++ enumCheck)
         .map(ch => when(ch.isNotNull, concat(lit(s"${c.flatName}: "), ch)))
     }

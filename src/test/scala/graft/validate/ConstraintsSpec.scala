@@ -109,6 +109,28 @@ class ConstraintsSpec extends SparkSpec {
     assert(violation(s, """{"v": "abcdef"}""").exists(_.contains("too long")))
   }
 
+  test("numeric instance in a string-declared field is a TYPE violation") {
+    // from_json coerces 123 into the string slot as "123"; the violation
+    // must be the type error, not a pattern/length check of the rendering
+    val s = """{"properties": {"v": {"type": ["null", "string"],
+              |"pattern": "^[a-z]+$", "maxLength": 2}}}"""
+      .stripMargin.replace("\n", " ")
+    assert(violation(s, """{"v": 123}""").exists(_.contains("is not of type")))
+    assert(violation(s, """{"v": {"x": 1}}""").exists(_.contains("is not of type")))
+    assert(violation(s, """{"v": "ab"}""").isEmpty)
+  }
+
+  test("string keywords ignore non-string instances in union-typed fields (Draft 4)") {
+    // type ["null","integer","string"]: instance 7 is a valid integer;
+    // pattern/length apply only to string instances
+    val s = """{"properties": {"v": {"type": ["null", "integer", "string"],
+              |"pattern": "^[a-z]+$", "minLength": 2}}}"""
+      .stripMargin.replace("\n", " ")
+    assert(violation(s, """{"v": 7}""").isEmpty)
+    assert(violation(s, """{"v": "ok"}""").isEmpty)
+    assert(violation(s, """{"v": "XY"}""").exists(_.contains("does not match")))
+  }
+
   test("keywords are vacuous for null values (type unions with null)") {
     val s = """{"properties": {"v": {"type": ["null", "string"],
               |"minLength": 3, "pattern": "x", "enum": ["xxx"]}}}"""
