@@ -17,7 +17,15 @@ package graft.model
   *                        (L1); when false, `_sdc_*` record fields still pass through
   *                        (active-code parity, FIXTURES.md §1)
   * @param inferExtraFields record fields absent from the declared schema survive to
-  *                        the output (reference §1.4 union-schema behavior)
+  *                        the output (reference §1.4 union-schema behavior). Costs
+  *                        one extra json-inference pass over the records per epoch
+  *                        — and per micro-batch on the streaming path, where
+  *                        latency-sensitive deployments should set
+  *                        infer_extra_fields=false or bound it with inferSampleRows
+  * @param inferSampleRows bound the §1.4 inference scan to the first N records per
+  *                        epoch (> 0); fields first appearing after row N are not
+  *                        passed through. <= 0 (default) scans all records — exact
+  *                        reference parity
   * @param strictValidation abort on the first JSON-Schema violation (reference P5)
   * @param tempDir         local spool/staging directory (L7, reference
   *                        __init__.py:46-50,91): batch stdin spool files, stream-mode
@@ -32,6 +40,7 @@ final case class TargetConfig(
     streamsInSeparateFolder: Boolean = false,
     addMetadataColumns: Boolean = false,
     inferExtraFields: Boolean = true,
+    inferSampleRows: Long = -1L,
     strictValidation: Boolean = true,
     awsAccessKeyId: Option[String] = None,
     awsSecretAccessKey: Option[String] = None,
@@ -105,6 +114,7 @@ object TargetConfig {
     strictValidation = m.getOrElse("strict_validation", "true").toBoolean,
     inlineValidation = m.getOrElse("inline_validation", "false").toBoolean,
     inferExtraFields = m.getOrElse("infer_extra_fields", "true").toBoolean,
+    inferSampleRows = m.getOrElse("infer_sample_rows", "-1").toLong,
     tempDir = m.get("temp_dir"))
 }
 

@@ -38,6 +38,10 @@ import graft.validate.Constraints
   */
 object SingerPipeline {
 
+  /** Max unknown-type payloads echoed to stderr (reference warns per
+    * message, __init__.py:246-251; the echo here is capped — see run). */
+  val unknownSampleN = 5
+
   final case class StreamOutput(stream: String, path: String, rows: Long)
   final case class IngestResult(
       state: Option[String],
@@ -86,9 +90,24 @@ object SingerPipeline {
     }
     val nUnknown = prepass.filter(r => !r.isNullAt(0) &&
       !Set("RECORD", "SCHEMA", "STATE").contains(r.getString(0))).map(_.getLong(4)).sum
-    if (nUnknown > 0)
-      System.err.println(s"[graft] warning: $nUnknown message(s) of " +
-        "unknown type skipped (e.g. ACTIVATE_VERSION)")
+    if (nUnknown > 0) {
+      // Echo the payloads like the reference does per unknown message
+      // (__init__.py:246-251), but bounded: the first `unknownSampleN` in
+      // file order via a TakeOrdered limit — a rogue tap emitting millions
+      // of ACTIVATE_VERSIONs costs one bounded extra scan in this warning
+      // path, never driver memory. The aggregate count is always exact.
+      val samples = typed
+        .filter(col("mtype").isNotNull &&
+          !col("mtype").isin("RECORD", "SCHEMA", "STATE"))
+        .orderBy("idx").limit(SingerPipeline.unknownSampleN)
+        .select(col("mtype"), col("value")).collect()
+      samples.foreach(r => Console.err.println(
+        s"[graft] warning: Unknown message type ${r.getString(0)} " +
+          s"in message ${r.getString(1)}"))
+      if (nUnknown > samples.length)
+        Console.err.println(s"[graft] warning: $nUnknown unknown-type " +
+          s"message(s) total; first ${samples.length} shown")
+    }
 
     // Control plane → driver, in file order.
     val control = prepass.toSeq
@@ -162,7 +181,8 @@ object SingerPipeline {
             // Union-schema passthrough (§1.4): find record-only fields.
             val schema: StructType =
               if (config.inferExtraFields) {
-                val inferred = spark.read.json(streamRecs.select("rec").as[String]).schema
+                val inferred = JsonSchemaConverter.inferExtra(spark, streamRecs,
+                  config.inferSampleRows)
                 JsonSchemaConverter.mergeSchemas(declared, inferred)
               } else declared
 

@@ -70,6 +70,24 @@ object JsonSchemaConverter {
       else Seq(newKey)
     }
 
+  /** §1.4 union-schema inference input: the epoch's raw record strings,
+    * null payloads excluded (a RECORD without a `record` key is a protocol
+    * error flagged by validation — it must not surface as an opaque JSON-
+    * inference crash). `sampleRows > 0` bounds the inference scan to the
+    * first N records — a knob for the streaming hot path, where full-scan
+    * inference doubles the per-trigger read; fields first appearing after
+    * row N are NOT passed through. The default (<= 0) scans everything:
+    * exact parity with the reference, which unions EVERY record's fields
+    * into the batch schema (§1.4). */
+  def inferExtra(spark: org.apache.spark.sql.SparkSession,
+                 recs: org.apache.spark.sql.DataFrame,
+                 sampleRows: Long): StructType = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = recs.filter(col("rec").isNotNull).select("rec").as[String]
+    spark.read.json(if (sampleRows > 0) base.limit(sampleRows.toInt) else base).schema
+  }
+
   /** Merge an inferred record schema into the declared one: declared leaf
     * types win; fields only present in the data (e.g. `_sdc_deleted_at`,
     * reference §1.4) are appended in name order for determinism. */

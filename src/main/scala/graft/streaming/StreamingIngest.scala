@@ -144,10 +144,13 @@ final class StreamingIngest(
         val epochRecs = streamRecs.filter(col("idx") > start && col("idx") < end)
         // Union-schema passthrough (§1.4), same as the batch path: record-
         // only fields survive. Costs one inference pass per epoch per
-        // micro-batch — the same trade the batch path makes per epoch.
+        // MICRO-BATCH — on the streaming hot path that is per-trigger
+        // read amplification; latency-sensitive deployments should set
+        // infer_extra_fields=false or bound it via infer_sample_rows.
         val schema =
           if (config.inferExtraFields) {
-            val inferred = spark.read.json(epochRecs.select("rec").as[String]).schema
+            val inferred = JsonSchemaConverter.inferExtra(spark, epochRecs,
+              config.inferSampleRows)
             JsonSchemaConverter.mergeSchemas(declared, inferred)
           } else declared
         val parsed = epochRecs

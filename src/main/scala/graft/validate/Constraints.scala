@@ -106,8 +106,15 @@ object Constraints {
 
   /** A column evaluating to the first violation message for the row, or
     * null if the row is valid. `root` is the parsed struct column, `raw`
-    * the original record-JSON string column. */
+    * the original record-JSON string column. A null `raw` — a RECORD
+    * envelope with no `record` key — is itself a protocol violation (the
+    * reference crashes on the missing key, __init__.py:216): flagging it
+    * here surfaces a Singer error instead of an opaque downstream
+    * json-inference failure, and without it every keyword check is
+    * vacuous on the null payload. */
   def violation(cc: CompiledConstraints, root: Column, raw: Column): Column = {
+    val missingRecord =
+      when(raw.isNull, lit("Message is missing required key 'record'"))
     val requiredChecks: Seq[Column] = cc.required.map { rc =>
       // json_object_keys(null JSON / non-object) is null → when the parent
       // object itself is absent, `required` for its children is vacuous
@@ -209,9 +216,8 @@ object Constraints {
         maxLenCheck ++ minLenCheck ++ patCheck ++ enumCheck)
         .map(ch => when(ch.isNotNull, concat(lit(s"${c.flatName}: "), ch)))
     }
-    val checks = requiredChecks ++ leafChecks
-    if (checks.isEmpty) lit(null).cast("string")
-    else coalesce(checks :+ lit(null).cast("string"): _*)
+    val checks = missingRecord +: (requiredChecks ++ leafChecks)
+    coalesce(checks :+ lit(null).cast("string"): _*)
   }
 
   /** Strict mode (reference behavior): abort the job on the first invalid

@@ -72,6 +72,35 @@ class SingerPipelineSpec extends SparkSpec {
     assert(res.state.exists(_.contains("\"bookmarks\"")))
   }
 
+  test("unknown-type messages are echoed to stderr like the reference (L6)") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(buf, true, "UTF-8")) {
+      SingerPipeline.run(spark, writeCorpus(corpus), outDir(),
+        TargetConfig(), clock = () => "T0")
+    }
+    val err = buf.toString("UTF-8")
+    // per-message echo carries the type AND the payload (__init__.py:246-251)
+    assert(err.contains("Unknown message type ACTIVATE_VERSION"))
+    assert(err.contains(""""version": 1"""))
+  }
+
+  test("unknown-type echo is capped; exact total still reported") {
+    val many = Seq(schemaMsg("alpha")) ++
+      (1 to 8).map(i => s"""{"type": "BOGUS_TYPE", "stream": "alpha", "n": $i}""") ++
+      Seq("""{"type": "RECORD", "stream": "alpha", "record": {"pk": 1, "v_str": "s", "v_int": 2}}""")
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(buf, true, "UTF-8")) {
+      SingerPipeline.run(spark, writeCorpus(many), outDir(),
+        TargetConfig(), clock = () => "T0")
+    }
+    val err = buf.toString("UTF-8")
+    val echoed = err.linesIterator.count(_.contains("Unknown message type BOGUS_TYPE"))
+    assert(echoed == SingerPipeline.unknownSampleN)
+    assert(err.contains(s"8 unknown-type message(s) total; first ${SingerPipeline.unknownSampleN} shown"))
+    // the first-in-file-order sample, not an arbitrary subset
+    assert(err.contains(""""n": 1"""))
+  }
+
   test("state resets to None when a RECORD follows the last STATE (P8)") {
     val lines = Seq(
       """{"type": "STATE", "value": {"bookmarks": {"alpha": 1}}}""",
