@@ -88,6 +88,79 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // Batch-equivalence harness (closes the one operator family without a
+  // CORRECTNESS row): the bounded sf0.001 corpus flows through the real
+  // streaming query — MemoryStream source, stateful operator, memory sink
+  // — and the result must equal the batch operator on the same table.
+
+  test("harness: streaming dedup over the documents corpus equals batch exact dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = dedupStream(input.toDF().toDF("doc_id", "ts", "text"),
+      lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // arrival order = doc_id order, all inside one batch (no late drops)
+      input.addData(docs.map { case (id, t) => (id, ts(id.toInt), t) }.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_eq").collect()
+      val batch = graft.operators.Dedup.exact(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // one survivor per distinct content, and the same CONTENT set; the
+      // surviving doc_id is first-arrival (partition order) in streaming
+      // vs min-id in batch, so ids are not part of the contract
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_.getAs[String]("text")).toSet ==
+        docs.map(_._2).toSet)
+    } finally q.stop()
+  }
+
+  test("harness: streaming sessionization over the events corpus equals the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val gap = 30 * 60000L
+    val evs = graft.operators.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect().map(r => SessionEvent(r.getLong(0), r.getTimestamp(1), r.getString(2)))
+
+    val input = MemoryStream[SessionEvent]
+    val out = sessionize(input.toDS(), gapMs = gap, lateness = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sessions_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(evs.toSeq: _*) // one batch: nothing is late
+      q.processAllAvailable()
+      // two sentinel advances: the first moves the watermark past every
+      // real session's timeout, the second triggers those timeouts
+      val far = evs.map(_.ts.getTime).max + 1000L * 60 * 60 * 24
+      input.addData(SessionEvent(-1L, new Timestamp(far), "sentinel"))
+      q.processAllAvailable()
+      input.addData(SessionEvent(-1L, new Timestamp(far + 1000L * 60 * 60 * 24), "sentinel"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sessions_eq").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3)))
+        .filter(_._1 >= 0).toSet
+      val batch = sessionizeBatch(evs.toSeq, gap)
+        .map(o => (o.user_id, o.session_start.getTime,
+          o.session_end.getTime, o.n_events)).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits first occurrence only, within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
