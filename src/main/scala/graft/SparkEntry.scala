@@ -72,6 +72,8 @@ object SparkEntry {
     "text_quality"    -> (TextAnalysis.qualityScores _),
     "text_langid"     -> (TextAnalysis.languageId _),
     "text_keyterms"   -> ((s, d) => TextAnalysis.keyTerms(s, d)),
+    "text_gopher"     -> (TextAnalysis.gopherSignals _),
+    "text_dupgrams"   -> (TextAnalysis.dupGramStats _),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "embed_cluster"   -> (Gates.embedClusterGate(_, _)),
@@ -404,6 +406,50 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, token) AS rk
         | FROM tok JOIN d USING (token)) t
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // Counts recomputed from word/bigram STRINGS (the Spark side uses
+    // injective token/gram hashes — every checked quantity is invariant);
+    // ratio columns divide the same integers in both engines.
+    "text_gopher" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+        |                  len(string_split(text, ' ')) AS n,
+        |                  length(text) AS c
+        |           FROM documents),
+        |b AS (SELECT doc_id, n, c,
+        |       len(list_distinct(words)) AS n_types,
+        |       list_max(list_transform(list_distinct(words),
+        |         w2 -> len(list_filter(words, x -> x = w2)))) AS top_n,
+        |       CASE WHEN n >= 2
+        |         THEN (n - 1) - len(list_distinct(list_transform(range(n - 1),
+        |           i -> words[i + 1] || ' ' || words[i + 2])))
+        |         ELSE 0 END AS dup2
+        |      FROM w)
+        |SELECT doc_id,
+        | CAST(n AS BIGINT) AS n_words,
+        | CAST(c - (n - 1) AS DOUBLE) / n AS mean_word_len,
+        | CAST(n_types AS BIGINT) AS n_types,
+        | CAST(n_types AS DOUBLE) / n AS ttr,
+        | CAST(top_n AS BIGINT) AS top_word_n,
+        | CAST(top_n AS DOUBLE) / n AS top_word_share,
+        | CAST(dup2 AS BIGINT) AS n_dup_2grams,
+        | CASE WHEN n >= 2 THEN CAST(dup2 AS DOUBLE) / (n - 1)
+        |      ELSE 0.0 END AS dup_2gram_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // Same gram construction as text_fingerprint's oracle (3-grams from
+    // strings, short docs padded to one gram) — df >= 2 means the gram
+    // occurs in at least one other doc, since grams are per-doc distinct.
+    "text_dupgrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |gr AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(toks) - 2, 1) + 1),
+        |         i -> array_to_string(toks[i:i+2], ' ')))) AS gs
+        |       FROM t),
+        |d AS (SELECT gs, count(*) AS df FROM gr GROUP BY gs)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams,
+        | CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS shared_frac
+        |FROM gr JOIN d USING (gs)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // n_true_pairs recomputes the gate's sequence-level ground truth
     // (3-gram shingle-set jaccard >= 0.9) from gram STRINGS — jaccard over
     // distinct sets is invariant to the per-element hash, so the DuckDB

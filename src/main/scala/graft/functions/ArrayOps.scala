@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -165,7 +165,58 @@ case class PositionalFirstMatch(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Run statistics over an ASCENDING-sorted long array in one pass:
+  * output[0] = number of runs (= distinct elements), output[1] = longest
+  * run (= max multiplicity). Feeds the repetition quality signals
+  * (type-token ratio, top-word share) without building the per-element
+  * hash sets an `array_distinct` + per-distinct `filter` spelling would
+  * allocate. Empty input → [0, 0]. */
+case class SortedRunStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"expected array<bigint> input, got ${child.dataType}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var runs = 0L; var maxRun = 0L; var cur = 0L
+    var i = 0
+    while (i < n) {
+      if (i == 0 || a.getLong(i) != a.getLong(i - 1)) { runs += 1; cur = 1 }
+      else cur += 1
+      if (cur > maxRun) maxRun = cur
+      i += 1
+    }
+    new GenericArrayData(Array(runs, maxRun))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val Seq(n, runs, maxRun, cur, i) =
+        Seq("n", "runs", "maxRun", "cur", "i").map(ctx.freshName)
+      s"""
+         |int $n = $a.numElements();
+         |long $runs = 0L; long $maxRun = 0L; long $cur = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($i == 0 || $a.getLong($i) != $a.getLong($i - 1)) {
+         |    $runs++; $cur = 1L;
+         |  } else { $cur++; }
+         |  if ($cur > $maxRun) $maxRun = $cur;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new long[] { $runs, $maxRun });
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object ArrayOps {
+  def sortedRunStats(a: Column): Column =
+    ColumnBridge.column(SortedRunStats(ColumnBridge.expression(a)))
+
   def positionalFirstMatch(a: Column, b: Column): Column =
     ColumnBridge.column(PositionalFirstMatch(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

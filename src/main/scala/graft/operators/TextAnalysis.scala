@@ -139,6 +139,81 @@ object TextAnalysis {
         sort_array(array_distinct(col("win_mins"))).as("fps"))
   }
 
+  /** Repetition quality signals per document, in the style of the Gopher
+    * / RefinedWeb curation rules (Rae et al. 2021 §A1.1; the rules that
+    * catch boilerplate and degenerate generations):
+    *   - `n_words`, `mean_word_len`
+    *   - `n_types` (distinct words) and `ttr` = n_types/n_words (type-
+    *     token ratio; low = repetitive)
+    *   - `top_word_n` / `top_word_share` (most frequent word's share;
+    *     high = degenerate)
+    *   - `n_dup_2grams` / `dup_2gram_frac` (repeated word-bigram fraction
+    *     — the "duplicate n-gram" rule)
+    * Zero-exchange plan: one pass of per-row array kernels inside the
+    * scan ([[graft.functions.SortedRunStats]] over sorted token hashes
+    * does distinct-count + max-multiplicity in one walk; bigram identity
+    * via the codegen [[graft.functions.HashedNGrams]] chain). Every
+    * oracle-checked quantity is invariant under any injective token/gram
+    * hash, so DuckDB recomputes it from the strings; ratio columns divide
+    * the same integers in both engines (bit-identical doubles). */
+  def gopherSignals(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayOps.sortedRunStats
+    val toks = tokens(col("text"))
+    val th = transform(toks, t => xxhash64(t))
+    val d = documents(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      // single-space tokenization: total word chars = chars - separators
+      (length(col("text")) - (size(toks) - 1)).cast("long").as("word_chars"),
+      sortedRunStats(sort_array(th)).as("wstats"),
+      // docs with <2 words have no bigrams (HashedNGrams pads short docs
+      // with one gram over what is there — excluded here)
+      when(size(toks) >= 2,
+        sortedRunStats(sort_array(graft.functions.NGramOps.hashedNGrams(th, 2))))
+        .otherwise(typedlit(Seq(0L, 0L))).as("gstats"))
+    d.select(
+        col("doc_id"), col("n_words"),
+        (col("word_chars").cast("double") / col("n_words")).as("mean_word_len"),
+        col("wstats").getItem(0).as("n_types"),
+        (col("wstats").getItem(0).cast("double") / col("n_words")).as("ttr"),
+        col("wstats").getItem(1).as("top_word_n"),
+        (col("wstats").getItem(1).cast("double") / col("n_words")).as("top_word_share"),
+        (greatest(col("n_words") - 1, lit(0L)) - col("gstats").getItem(0))
+          .as("n_dup_2grams"),
+        when(col("n_words") >= 2,
+          (greatest(col("n_words") - 1, lit(0L)) - col("gstats").getItem(0))
+            .cast("double") / (col("n_words") - 1))
+          .otherwise(lit(0.0)).as("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document duplicated-gram signal (the per-document statistic
+    * behind exact-substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): for each doc, how many
+    * of its distinct word 3-grams also occur in at least one OTHER doc,
+    * and the duplicated fraction. High shared_frac = boilerplate /
+    * near-copy; the decontamination and removal policies key off it.
+    * Plan: per-row codegen gram hashing ([[gramsExpr]]), one gram-df
+    * shuffle, one gram-keyed join back, one per-doc aggregate — the df
+    * table is vocabulary-scale and AQE broadcasts it when small; nothing
+    * is ever all-pairs. Counts are invariant under the injective gram
+    * hash, so the DuckDB oracle recomputes them from gram strings;
+    * `shared_frac` divides the same integers in both engines. */
+  def dupGramStats(s: SparkSession, dir: String): DataFrame = {
+    val grams = documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(gramsExpr)).as("g"))
+    // df counts distinct docs per gram — grams are per-doc distinct
+    // already, so count(*) is the doc count.
+    val gramDf = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(gramDf, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared_grams"),
+        (col("n_shared_grams").cast("double") / col("n_grams")).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct sorted 3-gram shingle sets per doc, shaped like
     * [[Dedup]]'s hashed token sets (doc_id, toks, sz) so the prefix-join
     * pair machinery applies unchanged. Gram-set jaccard is SEQUENCE-level

@@ -322,6 +322,53 @@ class OperatorsSpec extends SparkSpec {
     assert(langs(0L) == "en" && langs(3L) == "de")
   }
 
+  test("sorted run stats kernel: distinct count + max multiplicity in one walk") {
+    import spark.implicits._
+    val df = Seq(Seq(1L, 1L, 2L, 3L, 3L, 3L), Seq.empty[Long]).toDF("a")
+    val rows = df.select(graft.functions.ArrayOps.sortedRunStats(col("a"))).collect()
+    assert(rows(0).getSeq[Long](0) == Seq(3L, 3L))
+    assert(rows(1).getSeq[Long](0) == Seq(0L, 0L))
+  }
+
+  test("gopher repetition signals flag degenerate text, pass normal text") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-gopher").toString
+    Seq(
+      (0L, "spam spam spam spam", "en", "s", 19L),          // degenerate
+      (1L, "the cat sat on the mat", "en", "s", 22L),       // normal
+      (2L, "one", "en", "s", 3L))                           // single word
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val g = TextAnalysis.gopherSignals(spark, d2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val spam = g(0L)
+    assert(spam.getAs[Long]("n_words") == 4L && spam.getAs[Long]("n_types") == 1L)
+    assert(spam.getAs[Long]("top_word_n") == 4L && spam.getAs[Double]("top_word_share") == 1.0)
+    assert(spam.getAs[Long]("n_dup_2grams") == 2L)          // 3 bigrams, 1 distinct
+    assert(math.abs(spam.getAs[Double]("dup_2gram_frac") - 2.0 / 3) < 1e-12)
+    assert(spam.getAs[Double]("mean_word_len") == 4.0)
+    val cat = g(1L)
+    assert(cat.getAs[Long]("n_types") == 5L && cat.getAs[Long]("top_word_n") == 2L) // "the" x2
+    assert(cat.getAs[Long]("n_dup_2grams") == 0L)
+    assert(math.abs(cat.getAs[Double]("ttr") - 5.0 / 6) < 1e-12)
+    val one = g(2L)
+    assert(one.getAs[Long]("n_words") == 1L && one.getAs[Long]("n_dup_2grams") == 0L)
+    assert(one.getAs[Double]("dup_2gram_frac") == 0.0)
+  }
+
+  test("dup-gram stats: copies share all grams, unique docs share none") {
+    val d = TextAnalysis.dupGramStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    val byId = d.map(x => x._1 -> x).toMap
+    // docs 0 and 1 are identical -> every gram shared
+    assert(byId(0L)._4 == 1.0 && byId(1L)._4 == 1.0)
+    assert(byId(0L)._2 == byId(0L)._3)
+    // doc 4 shares no 3-gram with anything
+    assert(byId(4L)._3 == 0L && byId(4L)._4 == 0.0)
+    // doc 2 ("the red mat" insert) shares a prefix gram with 0/1 but not all
+    assert(byId(2L)._4 > 0.0 && byId(2L)._4 < 1.0)
+  }
+
   test("fingerprints: identical docs share identical fingerprint sets") {
     val fp = TextAnalysis.fingerprints(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
