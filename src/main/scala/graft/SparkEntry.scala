@@ -57,6 +57,8 @@ object SparkEntry {
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
     "curate_mix"      -> ((s, d) => Curation.mixSources(s, d)),
     "curate_pack"     -> ((s, d) => Curation.packSequences(s, d)),
+    "curate_pii"      -> (Curation.piiDemo _),
+    "curate_filter"   -> ((s, d) => Curation.qualityFilter(s, d)),
     // Seeded-hash operators are not ANSI-SQL-expressible; their entries
     // run the recall/precision/equality gates vs exact in-repo
     // counterparts (see Gates) so the driver gets a hard pass/fail.
@@ -74,6 +76,7 @@ object SparkEntry {
     "text_keyterms"   -> ((s, d) => TextAnalysis.keyTerms(s, d)),
     "text_gopher"     -> (TextAnalysis.gopherSignals _),
     "text_dupgrams"   -> (TextAnalysis.dupGramStats _),
+    "text_vocab"      -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "embed_cluster"   -> (Gates.embedClusterGate(_, _)),
@@ -357,6 +360,69 @@ object SparkEntry {
         | CAST(cum // 256 AS BIGINT) AS pack_id,
         | CAST(cum % 256 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // PII derivation spelled identically to Curation.piiDemo; the regexes
+    // live in the Java-Pattern/RE2 dialect intersection so both engines
+    // agree on every match (triple-quoted Scala keeps backslashes literal).
+    "curate_pii" ->
+      """WITH p AS (SELECT doc_id, text
+        | || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+        | || CASE WHEN doc_id % 4 = 1 THEN ' backup admin' || CAST(doc_id AS VARCHAR)
+        |      || '@host.example.org' ELSE '' END
+        | || CASE WHEN doc_id % 2 = 0 THEN ' from ' || CAST(doc_id % 224 + 1 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 100 AS VARCHAR) || '.1' ELSE '' END
+        | || CASE WHEN doc_id % 5 = 1 THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        | AS text FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted_text
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // Same signal construction as text_gopher's oracle; the CASE chain
+    // mirrors Curation.qualityFilter's rule order exactly. Thresholds are
+    // literal on both sides; every compared double divides the same
+    // integers in both engines, so no epsilon is needed.
+    "curate_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+        |                  len(string_split(text, ' ')) AS n, length(text) AS c
+        |           FROM documents),
+        |b AS (SELECT doc_id, n,
+        |       CAST(c - (n - 1) AS DOUBLE) / n AS mwl,
+        |       CAST(len(list_distinct(words)) AS DOUBLE) / n AS ttr,
+        |       CAST(list_max(list_transform(list_distinct(words),
+        |         w2 -> len(list_filter(words, x -> x = w2)))) AS DOUBLE) / n AS tws,
+        |       CASE WHEN n >= 2
+        |         THEN CAST((n - 1) - len(list_distinct(list_transform(range(n - 1),
+        |           i -> words[i + 1] || ' ' || words[i + 2]))) AS DOUBLE) / (n - 1)
+        |         ELSE 0.0 END AS dupf
+        |      FROM w),
+        |r AS (SELECT doc_id, n, ttr, tws, dupf,
+        |       CASE WHEN n < 30 THEN 'too_short'
+        |            WHEN n > 5000 THEN 'too_long'
+        |            WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_shape'
+        |            WHEN ttr < 0.35 THEN 'repetitive_types'
+        |            WHEN tws > 0.15 THEN 'top_word_dominates'
+        |            WHEN dupf > 0.10 THEN 'duplicate_bigrams'
+        |            ELSE 'ok' END AS drop_reason
+        |      FROM b)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words, ttr,
+        | tws AS top_word_share, dupf AS dup_2gram_frac, drop_reason,
+        | drop_reason = 'ok' AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |per AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+        |v AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf,
+        |             CAST(count(*) AS BIGINT) AS df FROM per GROUP BY token)
+        |SELECT token, tf, df,
+        | CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rk
+        |FROM v ORDER BY tf DESC, token LIMIT 25""".stripMargin,
     "dedup_minhash" ->
       """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
         |SELECT count(*) AS n_true, true AS recall_ok FROM (

@@ -126,6 +126,95 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  /** PII patterns: (count-column suffix, regex, redaction tag). The
+    * regexes are deliberately restricted to the dialect intersection of
+    * Java `Pattern` (Spark codegen) and RE2 (DuckDB, Go tooling): no
+    * backreferences, no lookaround — so the operator and its oracle can
+    * never disagree on what a match is, and the same patterns port to
+    * whatever scrubbing tools audit the output downstream. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phones", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /** PII detection + redaction over any text column: appends one
+    * `n_<kind>` count per pattern and `redacted_text` with every match
+    * replaced by its tag, applied in [[piiPatterns]] order (tags contain
+    * no digits or `@`, so later patterns cannot match inside earlier
+    * replacements). Pure per-row regex expressions — codegen'd, zero
+    * exchange, scales with the scan like a projection; this is the shape
+    * a 100-TB scrub pass must have, because anything that shuffles the
+    * text itself pays the corpus twice. */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val withCounts = piiPatterns.foldLeft(df) { case (acc, (name, re, _)) =>
+      acc.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)).cast("long"))
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) { case (c, (_, re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+    withCounts.withColumn("redacted_text", redacted)
+  }
+
+  /** The `curate_pii` query: the synthetic corpus carries no natural
+    * PII, so the query derives a deterministic PII-bearing variant of
+    * each document (emails / IPs / phone numbers keyed off doc_id, with
+    * per-kind presence varying by residue so counts differ across docs
+    * and some docs carry two emails) and scrubs THAT. The derivation is
+    * spelled identically in the DuckDB oracle, so the redacted text and
+    * all counts hash-compare exactly. */
+  def piiDemo(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val enriched = documents(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), str(id),
+        lit("@ex"), str(id % 7), lit(".com"))).otherwise(lit("")),
+      when(id % 4 === 1, concat(lit(" backup admin"), str(id),
+        lit("@host.example.org"))).otherwise(lit("")),
+      when(id % 2 === 0, concat(lit(" from "), str(id % 224 + 1),
+        lit(".0."), str(id % 100), lit(".1"))).otherwise(lit("")),
+      when(id % 5 === 1, concat(lit(" tel 555-"), lpad(str(id % 1000), 3, "0"),
+        lit("-"), lpad(str(id % 10000), 4, "0"))).otherwise(lit(""))
+    ).as("text"))
+    piiScrub(enriched)
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("redacted_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher/RefinedWeb-style document quality filter: the APPLY step over
+    * [[TextAnalysis.gopherSignals]] — a keep/drop decision plus the FIRST
+    * failing rule as `drop_reason` (rules are checked in a fixed order,
+    * so the reason is deterministic and the reason histogram is a
+    * meaningful pipeline dashboard). Thresholds are parameters; the
+    * defaults discriminate on the synthetic corpus (each rule fires on
+    * some docs) and sit in the published Gopher ranges. Inherits the
+    * signals' zero-exchange plan — the filter itself is a projection.
+    *
+    * Every signal compared against a threshold is a division of the same
+    * integers in both engines (bit-identical IEEE doubles), so the
+    * boolean and the reason string are oracle-checkable — no epsilon. */
+  def qualityFilter(s: SparkSession, dir: String,
+                    minWords: Long = 30, maxWords: Long = 5000,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    minTtr: Double = 0.35, maxTopShare: Double = 0.15,
+                    maxDupFrac: Double = 0.10): DataFrame = {
+    val reason =
+      when(col("n_words") < minWords, "too_short")
+        .when(col("n_words") > maxWords, "too_long")
+        .when(col("mean_word_len") < minMeanWordLen ||
+          col("mean_word_len") > maxMeanWordLen, "word_shape")
+        .when(col("ttr") < minTtr, "repetitive_types")
+        .when(col("top_word_share") > maxTopShare, "top_word_dominates")
+        .when(col("dup_2gram_frac") > maxDupFrac, "duplicate_bigrams")
+        .otherwise("ok")
+    TextAnalysis.gopherSignals(s, dir)
+      .select(col("doc_id"), col("n_words"), col("ttr"), col("top_word_share"),
+        col("dup_2gram_frac"), reason.as("drop_reason"),
+        (reason === "ok").as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Concat-and-split sequence packing: lay all documents' tokens end to
     * end in doc_id order and cut every `budget` tokens — each doc reports
     * the pack it starts in and its offset there (GPT-style training-shard

@@ -214,6 +214,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary heavy hitters: the `k` most frequent tokens with
+    * total term frequency and document frequency, deterministically
+    * ranked (tf desc, token asc — token is unique, so the ordering is
+    * total). The step a pipeline runs before building stopword lists,
+    * tokenizer merges, or frequency-based filters.
+    *
+    * Scale shape: per-(doc, token) counts first (one keyed shuffle with
+    * map-side partial aggregation), then per-token totals (vocabulary-
+    * scale shuffle) — tf is a sum and df a count over rows that are
+    * already distinct per doc, so no distinct-aggregate Expand ever
+    * materializes doc_id × token twice. The top-k itself is
+    * TakeOrderedAndProject (per-partition heads + one merge, never a
+    * global sort); the rank window runs over the k survivors only. */
+  def vocabTopK(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val perDoc = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val vocab = perDoc.groupBy("token")
+      .agg(sum("c").as("tf"), count(lit(1)).as("df"))
+    val w = Window.orderBy(col("tf").desc, col("token"))
+    vocab.orderBy(col("tf").desc, col("token")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy("rk")
+  }
+
   /** Distinct sorted 3-gram shingle sets per doc, shaped like
     * [[Dedup]]'s hashed token sets (doc_id, toks, sz) so the prefix-join
     * pair machinery applies unchanged. Gram-set jaccard is SEQUENCE-level

@@ -374,4 +374,53 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(fp(0L) == fp(1L))
   }
+
+  test("vocab top-k: tf/df totals, deterministic rank, k respected") {
+    val v = TextAnalysis.vocabTopK(spark, dir, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(v.length == 3)
+    // "the": docs 0/1/2 have 2 each -> tf 6, df 3 (docs 3/4 don't use it)
+    assert(v(0) == ("the", 6L, 3L, 1L))
+    assert(v.map(_._4).toSeq == Seq(1L, 2L, 3L)) // contiguous ranks in order
+    assert(v.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) }) // tf desc, token asc
+  }
+
+  test("pii scrub: counts and redaction across kinds, non-PII lookalikes survive") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "mail a.b+c@ex.co and d@sub.ex.org then ip 10.0.0.1 tel 555-123-4567"),
+      // lookalikes: 4-digit octet, phone with a 4-digit prefix run, bare '@'
+      (1L, "not pii 1234.1.1.1 nor 5551-123-4567 nor a @ b"),
+      (2L, "edge 192.168.0.255")) // IP at end of string
+      .toDF("doc_id", "text")
+    val r = Curation.piiScrub(df).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Long]("n_emails") == 2L)
+    assert(r(0L).getAs[Long]("n_ips") == 1L && r(0L).getAs[Long]("n_phones") == 1L)
+    assert(r(0L).getAs[String]("redacted_text") ==
+      "mail <EMAIL> and <EMAIL> then ip <IP> tel <PHONE>")
+    assert(r(1L).getAs[Long]("n_emails") == 0L)
+    assert(r(1L).getAs[Long]("n_ips") == 0L && r(1L).getAs[Long]("n_phones") == 0L)
+    assert(r(1L).getAs[String]("redacted_text") == "not pii 1234.1.1.1 nor 5551-123-4567 nor a @ b")
+    assert(r(2L).getAs[String]("redacted_text") == "edge <IP>")
+  }
+
+  test("quality filter: first failing rule wins, clean doc kept") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-qf").toString
+    val clean = (1 to 40).map(i => s"word$i").mkString(" ")   // 40 distinct words
+    val spam = Seq.fill(40)("spam").mkString(" ")             // ttr 1/40, top share 1.0
+    Seq(
+      (0L, clean, "en", "s", clean.length.toLong),
+      (1L, spam, "en", "s", spam.length.toLong),
+      (2L, "too short", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val r = Curation.qualityFilter(spark, d2).collect()
+      .map(x => x.getLong(0) -> (x.getAs[String]("drop_reason"), x.getAs[Boolean]("kept"))).toMap
+    assert(r(0L) == ("ok", true))
+    // spam fails ttr AND top-word AND dup-bigrams; rule order pins the reason
+    assert(r(1L) == ("repetitive_types", false))
+    assert(r(2L) == ("too_short", false))
+  }
 }
