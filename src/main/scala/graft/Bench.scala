@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (raw — build.sbt sets run/outputStrategy := StdoutOutput so sbt does
   * not prefix it) and to `bench_result.json` in the working directory.
   *
-  * Five registered entries are correctness GATES whose time is dominated
+  * Several registered entries are correctness GATES whose time is dominated
   * by computing the exact ground truth, not by the operator under test —
   * those operators are additionally timed raw under `raw_operators`
   * (excluded from the headline total, which covers exactly the registered
@@ -51,14 +51,15 @@ object Bench {
       ts(ts.length / 2)
     }
 
-    // The five gate-registered operators, timed RAW so operator-level perf
+    // The gate-registered operators, timed RAW so operator-level perf
     // regressions stay visible next to the gate numbers (BASELINE.md).
     val rawOps: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_minhash"    -> ((s, d) => operators.Dedup.minhashPairsVerified(s, d)),
       "dedup_simhash"    -> ((s, d) => operators.Dedup.simhashPairs(s, d, maxDist = 3)),
       "text_fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprints(s, d)),
       "ann_lsh"          -> ((s, d) => operators.Similarity.lshTopK(s, d)),
-      "ann_ivf"          -> ((s, d) => operators.Similarity.ivfTopK(s, d)))
+      "ann_ivf"          -> ((s, d) => operators.Similarity.ivfTopK(s, d)),
+      "ann_pq"           -> ((s, d) => operators.Similarity.pqTopK(s, d)))
 
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local profiling aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

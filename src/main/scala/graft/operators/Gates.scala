@@ -92,6 +92,17 @@ object Gates {
     annGate(s, dir, Similarity.ivfTopK(s, dir),
       recallBound = envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
 
+  /** PQ ADC ANN recall gate — m=16 subspaces × 32 centroids (80 bits
+    * per vector vs 2048 raw, 25.6× compression) with exact re-rank of
+    * the top-64 approximate candidates per query. Measured recall at
+    * sf0.01 on the uniform-direction corpus (worst case for any
+    * quantizer): 1.0 at rerank=64, 0.96 at rerank=32; the coarser
+    * m=8 × 16 codebook (32×) needs rerank=128 for 0.92
+    * (tools/MeasureRecall sweep; see [[Similarity.pqTopK]]). */
+  def annPqGate(s: SparkSession, dir: String): DataFrame =
+    annGate(s, dir, Similarity.pqTopK(s, dir),
+      recallBound = envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
+
   /** IVF list-build (embed_cluster) gate. The trained spherical-k-means
     * codebook is not ANSI-SQL-expressible (Lloyd iterations), so instead
     * of per-row list ids the gate pins the properties that make an IVF

@@ -89,18 +89,24 @@ object Similarity {
     * trained centroids are broadcast as literals, and every distance runs
     * codegen'd in the scan; list assignment is the shuffle key, so a
     * probe touches ~nprobe/nlist of the data. */
+  /** Unit-normalized training sample in xxhash64 order: deterministic,
+    * unbiased by vec_id locality, and a TakeOrdered (no full sort/
+    * shuffle) — the one bounded collect behind every trained codebook
+    * here (IVF coarse quantizer and PQ subspace codebooks). At 100 TB
+    * the sample stays `cap` rows regardless of corpus size. */
+  private[operators] def normalizedSample(all: DataFrame,
+                                          cap: Int): Array[(Long, Array[Double])] =
+    all.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
+      .collect()
+      .map { r =>
+        val nrm = r.getDouble(2)
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble / nrm).toArray)
+      }
+
   private[operators] def centroids(all: DataFrame, nlist: Int,
                                    sampleCap: Int = 2048,
                                    lloydIters: Int = 8): Array[Seq[Double]] = {
-    // Unit-normalized sample in xxhash64 order: deterministic, unbiased
-    // by vec_id locality, and a TakeOrdered (no full sort/shuffle).
-    val sampleRows: Array[(Long, Array[Double])] =
-      all.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleCap)
-        .collect()
-        .map { r =>
-          val nrm = r.getDouble(2)
-          (r.getLong(0), r.getSeq[Float](1).map(_.toDouble / nrm).toArray)
-        }
+    val sampleRows: Array[(Long, Array[Double])] = normalizedSample(all, sampleCap)
     val sample = sampleRows.map(_._2)
     val dim = sample.head.length
     // k clamps to the sample (a 4-vector corpus can't seed 16 lists).
@@ -223,6 +229,137 @@ object Similarity {
     cand.select(col("query_id"), col("neighbor_id"),
         (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the unit-normalized
+    * vector is split into `m` contiguous subspaces and each subspace gets
+    * its own `ksub`-centroid L2 k-means codebook, trained on the same
+    * deterministic driver sample as the IVF coarse quantizer. Returned as
+    * codebooks(j)(c) = centroid c of subspace j. Standard (non-spherical)
+    * Lloyd per subspace: subvector norms genuinely differ and the
+    * codebook must model magnitude, not just direction; empty clusters
+    * keep their previous centroid so no codebook ever shrinks. */
+  private[operators] def pqCodebooks(all: DataFrame, m: Int, ksub: Int,
+                                     sampleCap: Int = 2048,
+                                     lloydIters: Int = 8): Array[Array[Array[Double]]] = {
+    val sampleRows = normalizedSample(all, sampleCap)
+    val dim = sampleRows.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub: Array[(Long, Array[Double])] = sampleRows.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      }
+      val k = math.min(ksub, sub.length)
+      // Init = first k sample subvectors in hash order, re-ordered by
+      // vec_id so code indices are stable/reproducible (same scheme as
+      // the IVF init).
+      var cents: Array[Array[Double]] = sub.take(k).sortBy(_._1).map(_._2)
+      var it = 0
+      while (it < lloydIters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Long](k)
+        sub.foreach { case (_, v) =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val acc = sums(best); var i = 0
+          while (i < dsub) { acc(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** PQ encoding: each corpus vector → `m` small codes (one per
+    * subspace, the index of its nearest codebook centroid). Pure
+    * projection — the codebooks are literals, every distance is a
+    * codegen'd dot over a dim/m-length slice, and NOTHING shuffles: at
+    * 100 TB this is the pass that turns a 256-byte float vector into
+    * m log2(ksub)-bit codes (32× compression at m=8, ksub=16) that the
+    * ADC scan then reads instead of the raw embeddings.
+    *
+    * argmin over c of ||v/nrm - c||² drops the per-(vector, subspace)
+    * constant ||v/nrm||², leaving ||c||² - 2·(v_sub·c)/nrm — one dot per
+    * centroid, no subvector normalization materialized. First-min
+    * tie-break via array_position keeps codes deterministic. */
+  def pqCodes(s: SparkSession, dir: String, m: Int = 16,
+              ksub: Int = 32): DataFrame = {
+    val all = corpus(s, dir)
+    val books = pqCodebooks(all, m, ksub)
+    pqEncode(all, books, m)
+  }
+
+  /** The codebook rides as a reference object inside ONE codegen
+    * expression ([[graft.functions.PqEncode]]) — the spelled-out
+    * m×ksub literal-dot-tree formulation was correct but cost ~3 s of
+    * planning/codegen per run at any data size (the tree IS the plan). */
+  private[operators] def pqEncode(df: DataFrame,
+                                  books: Array[Array[Array[Double]]],
+                                  m: Int): DataFrame =
+    df.withColumn("codes",
+      graft.functions.PqOps.encode(col("v"), col("nrm"),
+        books.map(_.map(_.toSeq).toSeq).toSeq))
+
+  /** PQ asymmetric-distance top-k (ADC): queries keep their exact
+    * vectors; corpus vectors are m-code approximations. Per query and
+    * subspace a ksub-entry inner-product table is computed ONCE
+    * (dot(q_sub, centroid)/qnrm — on the broadcast query rows, i.e.
+    * control-plane sized), and each candidate's approximate cosine is m
+    * table lookups + adds instead of a dim-length dot: the scan reads
+    * codes, not vectors. The top `rerank` candidates per query by
+    * approximate score are then re-ranked by EXACT cosine — the standard
+    * PQ recall repair, bounded at rerank full dots per query.
+    *
+    * Scale shape: encode is a projection; the candidate pass is
+    * corpus × broadcast(queries) with WindowGroupLimit pruning the
+    * per-query top-rerank map-side; only rerank rows per query carry the
+    * raw vector into the exact stage. */
+  def pqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+             m: Int = 16, ksub: Int = 32, rerank: Int = 64): DataFrame = {
+    val all = corpus(s, dir)
+    val books = pqCodebooks(all, m, ksub)
+    val encoded = pqEncode(all, books, m)
+
+    // Per-query inner-product tables ([[graft.functions.PqIpTables]]):
+    // computed on the nQueries broadcast rows only.
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("qdt", graft.functions.PqOps.ipTables(col("qv"), col("qnrm"),
+        books.map(_.map(_.toSeq).toSeq).toSeq))
+
+    // approx cosine = sum of m table lookups (codes are 0-based,
+    // element_at is 1-based)
+    val approx = (0 until m).map(j =>
+      element_at(col("qdt").getItem(j), col("codes").getItem(j) + 1)).reduce(_ + _)
+
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    encoded.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        approx.as("approx_cos"),
+        col("v"), col("nrm"), col("qv"), col("qnrm"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")

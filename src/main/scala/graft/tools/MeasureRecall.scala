@@ -27,6 +27,13 @@ object MeasureRecall {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[recall] ivfTopK nprobe=$nprobe recall=${(exact & got).size.toDouble / exact.size}")
     }
+    for ((m, ksub) <- Seq((8, 16), (8, 32), (16, 16), (16, 32));
+         rerank <- Seq(16, 32, 64, 128)) {
+      val got = Similarity.pqTopK(s, dir, m = m, ksub = ksub, rerank = rerank)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[recall] pqTopK m=$m ksub=$ksub rerank=$rerank recall=${(exact & got).size.toDouble / exact.size}")
+    }
     // IVF list balance + quantization quality (embed_cluster gate bounds)
     val asg = Similarity.ivfAssignments(s, dir)
     val n = asg.count()
