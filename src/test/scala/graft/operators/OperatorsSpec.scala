@@ -279,6 +279,20 @@ class OperatorsSpec extends SparkSpec {
     assert(first.exists(r => r.getLong(1) == 1L))
   }
 
+  test("PQ ANN: re-ranked top-k ranks the planted neighbor first; codes well-formed") {
+    val top = Similarity.pqTopK(spark, dir, nQueries = 1, k = 2, rerank = 3).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getLong(1) == 1L && top.head.getLong(2) == 1L)
+    val m = 16; val ksub = 32
+    val codes = Similarity.pqCodes(spark, dir, m, ksub).select("vec_id", "codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 4)
+    assert(codes.values.forall(c => c.length == m && c.forall(x => x >= 0 && x < ksub)))
+    // deterministic: a second build yields identical codes
+    val again = Similarity.pqCodes(spark, dir, m, ksub).select("vec_id", "codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == again)
+  }
+
   test("HLL approx distinct is within 5% of exact on the events table") {
     val sf = "/root/testdata/sf0.001"
     val approx = Analytics.q20ApproxDistinct(spark, sf).collect()
