@@ -50,6 +50,7 @@ object SparkEntry {
     "doc_pipeline"    -> ((s, d) => DocPipeline.curate(s, d)),
     "dedup_exact"     -> (Dedup.exact _),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.incrementalPairs(s, d)),
     "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
     "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
@@ -280,6 +281,18 @@ object SparkEntry {
         |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
         | FROM ts a, ts b WHERE a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.85 ORDER BY doc_a, doc_b""".stripMargin,
+    // Incremental = the full pair set restricted to pairs touching the
+    // increment (doc_id % 10 = 0); corpus×corpus pairs are excluded by
+    // construction on both sides.
+    "dedup_incremental" ->
+      """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        | FROM ts a, ts b WHERE a.doc_id < b.doc_id
+        |   AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)) t
         |WHERE jaccard >= 0.85 ORDER BY doc_a, doc_b""".stripMargin,
     // Sequence-level near-dup from gram STRINGS: jaccard over distinct
     // 3-gram shingle sets is invariant to the per-gram hash the Spark

@@ -109,37 +109,48 @@ object Dedup {
     * for high-entropy elements (3-gram shingles: df ≈ 1, so hash order
     * is nearly df order; identical pair output, and the fingerprint
     * gate's truth side dropped 8.7 → 6.2 s at sf0.1). */
-  private[graft] def jaccardPairsFromSets(sets: DataFrame, threshold: Double,
-                                          rarestFirst: Boolean = true): DataFrame = {
-    import graft.functions.ArrayOps.sortedIntersectCount
+  /** The exploded prefix-token relation both pair strategies join on:
+    * (doc_id [, carried extra columns], sz, toks, pref, ptok), one row
+    * per prefix token. `extraCols` ride along unchanged (e.g. the
+    * incremental variant's `is_new` flag). localCheckpoint: the prefix
+    * build would otherwise be recomputed for BOTH join sides; reclaimed
+    * by the ContextCleaner (never .persist inside an operator). */
+  private def prefixTable(sets: DataFrame, threshold: Double,
+                          rarestFirst: Boolean,
+                          extraCols: Seq[String] = Nil): DataFrame = {
     // Prefix length |x| - ceil(t|x|) + 1.
     val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
-    // localCheckpoint: the prefix build would otherwise be recomputed for
-    // BOTH join sides; reclaimed by the ContextCleaner (never .persist
-    // inside an operator).
-    val prefix = (if (rarestFirst) {
+    val extras = extraCols.map(col)
+    (if (rarestFirst) {
       // The groupBy rebuilds the full per-doc token list in df-order, so
       // one aggregation yields BOTH the prefix (slice) and the numerically
       // sorted set for the merge-walk verify — the arrays ride along
       // through the prefix join and no re-join against the corpus is ever
       // needed.
-      val exploded = sets.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
+      val exploded = sets.select(
+        (col("doc_id") +: col("sz") +: extras) :+ explode(col("toks")).as("tok"): _*)
       val dfCount = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
       exploded.join(dfCount, "tok")
-        .groupBy(col("doc_id"), col("sz"))
+        .groupBy(col("doc_id") +: col("sz") +: extras: _*)
         .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ordered"))
-        .select(col("doc_id"), col("sz"),
+        .select((col("doc_id") +: col("sz") +: extras) ++ Seq(
           sort_array(col("ordered.tok")).as("toks"),
-          sort_array(slice(col("ordered.tok"), lit(1), prefLen)).as("pref"))
+          sort_array(slice(col("ordered.tok"), lit(1), prefLen)).as("pref")): _*)
     } else {
       // Hash order: `toks` is already sorted, so the prefix is a slice —
       // the whole build is one scan-side projection.
-      sets.select(col("doc_id"), col("sz"), col("toks"),
-        slice(col("toks"), lit(1), prefLen).as("pref"))
+      sets.select((col("doc_id") +: col("sz") +: extras) ++ Seq(col("toks"),
+        slice(col("toks"), lit(1), prefLen).as("pref")): _*)
     })
-      .select(col("doc_id"), col("sz"), col("toks"), col("pref"),
-        explode(col("pref")).as("ptok"))
+      .select((col("doc_id") +: col("sz") +: extras) ++ Seq(col("toks"), col("pref"),
+        explode(col("pref")).as("ptok")): _*)
       .localCheckpoint()
+  }
+
+  private[graft] def jaccardPairsFromSets(sets: DataFrame, threshold: Double,
+                                          rarestFirst: Boolean = true): DataFrame = {
+    import graft.functions.ArrayOps.sortedIntersectCount
+    val prefix = prefixTable(sets, threshold, rarestFirst)
     // Size prefilter inside the join condition: J >= t forces
     // min(|A|,|B|)/max(|A|,|B|) >= t. Expressed as a division so boundary
     // rounding matches the jaccard division itself.
@@ -176,6 +187,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("ssum") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** Incremental near-dup detection — the shape a 100-TB pipeline
+    * actually runs: an already-deduped corpus absorbs a NEW batch, so
+    * only new×corpus and new×new pairs need enumerating; corpus×corpus
+    * never does (it was settled in earlier ingests). Same prefix-filter
+    * + merge-walk verify as [[jaccardPairsFromSets]], but the left join
+    * side is restricted to the increment — candidate volume scales with
+    * the INCREMENT's prefix df products, not the corpus's, which is what
+    * keeps nightly dedup affordable as the corpus grows.
+    *
+    * One global token order (df over corpus ∪ increment) keeps prefix
+    * filtering exact across sides. Exactly-once: new×corpus pairs meet
+    * once (corpus docs never appear on the left) and new×new pairs are
+    * oriented left-id < right-id; both under the first-shared-prefix-token
+    * condition. Output is canonical (doc_a < doc_b) regardless of which
+    * side was new. */
+  def incrementalPairs(s: SparkSession, dir: String, threshold: Double = 0.85,
+                       mod: Int = 10): DataFrame = {
+    import graft.functions.ArrayOps.sortedIntersectCount
+    val sets = hashedTokenSets(s, dir)
+      .withColumn("is_new", col("doc_id") % mod === 0)
+    val prefix = prefixTable(sets, threshold, rarestFirst = true,
+      extraCols = Seq("is_new"))
+    val inc = prefix.filter(col("is_new"))
+    val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") /
+      greatest(col("a.sz"), col("b.sz")) >= threshold
+    val firstShared = col("a.ptok") ===
+      graft.functions.ArrayOps.sortedFirstCommon(col("a.pref"), col("b.pref"))
+    // new×new once (a < b); new×corpus once (corpus only ever on the b
+    // side). Condition order mirrors jaccardPairsFromSets: O(1) predicates
+    // before the merge walk.
+    val orient = !col("b.is_new") || (col("a.doc_id") < col("b.doc_id"))
+    def inter(ta: Column, tb: Column) = sortedIntersectCount(ta, tb)
+    val jaccardExpr = inter(col("a.toks"), col("b.toks")).cast("double") /
+      (col("a.sz") + col("b.sz") - inter(col("a.toks"), col("b.toks"))).cast("double")
+    inc.as("a").join(prefix.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a.doc_id") =!= col("b.doc_id")
+          && orient && sizeOk && firstShared && jaccardExpr >= threshold)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        inter(col("a.toks"), col("b.toks")).as("inter"),
+        (col("a.sz") + col("b.sz")).as("ssum"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("ssum") - col("inter")).cast("double")).as("jaccard"))
+      .localCheckpoint() // same pre-sort materialization as jaccardPairs
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Measurement hook for tools/CompareOrders: the word-token prefix join

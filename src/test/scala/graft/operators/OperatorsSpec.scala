@@ -44,6 +44,30 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("incremental dedup: equals full pairs restricted to the increment; corpus pairs absent") {
+    // mod=5 -> increment {0}; full pairs at t=0.5 are (0,1),(0,2),(1,2)
+    val inc = Dedup.incrementalPairs(spark, dir, threshold = 0.5, mod = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val full = Dedup.jaccardPairs(spark, dir, threshold = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(inc == full.filter { case ((a, b), _) => a == 0L || b == 0L })
+    assert(!inc.contains((1L, 2L))) // corpus x corpus: settled in a prior ingest
+    // mod=2 -> increment {0,2,4}: every full pair touches the increment
+    val inc2 = Dedup.incrementalPairs(spark, dir, threshold = 0.5, mod = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(inc2 == full.filter { case ((a, b), _) => a % 2 == 0 || b % 2 == 0 })
+  }
+
+  test("incremental dedup agrees with the restricted full pair set on real data (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val inc = Dedup.incrementalPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val full = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(inc == full.filter { case ((a, b), _) => a % 10 == 0 || b % 10 == 0 })
+    assert(inc.nonEmpty) // planted near-dups must surface through the increment
+  }
+
   test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
     val byText = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val byHash = Dedup.exactByHash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
