@@ -123,6 +123,49 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("harness: streaming PII scrub over the documents corpus equals the batch scrub") {
+    // The stateless curation projections (piiScrub, and by the same
+    // argument the quality-filter when-chain) apply to a stream
+    // unchanged: no watermark, no state, Append mode — this pins that the
+    // SAME operator object used in batch runs on readStream input and
+    // emits identical rows.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val withPii = docs.withColumn("text",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit(" mail u"),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit("@ex.org from 10.0.0.7")))
+    val rows = withPii.collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val input = MemoryStream[(Long, String)]
+    val out = graft.operators.Curation.piiScrub(
+      input.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("pii_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pii_eq")
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      val batch = graft.operators.Curation.piiScrub(withPii)
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      assert(streamed == batch)
+      assert(batch.forall(t => t._2 >= 1 && t._3 >= 1)) // the planted PII was found
+    } finally q.stop()
+  }
+
   test("harness: streaming sessionization over the events corpus equals the batch fold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
