@@ -59,7 +59,8 @@ object Bench {
       "text_fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprints(s, d)),
       "ann_lsh"          -> ((s, d) => operators.Similarity.lshTopK(s, d)),
       "ann_ivf"          -> ((s, d) => operators.Similarity.ivfTopK(s, d)),
-      "ann_pq"           -> ((s, d) => operators.Similarity.pqTopK(s, d)))
+      "ann_pq"           -> ((s, d) => operators.Similarity.pqTopK(s, d)),
+      "ann_ivfpq"        -> ((s, d) => operators.Similarity.ivfPqTopK(s, d)))
 
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local profiling aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -84,6 +84,7 @@ object SparkEntry {
     "ann_lsh"         -> (Gates.annLshGate _),
     "ann_ivf"         -> (Gates.annIvfGate _),
     "ann_pq"          -> (Gates.annPqGate _),
+    "ann_ivfpq"       -> (Gates.annIvfPqGate _),
     "multimodal_summary" -> (Multimodal.assetSummary _),
     "multimodal_features" -> ((s, d) => Multimodal.extractFeatures(s, d)
       .toDF().select("asset_id", "modality", "n_bytes", "width", "height")
@@ -458,6 +459,12 @@ object SparkEntry {
         | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5)""".stripMargin,
     "ann_pq" ->
+      """SELECT count(*) AS n_exact, true AS recall_ok FROM (
+        | SELECT q.vec_id FROM embeddings q, embeddings e
+        | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+        | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5)""".stripMargin,
+    "ann_ivfpq" ->
       """SELECT count(*) AS n_exact, true AS recall_ok FROM (
         | SELECT q.vec_id FROM embeddings q, embeddings e
         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id

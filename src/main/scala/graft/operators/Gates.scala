@@ -103,6 +103,14 @@ object Gates {
     annGate(s, dir, Similarity.pqTopK(s, dir),
       recallBound = envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
 
+  /** IVF-PQ (IVFADC) recall gate — coarse-list pruning + ADC scoring +
+    * exact re-rank. Measured 0.96 at sf0.01 (nprobe=12, rerank=64):
+    * exactly the IVF probe recall, i.e. the PQ stage loses nothing the
+    * re-rank can't recover (tools/MeasureRecall sweep). */
+  def annIvfPqGate(s: SparkSession, dir: String): DataFrame =
+    annGate(s, dir, Similarity.ivfPqTopK(s, dir),
+      recallBound = envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
+
   /** IVF list-build (embed_cluster) gate. The trained spherical-k-means
     * codebook is not ANSI-SQL-expressible (Lloyd iterations), so instead
     * of per-row list ids the gate pins the properties that make an IVF

@@ -34,6 +34,12 @@ object MeasureRecall {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[recall] pqTopK m=$m ksub=$ksub rerank=$rerank recall=${(exact & got).size.toDouble / exact.size}")
     }
+    for (nprobe <- Seq(8, 12, 16); rerank <- Seq(32, 64)) {
+      val got = Similarity.ivfPqTopK(s, dir, nprobe = nprobe, rerank = rerank)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[recall] ivfPqTopK nprobe=$nprobe rerank=$rerank recall=${(exact & got).size.toDouble / exact.size}")
+    }
     // IVF list balance + quantization quality (embed_cluster gate bounds)
     val asg = Similarity.ivfAssignments(s, dir)
     val n = asg.count()

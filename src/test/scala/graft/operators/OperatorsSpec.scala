@@ -303,6 +303,12 @@ class OperatorsSpec extends SparkSpec {
     assert(first.exists(r => r.getLong(1) == 1L))
   }
 
+  test("IVF-PQ ANN ranks the planted neighbor first (probe covers its list)") {
+    val top = Similarity.ivfPqTopK(spark, dir, nQueries = 1, k = 2,
+      nlist = 2, nprobe = 2, rerank = 3).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getLong(1) == 1L && top.head.getLong(2) == 1L)
+  }
+
   test("PQ ANN: re-ranked top-k ranks the planted neighbor first; codes well-formed") {
     val top = Similarity.pqTopK(spark, dir, nQueries = 1, k = 2, rerank = 3).collect()
     assert(top.head.getLong(0) == 0L && top.head.getLong(1) == 1L && top.head.getLong(2) == 1L)
