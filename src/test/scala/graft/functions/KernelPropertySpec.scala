@@ -156,6 +156,46 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("PqEncode == naive argmin; PqIpTables == naive dot tables") {
+    import spark.implicits._
+    val m = 4; val ksub = 3; val dsub = 2 // dim 8
+    val bookGen = Gen.listOfN(m, Gen.listOfN(ksub, Gen.listOfN(dsub,
+      Gen.chooseNum(-2.0, 2.0))))
+    // strictly positive norms: the operators only ever call these with
+    // nrm = ||v|| of a nonzero vector
+    val vecGen = Gen.listOfN(m * dsub, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(v => v.exists(_ != 0.0f))
+    forAll(bookGen, vecGen) { (books, vec) =>
+      val nrm = math.sqrt(vec.map(x => x.toDouble * x).sum)
+      val df = Seq((vec, nrm)).toDF("v", "nrm")
+      val got = df.select(
+          PqOps.encode(col("v"), col("nrm"), books).as("codes"),
+          PqOps.ipTables(col("v"), col("nrm"), books).as("qdt"))
+        .collect().head
+      // naive: full ||v/nrm - c||^2 argmin (the kernel drops the constant
+      // term; both must pick the same centroid)
+      val naiveCodes = (0 until m).map { j =>
+        val sub = (0 until dsub).map(i => vec(j * dsub + i).toDouble / nrm)
+        (0 until ksub).minBy { c =>
+          val cent = books(j)(c)
+          val d = sub.zip(cent).map { case (x, y) => (x - y) * (x - y) }.sum
+          (d, c) // strict first-min tie-break like the kernel
+        }
+      }
+      assert(got.getSeq[Int](0) == naiveCodes)
+      val naiveTables = (0 until m).map { j =>
+        (0 until ksub).map { c =>
+          (0 until dsub).map(i => vec(j * dsub + i).toDouble * books(j)(c)(i)).sum / nrm
+        }
+      }
+      val gotTables = got.getSeq[scala.collection.Seq[Double]](1).map(_.toSeq)
+      assert(gotTables.size == m)
+      gotTables.zip(naiveTables).foreach { case (g, n) =>
+        g.zip(n).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+      }
+    }
+  }
+
   test("pyRepr string quoting: reference quote-choice rule holds") {
     forAll(Gen.asciiPrintableStr) { s =>
       val r = PyRepr.reprString(s)
