@@ -48,6 +48,7 @@ object SparkEntry {
     "ingest_validate" -> (IngestQueries.validateDemo _),
     "singer_pipeline" -> (IngestQueries.singerRoundTrip _),
     "doc_pipeline"    -> ((s, d) => DocPipeline.curate(s, d)),
+    "curate_pipeline" -> ((s, d) => DocPipeline.curatePipeline(s, d)),
     "dedup_exact"     -> (Dedup.exact _),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalPairs(s, d)),
@@ -375,6 +376,48 @@ object SparkEntry {
         | CAST(cum // 256 AS BIGINT) AS pack_id,
         | CAST(cum % 256 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Full curation chain, stage by stage: quality CASE chain (same
+    // thresholds as curate_filter), exact dedup by text among quality
+    // survivors, near-dup removal among exact survivors, 3-gram eval
+    // decontamination (same gram construction as text_dupgrams), then
+    // token accounting on the final set.
+    "curate_pipeline" ->
+      """WITH w AS (SELECT doc_id, text, lang, string_split(text, ' ') AS words,
+        |                  len(string_split(text, ' ')) AS n, length(text) AS c
+        |           FROM documents),
+        |b AS (SELECT doc_id, text, n,
+        |       CAST(c - (n - 1) AS DOUBLE) / n AS mwl,
+        |       CAST(len(list_distinct(words)) AS DOUBLE) / n AS ttr,
+        |       CAST(list_max(list_transform(list_distinct(words),
+        |         w2 -> len(list_filter(words, x -> x = w2)))) AS DOUBLE) / n AS tws,
+        |       CASE WHEN n >= 2
+        |         THEN CAST((n - 1) - len(list_distinct(list_transform(range(n - 1),
+        |           i -> words[i + 1] || ' ' || words[i + 2]))) AS DOUBLE) / (n - 1)
+        |         ELSE 0.0 END AS dupf
+        |      FROM w),
+        |q AS (SELECT doc_id, text FROM b
+        |      WHERE NOT (n < 30 OR n > 5000 OR mwl < 3.0 OR mwl > 10.0
+        |                 OR ttr < 0.35 OR tws > 0.15 OR dupf > 0.10)),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+        |ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |       FROM documents JOIN surv USING (doc_id)),
+        |nd AS (SELECT DISTINCT b2.doc_id FROM ts a, ts b2 WHERE a.doc_id < b2.doc_id
+        |       AND CAST(len(list_intersect(a.toks, b2.toks)) AS DOUBLE) /
+        |           (len(a.toks) + len(b2.toks) - len(list_intersect(a.toks, b2.toks))) >= 0.9),
+        |kept AS (SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |gr AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(toks) - 2, 1) + 1),
+        |         i -> array_to_string(toks[i:i+2], ' ')))) AS gs FROM t2),
+        |ev AS (SELECT DISTINCT gs FROM gr WHERE doc_id % 100 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM gr JOIN ev USING (gs)
+        |         WHERE doc_id % 100 <> 0),
+        |fin AS (SELECT doc_id FROM kept WHERE doc_id % 100 <> 0
+        |        AND doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT d.doc_id, d.lang,
+        | CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(length(d.text) AS BIGINT) AS n_chars
+        |FROM documents d JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin,
     // PII derivation spelled identically to Curation.piiDemo; the regexes
     // live in the Java-Pattern/RE2 dialect intersection so both engines
     // agree on every match (triple-quoted Scala keeps backslashes literal).

@@ -64,6 +64,70 @@ object DocPipeline {
       .filter(col("n_tokens") >= minWords)
   }
 
+  /** The FULL curation chain, each stage restricting the next — the
+    * complete raw-corpus → training-set story in one declarative plan:
+    *
+    *   1. Gopher quality filter ([[Curation.qualityFilter]] rules —
+    *      zero-exchange, so the cheapest gate runs first and every later
+    *      shuffle carries only quality-passing docs);
+    *   2. exact dedup among quality survivors (8-byte hash groupBy);
+    *   3. near-dup removal among exact survivors — the pair join's
+    *      prefix build runs over the SURVIVOR set only (df order over
+    *      survivors is still one consistent global order, so prefix
+    *      filtering stays exact; candidate volume shrinks with every
+    *      upstream removal);
+    *   4. benchmark decontamination: drop any train doc sharing a
+    *      word-3-gram with the eval slice (doc_id % evalMod == 0), and
+    *      the eval slice itself — eval text must never enter training;
+    *   5. token accounting on the final set.
+    *
+    * Same order-free removal semantics as [[curate]]: every stage is an
+    * independent predicate or a min-id choice, so the output is
+    * partition-independent and exactly SQL-expressible. */
+  def curatePipeline(s: SparkSession, dir: String,
+                     nearDupThreshold: Double = 0.9,
+                     evalMod: Int = 100): DataFrame = {
+    val docs = Tables.documents(s, dir)
+
+    // 1. quality gate (per-row kernels inside the scan)
+    val qualityKept = Curation.qualityFilter(s, dir)
+      .filter(col("kept")).select("doc_id")
+
+    // 2. exact dedup among quality survivors
+    val survivors = docs.join(qualityKept, "doc_id")
+      .select(col("doc_id"), xxhash64(col("text")).as("th"))
+      .groupBy("th").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+    // 3. near-dup removal, pair join restricted to survivors up front
+    val survSets = Dedup.hashedTokenSets(s, dir)
+      .join(survivors, "doc_id")
+    val removed = Dedup.jaccardPairsFromSets(survSets, nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = survivors.join(removed, Seq("doc_id"), "left_anti")
+
+    // 4. decontamination vs the eval slice (gram-keyed join, never
+    //    all-pairs; eval side is benchmark-sized at 100 TB and AQE
+    //    broadcasts it on its own)
+    val grams = TextAnalysis.gramSets(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select("gram").distinct()
+    val contaminated = grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(evalGrams, "gram")
+      .select("doc_id").distinct()
+    val train = kept.filter(col("doc_id") % evalMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 5. token accounting
+    docs.join(train, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .localCheckpoint() // sort sampling must not re-run the whole chain
+      .orderBy("doc_id")
+  }
+
   /** Materialize the curated corpus as training shards: parquet
     * partitioned by language, `maxRecordsPerFile`-bounded, rows inside a
     * shard in doc_id order (reader locality + diffable output).

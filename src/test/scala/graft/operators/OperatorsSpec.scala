@@ -419,6 +419,30 @@ class OperatorsSpec extends SparkSpec {
     assert(fp(0L) == fp(1L))
   }
 
+  test("curate_pipeline: every stage's invariant holds on real data (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = DocPipeline.curatePipeline(spark, sf).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(out.nonEmpty)
+    // quality gate respected
+    val qualityKept = Curation.qualityFilter(spark, sf)
+      .filter(col("kept")).collect().map(_.getLong(0)).toSet
+    assert(out.subsetOf(qualityKept))
+    // no near-dup pair (>= 0.9) survives with both ends in the output
+    val pairs = Dedup.jaccardPairs(spark, sf, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists { case (a, b) => out(a) && out(b) })
+    // eval slice never enters training
+    assert(out.forall(_ % 100 != 0))
+    // no contaminated doc survives: nothing in `out` shares a 3-gram with
+    // the eval slice (checked through the same gramSets the op uses)
+    val g = TextAnalysis.gramSets(spark, sf)
+      .select(col("doc_id"), explode(col("toks")).as("g")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val evalGrams = g.filter(_._1 % 100 == 0).map(_._2).toSet
+    assert(!g.exists { case (id, gr) => out(id) && evalGrams(gr) })
+  }
+
   test("vocab top-k: tf/df totals, deterministic rank, k respected") {
     val v = TextAnalysis.vocabTopK(spark, dir, k = 3).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
