@@ -103,10 +103,14 @@ object Similarity {
         (r.getLong(0), r.getSeq[Float](1).map(_.toDouble / nrm).toArray)
       }
 
+  /** `sample`: pass a precomputed [[normalizedSample]] to share ONE
+    * bounded corpus pass across quantizers (IVF-PQ trains both). */
   private[operators] def centroids(all: DataFrame, nlist: Int,
                                    sampleCap: Int = 2048,
-                                   lloydIters: Int = 8): Array[Seq[Double]] = {
-    val sampleRows: Array[(Long, Array[Double])] = normalizedSample(all, sampleCap)
+                                   lloydIters: Int = 8,
+                                   sharedSample: Array[(Long, Array[Double])] = null): Array[Seq[Double]] = {
+    val sampleRows: Array[(Long, Array[Double])] =
+      if (sharedSample != null) sharedSample else normalizedSample(all, sampleCap)
     val sample = sampleRows.map(_._2)
     val dim = sample.head.length
     // k clamps to the sample (a 4-vector corpus can't seed 16 lists).
@@ -254,8 +258,10 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 12,
                 m: Int = 16, ksub: Int = 32, rerank: Int = 64): DataFrame = {
     val all = corpus(s, dir)
-    val cents = centroids(all, nlist)
-    val books = pqCodebooks(all, m, ksub)
+    // one bounded corpus pass trains BOTH quantizers
+    val sample = normalizedSample(all, 2048)
+    val cents = centroids(all, nlist, sharedSample = sample)
+    val books = pqCodebooks(all, m, ksub, sharedSample = sample)
     def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
     // One corpus projection carries BOTH quantizers: coarse list id +
     // PQ codes. At scale this is the stored index table.
@@ -304,8 +310,10 @@ object Similarity {
     * keep their previous centroid so no codebook ever shrinks. */
   private[operators] def pqCodebooks(all: DataFrame, m: Int, ksub: Int,
                                      sampleCap: Int = 2048,
-                                     lloydIters: Int = 8): Array[Array[Array[Double]]] = {
-    val sampleRows = normalizedSample(all, sampleCap)
+                                     lloydIters: Int = 8,
+                                     sharedSample: Array[(Long, Array[Double])] = null): Array[Array[Array[Double]]] = {
+    val sampleRows = if (sharedSample != null) sharedSample
+      else normalizedSample(all, sampleCap)
     val dim = sampleRows.head._2.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
