@@ -194,20 +194,30 @@ object Curation {
     * Every signal compared against a threshold is a division of the same
     * integers in both engines (bit-identical IEEE doubles), so the
     * boolean and the reason string are oracle-checkable — no epsilon. */
+  /** The rule chain as a Column over the signal columns — shared by the
+    * batch filter and the streaming quality monitor so thresholds and
+    * rule ORDER can never drift between them. */
+  private[graft] def qualityReason(minWords: Long = 30, maxWords: Long = 5000,
+                                   minMeanWordLen: Double = 3.0,
+                                   maxMeanWordLen: Double = 10.0,
+                                   minTtr: Double = 0.35, maxTopShare: Double = 0.15,
+                                   maxDupFrac: Double = 0.10): org.apache.spark.sql.Column =
+    when(col("n_words") < minWords, "too_short")
+      .when(col("n_words") > maxWords, "too_long")
+      .when(col("mean_word_len") < minMeanWordLen ||
+        col("mean_word_len") > maxMeanWordLen, "word_shape")
+      .when(col("ttr") < minTtr, "repetitive_types")
+      .when(col("top_word_share") > maxTopShare, "top_word_dominates")
+      .when(col("dup_2gram_frac") > maxDupFrac, "duplicate_bigrams")
+      .otherwise("ok")
+
   def qualityFilter(s: SparkSession, dir: String,
                     minWords: Long = 30, maxWords: Long = 5000,
                     minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
                     minTtr: Double = 0.35, maxTopShare: Double = 0.15,
                     maxDupFrac: Double = 0.10): DataFrame = {
-    val reason =
-      when(col("n_words") < minWords, "too_short")
-        .when(col("n_words") > maxWords, "too_long")
-        .when(col("mean_word_len") < minMeanWordLen ||
-          col("mean_word_len") > maxMeanWordLen, "word_shape")
-        .when(col("ttr") < minTtr, "repetitive_types")
-        .when(col("top_word_share") > maxTopShare, "top_word_dominates")
-        .when(col("dup_2gram_frac") > maxDupFrac, "duplicate_bigrams")
-        .otherwise("ok")
+    val reason = qualityReason(minWords, maxWords, minMeanWordLen,
+      maxMeanWordLen, minTtr, maxTopShare, maxDupFrac)
     TextAnalysis.gopherSignals(s, dir)
       .select(col("doc_id"), col("n_words"), col("ttr"), col("top_word_share"),
         col("dup_2gram_frac"), reason.as("drop_reason"),

@@ -156,35 +156,42 @@ object TextAnalysis {
     * oracle-checked quantity is invariant under any injective token/gram
     * hash, so DuckDB recomputes it from the strings; ratio columns divide
     * the same integers in both engines (bit-identical doubles). */
-  def gopherSignals(s: SparkSession, dir: String): DataFrame = {
+  def gopherSignals(s: SparkSession, dir: String): DataFrame =
+    withGopherSignals(documents(s, dir))
+      .select("doc_id", "n_words", "mean_word_len", "n_types", "ttr",
+        "top_word_n", "top_word_share", "n_dup_2grams", "dup_2gram_frac")
+      .orderBy("doc_id")
+
+  /** The signal computation over ANY relation with a `text` column
+    * (batch table or stream — it is a stateless projection), appending
+    * the signal columns and keeping everything else: the streaming
+    * quality monitor carries event time and source through it. */
+  private[graft] def withGopherSignals(df: DataFrame): DataFrame = {
     import graft.functions.ArrayOps.sortedRunStats
     val toks = tokens(col("text"))
     val th = transform(toks, t => xxhash64(t))
-    val d = documents(s, dir).select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_words"),
+    df.withColumn("n_words", size(toks).cast("long"))
       // single-space tokenization: total word chars = chars - separators
-      (length(col("text")) - (size(toks) - 1)).cast("long").as("word_chars"),
-      sortedRunStats(sort_array(th)).as("wstats"),
+      .withColumn("word_chars", (length(col("text")) - (size(toks) - 1)).cast("long"))
+      .withColumn("wstats", sortedRunStats(sort_array(th)))
       // docs with <2 words have no bigrams (HashedNGrams pads short docs
       // with one gram over what is there — excluded here)
-      when(size(toks) >= 2,
-        sortedRunStats(sort_array(graft.functions.NGramOps.hashedNGrams(th, 2))))
-        .otherwise(typedlit(Seq(0L, 0L))).as("gstats"))
-    d.select(
-        col("doc_id"), col("n_words"),
-        (col("word_chars").cast("double") / col("n_words")).as("mean_word_len"),
-        col("wstats").getItem(0).as("n_types"),
-        (col("wstats").getItem(0).cast("double") / col("n_words")).as("ttr"),
-        col("wstats").getItem(1).as("top_word_n"),
-        (col("wstats").getItem(1).cast("double") / col("n_words")).as("top_word_share"),
-        (greatest(col("n_words") - 1, lit(0L)) - col("gstats").getItem(0))
-          .as("n_dup_2grams"),
-        when(col("n_words") >= 2,
+      .withColumn("gstats", when(size(toks) >= 2,
+          sortedRunStats(sort_array(graft.functions.NGramOps.hashedNGrams(th, 2))))
+        .otherwise(typedlit(Seq(0L, 0L))))
+      .withColumn("mean_word_len", col("word_chars").cast("double") / col("n_words"))
+      .withColumn("n_types", col("wstats").getItem(0))
+      .withColumn("ttr", col("wstats").getItem(0).cast("double") / col("n_words"))
+      .withColumn("top_word_n", col("wstats").getItem(1))
+      .withColumn("top_word_share",
+        col("wstats").getItem(1).cast("double") / col("n_words"))
+      .withColumn("n_dup_2grams",
+        greatest(col("n_words") - 1, lit(0L)) - col("gstats").getItem(0))
+      .withColumn("dup_2gram_frac", when(col("n_words") >= 2,
           (greatest(col("n_words") - 1, lit(0L)) - col("gstats").getItem(0))
             .cast("double") / (col("n_words") - 1))
-          .otherwise(lit(0.0)).as("dup_2gram_frac"))
-      .orderBy("doc_id")
+        .otherwise(lit(0.0)))
+      .drop("word_chars", "wstats", "gstats")
   }
 
   /** Cross-document duplicated-gram signal (the per-document statistic

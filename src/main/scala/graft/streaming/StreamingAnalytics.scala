@@ -61,6 +61,34 @@ object StreamingAnalytics {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming ingest-quality monitor: per (window, source) document
+    * counts, drop rate under the Gopher rules, and mean repetition
+    * signals — the dashboard a continuous curation pipeline watches to
+    * catch a source going bad (a crawler looping, a feed degenerating)
+    * within one window instead of at the next offline audit. The signal
+    * computation is the SAME stateless projection the batch filter uses
+    * ([[graft.operators.TextAnalysis.withGopherSignals]] +
+    * [[graft.operators.Curation.qualityReason]]), so batch and stream
+    * can never disagree on what "dropped" means; state is one aggregate
+    * row per (window, source), reclaimed by the watermark. */
+  def qualityMonitorStream(docs: DataFrame /* doc_id, ts, text, source */,
+                           windowLen: String = "1 hour",
+                           lateness: String = "10 minutes"): DataFrame = {
+    val signals = graft.operators.TextAnalysis.withGopherSignals(docs)
+      .withColumn("drop_reason", graft.operators.Curation.qualityReason())
+    signals
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("drop_reason") =!= "ok", 1L).otherwise(0L)).as("n_dropped"),
+        avg(col("ttr")).as("avg_ttr"),
+        avg(col("dup_2gram_frac")).as("avg_dup_2gram_frac"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_dropped"),
+        (col("n_dropped").cast("double") / col("n_docs")).as("drop_rate"),
+        col("avg_ttr"), col("avg_dup_2gram_frac"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -166,6 +166,45 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("harness: streaming quality monitor equals batch-computed drop stats per source") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val out = qualityMonitorStream(
+      input.toDF().toDF("doc_id", "ts", "text", "source"),
+      windowLen = "1 hour")
+    // Complete mode is wrong for a dashboard; Append holds rows until the
+    // watermark closes the window, so the test advances it past the end.
+    val q = out.writeStream.format("memory").queryName("qm_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // all docs inside ONE window, then a late sentinel to close it
+      input.addData(docs.map { case (id, t, src) => (id, ts(1), t, src) }.toSeq: _*)
+      q.processAllAvailable()
+      input.addData((Long.MaxValue, ts(24 * 60), "closer", "srcX"))
+      q.processAllAvailable()
+      val streamed = spark.table("qm_eq")
+        .filter(col("source") =!= "srcX")
+        .select("source", "n_docs", "n_dropped")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Curation.qualityFilter(spark, sf)
+        .join(graft.operators.Tables.documents(spark, sf).select("doc_id", "source"),
+          "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch.exists(_._3 > 0)) // some source actually drops docs
+    } finally q.stop()
+  }
+
   test("harness: streaming sessionization over the events corpus equals the batch fold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
