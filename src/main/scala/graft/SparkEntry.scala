@@ -60,6 +60,7 @@ object SparkEntry {
     "curate_mix"      -> ((s, d) => Curation.mixSources(s, d)),
     "curate_pack"     -> ((s, d) => Curation.packSequences(s, d)),
     "curate_pii"      -> (Curation.piiDemo _),
+    "curate_spans"    -> ((s, d) => Curation.removeSharedSpans(s, d)),
     "curate_filter"   -> ((s, d) => Curation.qualityFilter(s, d)),
     // Seeded-hash operators are not ANSI-SQL-expressible; their entries
     // run the recall/precision/equality gates vs exact in-repo
@@ -418,6 +419,30 @@ object SparkEntry {
         | CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
         | CAST(length(d.text) AS BIGINT) AS n_chars
         |FROM documents d JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Span removal recomputed from gram STRINGS (hash-invariant: only
+    // df >= 2 membership matters); DuckDB list lambdas are 1-indexed vs
+    // Spark's 0-indexed filter, hence the i - 1; and DuckDB's
+    // array_to_string of an EMPTY list (a fully-covered doc — exact dups
+    // exist in the corpus) is NULL where Spark's concat_ws is '', hence
+    // the outer COALESCE.
+    "curate_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |occ AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+2], ' ') AS gs
+        |        FROM t, unnest(range(1, CASE WHEN len(toks) >= 3
+        |          THEN len(toks) - 2 ELSE 0 END + 1)) AS u(i)
+        |        WHERE len(toks) >= 3),
+        |d AS (SELECT gs, count(DISTINCT doc_id) AS df FROM occ GROUP BY gs),
+        |cov AS (SELECT DISTINCT occ.doc_id, pos + k AS cp
+        |        FROM occ JOIN d USING (gs), unnest(range(0, 3)) AS g2(k)
+        |        WHERE df >= 2),
+        |cv AS (SELECT doc_id, list(cp ORDER BY cp) AS covered FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(len(covered), 0) AS BIGINT) AS n_removed,
+        | COALESCE(array_to_string(list_filter(toks,
+        |   (x, i) -> NOT list_contains(COALESCE(covered, []), i - 1)), ' '), '')
+        |   AS cleaned_text
+        |FROM t LEFT JOIN cv USING (doc_id) ORDER BY doc_id""".stripMargin,
     // PII derivation spelled identically to Curation.piiDemo; the regexes
     // live in the Java-Pattern/RE2 dialect intersection so both engines
     // agree on every match (triple-quoted Scala keeps backslashes literal).

@@ -225,6 +225,51 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring span removal (the APPLY step behind
+    * [[TextAnalysis.dupGramStats]]'s signal; Lee et al. 2022's dedup at
+    * span rather than document granularity): every token covered by a
+    * word n-gram that occurs in ≥2 DISTINCT documents is removed —
+    * boilerplate and licence headers vanish from every copy while each
+    * document's unique content survives. Within-doc repetition is NOT
+    * touched (that is the Gopher rules' job); df counts documents.
+    *
+    * Plan: positional gram hashes per doc (codegen HashedNGrams, grams
+    * only for docs with ≥n tokens — no padding, so position p covers
+    * tokens p..p+n-1 exactly), one gram-df shuffle over DISTINCT
+    * (doc, gram), one gram-keyed join back to occurrences, covered
+    * positions folded per doc, and a per-row indexed filter to drop
+    * them. Everything exchanges on gram hash or doc_id — never pairs.
+    * The final token filter is an interpreted HOF at O(n·|covered|)
+    * per row — acceptable because covered spans are the MINORITY of
+    * tokens by construction on a deduped corpus; a sorted-merge kernel
+    * is the upgrade path if a corpus is boilerplate-dominated. */
+  def removeSharedSpans(s: SparkSession, dir: String, n: Int = 3,
+                        minDf: Int = 2): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nw = size(toks)
+    val gramArr = when(nw >= n,
+      graft.functions.NGramOps.hashedNGrams(
+        transform(toks, t => xxhash64(t)), n))
+      .otherwise(typedlit(Seq.empty[Long]))
+    val occ = documents(s, dir)
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("pos", "g")))
+    val gramDf = occ.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val covered = occ.join(gramDf.filter(col("df") >= minDf), "g")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set("cp")).as("covered"))
+    documents(s, dir)
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), nw.cast("long").as("n_tokens"),
+        coalesce(size(col("covered")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(toks,
+          (t, i) => !array_contains(coalesce(col("covered"), typedlit(Seq.empty[Int])),
+            i))).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Concat-and-split sequence packing: lay all documents' tokens end to
     * end in doc_id order and cut every `budget` tokens — each doc reports
     * the pack it starts in and its offset there (GPT-style training-shard

@@ -473,6 +473,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L).getAs[String]("redacted_text") == "edge <IP>")
   }
 
+  test("span removal: cross-doc shared 3-grams vanish, within-doc repeats survive") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-spans").toString
+    Seq(
+      (0L, "a b c d e f", "en", "s", 11L),
+      (1L, "x y z a b c", "en", "s", 11L),   // shares 'a b c' with doc 0
+      (2L, "p q", "en", "s", 3L),            // too short for any 3-gram
+      (3L, "u v w u v w", "en", "s", 11L))   // within-doc repeat only
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val r = Curation.removeSharedSpans(spark, d2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(0L) == ((6L, 3L, "d e f")))
+    assert(r(1L) == ((6L, 3L, "x y z")))
+    assert(r(2L) == ((2L, 0L, "p q")))
+    assert(r(3L) == ((6L, 0L, "u v w u v w"))) // df counts DOCS, not occurrences
+  }
+
   test("quality filter: first failing rule wins, clean doc kept") {
     import spark.implicits._
     val d2 = Files.createTempDirectory("graft-qf").toString
