@@ -89,6 +89,94 @@ object StreamingAnalytics {
         col("avg_ttr"), col("avg_dup_2gram_frac"))
   }
 
+  final case class BandRow(doc_id: Long, ts: Timestamp, sig: Seq[Long],
+                           bhs: Seq[Long], band: Int, bh: Long)
+  final case class BandState(entries: List[(Long, Long, Seq[Long], Seq[Long])])
+  final case class NearDupHit(doc_a: Long, doc_b: Long, ts: Timestamp,
+                              est_jaccard: Double)
+
+  /** Streaming MinHash-LSH near-dup detection: each arriving document is
+    * checked against every PRIOR document that shares an LSH band within
+    * the watermark horizon — the unbounded-stream counterpart of
+    * [[graft.operators.Dedup.minhashPairs]], and the op a continuous
+    * ingest pipeline runs instead of re-deduping the corpus nightly
+    * (its batch sibling for settled corpora is `incrementalPairs`).
+    *
+    * Shape: a STATELESS prelude computes per-doc signature + band hashes
+    * (the same codegen [[graft.functions.MinHashSignature]] kernel and
+    * band construction as batch, so streaming and batch can never
+    * disagree on what a candidate is), explodes to one row per band, and
+    * keys state by (band, band-hash) — state per group is the signatures
+    * of prior docs in that bucket, NOT token sets (64+bands longs per
+    * doc), pruned to the watermark horizon and reclaimed by event-time
+    * timeout. A pair agreeing on j of b bands meets in j groups but is
+    * emitted EXACTLY once — only the group at the FIRST agreeing band
+    * index emits (both signatures are in hand, so the check is a zip in
+    * state; same scheme as the batch first-match join condition), which
+    * spares the unsupported second stateful dedup stage downstream.
+    *
+    * The horizon IS the contract: near-dups further apart than the
+    * watermark delay are not reported (state would otherwise grow with
+    * the stream; the batch operators own full-corpus dedup). */
+  def nearDupStream(docs: DataFrame /* doc_id, ts, text */, k: Int = 64,
+                    bands: Int = 8, threshold: Double = 0.9,
+                    lateness: String = "10 minutes",
+                    horizonMs: Long = 10 * 60 * 1000L): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.MinHashSignature.minhashSignature
+    val r = k / bands
+    val prepped = docs
+      .withColumn("toks", sort_array(array_distinct(
+        transform(split(col("text"), " "), t => xxhash64(t)))))
+      .withColumn("sig", minhashSignature(col("toks"), k))
+      .withColumn("bhs", transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)))))
+      .select(col("doc_id"), col("ts"), col("sig"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
+      .withWatermark("ts", lateness)
+      .as[BandRow]
+    prepped
+      .groupByKey(row => (row.band, row.bh))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BandState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def firstAgreeingBand(a: Seq[Long], b: Seq[Long]): Int = {
+              var i = 0
+              while (i < a.length && i < b.length) {
+                if (a(i) == b(i)) return i
+                i += 1
+              }
+              -1
+            }
+            val out = scala.collection.mutable.ListBuffer.empty[NearDupHit]
+            // prune BEFORE matching: an entry past the horizon must not
+            // pair with an arrival in the same batch that expires it
+            val wm0 = state.getCurrentWatermarkMs()
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_._2 >= wm0)
+            rows.toSeq.sortBy(row => (row.ts.getTime, row.doc_id)).foreach { row =>
+              entries.foreach { case (id, _, sig, bhs) =>
+                if (id != row.doc_id && firstAgreeingBand(bhs, row.bhs) == row.band) {
+                  var m = 0; var i = 0
+                  while (i < k) { if (sig(i) == row.sig(i)) m += 1; i += 1 }
+                  val est = m.toDouble / k
+                  if (est >= threshold)
+                    out += NearDupHit(id, row.doc_id, row.ts, est)
+                }
+              }
+              entries = (row.doc_id, row.ts.getTime, row.sig, row.bhs) :: entries
+            }
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(BandState(entries))
+              state.setTimeoutTimestamp(entries.map(_._2).max + horizonMs)
+            }
+            out.iterator
+          }
+        })
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -166,6 +166,62 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("harness: streaming minhash near-dup equals the batch banded pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = nearDupStream(input.toDF().toDF("doc_id", "ts", "text"))
+    val q = out.writeStream.format("memory").queryName("neardup_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // arrival order = doc_id order, all within the horizon -> earlier
+      // arrival = lower id, so streamed (doc_a, doc_b) orientation matches
+      // the batch operator's doc_a < doc_b
+      input.addData(docs.map { case (id, t) => (id, ts(1), t) }.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_eq")
+        .select("doc_a", "doc_b", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.Dedup.minhashPairs(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty) // planted near-dups must surface
+    } finally q.stop()
+  }
+
+  test("streaming near-dup horizon: dups beyond the watermark do not pair") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = nearDupStream(input.toDF().toDF("doc_id", "ts", "text"),
+      lateness = "10 minutes", horizonMs = 10 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("neardup_hz")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((0L, ts(0), "the cat sat on the mat"))
+      q.processAllAvailable()
+      // advance the watermark far past doc 0's horizon
+      input.addData((1L, ts(120), "completely unrelated filler words here"))
+      q.processAllAvailable()
+      // an exact dup of doc 0, but 2h later: its twin's state is gone
+      input.addData((2L, ts(125), "the cat sat on the mat"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_hz").isEmpty)
+      // within the horizon it DOES pair (with the late twin, est 1.0)
+      input.addData((3L, ts(126), "the cat sat on the mat"))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_hz").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      assert(hits.toSeq == Seq((2L, 3L, 1.0)))
+    } finally q.stop()
+  }
+
   test("harness: streaming quality monitor equals batch-computed drop stats per source") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
