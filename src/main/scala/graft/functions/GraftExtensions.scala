@@ -42,7 +42,34 @@ object GraftExtensions {
     ("sorted_first_common",
       info("sorted_first_common",
         "sorted_first_common(a, b) - smallest common element of two sorted bigint arrays, NULL if disjoint"),
-      (args: Seq[Expression]) => SortedFirstCommon(args(0), args(1))))
+      (args: Seq[Expression]) => SortedFirstCommon(args(0), args(1))),
+    ("sorted_run_stats",
+      info("sorted_run_stats",
+        "sorted_run_stats(a) - [distinct count, max multiplicity] of a sorted bigint array in one walk"),
+      (args: Seq[Expression]) => SortedRunStats(args(0))),
+    ("minhash_signature",
+      info("minhash_signature",
+        "minhash_signature(toks, k) - k-component MinHash signature of a hashed-token bigint array (k a literal int)"),
+      (args: Seq[Expression]) => MinHashSignature(args(0), foldableInt(args(1), "minhash_signature", "k"))),
+    ("hashed_ngrams",
+      info("hashed_ngrams",
+        "hashed_ngrams(toks, n) - chained n-gram hashes of a hashed-token bigint array, short inputs padded to one gram (n a literal int)"),
+      (args: Seq[Expression]) => HashedNGrams(args(0), foldableInt(args(1), "hashed_ngrams", "n"))),
+    ("winnowing_mins",
+      info("winnowing_mins",
+        "winnowing_mins(grams, w) - minimum over the window of w gram hashes starting at each position, one output per position (w a literal int)"),
+      (args: Seq[Expression]) => WinnowingMins(args(0), foldableInt(args(1), "winnowing_mins", "w"))))
+
+  /** Static int parameters (k, n, w) must be literals at parse time — the
+    * kernels specialize their generated loops on them. */
+  private def foldableInt(e: Expression, fn: String, param: String): Int = {
+    require(e.foldable, s"$fn: $param must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param must be a literal integer, got $other")
+    }
+  }
 
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

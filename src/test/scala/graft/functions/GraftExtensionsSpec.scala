@@ -16,4 +16,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0 && r.getInt(1) == 2 && r.getInt(2) == 2)
     assert(r.getInt(3) == 1 && r.isNullAt(4) && r.getLong(5) == 4L)
   }
+
+  test("kernel functions with static int params are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT sorted_run_stats(array(1L, 1L, 2L, 3L, 3L, 3L)) AS rs,
+        | size(minhash_signature(array(10L, 20L, 30L), 16)) AS sk,
+        | size(hashed_ngrams(array(1L, 2L, 3L, 4L), 3)) AS ng,
+        | size(winnowing_mins(array(5L, 1L, 9L, 2L, 7L), 2)) AS wm""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Long](0) == Seq(3L, 3L))
+    assert(r.getInt(1) == 16 && r.getInt(2) == 2)
+    assert(r.getInt(3) == 5) // one min per start position (tail windows truncate)
+    // non-literal k is rejected with a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L), CAST(rand() * 4 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
 }
