@@ -89,6 +89,91 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact Jaccard of two ASCENDING-sorted distinct long arrays in ONE
+  * merge walk, with a provable early exit for pairs that cannot reach
+  * `threshold`: [[SortedIntersectCount]] spelled into the jaccard
+  * division appears TWICE in a join condition (numerator + denominator),
+  * so every candidate paid the walk twice; this kernel walks once and
+  * returns the IEEE-identical value `(double) m / (na + nb - m)`.
+  *
+  * Early exit: the minimal passing intersection I* (smallest integer
+  * with I/(na+nb−I) ≥ t under the SAME double arithmetic) is found by
+  * binary search up front — ~6 integer steps — and the walk aborts with
+  * −1.0 the moment `m + min(remaining_a, remaining_b) < I*`, an
+  * integer-only test. −1.0 fails every `>= t` the callers apply exactly
+  * like the true sub-threshold value would; pairs that PASS always
+  * complete the walk, so emitted values are bit-identical to the
+  * two-kernel spelling. */
+case class SortedJaccard(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    val maxI = math.min(na, nb)
+    // smallest I with I/(na+nb-I) >= t, or maxI+1 if unreachable
+    var lo = 0; var hi = maxI + 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (mid.toDouble / (na + nb - mid) >= threshold) hi = mid else lo = mid + 1
+    }
+    val istar = lo
+    if (istar > maxI) return -1.0
+    var i = 0; var j = 0; var m = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { m += 1; i += 1; j += 1 }
+      else {
+        if (x < y) i += 1 else j += 1
+        if (m + math.min(na - i, nb - j) < istar) return -1.0
+      }
+    }
+    m.toDouble / (na + nb - m)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(i, j, m, na, nb, x, y, lo, hi, mid, istar, done) =
+        Seq("i", "j", "m", "na", "nb", "x", "y", "lo", "hi", "mid", "istar", "done")
+          .map(ctx.freshName)
+      val t = threshold.toString
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $lo = 0; int $hi = java.lang.Math.min($na, $nb) + 1;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ((double) $mid / ($na + $nb - $mid) >= $t) { $hi = $mid; } else { $lo = $mid + 1; }
+         |}
+         |int $istar = $lo;
+         |boolean $done = false;
+         |${ev.value} = -1.0;
+         |int $i = 0; int $j = 0; int $m = 0;
+         |if ($istar > java.lang.Math.min($na, $nb)) { $done = true; $m = -1; }
+         |while (!$done && $i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $m++; $i++; $j++; }
+         |  else {
+         |    if ($x < $y) { $i++; } else { $j++; }
+         |    if ($m + java.lang.Math.min($na - $i, $nb - $j) < $istar) { $done = true; $m = -1; }
+         |  }
+         |}
+         |if ($m >= 0) { ${ev.value} = (double) $m / ($na + $nb - $m); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** First (minimum) common element of two ASCENDING-sorted long arrays via
   * a merge walk; NULL when disjoint. Lets a prefix-filter self-join emit
   * each candidate pair exactly once (join token == first shared prefix
@@ -232,4 +317,8 @@ object ArrayOps {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sortedJaccard(a: Column, b: Column, threshold: Double): Column =
+    ColumnBridge.column(SortedJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), threshold))
 }

@@ -149,7 +149,6 @@ object Dedup {
 
   private[graft] def jaccardPairsFromSets(sets: DataFrame, threshold: Double,
                                           rarestFirst: Boolean = true): DataFrame = {
-    import graft.functions.ArrayOps.sortedIntersectCount
     val prefix = prefixTable(sets, threshold, rarestFirst)
     // Size prefilter inside the join condition: J >= t forces
     // min(|A|,|B|)/max(|A|,|B|) >= t. Expressed as a division so boundary
@@ -169,24 +168,19 @@ object Dedup {
     // down instead placed the merge walk FIRST in the conjunction, running
     // it on every raw key match before the O(1) predicates (measured 10x
     // slower). ExtractEquiJoinKeys lifts the ptok equality out as the join
-    // key and preserves the remaining conjunct order.
-    def inter(ta: Column, tb: Column) = sortedIntersectCount(ta, tb)
-    val jaccardExpr = inter(col("a.toks"), col("b.toks")).cast("double") /
-      (col("a.sz") + col("b.sz") - inter(col("a.toks"), col("b.toks"))).cast("double")
-    // Output side: the merge walk runs ONCE per surviving pair (projected
-    // as `inter`, then divided) — CollapseProject keeps the two projects
-    // apart because `inter` is non-cheap and referenced twice. The division
-    // uses the identical operands as the condition's jaccardExpr, so the
-    // emitted value is bit-for-bit the same.
+    // key and preserves the remaining conjunct order. The jaccard is ONE
+    // [[graft.functions.SortedJaccard]] walk with a provable early exit —
+    // the older two-intersect division ran the merge walk twice per
+    // candidate and always to completion; surviving pairs' values are
+    // bit-identical (same operands, same IEEE division).
+    val jaccardExpr = graft.functions.ArrayOps.sortedJaccard(
+      col("a.toks"), col("b.toks"), threshold)
+    // Output side: the walk runs once more per SURVIVING pair only.
     prefix.as("a").join(prefix.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
           && sizeOk && firstShared && jaccardExpr >= threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        inter(col("a.toks"), col("b.toks")).as("inter"),
-        (col("a.sz") + col("b.sz")).as("ssum"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("ssum") - col("inter")).cast("double")).as("jaccard"))
+        jaccardExpr.as("jaccard"))
   }
 
   /** Incremental near-dup detection — the shape a 100-TB pipeline
@@ -206,7 +200,6 @@ object Dedup {
     * side was new. */
   def incrementalPairs(s: SparkSession, dir: String, threshold: Double = 0.85,
                        mod: Int = 10): DataFrame = {
-    import graft.functions.ArrayOps.sortedIntersectCount
     val sets = hashedTokenSets(s, dir)
       .withColumn("is_new", col("doc_id") % mod === 0)
     val prefix = prefixTable(sets, threshold, rarestFirst = true,
@@ -218,21 +211,16 @@ object Dedup {
       graft.functions.ArrayOps.sortedFirstCommon(col("a.pref"), col("b.pref"))
     // new×new once (a < b); new×corpus once (corpus only ever on the b
     // side). Condition order mirrors jaccardPairsFromSets: O(1) predicates
-    // before the merge walk.
+    // before the single early-exit merge walk.
     val orient = !col("b.is_new") || (col("a.doc_id") < col("b.doc_id"))
-    def inter(ta: Column, tb: Column) = sortedIntersectCount(ta, tb)
-    val jaccardExpr = inter(col("a.toks"), col("b.toks")).cast("double") /
-      (col("a.sz") + col("b.sz") - inter(col("a.toks"), col("b.toks"))).cast("double")
+    val jaccardExpr = graft.functions.ArrayOps.sortedJaccard(
+      col("a.toks"), col("b.toks"), threshold)
     inc.as("a").join(prefix.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.doc_id") =!= col("b.doc_id")
           && orient && sizeOk && firstShared && jaccardExpr >= threshold)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
-        inter(col("a.toks"), col("b.toks")).as("inter"),
-        (col("a.sz") + col("b.sz")).as("ssum"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("ssum") - col("inter")).cast("double")).as("jaccard"))
+        jaccardExpr.as("jaccard"))
       .localCheckpoint() // same pre-sort materialization as jaccardPairs
       .orderBy("doc_a", "doc_b")
   }

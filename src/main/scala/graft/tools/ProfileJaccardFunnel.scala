@@ -51,8 +51,10 @@ object ProfileJaccardFunnel {
     val nOnce = t("+ first-shared (exactly-once)")(j(base && sizeOk && firstShared).count())
     val jac = sortedIntersectCount(col("a.toks"), col("b.toks")).cast("double") /
       (col("a.sz") + col("b.sz") - sortedIntersectCount(col("a.toks"), col("b.toks"))).cast("double")
-    val nPairs = t("+ exact verify")(j(base && sizeOk && firstShared && jac >= threshold).count())
-    println(s"[funnel] raw=$nRaw size=$nSize once=$nOnce pairs=$nPairs")
+    val nPairs = t("+ exact verify (two-walk)")(j(base && sizeOk && firstShared && jac >= threshold).count())
+    val jac1 = graft.functions.ArrayOps.sortedJaccard(col("a.toks"), col("b.toks"), threshold)
+    val nPairs1 = t("+ exact verify (SortedJaccard)")(j(base && sizeOk && firstShared && jac1 >= threshold).count())
+    println(s"[funnel] raw=$nRaw size=$nSize once=$nOnce pairs=$nPairs pairs1=$nPairs1")
     s.stop()
   }
 }

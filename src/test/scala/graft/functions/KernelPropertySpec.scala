@@ -156,6 +156,23 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("SortedJaccard: exact value for passing pairs, rejection-equivalent otherwise") {
+    import org.apache.spark.sql.Column
+    val tGen = Gen.oneOf(0.3, 0.5, 0.85, 0.9)
+    forAll(longArr, longArr) { (a, b) =>
+      val sa = a.distinct.sorted; val sb = b.distinct.sorted
+      val inter = sa.toSet.intersect(sb.toSet).size
+      val naive = inter.toDouble / (sa.size + sb.size - inter) // NaN for two empties
+      tGen.sample.foreach { t =>
+        val got = eval2(sa, sb, (x: Column, y: Column) =>
+          ArrayOps.sortedJaccard(x, y, t)).asInstanceOf[Double]
+        if (naive >= t) assert(got == naive)     // passing pairs: bit-exact value
+        else assert(got == naive || got == -1.0) // rejects: true value or early exit
+        assert((got >= t) == (naive >= t))       // the decision NEVER differs
+      }
+    }
+  }
+
   test("PqEncode == naive argmin; PqIpTables == naive dot tables") {
     import spark.implicits._
     val m = 4; val ksub = 3; val dsub = 2 // dim 8
