@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_exact"     -> (Dedup.exact _),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalPairs(s, d)),
+    "dedup_incr_exact" -> ((s, d) => Dedup.incrementalExact(s, d)),
     "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
     "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
@@ -285,6 +286,15 @@ object SparkEntry {
         |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
         | FROM ts a, ts b WHERE a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.85 ORDER BY doc_a, doc_b""".stripMargin,
+    // Admission semantics by text (the Spark side groups on xxhash64 —
+    // pinned equal to text grouping by the exactByHash tests).
+    "dedup_incr_exact" ->
+      """WITH d AS (SELECT doc_id, text, doc_id % 10 = 0 AS is_new FROM documents),
+        |a AS (SELECT text, max(CASE WHEN NOT is_new THEN 1 ELSE 0 END) = 1 AS corpus_has,
+        |             min(CASE WHEN is_new THEN doc_id END) AS first_new
+        |      FROM d GROUP BY text)
+        |SELECT doc_id, NOT corpus_has AND doc_id = first_new AS keep
+        |FROM d JOIN a USING (text) WHERE is_new ORDER BY doc_id""".stripMargin,
     // Incremental = the full pair set restricted to pairs touching the
     // increment (doc_id % 10 = 0); corpus×corpus pairs are excluded by
     // construction on both sides.

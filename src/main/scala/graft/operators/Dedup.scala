@@ -183,6 +183,26 @@ object Dedup {
         jaccardExpr.as("jaccard"))
   }
 
+  /** Incremental EXACT dedup — the admission check a growing corpus runs
+    * on every new batch: a new document is kept iff its content hash is
+    * absent from the settled corpus AND it is the first (min-id)
+    * occurrence within the batch. One 8-byte-key groupBy over hashes +
+    * one keyed join back — document bodies never shuffle; the near-dup
+    * counterpart is [[incrementalPairs]], the streaming one
+    * [[graft.streaming.StreamingAnalytics.dedupStream]]. */
+  def incrementalExact(s: SparkSession, dir: String, mod: Int = 10): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"),
+      xxhash64(col("text")).as("th"),
+      (col("doc_id") % mod === 0).as("is_new"))
+    val agg = d.groupBy("th").agg(
+      (max(when(!col("is_new"), 1).otherwise(0)) === 1).as("corpus_has"),
+      min(when(col("is_new"), col("doc_id"))).as("first_new"))
+    d.filter(col("is_new")).join(agg, "th")
+      .select(col("doc_id"),
+        (!col("corpus_has") && col("doc_id") === col("first_new")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental near-dup detection — the shape a 100-TB pipeline
     * actually runs: an already-deduped corpus absorbs a NEW batch, so
     * only new×corpus and new×new pairs need enumerating; corpus×corpus

@@ -58,6 +58,19 @@ class OperatorsSpec extends SparkSpec {
     assert(inc2 == full.filter { case ((a, b), _) => a % 2 == 0 || b % 2 == 0 })
   }
 
+  test("incremental exact dedup: corpus twin rejects, first-in-batch wins") {
+    // fixture: docs 0 and 1 are exact dups. mod=2 -> increment {0,2,4}:
+    // doc 0 keeps only if no CORPUS doc (odd ids) shares its text — doc 1
+    // does, so 0 is rejected; 2 and 4 are unique -> kept.
+    val r = Dedup.incrementalExact(spark, dir, mod = 2).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(r == Map(0L -> false, 2L -> true, 4L -> true))
+    // mod=5 -> increment {0} only: its twin (doc 1) is corpus -> rejected
+    val r2 = Dedup.incrementalExact(spark, dir, mod = 5).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(r2 == Map(0L -> false))
+  }
+
   test("incremental dedup agrees with the restricted full pair set on real data (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val inc = Dedup.incrementalPairs(spark, sf).collect()
