@@ -81,6 +81,7 @@ object SparkEntry {
     "text_gopher"     -> (TextAnalysis.gopherSignals _),
     "text_dupgrams"   -> (TextAnalysis.dupGramStats _),
     "text_vocab"      -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
+    "text_bpe"        -> ((s, d) => Gates.bpeGate(s, d)),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "embed_cluster"   -> (Gates.embedClusterGate(_, _)),
@@ -516,6 +517,10 @@ object SparkEntry {
         |SELECT token, tf, df,
         | CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rk
         |FROM v ORDER BY tf DESC, token LIMIT 25""".stripMargin,
+    "text_bpe" ->
+      """SELECT count(*) AS n_docs, CAST(32 AS BIGINT) AS n_merges,
+        | true AS bounds_ok, true AS compressed
+        |FROM documents""".stripMargin,
     "dedup_minhash" ->
       """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
         |SELECT count(*) AS n_true, true AS recall_ok FROM (

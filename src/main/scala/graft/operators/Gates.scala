@@ -103,6 +103,22 @@ object Gates {
     annGate(s, dir, Similarity.pqTopK(s, dir),
       recallBound = envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
 
+  /** BPE induction gate. The merge loop is iterative argmax — not
+    * ANSI-SQL-expressible — so the gate pins the invariants that make a
+    * BPE table correct instead of per-row values: every document's
+    * post-merge token count lies in [n_words, n_symbols] (merges never
+    * cross word boundaries and every word is at least one token), and
+    * the corpus genuinely compressed (some merge applied). n_docs is
+    * recomputed by the oracle. */
+  def bpeGate(s: SparkSession, dir: String, nMerges: Int = 32): DataFrame =
+    graft.operators.Tokenizer.bpeStats(s, dir, nMerges)
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(when(col("n_bpe_tokens").between(col("n_words"), col("n_symbols")), 0)
+          .otherwise(1)) === 0).as("bounds_ok"),
+        (sum("n_bpe_tokens") < sum("n_symbols")).as("compressed"))
+      .select(col("n_docs"), lit(nMerges).cast("long").as("n_merges"),
+        col("bounds_ok"), col("compressed"))
+
   /** IVF-PQ (IVFADC) recall gate — coarse-list pruning + ADC scoring +
     * exact re-rank. Measured 0.96 at sf0.01 (nprobe=12, rerank=64):
     * exactly the IVF probe recall, i.e. the PQ stage loses nothing the

@@ -456,6 +456,33 @@ class OperatorsSpec extends SparkSpec {
     assert(!g.exists { case (id, gr) => out(id) && evalGrams(gr) })
   }
 
+  test("BPE induction: merge order follows pair frequency; apply respects bounds") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-bpe").toString
+    // 'ab' appears in every word of the dominant words -> first merge (a,b)
+    Seq(
+      (0L, "abcd abcd abce abce abzz", "en", "s", 24L),
+      (1L, "abcd abce qrs", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val merges = Tokenizer.learnMerges(spark, d2, nMerges = 2)
+    assert(merges.head == ("a", "b"))
+    assert(merges(1) == ("ab", "c")) // 'abc' prefix dominates after merge 1
+    // kernel == shared applyMerges semantics
+    val ranks = graft.functions.BpeOps.ranksOf(merges)
+    assert(graft.functions.BpeOps.applyMerges("abcd".map(_.toString).toArray, ranks)
+      .toSeq == Seq("abc", "d"))
+    assert(graft.functions.BpeOps.applyMerges("qrs".map(_.toString).toArray, ranks)
+      .toSeq == Seq("q", "r", "s"))
+    val st = Tokenizer.bpeStats(spark, d2, nMerges = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(st(0L) == ((20L, 11L, 5L))) // abcd,abce -> 2 each; abzz -> ab,z,z = 3
+    assert(st(1L) == ((11L, 7L, 3L)))  // abcd->2, abce->2, qrs->3
+    st.values.foreach { case (sym, bpe, words) =>
+      assert(words <= bpe && bpe <= sym)
+    }
+  }
+
   test("vocab top-k: tf/df totals, deterministic rank, k respected") {
     val v = TextAnalysis.vocabTopK(spark, dir, k = 3).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
