@@ -42,6 +42,8 @@ object SparkEntry {
     "q21_running_window" -> (Analytics.q21RunningWindow _),
     "q22_scalar_funcs" -> (Analytics.q22ScalarFunctions _),
     "q20_approx_distinct" -> (Analytics.q20ApproxDistinctGate _),
+    "q23_skew_join"   -> ((s, d) => Analytics.q23SkewJoin(s, d)),
+    "q24_anomaly"     -> (Analytics.q24EventAnomaly _),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "range_join"      -> ((s, d) => RangeJoin.eventBands(s, d)),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
@@ -167,6 +169,27 @@ object SparkEntry {
     "q13_json" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // The salted join must equal the PLAIN join — that equality IS the
+    // correctness contract of the skew utility.
+    "q23_skew_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // 3-sigma spelled in exact integer arithmetic on both sides (HUGEINT
+    // here, DECIMAL(38,0) in the engine) so the boolean cannot drift.
+    "q24_anomaly" ->
+      """WITH h AS (SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+        |                  count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n, sum(cnt) AS s,
+        |              sum(cnt * cnt) AS ss
+        |       FROM h GROUP BY 1)
+        |SELECT h.event_type, hour, CAST(cnt AS BIGINT) AS cnt,
+        | CASE WHEN n >= 2 THEN
+        |  CAST(cnt*n - s AS HUGEINT) * (cnt*n - s) * (n - 1) >
+        |  9 * CAST(n AS HUGEINT) * (n*ss - s*s)
+        | ELSE false END AS is_anomaly
+        |FROM h JOIN st USING (event_type) ORDER BY event_type, hour""".stripMargin,
     "q14_sql_subquery" ->
       """SELECT c_mktsegment, COUNT(*) AS n_above
         |FROM customer c

@@ -202,6 +202,50 @@ object Analytics {
         array_contains(split(col("o_orderpriority"), "-"), "URGENT").as("is_urgent"))
       .orderBy("o_orderkey")
 
+  /** The salted-join scale utility registered as a first-class,
+    * oracle-checked query: events (the would-be skewed fact side) join
+    * customers on user id with every key spread over `factor` tasks —
+    * the answer must equal the plain join, which is exactly what the
+    * oracle recomputes. Salting is deterministic (content-derived, never
+    * rand()) so retries and oracle runs agree. */
+  def q23SkewJoin(s: SparkSession, dir: String, factor: Int = 8): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_id"))
+    val cust = customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Skew.saltedJoin(ev, cust, "user_id", factor, saltBy = Seq("event_id"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_events"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Hourly event-rate anomaly detection: flag hours whose count departs
+    * the event type's mean by more than 3σ. The 3σ test is spelled in
+    * INTEGER arithmetic — (cnt·n − s)²·(n−1) > 9·n·(n·ss − s²) over
+    * DECIMAL(38,0) — so the boolean is exact and engine-independent;
+    * a naive avg/stddev spelling would compare library-specific doubles.
+    * Two keyed aggregations (hourly counts, per-type moments) + one
+    * broadcast-size join back — the per-type moment table has one row
+    * per event type. */
+  def q24EventAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+    val d38 = "decimal(38,0)"
+    val dev = (col("cnt") * col("n") - col("s")).cast(d38)
+    val varNum = col("n").cast(d38) * col("ss").cast(d38) -
+      col("s").cast(d38) * col("s").cast(d38)
+    hourly.join(stats, "event_type")
+      .select(col("event_type"), col("hour"), col("cnt"),
+        when(col("n") >= 2,
+          dev * dev * (col("n") - 1).cast(d38) >
+            lit(9).cast(d38) * col("n").cast(d38) * varNum)
+          .otherwise(lit(false)).as("is_anomaly"))
+      .orderBy("event_type", "hour")
+  }
+
   /** CUBE grouping sets over segment × nation (all four grouping
     * combinations in one pass — Catalyst expands to a single Expand +
     * aggregate, not four scans). */

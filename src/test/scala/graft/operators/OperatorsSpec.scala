@@ -336,6 +336,35 @@ class OperatorsSpec extends SparkSpec {
     assert(codes == again)
   }
 
+  test("salted join equals the plain join on real data (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val salted = Analytics.q23SkewJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val plain = Tables.events(spark, sf).select(col("user_id"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")), "user_id")
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("event anomaly flags match a BigInt recomputation of the 3-sigma test") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Analytics.q24EventAnomaly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, hs) =>
+      val n = BigInt(hs.length)
+      val s = hs.map(h => BigInt(h._3)).sum
+      val ss = hs.map(h => BigInt(h._3) * BigInt(h._3)).sum
+      hs.foreach { case (_, _, cnt, flag) =>
+        val dev = BigInt(cnt) * n - s
+        val expect = n >= 2 && dev * dev * (n - 1) > 9 * n * (n * ss - s * s)
+        assert(flag == expect)
+      }
+    }
+  }
+
   test("HLL approx distinct is within 5% of exact on the events table") {
     val sf = "/root/testdata/sf0.001"
     val approx = Analytics.q20ApproxDistinct(spark, sf).collect()
