@@ -64,6 +64,7 @@ object SparkEntry {
     "curate_pack"     -> ((s, d) => Curation.packSequences(s, d)),
     "curate_pii"      -> (Curation.piiDemo _),
     "curate_spans"    -> ((s, d) => Curation.removeSharedSpans(s, d)),
+    "curate_split"    -> ((s, d) => Curation.splitAssignments(s, d)),
     "curate_filter"   -> ((s, d) => Curation.qualityFilter(s, d)),
     // Seeded-hash operators are not ANSI-SQL-expressible; their entries
     // run the recall/precision/equality gates vs exact in-repo
@@ -453,6 +454,15 @@ object SparkEntry {
         | CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
         | CAST(length(d.text) AS BIGINT) AS n_chars
         |FROM documents d JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Same lcgKey spelling as curate_sample/curate_mix (one definition
+    // per side, Curation.lcgKey / lcgKeySql).
+    "curate_split" -> {
+      s"""SELECT doc_id, (${graft.operators.Curation.lcgKeySql}) % 1000 AS bucket,
+         | CASE WHEN (${graft.operators.Curation.lcgKeySql}) % 1000 < 900 THEN 'train'
+         |      WHEN (${graft.operators.Curation.lcgKeySql}) % 1000 < 950 THEN 'valid'
+         |      ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // Span removal recomputed from gram STRINGS (hash-invariant: only
     // df >= 2 membership matters); DuckDB list lambdas are 1-indexed vs
     // Spark's 0-indexed filter, hence the i - 1; and DuckDB's

@@ -225,6 +225,26 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/validation/test splitting: each document's
+    * split is a pure function of its id (the shared [[lcgKey]]
+    * pseudo-shuffle reduced mod 1000 against cumulative per-mille
+    * thresholds), so the assignment is stable across runs, engines,
+    * partitionings, and corpus growth — adding documents never
+    * reshuffles existing ones between splits, which is the property
+    * that keeps eval sets uncontaminated over a pipeline's lifetime.
+    * Zero-exchange projection; one lcgKey/lcgKeySql definition on both
+    * sides, so operator and oracle cannot drift. */
+  def splitAssignments(s: SparkSession, dir: String,
+                       trainPerMille: Int = 900,
+                       validPerMille: Int = 50): DataFrame = {
+    val bucket = lcgKey % 1000
+    documents(s, dir).select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < trainPerMille, "train")
+          .when(bucket < trainPerMille + validPerMille, "valid")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring span removal (the APPLY step behind
     * [[TextAnalysis.dupGramStats]]'s signal; Lee et al. 2022's dedup at
     * span rather than document granularity): every token covered by a

@@ -560,6 +560,43 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L) == ((6L, 0L, "u v w u v w"))) // df counts DOCS, not occurrences
   }
 
+  test("split assignments: deterministic, complete, per-mille proportions sane") {
+    val sf = "/root/testdata/sf0.001"
+    val a = Curation.splitAssignments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val b = Curation.splitAssignments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(a.toSeq == b.toSeq)                       // stable across runs
+    assert(a.map(_._1).distinct.length == a.length)  // every doc exactly once
+    val bySplit = a.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("valid", 0))
+    a.foreach { case (_, bucket, split) =>
+      val expect = if (bucket < 900) "train" else if (bucket < 950) "valid" else "test"
+      assert(split == expect)
+    }
+  }
+
+  test("operators degrade to empty output on an empty corpus, never crash") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    assert(Dedup.exact(spark, d2).isEmpty)
+    assert(Dedup.jaccardPairs(spark, d2).isEmpty)
+    assert(Dedup.clusterAssignments(spark, d2).isEmpty) // CC on zero edges
+    assert(Dedup.incrementalPairs(spark, d2).isEmpty)
+    assert(Dedup.incrementalExact(spark, d2).isEmpty)
+    assert(TextAnalysis.gopherSignals(spark, d2).isEmpty)
+    assert(TextAnalysis.vocabTopK(spark, d2).isEmpty)
+    assert(Curation.qualityFilter(spark, d2).isEmpty)
+    assert(Curation.splitAssignments(spark, d2).isEmpty)
+    assert(Curation.removeSharedSpans(spark, d2).isEmpty)
+    assert(Curation.packSequences(spark, d2).isEmpty)
+    assert(DocPipeline.curatePipeline(spark, d2).isEmpty)
+  }
+
   test("quality filter: first failing rule wins, clean doc kept") {
     import spark.implicits._
     val d2 = Files.createTempDirectory("graft-qf").toString
