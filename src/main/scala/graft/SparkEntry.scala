@@ -44,6 +44,7 @@ object SparkEntry {
     "q20_approx_distinct" -> (Analytics.q20ApproxDistinctGate _),
     "q23_skew_join"   -> ((s, d) => Analytics.q23SkewJoin(s, d)),
     "q24_anomaly"     -> (Analytics.q24EventAnomaly _),
+    "q25_bucketed_join" -> (Bucketing.bucketedJoinQuery _),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "range_join"      -> ((s, d) => RangeJoin.eventBands(s, d)),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
@@ -170,6 +171,13 @@ object SparkEntry {
     "q13_json" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // The bucketed-layout join must equal the PLAIN join over the raw
+    // parquet — that equality IS the layout utility's contract.
+    "q25_bucketed_join" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // The salted join must equal the PLAIN join — that equality IS the
     // correctness contract of the skew utility.
     "q23_skew_join" ->

@@ -32,6 +32,18 @@ object Bucketing {
       .saveAsTable("orders_bkt")
   }
 
+  /** The layout + join as one registered, oracle-checked query: write
+    * the bucketed tables into a fresh warehouse, run the zero-Exchange
+    * join, and the result must equal the plain join the oracle
+    * recomputes over the raw parquet — the honest framing of bucketing's
+    * contract (the write pass IS the once-paid shuffle, so the query's
+    * bench time includes it). */
+  def bucketedJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    writeBucketed(s, dir, wh)
+    bucketedJoin(s)
+  }
+
   /** Revenue per order priority over the bucketed tables — the join
     * carries no Exchange (verified by BucketingSpec against the physical
     * plan). */
