@@ -86,6 +86,7 @@ object SparkEntry {
     "text_dupgrams"   -> (TextAnalysis.dupGramStats _),
     "text_vocab"      -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "text_bpe"        -> ((s, d) => Gates.bpeGate(s, d)),
+    "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "embed_cluster"   -> (Gates.embedClusterGate(_, _)),
@@ -562,6 +563,25 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, CAST(32 AS BIGINT) AS n_merges,
         | true AS bounds_ok, true AS compressed
         |FROM documents""".stripMargin,
+    // PMI rank = rank of the exact-integer ratio c_ab/(c_a*c_b) — both
+    // engines divide the same integers, so scores and ranks hash-match
+    // without ever computing a log.
+    "text_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |      FROM t, unnest(range(1, len(toks))) AS u(i)
+        |      WHERE len(toks) >= 2),
+        |b AS (SELECT w1, w2, count(*) AS c_ab FROM p GROUP BY w1, w2
+        |      HAVING count(*) >= 5),
+        |ug AS (SELECT unnest(toks) AS w FROM t),
+        |u2 AS (SELECT w, count(*) AS c FROM ug GROUP BY w)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+        | CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+        | CAST(c_ab AS DOUBLE) / (ua.c * ub.c) AS score,
+        | CAST(row_number() OVER (
+        |   ORDER BY CAST(c_ab AS DOUBLE) / (ua.c * ub.c) DESC, w1, w2) AS BIGINT) AS rk
+        |FROM b JOIN u2 ua ON w1 = ua.w JOIN u2 ub ON w2 = ub.w
+        |ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin,
     "dedup_minhash" ->
       """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
         |SELECT count(*) AS n_true, true AS recall_ok FROM (

@@ -246,6 +246,45 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** Collocation mining: the `k` adjacent word pairs most associated by
+    * PMI among pairs seen at least `minCount` times — the phrase /
+    * multi-word-expression induction step (Church & Hanks 1990) a
+    * tokenizer or phrase-table build runs over the corpus. PMI =
+    * log(p_ab/(p_a·p_b)) is monotone in c_ab/(c_a·c_b) for a fixed
+    * corpus, so the ranking uses that raw ratio — a division of exact
+    * integers, bit-identical in both engines — and never computes a log
+    * (whose libm could differ); ties break by the pair text.
+    *
+    * Plan: one bigram-count shuffle (map-side combined), one unigram-
+    * count shuffle (vocabulary-scale, AQE broadcasts it for the two
+    * joins back), TakeOrdered top-k. Bigrams keep WORD ORDER — this is
+    * sequence analysis, not set analysis. */
+  def collocations(s: SparkSession, dir: String, k: Int = 20,
+                   minCount: Long = 5): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = documents(s, dir)
+      .select(posexplode(when(size(toks) >= 2,
+        slice(toks, lit(1), size(toks) - 1)).otherwise(typedlit(Seq.empty[String])))
+        .as(Seq("i", "w1")),
+        toks.as("ts"))
+      .select(col("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = documents(s, dir)
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("score").desc, col("w1"), col("w2"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab").cast("double") / (col("c_a") * col("c_b")).cast("double"))
+          .as("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy("rk")
+  }
+
   /** Distinct sorted 3-gram shingle sets per doc, shaped like
     * [[Dedup]]'s hashed token sets (doc_id, toks, sz) so the prefix-join
     * pair machinery applies unchanged. Gram-set jaccard is SEQUENCE-level

@@ -485,6 +485,23 @@ class OperatorsSpec extends SparkSpec {
     assert(!g.exists { case (id, gr) => out(id) && evalGrams(gr) })
   }
 
+  test("collocations: attached pair outranks frequent-but-independent pair") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-colloc").toString
+    // 'x y' always co-occur (5 of 5 x's); 'the cat' is frequent but 'the'
+    // also pairs with many other words -> lower ratio
+    val text1 = "x y " * 5 + ("the cat " + "the dog " + "the rat ") * 3
+    Seq((0L, text1.trim, "en", "s", text1.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val r = TextAnalysis.collocations(spark, d2, k = 5, minCount = 3).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(6)))
+    assert(r.head._1 == "x" && r.head._2 == "y" && r.head._4 == 1L)
+    // ranks are contiguous and every surviving pair met the min count
+    assert(r.map(_._4).toSeq == (1L to r.length).toSeq)
+    assert(r.forall(_._3 >= 3L))
+  }
+
   test("BPE induction: merge order follows pair frequency; apply respects bounds") {
     import spark.implicits._
     val d2 = Files.createTempDirectory("graft-bpe").toString
