@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_incr_exact" -> ((s, d) => Dedup.incrementalExact(s, d)),
     "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
     "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
+    "dedup_edit1"     -> ((s, d) => Dedup.editPairs(s, d)),
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -320,6 +321,30 @@ object SparkEntry {
         |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
         | FROM ts a, ts b WHERE a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.85 ORDER BY doc_a, doc_b""".stripMargin,
+    // All-pairs with a length prefilter (500 docs at sf0.01); the Spark
+    // side's deletion-variant join + prefix/suffix verify must reproduce
+    // the same ed<=1 pair set. DuckDB list lambdas are 1-indexed and
+    // list_position returns 0 (not NULL) when absent — hence nullif.
+    "dedup_edit1" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |             x.toks ta, y.toks tb, x.n na, y.n nb
+        |      FROM t x JOIN t y ON x.doc_id < y.doc_id AND abs(x.n - y.n) <= 1),
+        |w AS (SELECT doc_a, doc_b, na, nb,
+        |  coalesce(nullif(list_position(list_transform(range(1, least(na,nb)+1),
+        |    i -> ta[i] = tb[i]), false), 0) - 1, least(na,nb)) AS pre,
+        |  coalesce(nullif(list_position(list_transform(range(1, least(na,nb)+1),
+        |    k -> ta[na-k+1] = tb[nb-k+1]), false), 0) - 1, least(na,nb)) AS suf
+        |  FROM p),
+        |e AS (SELECT doc_a, doc_b, na, nb, pre,
+        |             least(suf, na - pre, nb - pre) AS sufe FROM w)
+        |SELECT doc_a, doc_b,
+        |  CAST(CASE WHEN (na - pre - sufe) = 0 AND (nb - pre - sufe) = 0
+        |       THEN 0 ELSE 1 END AS INT) AS edit_ops
+        |FROM e
+        |WHERE greatest(na - pre - sufe, nb - pre - sufe) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Admission semantics by text (the Spark side groups on xxhash64 —
     // pinned equal to text grouping by the exactByHash tests).
     "dedup_incr_exact" ->

@@ -730,4 +730,64 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Word-level edit-distance (≤ 1) near-dup pairs — the order-SENSITIVE
+    * dedup axis: jaccard/minhash/simhash treat a document as a token SET,
+    * so a reordered paraphrase and a one-word edit look identical to
+    * them; this operator distinguishes exactly-one-token substitutions /
+    * insertions / deletions (edit_ops = 1) and identical sequences
+    * (edit_ops = 0) from everything else.
+    *
+    * Candidate scheme: SymSpell/FastSS deletion neighborhoods. Each doc
+    * emits n+1 variant hashes ([[graft.functions.DeletionHashes]], one
+    * O(n) polynomial pass), and any ed≤1 pair MUST collide on at least
+    * one variant (substitution ⇒ same-position deletions coincide;
+    * insert/delete ⇒ full vs deletion; equality ⇒ full vs full) — exact
+    * recall, no all-pairs enumeration. The equi-join on variant hash is
+    * the only pair-generating exchange, keyed and AQE-skew-safe; the
+    * exact [[graft.functions.WordEditOps]] prefix/suffix verify restores
+    * precision, so hash collisions only ever cost candidate rows.
+    *
+    * Pair multiplicity before the groupBy is bounded by n+1 and is >1
+    * only for identical sequences (which share every variant) —
+    * at 100 TB, collapse edit_ops=0 classes with [[exactByHash]] first
+    * and run this on the representatives. Candidate volume scales with
+    * Σ df(variant)², i.e. with true near-dup density, like the jaccard
+    * prefix filter.
+    *
+    * Scale shape: one doc scan → O(n) variant kernel → keyed self-join
+    * on 8-byte variant hash → pair groupBy → two key joins back to the
+    * token arrays → O(n) verify kernel. No broadcast of any O(N) side. */
+  def editPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.EditOps.{deletionHashes, wordEditOps}
+    val toks = documents(s, dir).select(col("doc_id"),
+      transform(split(col("text"), " "), t => xxhash64(t)).as("toks"))
+    val variants = toks.select(col("doc_id"),
+      explode(deletionHashes(col("toks"))).as("vh"))
+    val cand = variants.as("a")
+      .join(variants.as("b"),
+        col("a.vh") === col("b.vh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .withColumn("edit_ops", wordEditOps(col("ta"), col("tb")))
+      .filter(col("edit_ops") <= 1)
+      .select("doc_a", "doc_b", "edit_ops")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** All-pairs reference for [[editPairs]] — broadcast cross join with
+    * the same exact verify; a test pin only (never registered). */
+  private[graft] def editPairsBrute(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.EditOps.wordEditOps
+    val toks = documents(s, dir).select(col("doc_id"),
+      transform(split(col("text"), " "), t => xxhash64(t)).as("toks"))
+    toks.as("a").join(broadcast(toks.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        wordEditOps(col("a.toks"), col("b.toks")).as("edit_ops"))
+      .filter(col("edit_ops") <= 1)
+      .orderBy("doc_a", "doc_b")
+  }
 }

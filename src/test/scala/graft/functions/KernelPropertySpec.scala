@@ -87,6 +87,47 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  /** Naive word-level Levenshtein DP — the reference definition for
+    * WordEditOps' prefix/suffix shortcut. */
+  private def lev(a: Seq[Long], b: Seq[Long]): Int = {
+    val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 0 to a.length) d(i)(0) = i
+    for (j <- 0 to b.length) d(0)(j) = j
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("WordEditOps == min(word Levenshtein, 2) on random and mutated pairs") {
+    forAll(longArr, longArr) { (a, b) =>
+      assert(eval2(a, b, EditOps.wordEditOps) == math.min(lev(a, b), 2))
+    }
+    // Random 16-long pairs are almost always far apart; exercise the
+    // ed<=1 branches with derived single-token mutations.
+    forAll(longArr, Gen.chooseNum(0, 15)) { (a, i0) =>
+      val i = i0 % a.length
+      val mutants = Seq(a.updated(i, 99L), a.patch(i, Nil, 1),
+        a.patch(i, Seq(99L), 0), a)
+      mutants.foreach { m =>
+        assert(eval2(a, m, EditOps.wordEditOps) == math.min(lev(a, m), 2))
+      }
+    }
+  }
+
+  test("DeletionHashes: variant i+1 == full hash of sequence-minus-i; order-sensitive") {
+    forAll(longArr) { a =>
+      val h = eval1(a, EditOps.deletionHashes)
+      assert(h.length == a.length + 1)
+      a.indices.foreach { i =>
+        assert(h(i + 1) == eval1(a.patch(i, Nil, 1), EditOps.deletionHashes).head)
+      }
+      if (a.distinct.size > 1 && a != a.reverse)
+        assert(eval1(a.reverse, EditOps.deletionHashes).head != h.head)
+    }
+    assert(eval1(Seq.empty[Long], EditOps.deletionHashes).length == 1)
+  }
+
   test("WinnowingMins == per-window minimum with shortened tail windows") {
     forAll(longArr) { a =>
       val w = 4

@@ -105,6 +105,16 @@ class OperatorsSpec extends SparkSpec {
     assert(pf.nonEmpty) // the synthetic corpus plants near-dups; empty would mask a broken join
   }
 
+  test("deletion-variant edit pairs equal brute all-pairs on real data (sf0.01)") {
+    // sf0.01: small enough for the broadcast all-pairs reference, large
+    // enough that the planted one-token edits actually occur (24 pairs).
+    val sf = "/root/testdata/sf0.01"
+    val fast = Dedup.editPairs(spark, sf).collect().map(_.toSeq).toSeq
+    val brute = Dedup.editPairsBrute(spark, sf).collect().map(_.toSeq).toSeq
+    assert(fast == brute)
+    assert(fast.nonEmpty) // empty would mask a broken variant join
+  }
+
   test("shingle near-dup: exact dup at 1.0, word-order matters") {
     val pairs = Dedup.shinglePairs(spark, dir, threshold = 0.3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
