@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
     "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
     "dedup_edit1"     -> ((s, d) => Dedup.editPairs(s, d)),
+    "graph_triangles" -> ((s, d) => Graph.triangleCounts(s, d)),
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -771,6 +772,25 @@ object SparkEntry {
       """SELECT count(*) AS n_vectors, CAST(16 AS BIGINT) AS n_lists,
         | true AS balance_ok, true AS quant_gain_ok
         |FROM embeddings""".stripMargin,
+    // Mutual-kNN triangle counts: rank formulation identical to ann_topk's
+    // (list_cosine_similarity + id tiebreak, proven hash-stable cross-engine).
+    "graph_triangles" ->
+      """WITH p AS (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS (SELECT src, dst FROM p WHERE rk <= 5),
+        |m AS (SELECT d1.src AS u, d1.dst AS v
+        |      FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |      WHERE d1.src < d1.dst),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |      FROM m e1 JOIN m e2 ON e1.v = e2.u
+        |                 JOIN m e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT a AS vec_id FROM t UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t)
+        |SELECT vec_id, count(*) AS n_triangles FROM n
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -115,6 +115,39 @@ class OperatorsSpec extends SparkSpec {
     assert(fast.nonEmpty) // empty would mask a broken variant join
   }
 
+  test("mutual-kNN triangle counts match an independent in-memory reference (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // Same op order as the DotProduct kernel: double accumulation over
+    // float elements, norms sqrt'd separately, so ranks agree exactly.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 5
+    val ids = vecs.keys.toSeq.sorted
+    val topk = ids.map { u =>
+      u -> ids.filter(_ != u).map(v => (v, cos(vecs(u), vecs(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(k).map(_._1).toSet
+    }.toMap
+    val edges = for { u <- ids; v <- ids if u < v && topk(u)(v) && topk(v)(u) } yield (u, v)
+    val eset = edges.toSet
+    val triCount = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- edges; c <- ids if b < c && eset((b, c)) && eset((a, c))) {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val expected = triCount.toSeq.filter(_._2 > 0).sortBy(_._1)
+    val got = Graph.triangleCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty) // clustered synthetic embeddings must close triangles
+  }
+
   test("shingle near-dup: exact dup at 1.0, word-order matters") {
     val pairs = Dedup.shinglePairs(spark, dir, threshold = 0.3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
