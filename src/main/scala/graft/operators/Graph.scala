@@ -28,8 +28,14 @@ object Graph {
     * [[Similarity.lshBuckets]] bands (candidates meet through equi-joins
     * instead of a broadcast product); the ranking window and everything
     * downstream are unchanged. */
-  private[operators] def knnDirected(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val all = Similarity.corpus(s, dir)
+  private[graft] def knnDirected(s: SparkSession, dir: String, k: Int): DataFrame = {
+    // The embeddings table is one parquet block at test SFs, so without a
+    // repartition the N×N dot-product stream runs in a SINGLE task (the
+    // broadcast join preserves the scan's partitioning — measured 4.7 s
+    // single-task vs spread across the cluster). The exchange moves only
+    // N tiny vector rows, before the N×N blowup; at 100 TB the scan is
+    // many-partitioned to begin with and AQE elides it.
+    val all = Similarity.corpus(s, dir).repartition(col("vec_id"))
     val queries = all.select(col("vec_id").as("qid"), col("v").as("qv"),
       col("nrm").as("qnrm"))
     val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
@@ -46,7 +52,7 @@ object Graph {
     * (v,u); the forward/reverse equi-join matches each direction once and
     * the u < v filter keeps exactly one row — exactly-once by
     * construction, no dropDuplicates exchange. */
-  private[operators] def mutualKnnEdges(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private[graft] def mutualKnnEdges(s: SparkSession, dir: String, k: Int): DataFrame = {
     val d = knnDirected(s, dir, k)
     d.as("f").join(d.as("r"),
         col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))

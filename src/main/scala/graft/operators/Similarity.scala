@@ -21,7 +21,7 @@ object Similarity {
   /** Raw float vectors + a precomputed norm scalar: cosine is then one
     * codegen'd dot + a divide per pair — no per-pair normalization, no
     * interpreted array transforms. */
-  private[operators] def corpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"),
               norm(col("embedding")).as("nrm"))
