@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
     "dedup_edit1"     -> ((s, d) => Dedup.editPairs(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangleCounts(s, d)),
+    "graph_clustering" -> ((s, d) => Graph.clusteringCoefficients(s, d)),
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -772,6 +773,31 @@ object SparkEntry {
       """SELECT count(*) AS n_vectors, CAST(16 AS BIGINT) AS n_lists,
         | true AS balance_ok, true AS quant_gain_ok
         |FROM embeddings""".stripMargin,
+    // Local clustering structure as exact integers (n_tri, C(deg,2)) —
+    // no double division, so rows hash-match; DuckDB integer div is //.
+    "graph_clustering" ->
+      """WITH p AS (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS (SELECT src, dst FROM p WHERE rk <= 5),
+        |m AS (SELECT d1.src AS u, d1.dst AS v
+        |      FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |      WHERE d1.src < d1.dst),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |      FROM m e1 JOIN m e2 ON e1.v = e2.u
+        |                 JOIN m e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT a AS vec_id FROM t UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t),
+        |tc AS (SELECT vec_id, count(*) AS n_triangles FROM n GROUP BY vec_id),
+        |dg AS (SELECT vec_id, count(*) AS degree FROM
+        |        (SELECT u AS vec_id FROM m UNION ALL SELECT v FROM m)
+        |       GROUP BY vec_id)
+        |SELECT dg.vec_id, coalesce(tc.n_triangles, 0) AS n_triangles,
+        |       degree * (degree - 1) // 2 AS n_wedges
+        |FROM dg LEFT JOIN tc ON dg.vec_id = tc.vec_id
+        |WHERE degree >= 2 ORDER BY dg.vec_id""".stripMargin,
     // Mutual-kNN triangle counts: rank formulation identical to ann_topk's
     // (list_cosine_similarity + id tiebreak, proven hash-stable cross-engine).
     "graph_triangles" ->

@@ -74,8 +74,14 @@ object Graph {
     * The edge list (≤ N·k/2 rows of two longs) is localCheckpointed: it
     * feeds three join legs, and without materialization each leg would
     * recompute the full kNN build. */
-  def triangleCounts(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = mutualKnnEdges(s, dir, k).localCheckpoint()
+  def triangleCounts(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    triangleCountsFromEdges(mutualKnnEdges(s, dir, k).localCheckpoint())
+      .orderBy("vec_id")
+
+  /** (vec_id, n_triangles) for nodes in ≥ 1 triangle of the given u<v
+    * edge list, UNSORTED. Expects a materialized (checkpointed) edge
+    * relation — it feeds three join legs. */
+  private def triangleCountsFromEdges(e: DataFrame): DataFrame = {
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.v") === col("e2.u"))
       .join(e.as("e3"),
@@ -83,6 +89,25 @@ object Graph {
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
       .groupBy("vec_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Local clustering structure on the mutual-kNN graph, in EXACT
+    * integers: (vec_id, n_triangles, n_wedges) for every node with
+    * degree ≥ 2, n_wedges = C(degree, 2). The coefficient
+    * n_triangles/n_wedges is left to the consumer — emitting the two
+    * integers keeps the result hash-comparable cross-engine (no double
+    * division) and keeps zero-closure hub nodes (n_triangles = 0) in
+    * the output, which [[triangleCounts]] by construction omits — those
+    * are exactly the manifold outliers a curation pass wants to flag. */
+  def clusteringCoefficients(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = mutualKnnEdges(s, dir, k).localCheckpoint()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangleCountsFromEdges(e), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("degree * (degree - 1) div 2").as("n_wedges"))
       .orderBy("vec_id")
   }
 }

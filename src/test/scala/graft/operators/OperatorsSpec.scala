@@ -146,6 +146,15 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expected)
     assert(got.nonEmpty) // clustered synthetic embeddings must close triangles
+
+    val deg = edges.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val expectedCc = deg.toSeq.filter(_._2 >= 2).sortBy(_._1)
+      .map { case (n, d) => (n, triCount(n), d * (d - 1) / 2) }
+    val gotCc = Graph.clusteringCoefficients(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotCc == expectedCc)
+    assert(gotCc.exists(t => t._2 == 0L)) // zero-closure nodes must be kept
   }
 
   test("shingle near-dup: exact dup at 1.0, word-order matters") {
