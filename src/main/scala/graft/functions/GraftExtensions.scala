@@ -58,7 +58,15 @@ object GraftExtensions {
     ("winnowing_mins",
       info("winnowing_mins",
         "winnowing_mins(grams, w) - minimum over the window of w gram hashes starting at each position, one output per position (w a literal int)"),
-      (args: Seq[Expression]) => WinnowingMins(args(0), foldableInt(args(1), "winnowing_mins", "w"))))
+      (args: Seq[Expression]) => WinnowingMins(args(0), foldableInt(args(1), "winnowing_mins", "w"))),
+    ("deletion_hashes",
+      info("deletion_hashes",
+        "deletion_hashes(toks) - [full-sequence hash, hash of sequence minus element i...] of a hashed-token bigint array (n+1 outputs, one O(n) pass)"),
+      (args: Seq[Expression]) => DeletionHashes(args(0))),
+    ("word_edit_ops",
+      info("word_edit_ops",
+        "word_edit_ops(a, b) - min(Levenshtein distance, 2) of two bigint sequences in one prefix/suffix pass"),
+      (args: Seq[Expression]) => WordEditOps(args(0), args(1))))
 
   /** Static int parameters (k, n, w) must be literals at parse time — the
     * kernels specialize their generated loops on them. */

@@ -15,6 +15,15 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head
     assert(r.getDouble(0) == 11.0 && r.getInt(1) == 2 && r.getInt(2) == 2)
     assert(r.getInt(3) == 1 && r.isNullAt(4) && r.getLong(5) == 4L)
+
+    val ed = spark.sql(
+      """SELECT size(deletion_hashes(array(1L, 2L, 3L))) AS dh,
+        | deletion_hashes(array(1L, 2L, 3L))[2] = deletion_hashes(array(1L, 3L))[0] AS dv,
+        | word_edit_ops(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS sub,
+        | word_edit_ops(array(1L, 2L, 3L), array(3L, 2L, 1L)) AS far""".stripMargin)
+      .collect().head
+    assert(ed.getInt(0) == 4 && ed.getBoolean(1))
+    assert(ed.getInt(2) == 1 && ed.getInt(3) == 2)
   }
 
   test("kernel functions with static int params are callable from SQL") {
