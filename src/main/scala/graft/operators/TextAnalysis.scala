@@ -262,11 +262,18 @@ object TextAnalysis {
   def collocations(s: SparkSession, dir: String, k: Int = 20,
                    minCount: Long = 5): DataFrame = {
     val toks = tokens(col("text"))
+    // `ts` is materialized BELOW the Generate and every expression above
+    // refers to it by ATTRIBUTE: projecting `toks.as("ts")` (an expression)
+    // in the same select as the posexplode made the Generate carry raw
+    // `text` and re-run split() once per exploded token row — O(n²) per
+    // document, the same explode-the-expression trap as round 5's ann_lsh
+    // ([[Similarity.lshBuckets]] documents the rule).
     val pairs = documents(s, dir)
-      .select(posexplode(when(size(toks) >= 2,
-        slice(toks, lit(1), size(toks) - 1)).otherwise(typedlit(Seq.empty[String])))
-        .as(Seq("i", "w1")),
-        toks.as("ts"))
+      .withColumn("ts", toks)
+      .select(col("ts"), posexplode(when(size(col("ts")) >= 2,
+        slice(col("ts"), lit(1), size(col("ts")) - 1))
+        .otherwise(typedlit(Seq.empty[String])))
+        .as(Seq("i", "w1")))
       .select(col("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
