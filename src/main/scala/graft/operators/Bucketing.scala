@@ -32,15 +32,32 @@ object Bucketing {
       .saveAsTable("orders_bkt")
   }
 
+  /** One JVM-scoped warehouse dir, removed on exit: a fresh temp dir per
+    * invocation leaked a full bucketed copy of lineitem+orders every
+    * bench/test rep (SaveMode.Overwrite replaces the catalog entry but
+    * each run wrote under a new path). Reusing one path makes repeated
+    * runs overwrite in place; the shutdown hook cleans up the last copy. */
+  private lazy val sessionWarehouse: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-bkt")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+
   /** The layout + join as one registered, oracle-checked query: write
-    * the bucketed tables into a fresh warehouse, run the zero-Exchange
-    * join, and the result must equal the plain join the oracle
-    * recomputes over the raw parquet — the honest framing of bucketing's
-    * contract (the write pass IS the once-paid shuffle, so the query's
-    * bench time includes it). */
+    * the bucketed tables into the session warehouse, run the
+    * zero-Exchange join, and the result must equal the plain join the
+    * oracle recomputes over the raw parquet — the honest framing of
+    * bucketing's contract (the write pass IS the once-paid shuffle, so
+    * the query's bench time includes it). The `*_bkt` names are
+    * session-global; a shared metastore deployment should suffix them
+    * per tenant. */
   def bucketedJoinQuery(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-bkt").toString
-    writeBucketed(s, dir, wh)
+    writeBucketed(s, dir, sessionWarehouse)
     bucketedJoin(s)
   }
 

@@ -96,7 +96,14 @@ object Similarity {
     * the sample stays `cap` rows regardless of corpus size. */
   private[operators] def normalizedSample(all: DataFrame,
                                           cap: Int): Array[(Long, Array[Double])] =
-    all.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
+    // nrm > 0: a zero vector in the sample would normalize to NaN
+    // components that propagate into every IVF and PQ centroid (Lloyd
+    // averages them), silently corrupting both codebooks. Zero vectors
+    // carry no direction to train on; corpus-side they still assign (to
+    // list 0 — every centroid dot is 0/0-free because assignment divides
+    // by the CORPUS row's nrm, and such rows are degenerate upstream).
+    all.filter(col("nrm") > 0)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
       .collect()
       .map { r =>
         val nrm = r.getDouble(2)

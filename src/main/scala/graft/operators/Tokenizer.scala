@@ -79,7 +79,11 @@ object Tokenizer {
       (length(col("text")) - (size(toks) - 1)).cast("long").as("n_symbols"),
       graft.functions.BpeOps.bpeTokenCount(col("text"), merges)
         .cast("long").as("n_bpe_tokens"),
-      size(toks).cast("long").as("n_words"))
+      // NON-EMPTY words only, matching the kernel's nonEmpty skip:
+      // consecutive/leading/trailing spaces split into empty strings that
+      // produce no BPE token, and counting them made the [n_words,
+      // n_symbols] bounds check spuriously fail on such texts.
+      size(filter(toks, t => length(t) > 0)).cast("long").as("n_words"))
       .orderBy("doc_id")
   }
 }

@@ -17,6 +17,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingAnalytics {
 
+  /** "N seconds|minutes|hours|days" → milliseconds, for deriving state
+    * horizons from the SAME string that drives the watermark. */
+  private[streaming] def intervalMs(interval: String): Long = {
+    val Array(n, unit) = interval.trim.toLowerCase.split("\\s+")
+    val base = n.toLong
+    unit.stripSuffix("s") match {
+      case "millisecond" => base
+      case "second"      => base * 1000L
+      case "minute"      => base * 60 * 1000L
+      case "hour"        => base * 60 * 60 * 1000L
+      case "day"         => base * 24 * 60 * 60 * 1000L
+      case other => throw new IllegalArgumentException(
+        s"unsupported interval unit '$other' in '$interval'")
+    }
+  }
+
   /** Tumbling-window counts/sums per event type with a watermark: late
     * events beyond `lateness` are dropped and window state is reclaimed. */
   def windowedEventStats(events: DataFrame,
@@ -120,11 +136,16 @@ object StreamingAnalytics {
     * the stream; the batch operators own full-corpus dedup). */
   def nearDupStream(docs: DataFrame /* doc_id, ts, text */, k: Int = 64,
                     bands: Int = 8, threshold: Double = 0.9,
-                    lateness: String = "10 minutes",
-                    horizonMs: Long = 10 * 60 * 1000L): Dataset[NearDupHit] = {
+                    lateness: String = "10 minutes"): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     import graft.functions.MinHashSignature.minhashSignature
     val r = k / bands
+    // ONE horizon: state entries are pruned against the watermark (driven
+    // by `lateness`) and the state timeout must use the SAME bound — two
+    // independent knobs silently disagreed (a longer timeout kept state
+    // alive that could no longer form pairs; a shorter one lost pairs the
+    // watermark still allowed).
+    val horizonMs = intervalMs(lateness)
     val prepped = docs
       .withColumn("toks", sort_array(array_distinct(
         transform(split(col("text"), " "), t => xxhash64(t)))))

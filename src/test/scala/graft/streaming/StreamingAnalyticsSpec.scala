@@ -200,7 +200,7 @@ class StreamingAnalyticsSpec extends SparkSpec {
     import spark.implicits._
     val input = MemoryStream[(Long, Timestamp, String)]
     val out = nearDupStream(input.toDF().toDF("doc_id", "ts", "text"),
-      lateness = "10 minutes", horizonMs = 10 * 60 * 1000L)
+      lateness = "10 minutes")
     val q = out.writeStream.format("memory").queryName("neardup_hz")
       .outputMode(OutputMode.Append()).start()
     try {
