@@ -20,21 +20,128 @@ import org.apache.spark.sql.functions._
 object Graph {
   import graft.functions.VectorFunctions._
 
-  /** Directed exact kNN edges (src, dst): each vector's top-k neighbors
-    * by cosine, ties broken by neighbor id, self excluded. The query side
-    * is the whole (small) embedding table broadcast against one corpus
-    * scan — the oracle-checkable baseline. At 100 TB, swap the pair
-    * source for [[Similarity.ivfAssignments]]-style coarse lists or
-    * [[Similarity.lshBuckets]] bands (candidates meet through equi-joins
-    * instead of a broadcast product); the ranking window and everything
-    * downstream are unchanged. */
-  private[graft] def knnDirected(s: SparkSession, dir: String, k: Int): DataFrame = {
-    // The embeddings table is one parquet block at test SFs, so without a
-    // repartition the N×N dot-product stream runs in a SINGLE task (the
-    // broadcast join preserves the scan's partitioning — measured 4.7 s
-    // single-task vs spread across the cluster). The exchange moves only
-    // N tiny vector rows, before the N×N blowup; at 100 TB the scan is
-    // many-partitioned to begin with and AQE elides it.
+  /** Directed EXACT kNN edges (src, dst): each vector's top-k neighbors
+    * by cosine, ties broken by neighbor id, self excluded.
+    *
+    * Branch-and-bound over IVF lists — the scale-safe replacement for the
+    * corpus×corpus broadcast product this was through round 6. The
+    * trained coarse quantizer ([[Similarity.centroids]], one bounded
+    * driver sample) partitions the corpus into `nlist` lists; then:
+    *
+    *  1. SAME-LIST candidates meet through a list_id equi-join and each
+    *     query's provisional top-k gives τ_q, its k-th best cosine — a
+    *     lower bound on what a true neighbor must beat.
+    *  2. For every OTHER list j, the spherical triangle inequality bounds
+    *     any member x (angle(q,x) ≥ θ_qc − θ_j with θ_j the list's
+    *     radius, so cos(q,x) ≤ cos(θ_qc − θ_j)): lists whose bound cannot
+    *     reach τ_q are PRUNED without reading a single member. Surviving
+    *     (query, list) pairs meet members through a second list_id
+    *     equi-join; exact cosines below τ_q drop immediately.
+    *  3. The union of both candidate streams re-ranks to the final top-k.
+    *
+    * Output is EXACT at any prune rate (a pruned list provably contains
+    * no top-k member; τ ties survive to the final window), so the
+    * brute-force DuckDB oracle stays valid — unlike an LSH/recall feed,
+    * which could never hash-match it. [[knnDirectedBrute]] is the test
+    * pin; GraphKnnSpec asserts edge-set equality.
+    *
+    * Scale shape: no O(corpus) broadcast anywhere — both pair sources are
+    * keyed shuffle joins on list_id (AQE skew-splits oversized lists),
+    * the bound test runs on N·nlist probe ROWS (never members), and the
+    * windows prune map-side (WindowGroupLimit). Pruning is data-adaptive:
+    * on THIS corpus (uniform directions, the worst case — neighbor
+    * cosines ≈ 0.4, list radii ≈ 80°) the bound prunes almost nothing
+    * and the cost honestly approaches all-pairs spread across the
+    * cluster; on a clustered real-embedding corpus tight lists (high
+    * mc_j) collapse the bound and the probe join touches the few lists
+    * a query could possibly score in — measured rates in BASELINE.md. */
+  private[graft] def knnDirected(s: SparkSession, dir: String, k: Int,
+                                 nlist: Int = 16): DataFrame =
+    knnBuild(s, dir, k, nlist)._3
+
+  /** The build's three stages, exposed so tools/ProfileKnnBound can count
+    * probe survival (the prune rate BASELINE.md records) without
+    * duplicating any plan logic: (phase-1 top-k, surviving probes, final
+    * edges). */
+  private[graft] def knnBuild(s: SparkSession, dir: String, k: Int,
+                              nlist: Int = 16): (DataFrame, DataFrame, DataFrame) = {
+    val all = Similarity.corpus(s, dir)
+    val cents = Similarity.centroids(all, nlist)
+    val centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    // The single-block scan would otherwise run every downstream join in
+    // one task (broadcast/shuffle joins preserve the scan's partitioning;
+    // see round-6 note) — spread N tiny rows BEFORE any pair blowup.
+    val assigned = all.repartition(col("vec_id"))
+      .withColumn("cd", centDots)
+      .withColumn("own", array_max(col("cd")))
+      .withColumn("list_id", expr("array_position(cd, own) - 1"))
+    val members = assigned.select(col("vec_id"), col("v"), col("nrm"),
+      col("list_id"))
+    val cos = dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+
+    // Phase 1: same-list exact candidates → provisional top-k and τ_q.
+    // N·k rows; localCheckpointed because it feeds BOTH the τ probe and
+    // the final union (without it the list self-join would run twice).
+    val p1top = members.as("a")
+      .join(members.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("list_id").as("ql")).as("q"),
+        col("a.list_id") === col("q.ql") && col("a.vec_id") =!= col("q.qid"))
+      .select(col("q.qid").as("src"), col("a.vec_id").as("dst"),
+        cos.as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .localCheckpoint()
+    val tau = p1top.filter(col("rk") === k)
+      .select(col("src").as("qid"), col("cosine").as("tau"))
+
+    // Per-list radius as a cosine: mc_j = min over members of their
+    // own-centroid cosine (cos θ_j). nlist rows; AQE broadcasts it.
+    val radius = assigned.groupBy("list_id").agg(min(col("own")).as("mc"))
+      .select(col("list_id").as("pl"), col("mc"))
+
+    // Phase 2: bound-pruned cross-list probes. The 1e-9 slack covers the
+    // bound's own float rounding (pruning must stay conservative);
+    // queries with < k same-list candidates have no τ row and default to
+    // -2, below any cosine, so nothing is pruned for them.
+    val qc = col("qc")
+    val bound = when(qc >= col("mc"), lit(1.0)).otherwise(
+      qc * col("mc") +
+        sqrt(greatest(lit(0.0), lit(1.0) - qc * qc)) *
+        sqrt(greatest(lit(0.0), lit(1.0) - col("mc") * col("mc"))))
+    val probes = assigned
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("list_id").as("ql"),
+        posexplode(col("cd")).as(Seq("j", "qc")))
+      .filter(col("j").cast("long") =!= col("ql"))
+      .join(radius, col("j").cast("long") === col("pl"))
+      .join(tau.withColumnRenamed("qid", "tqid"),
+        col("qid") === col("tqid"), "left")
+      .withColumn("tau", coalesce(col("tau"), lit(-2.0)))
+      .filter(bound >= col("tau") - lit(1e-9))
+      .select(col("qid"), col("qv"), col("qnrm"), col("tau"),
+        col("pl").as("list_id"))
+    val p2 = members.join(probes, Seq("list_id"))
+      .select(col("qid").as("src"), col("vec_id").as("dst"),
+        cos.as("cosine"), col("tau"))
+      // exact-value comparison: τ IS a phase-1 cosine computed by the
+      // same kernel, so >= keeps ties the final window must adjudicate
+      .filter(col("cosine") >= col("tau"))
+      .select("src", "dst", "cosine")
+
+    val knn = p1top.select("src", "dst", "cosine").unionByName(p2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("src", "dst")
+    (p1top, probes, knn)
+  }
+
+  /** The round-6 all-pairs build: corpus × broadcast(corpus) product.
+    * O(N²) dot products with an O(N) broadcast side — dies at 100 TB.
+    * Kept UNREGISTERED as the exactness pin for [[knnDirected]]
+    * (GraphKnnSpec asserts identical edges) and as the degenerate-corpus
+    * fallback. */
+  private[graft] def knnDirectedBrute(s: SparkSession, dir: String, k: Int): DataFrame = {
     val all = Similarity.corpus(s, dir).repartition(col("vec_id"))
     val queries = all.select(col("vec_id").as("qid"), col("v").as("qv"),
       col("nrm").as("qnrm"))

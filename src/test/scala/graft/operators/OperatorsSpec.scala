@@ -157,6 +157,19 @@ class OperatorsSpec extends SparkSpec {
     assert(gotCc.exists(t => t._2 == 0L)) // zero-closure nodes must be kept
   }
 
+  test("bound-pruned kNN equals the brute all-pairs build (sf0.001 + fixture)") {
+    // The branch-and-bound build must be EXACT at any prune rate — this
+    // pin is what lets the brute-force DuckDB oracle keep checking the
+    // registered graph queries.
+    for (d <- Seq("/root/testdata/sf0.001", dir); k <- Seq(3, 5)) {
+      val pruned = Graph.knnDirected(spark, d, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Graph.knnDirectedBrute(spark, d, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pruned == brute, s"edge sets diverge at $d k=$k")
+    }
+  }
+
   test("shingle near-dup: exact dup at 1.0, word-order matters") {
     val pairs = Dedup.shinglePairs(spark, dir, threshold = 0.3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
