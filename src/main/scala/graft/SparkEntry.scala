@@ -102,11 +102,33 @@ object SparkEntry {
       .toDF().select("asset_id", "modality", "n_bytes", "width", "height")
       .orderBy("asset_id")),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
+    // A REAL Structured-Streaming execution (file source → watermark →
+    // flatMapGroupsWithState → memory sink) over the bounded events
+    // table; equals batch gap sessionization, which DuckDB expresses as
+    // gaps-and-islands — the streaming family's first oracle row.
+    "stream_sessions" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.sessionizeSpooled(s, d)),
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
     * column aliases). Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    // Gap sessionization as gaps-and-islands. BOTH sides work in epoch
+    // MILLISECONDS (the stream's gap arithmetic runs on Timestamp.getTime
+    // ms floors; epoch_ms mirrors it), so µs-precision timestamps cannot
+    // drift the hash. 1800000 = the 30-minute default gap.
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+        |d AS (SELECT user_id, tms,
+        |  CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)
+        |            > 1800000 THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, tms,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |                 ROWS UNBOUNDED PRECEDING) AS grp FROM d)
+        |SELECT user_id, min(tms) AS session_start_ms,
+        |       max(tms) AS session_end_ms, count(*) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start_ms""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

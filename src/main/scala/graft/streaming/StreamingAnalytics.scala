@@ -243,6 +243,92 @@ object StreamingAnalytics {
         })
   }
 
+  private val spoolRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The first ORACLE-CHECKED streaming query: spool the bounded `events`
+    * table through a REAL Structured-Streaming execution of [[sessionize]]
+    * (file source → watermark → flatMapGroupsWithState → memory sink) and
+    * return every closed session. Against a bounded corpus the stream's
+    * output must equal batch gap sessionization — gaps-and-islands SQL
+    * DuckDB can run — which is what finally puts a CORRECTNESS row on the
+    * streaming family instead of unit pins alone.
+    *
+    * Flush protocol: real events arrive in ONE micro-batch (watermark
+    * still at origin, so nothing is late-dropped); then two far-future
+    * sentinel files (user_id −1, filtered from the output) advance the
+    * watermark in two further batches — the first fires no real timeout
+    * yet (timeouts compare against the watermark computed BEFORE the
+    * sentinel arrived), the second fires every remaining real session
+    * (sentinel ts = maxTs + gap + lateness + 1 h ⇒ the batch-3 watermark
+    * exceeds every real lastSeen + gap). No data-plane collect anywhere:
+    * the corpus streams from parquet files; the only driver values are
+    * max(ts) (one aggregate row) and the session-count-sized memory sink
+    * the protocol itself defines.
+    *
+    * Output is in epoch MILLISECONDS on both sides ([[sessionize]]'s gap
+    * arithmetic runs on Timestamp.getTime, i.e. ms floors, and the oracle
+    * mirrors it with epoch_ms), so the micro-precision parquet timestamps
+    * cannot drift the hash. */
+  def sessionizeSpooled(s: SparkSession, dir: String,
+                        gapMs: Long = 30 * 60 * 1000L,
+                        lateness: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-spool-$runId")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    // single parquet file or a directory of part files — spool either
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(src).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+      } else Seq(src)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p, tmp.resolve(f"real_$i%04d.parquet"))
+    }
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val latenessMs = intervalMs(lateness)
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, -1L, "sentinel"))
+        .toDF("ts", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[SessionEvent]
+    val name = s"graft_sessions_$runId"
+    val q = sessionize(stream, gapMs, lateness)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable() // batch 1: the whole bounded corpus
+      val t1 = maxTsNanos + (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L
+      sentinel(t1)
+      q.processAllAvailable() // batch 2: watermark → maxTs − lateness
+      sentinel(t1 + (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L)
+      q.processAllAvailable() // batch 3: every real session times out
+    } finally q.stop()
+    val out = s.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("session_start_ms"),
+        unix_millis(col("session_end")).as("session_end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_ms")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    del(tmp.toFile)
+    out
+  }
+
   /** Batch-mode check of the same sessionization logic (identical fold,
     * no streaming machinery) — lets the gap semantics be oracle-tested. */
   def sessionizeBatch(events: Seq[SessionEvent], gapMs: Long): Seq[SessionOut] = {

@@ -318,4 +318,19 @@ class StreamingAnalyticsSpec extends SparkSpec {
       assert(ids.toSeq == Seq(0L, 2L)) // 1 (same batch) and 3 (later batch) dropped
     } finally q.stop()
   }
+
+  test("spooled session stream equals batch gap sessionization (sf0.001)") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val gapMs = 30 * 60 * 1000L
+    val got = sessionizeSpooled(spark, sf, gapMs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val evs = graft.operators.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect().map(r => SessionEvent(r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val expected = sessionizeBatch(evs.toSeq, gapMs)
+      .map(o => (o.user_id, o.session_start.getTime, o.session_end.getTime, o.n_events))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
