@@ -55,6 +55,10 @@ object SparkEntry {
     "dedup_exact"     -> (Dedup.exact _),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalPairs(s, d)),
+    // Same semantics against the PERSISTED settled-corpus artifacts
+    // (write-once bucketed prefix + df tables; built lazily on first
+    // call, served from the catalog after) — the nightly-job shape.
+    "dedup_incr_artifact" -> ((s, d) => Dedup.incrementalPairsArtifact(s, d)),
     "dedup_incr_exact" -> ((s, d) => Dedup.incrementalExact(s, d)),
     "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
     "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
@@ -109,6 +113,16 @@ object SparkEntry {
     "stream_sessions" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.sessionizeSpooled(s, d)),
   )
+
+  private val incrementalOracleSql =
+    """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      | FROM ts a, ts b WHERE a.doc_id < b.doc_id
+      |   AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)) t
+      |WHERE jaccard >= 0.85 ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
     * column aliases). Omitted keys get a weaker rows-only check. */
@@ -380,16 +394,11 @@ object SparkEntry {
         |FROM d JOIN a USING (text) WHERE is_new ORDER BY doc_id""".stripMargin,
     // Incremental = the full pair set restricted to pairs touching the
     // increment (doc_id % 10 = 0); corpus×corpus pairs are excluded by
-    // construction on both sides.
-    "dedup_incremental" ->
-      """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
-        |SELECT doc_a, doc_b, jaccard FROM (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-        | FROM ts a, ts b WHERE a.doc_id < b.doc_id
-        |   AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)) t
-        |WHERE jaccard >= 0.85 ORDER BY doc_a, doc_b""".stripMargin,
+    // construction on both sides. The SAME SQL checks the recompute path
+    // and the persisted-artifact path: prefix ordering (corpus∪increment
+    // df vs settled-df artifact) shapes candidates only, never output.
+    "dedup_incremental" -> incrementalOracleSql,
+    "dedup_incr_artifact" -> incrementalOracleSql,
     // Sequence-level near-dup from gram STRINGS: jaccard over distinct
     // 3-gram shingle sets is invariant to the per-gram hash the Spark
     // side joins on, and the value itself is a ratio of set sizes.

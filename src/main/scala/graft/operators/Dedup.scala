@@ -245,6 +245,108 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** JVM-scoped root for the settled-corpus artifacts, removed on exit
+    * (same lifecycle as [[Bucketing.sessionWarehouse]]). */
+  private lazy val artifactRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-settled")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+  private val artifactCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** WRITE-ONCE settled-corpus dedup artifacts — what a production corpus
+    * maintains between ingests instead of recomputing per run: the
+    * settled docs' exploded prefix relation (doc_id, sz, toks, pref,
+    * ptok) bucketed by `ptok` (the nightly join's key, so the corpus side
+    * never exchanges again), and the settled token-df table bucketed by
+    * `tok` (the order authority the increment consults). Built lazily
+    * once per (dir, threshold, mod) and served from the catalog
+    * thereafter; returns (prefixTable, dfTable) names.
+    *
+    * The global token order these artifacts pin is (settled-corpus df,
+    * token hash), with unseen tokens at df = 0. Prefix filtering is EXACT
+    * under ANY one consistent total order — the order only shapes
+    * candidate volume — so the artifact path's pair output is
+    * bit-identical to [[incrementalPairs]]' corpus∪increment ordering
+    * (OperatorsSpec pins it). */
+  private[graft] def settledArtifact(s: SparkSession, dir: String,
+                                     threshold: Double, mod: Int): (String, String) =
+    artifactCache.getOrElseUpdate(s"$dir|$threshold|$mod", {
+      val key = math.abs(s"$dir|$threshold|$mod".hashCode).toString
+      val settled = hashedTokenSets(s, dir).filter(col("doc_id") % mod =!= 0)
+      val pName = s"graft_settled_prefix_$key"
+      val dName = s"graft_settled_df_$key"
+      prefixTable(settled, threshold, rarestFirst = true)
+        .write.mode("overwrite").bucketBy(32, "ptok")
+        .option("path", s"$artifactRoot/$pName").saveAsTable(pName)
+      settled.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").bucketBy(32, "tok")
+        .option("path", s"$artifactRoot/$dName").saveAsTable(dName)
+      (pName, dName)
+    })
+
+  /** [[incrementalPairs]] against the PERSISTED artifacts — the shape the
+    * nightly job actually runs at 100 TB: the settled corpus contributes
+    * a bucketed scan (no df count, no per-doc order rebuild, no prefix
+    * exchange — those were paid once at artifact build), and only the
+    * INCREMENT computes tokens, consults the settled df for its order,
+    * and shuffles. Same exactly-once join, same exact verify, same output
+    * as [[incrementalPairs]] (same oracle SQL checks both). */
+  def incrementalPairsArtifact(s: SparkSession, dir: String,
+                               threshold: Double = 0.85,
+                               mod: Int = 10): DataFrame =
+    incrementalPairsArtifactUnsorted(s, dir, threshold, mod)
+      .localCheckpoint() // same pre-sort materialization as jaccardPairs
+      .orderBy("doc_a", "doc_b")
+
+  /** The artifact-path pair set without the presentation sort — also the
+    * plan-audit surface (tools/ProfileIncrArtifact asserts the corpus
+    * side is ONE bucketed scan with no Exchange/HashAggregate above it). */
+  private[graft] def incrementalPairsArtifactUnsorted(
+      s: SparkSession, dir: String, threshold: Double = 0.85,
+      mod: Int = 10): DataFrame = {
+    val (prefixTbl, dfTbl) = settledArtifact(s, dir, threshold, mod)
+    val corpusPrefix = s.table(prefixTbl).withColumn("is_new", lit(false))
+    val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val incPrefix = hashedTokenSets(s, dir)
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
+      .join(s.table(dfTbl), Seq("tok"), "left")
+      // unseen tokens order FIRST (df 0 — rarest); same (df, tok) struct
+      // sort as prefixTable, so one consistent global order spans sides
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy("doc_id", "sz")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+      .select(col("doc_id"), col("sz"),
+        sort_array(col("ordered.tok")).as("toks"),
+        sort_array(slice(col("ordered.tok"), lit(1), prefLen)).as("pref"))
+      .select(col("doc_id"), col("sz"), col("toks"), col("pref"),
+        explode(col("pref")).as("ptok"))
+      .withColumn("is_new", lit(true))
+      .localCheckpoint()
+    val right = corpusPrefix.unionByName(incPrefix)
+    val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") /
+      greatest(col("a.sz"), col("b.sz")) >= threshold
+    val firstShared = col("a.ptok") ===
+      graft.functions.ArrayOps.sortedFirstCommon(col("a.pref"), col("b.pref"))
+    val orient = !col("b.is_new") || (col("a.doc_id") < col("b.doc_id"))
+    val jaccardExpr = graft.functions.ArrayOps.sortedJaccard(
+      col("a.toks"), col("b.toks"), threshold)
+    incPrefix.as("a").join(right.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a.doc_id") =!= col("b.doc_id")
+          && orient && sizeOk && firstShared && jaccardExpr >= threshold)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        jaccardExpr.as("jaccard"))
+  }
+
   /** Measurement hook for tools/CompareOrders: the word-token prefix join
     * under an explicit prefix-order choice. */
   private[graft] def wordPairsWithOrder(s: SparkSession, dir: String,

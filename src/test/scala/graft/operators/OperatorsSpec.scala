@@ -79,6 +79,13 @@ class OperatorsSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(inc == full.filter { case ((a, b), _) => a % 10 == 0 || b % 10 == 0 })
     assert(inc.nonEmpty) // planted near-dups must surface through the increment
+
+    // The persisted-artifact path (settled-df token order, bucketed
+    // corpus prefix) must produce the identical pair set: prefix order
+    // shapes candidates only, never output.
+    val art = Dedup.incrementalPairsArtifact(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(art == inc)
   }
 
   test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
