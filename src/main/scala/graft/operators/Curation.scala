@@ -259,10 +259,11 @@ object Curation {
     * (doc, gram), one gram-keyed join back to occurrences, covered
     * positions folded per doc, and a per-row indexed filter to drop
     * them. Everything exchanges on gram hash or doc_id — never pairs.
-    * The final token filter is an interpreted HOF at O(n·|covered|)
-    * per row — acceptable because covered spans are the MINORITY of
-    * tokens by construction on a deduped corpus; a sorted-merge kernel
-    * is the upgrade path if a corpus is boilerplate-dominated. */
+    * The final token filter is ONE codegen merge walk per row
+    * ([[graft.functions.SpanOps]], O(n + |covered|)) — the round-6
+    * interpreted HOF probed the covered array per token
+    * (O(n·|covered|)), quadratic on boilerplate-dominated corpora
+    * where covered positions approach n. */
   def removeSharedSpans(s: SparkSession, dir: String, n: Int = 3,
                         minDf: Int = 2): DataFrame = {
     val toks = split(col("text"), " ")
@@ -284,9 +285,8 @@ object Curation {
       .join(covered, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), nw.cast("long").as("n_tokens"),
         coalesce(size(col("covered")), lit(0)).cast("long").as("n_removed"),
-        concat_ws(" ", filter(toks,
-          (t, i) => !array_contains(coalesce(col("covered"), typedlit(Seq.empty[Int])),
-            i))).as("cleaned_text"))
+        graft.functions.SpanOps.joinTokensExcept(toks,
+          coalesce(col("covered"), typedlit(Seq.empty[Int]))).as("cleaned_text"))
       .orderBy("doc_id")
   }
 
