@@ -80,15 +80,24 @@ object Bench {
     }
     def obj(kvs: Iterable[(String, String)]): String =
       kvs.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    val qs = obj(results.map { case (k, v) => k -> v.toString })
-    val raws = obj(rawResults.map { case (k, v) => k -> v.toString })
+    // Millisecond precision: 17-digit doubles made the 73-query line
+    // ~4 KB and round 6's driver-side stdout capture truncated it
+    // MID-JSON (BENCH_r06.json parsed=null). Sub-ms digits are far below
+    // the measured noise floor anyway.
+    def ms(v: Double): String = // Locale.ROOT: a comma decimal point would break the JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = obj(results.map { case (k, v) => k -> ms(v) })
+    val raws = obj(rawResults.map { case (k, v) => k -> ms(v) })
     val errs = obj(errors.map { case (k, v) => k -> s""""${esc(v)}"""" })
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""raw_operators":$raws,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
+    // File first (the durable artifact), then stdout, explicitly flushed:
+    // the driver's tail scrape must never be the only copy.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       line.getBytes("UTF-8"))
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }
