@@ -50,6 +50,13 @@ private[graft] object PqOps {
     ColumnBridge.column(
       PqEncode(ColumnBridge.expression(v), ColumnBridge.expression(nrm), books))
 
+  def encodeResidual(v: Column, nrm: Column, listId: Column,
+                     cents: Seq[Seq[Double]],
+                     books: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncodeResidual(ColumnBridge.expression(v),
+      ColumnBridge.expression(nrm), ColumnBridge.expression(listId),
+      cents, books))
+
   def ipTables(qv: Column, qnrm: Column, books: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(
       PqIpTables(ColumnBridge.expression(qv), ColumnBridge.expression(qnrm), books))
@@ -134,6 +141,106 @@ case class PqEncode(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** RESIDUAL PQ encoding (Jégou et al. 2011 §IV.A — the IVFADC refinement
+  * FAISS ships as default): codes quantize v/nrm − c_list, the vector's
+  * offset from its coarse centroid, not the raw vector. When `nlist` is
+  * large enough that cells are tight, residual spread ≪ vector spread and
+  * the same ksub centroids model it far more finely. The coarse codebook
+  * AND the residual codebooks ride as reference objects; the inner loop
+  * is the direct ‖r_sub − c‖² scan (dsub·ksub mul-adds per subspace),
+  * fully codegen'd — still one corpus-wide projection.
+  *
+  * children: (v, nrm, list_id). ADC consumers score
+  * q̂·c_list + Σ_j tables[j][code_j] with tables built by [[PqIpTables]]
+  * over the RESIDUAL books ([[graft.operators.Similarity.ivfPqTopK]]). */
+case class PqEncodeResidual(first: Expression, second: Expression,
+                            third: Expression,
+                            cents: Seq[Seq[Double]],
+                            books: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  @transient private lazy val (m, ksub, dsub, flatBooks, _) = PqOps.flatten(books)
+  @transient private lazy val dim = cents.head.length
+  @transient private lazy val flatCents: Array[Double] = {
+    require(cents.forall(_.length == dim), "ragged coarse codebook")
+    cents.flatten.toArray
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), DoubleType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"expected (array<float|double>, double, bigint), got $a / $b / $c")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def vecIsFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v0: Any, n0: Any, l0: Any): Any = {
+    val v = v0.asInstanceOf[ArrayData]
+    val nrm = n0.asInstanceOf[Double]
+    val cbase = l0.asInstanceOf[Long].toInt * dim
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0; var i = 0
+        val base = (j * ksub + c) * dsub
+        while (i < dsub) {
+          val vi = if (vecIsFloat) v.getFloat(j * dsub + i).toDouble
+                   else v.getDouble(j * dsub + i)
+          val t = vi / nrm - flatCents(cbase + j * dsub + i) - flatBooks(base + i)
+          d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqResBooks", flatBooks, "double[]")
+    val centsRef = ctx.addReferenceObj("pqCoarse", flatCents, "double[]")
+    val get = if (vecIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (v, nrm, lid) => {
+      val codes = ctx.freshName("codes")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val d = ctx.freshName("d"); val t = ctx.freshName("t")
+      val base = ctx.freshName("base"); val cbase = ctx.freshName("cbase")
+      s"""
+         |int[] $codes = new int[$m];
+         |int $cbase = ((int) $lid) * $dim;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $d = 0.0;
+         |    int $base = ($j * $ksub + $c) * $dsub;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      double $t = ((double) $v.$get($j * $dsub + $i)) / $nrm
+         |        - $centsRef[$cbase + $j * $dsub + $i] - $booksRef[$base + $i];
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $codes[$j] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+                                                 c: Expression) =
+    copy(first = a, second = b, third = c)
 }
 
 /** Per-query ADC inner-product tables: tables[j][c] = (q_sub·c)/qnrm.

@@ -254,29 +254,55 @@ object Similarity {
     * This is the composition that serves billion-vector corpora: IVF
     * bounds the rows scanned, PQ bounds the bytes per row.
     *
-    * Codes here quantize the RAW vector (shared with [[pqCodes]]), not
-    * the residual v − centroid; residual encoding buys accuracy when
-    * nlist is large enough that cells are tight — at nlist=16 the
-    * residual spread is nearly the vector spread, and raw codes keep the
-    * encode a single corpus-wide projection. The re-rank stage absorbs
-    * the difference (measured recall at sf0.01: 0.96 at
-    * nprobe=12/rerank=64 — tools/MeasureRecall). */
+    * Codes quantize the RAW vector by default (shared with [[pqCodes]]);
+    * `residual = true` switches to FAISS-default RESIDUAL encoding
+    * (codes quantize v̂ − c_list, scored as q̂·c_list + Σ table lookups
+    * over residual codebooks — [[graft.functions.PqEncodeResidual]]).
+    * Residual buys accuracy when nlist is large enough that cells are
+    * tight; at nlist=16 on THIS near-uniform corpus the residual spread
+    * is nearly the vector spread, and raw codes keep the encode cheaper
+    * (tools/MeasureRecall sweeps both at nlist=16/64 — BASELINE.md).
+    * The re-rank stage absorbs the difference (measured recall at
+    * sf0.01: 0.96 at nprobe=12/rerank=64, raw). */
   def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
                 nlist: Int = 16, nprobe: Int = 12,
-                m: Int = 16, ksub: Int = 32, rerank: Int = 64): DataFrame = {
+                m: Int = 16, ksub: Int = 32, rerank: Int = 64,
+                residual: Boolean = false): DataFrame = {
     val all = corpus(s, dir)
     // one bounded corpus pass trains BOTH quantizers
     val sample = normalizedSample(all, 2048)
     val cents = centroids(all, nlist, sharedSample = sample)
-    val books = pqCodebooks(all, m, ksub, sharedSample = sample)
+    // Residual books train on the sample's coarse-assignment residuals —
+    // same first-max tie-break as the corpus-side array_position argmax.
+    val books =
+      if (!residual) pqCodebooks(all, m, ksub, sharedSample = sample)
+      else {
+        val centArr = cents.map(_.toArray)
+        val resSample = sample.map { case (id, v) =>
+          var best = 0; var bestDot = Double.NegativeInfinity
+          var c = 0
+          while (c < centArr.length) {
+            var d = 0.0; var i = 0
+            while (i < v.length) { d += v(i) * centArr(c)(i); i += 1 }
+            if (d > bestDot) { bestDot = d; best = c }
+            c += 1
+          }
+          (id, Array.tabulate(v.length)(i => v(i) - centArr(best)(i)))
+        }
+        pqCodebooks(all, m, ksub, sharedSample = resSample)
+      }
     def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    val booksSeq = books.map(_.map(_.toSeq).toSeq).toSeq
     // One corpus projection carries BOTH quantizers: coarse list id +
     // PQ codes. At scale this is the stored index table.
-    val indexed = pqEncode(all, books, m)
+    val assigned = all
       .withColumn("cd", centDots)
       .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1"))
-      .drop("cd")
-    val booksSeq = books.map(_.map(_.toSeq).toSeq).toSeq
+    val indexed =
+      (if (!residual) pqEncode(assigned, books, m)
+       else assigned.withColumn("codes", graft.functions.PqOps.encodeResidual(
+         col("v"), col("nrm"), col("list_id"), cents, booksSeq)))
+        .drop("cd")
     val probes = all.filter(col("vec_id") < nQueries)
       .withColumn("cd", centDots)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
@@ -285,9 +311,13 @@ object Similarity {
           col("cd"), sequence(lit(0), lit(cents.length - 1)),
           (d, i) => struct(d.as("d"), i.as("i"))))), 1, nprobe)).as("probe"))
       .select(col("qid"), col("qv"), col("qnrm"), col("qdt"),
-        col("probe.i").cast("long").as("list_id"))
-    val approx = (0 until m).map(j =>
+        col("probe.i").cast("long").as("list_id"),
+        col("probe.d").as("qcd"))
+    val lookups = (0 until m).map(j =>
       element_at(col("qdt").getItem(j), col("codes").getItem(j) + 1)).reduce(_ + _)
+    // residual ADC: cos(q,x) ≈ q̂·c_list + q̂·r_x — the coarse term is the
+    // probe's own centroid cosine, exact per (query, list)
+    val approx = if (residual) col("qcd") + lookups else lookups
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
     val wExact = Window.partitionBy("query_id")

@@ -40,6 +40,17 @@ object MeasureRecall {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[recall] ivfPqTopK nprobe=$nprobe rerank=$rerank recall=${(exact & got).size.toDouble / exact.size}")
     }
+    // Raw vs RESIDUAL encoding (VERDICT r6 stretch): residual should pull
+    // ahead as nlist grows and cells tighten; equal-coverage probes
+    // (nprobe scaled with nlist) keep the comparison honest.
+    for ((nlist, nprobe) <- Seq((16, 12), (64, 48)); res <- Seq(false, true)) {
+      val got = Similarity.ivfPqTopK(s, dir, nlist = nlist, nprobe = nprobe,
+          rerank = 32, residual = res)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[recall] ivfPqTopK nlist=$nlist nprobe=$nprobe rerank=32 " +
+        s"residual=$res recall=${(exact & got).size.toDouble / exact.size}")
+    }
     // IVF list balance + quantization quality (embed_cluster gate bounds)
     val asg = Similarity.ivfAssignments(s, dir)
     val n = asg.count()

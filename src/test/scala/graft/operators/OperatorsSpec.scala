@@ -394,6 +394,19 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head.getLong(0) == 0L && top.head.getLong(1) == 1L && top.head.getLong(2) == 1L)
   }
 
+  test("residual IVF-PQ equals raw at full rerank (scoring plumbing exact)") {
+    // Same probed candidate set + exact re-rank over all of it ⇒ the two
+    // encodings MUST converge; divergence here would mean the residual
+    // q̂·c_list + table-lookup scoring is wrong, not a recall trade.
+    val sf = "/root/testdata/sf0.001"
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val raw = ids(Similarity.ivfPqTopK(spark, sf, rerank = 1000, residual = false))
+    val res = ids(Similarity.ivfPqTopK(spark, sf, rerank = 1000, residual = true))
+    assert(raw == res)
+    assert(raw.nonEmpty)
+  }
+
   test("PQ ANN: re-ranked top-k ranks the planted neighbor first; codes well-formed") {
     val top = Similarity.pqTopK(spark, dir, nQueries = 1, k = 2, rerank = 3).collect()
     assert(top.head.getLong(0) == 0L && top.head.getLong(1) == 1L && top.head.getLong(2) == 1L)
