@@ -112,6 +112,19 @@ object SparkEntry {
     // gaps-and-islands — the streaming family's first oracle row.
     "stream_sessions" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.sessionizeSpooled(s, d)),
+    // Real streaming executions over the spooled documents corpus:
+    // band-keyed stateful near-dup (gated for set equality against batch
+    // minhashPairs) and the windowed quality monitor (integer-exact
+    // per-window output DuckDB recomputes directly).
+    "stream_neardup" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.nearDupSpooled(s, d)),
+    "stream_quality" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.qualityMonitorSpooled(s, d)),
+    // Keyword-retrieval surface (operators.Search): postings construction,
+    // integer-exact TF-IDF ranking, positional phrase search.
+    "search_index"  -> ((s, d) => Search.invertedIndex(s, d)),
+    "search_tfidf"  -> ((s, d) => Search.tfidfTopK(s, d)),
+    "search_phrase" -> ((s, d) => Search.phraseSearch(s, d)),
   )
 
   private val incrementalOracleSql =
@@ -143,6 +156,80 @@ object SparkEntry {
         |       max(tms) AS session_end_ms, count(*) AS n_events
         |FROM g GROUP BY user_id, grp
         |ORDER BY user_id, session_start_ms""".stripMargin,
+    // The equality bit (stream set == batch minhashPairs set) is computed
+    // Spark-side; DuckDB recomputes the engine-independent quantity — the
+    // brute token-Jaccard pair count — exactly like dedup_minhash's gate.
+    "stream_neardup" ->
+      """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT count(*) AS n_true, true AS stream_equals_batch FROM (
+        | SELECT a.doc_id FROM ts a, ts b WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9)""".stripMargin,
+    // Synthetic schedule: doc d arrives at minute (d mod 180) after epoch
+    // ms 86400000, tumbling 1-hour windows — both engines derive
+    // window_start_ms with the same integer arithmetic. Drop rules are
+    // the curate_filter CASE chain; every double is one int/int division.
+    "stream_quality" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words,
+        |                  len(string_split(text, ' ')) AS n, length(text) AS c
+        |           FROM documents),
+        |b AS (SELECT doc_id, source, n,
+        |       CAST(c - (n - 1) AS DOUBLE) / n AS mwl,
+        |       CAST(len(list_distinct(words)) AS DOUBLE) / n AS ttr,
+        |       CAST(list_max(list_transform(list_distinct(words),
+        |         w2 -> len(list_filter(words, x -> x = w2)))) AS DOUBLE) / n AS tws,
+        |       CASE WHEN n >= 2
+        |         THEN CAST((n - 1) - len(list_distinct(list_transform(range(n - 1),
+        |           i -> words[i + 1] || ' ' || words[i + 2]))) AS DOUBLE) / (n - 1)
+        |         ELSE 0.0 END AS dupf
+        |      FROM w),
+        |r AS (SELECT doc_id, source,
+        |       86400000 + ((doc_id % 180) // 60) * 3600000 AS window_start_ms,
+        |       CASE WHEN n < 30 OR n > 5000 OR mwl < 3.0 OR mwl > 10.0
+        |              OR ttr < 0.35 OR tws > 0.15 OR dupf > 0.10
+        |            THEN 1 ELSE 0 END AS dropped
+        |      FROM b)
+        |SELECT window_start_ms, source,
+        | count(*) AS n_docs, CAST(sum(dropped) AS BIGINT) AS n_dropped,
+        | CAST(sum(dropped) AS DOUBLE) / count(*) AS drop_rate
+        |FROM r GROUP BY window_start_ms, source
+        |ORDER BY window_start_ms, source""".stripMargin,
+    "search_index" ->
+      """WITH u AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |           FROM documents)
+        |SELECT term, count(*) AS df,
+        | array_to_string(list_sort(list(doc_id))[1:64], ',') AS postings
+        |FROM u GROUP BY term ORDER BY term""".stripMargin,
+    // Integer-exact TF-IDF: weight = (N·10^6) // df (floor division in
+    // both engines), score = Σ tf·weight — BIGINT end-to-end, so ranks
+    // and scores hash-match with no epsilon.
+    "search_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |u AS (SELECT DISTINCT doc_id, term FROM t),
+        |d AS (SELECT term, count(*) AS df FROM u GROUP BY term),
+        |q AS (SELECT term,
+        |        (SELECT count(*) FROM documents) * 1000000 // df AS weight
+        |      FROM d ORDER BY df ASC, term ASC LIMIT 3),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |sc AS (SELECT tf.doc_id, CAST(sum(tf.tf * q.weight) AS BIGINT) AS score
+        |       FROM tf JOIN q USING (term) GROUP BY tf.doc_id)
+        |SELECT doc_id, score,
+        | CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // The most frequent adjacent bigram (count DESC, bigram ASC) is the
+    // phrase; occurrence counts per containing document. The bigram rows
+    // ARE the adjacency relation, so the oracle counts them directly —
+    // equivalent to the positional-postings join the Spark side runs.
+    "search_phrase" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |          i -> t[i + 1] || ' ' || t[i + 2])) AS bg
+        |        FROM toks WHERE len(t) >= 2),
+        |top AS (SELECT bg FROM big GROUP BY bg
+        |        ORDER BY count(*) DESC, bg ASC LIMIT 1)
+        |SELECT doc_id, count(*) AS n_occurrences
+        |FROM big JOIN top USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword search over the `documents` table: inverted-index construction,
+  * integer-exact TF-IDF ranking, and positional phrase search — the
+  * retrieval surface a curation pipeline uses to find, score and audit
+  * documents at corpus scale (e.g. "which documents mention this
+  * benchmark term" during decontamination triage).
+  *
+  * Design rules shared by the family:
+  *  - Terms are whitespace tokens (the corpus-wide convention,
+  *    [[TextAnalysis]]); per-document dedup happens BEFORE the shuffle
+  *    (`array_distinct` on the token array map-side), so the exchange
+  *    carries one (term, doc_id) row per membership, never per occurrence.
+  *  - Everything shuffles on the TERM key — document bodies never move.
+  *    At 100 TB the term-keyed postings exchange is the same shape search
+  *    engines batch-build indexes with (df skew handled by AQE; a stopword
+  *    cap would bound the head terms, deliberately not applied here so the
+  *    oracle stays exact).
+  *  - Scoring is INTEGER arithmetic end-to-end (`(N·10^6) div df` weights)
+  *    — ranks are reproducible bit-for-bit on any engine, which is what
+  *    makes the DuckDB oracle an exact hash match rather than an
+  *    epsilon compare (log-idf ranks identically for df ties but its
+  *    doubles cannot be hash-compared across libm implementations).
+  */
+object Search {
+
+  /** One row per (doc_id, term-occurrence position), 0-based. The
+    * Generate consumes the split directly — nothing else projects it, so
+    * the tokenization runs once per document row (the
+    * explode-the-expression trap needs a SECOND consumer to bite). */
+  private def occurrences(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+
+  /** One row per (term, doc_id) membership — deduped map-side. */
+  private def memberships(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+
+  /** Inverted index: per term, document frequency plus the postings list
+    * capped to the `cap` SMALLEST doc_ids (rendered as a comma-joined
+    * string so the artifact is engine-portable). The cap is applied with
+    * a per-term `row_number` BEFORE the aggregate — Spark's
+    * WindowGroupLimit prunes partial/final around the window, so the
+    * collect_list never materializes an uncapped postings array; df still
+    * counts every membership in the same single term-keyed exchange
+    * (collect_list skips the nulls the cap produces). */
+  def invertedIndex(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    memberships(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("rn") <= cap, col("doc_id")))),
+            d => d.cast("string")),
+          ",").as("postings"))
+      .orderBy("term")
+  }
+
+  /** TF-IDF top-k: score every document against the `nTerms` RAREST terms
+    * in the corpus (df ascending, term ascending — rare terms are the
+    * discriminative ones; the query set is self-selected so the operator
+    * is deterministic at any scale factor with no tuned literals).
+    *
+    * score(d) = Σ_t tf(t,d) · ((N·10^6) div df(t))  — all BIGINT.
+    *
+    * Plan shape: the query-term side is `limit(nTerms)` rows and is
+    * broadcast; tf is one (doc,term)-keyed aggregate; the global top-k is
+    * `orderBy.limit` (TakeOrderedAndProject — no single-partition window
+    * over the corpus), with ranks attached by a window over the k
+    * surviving rows only. */
+  def tfidfTopK(s: SparkSession, dir: String, nTerms: Int = 3,
+                topK: Int = 10): DataFrame = {
+    val nDocs = Tables.documents(s, dir).select(count(lit(1)).as("n_docs"))
+    val qterms = memberships(s, dir)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").asc, col("term").asc).limit(nTerms)
+      .crossJoin(nDocs) // nTerms × 1 rows
+      .select(col("term"), expr("(n_docs * 1000000) div df").as("weight"))
+    val tf = occurrences(s, dir)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(qterms), "term")
+      .groupBy("doc_id").agg(sum(col("tf") * col("weight")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long"))
+  }
+
+  /** Positional phrase search for the corpus's most frequent bigram
+    * (count descending, bigram ascending — self-selected like
+    * [[tfidfTopK]]'s query terms): documents containing the phrase with
+    * their occurrence counts, answered the way a positional inverted
+    * index answers it — retrieve each term's postings (term-keyed, the
+    * broadcast phrase row turns the scan into two term filters), then
+    * equi-join adjacent positions on (doc_id, pos+1 = pos). Bodies never
+    * move; the join carries (doc_id, pos) pairs for the two query terms
+    * only. */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // adjacent-bigram rows: transform over the token ATTRIBUTE (projected
+    // below the Generate), one evaluation per document
+    val bigrams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))"
+      )).as("bigram"))
+    val phrase = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc).limit(1)
+      .select(split(col("bigram"), " ").getItem(0).as("t1"),
+              split(col("bigram"), " ").getItem(1).as("t2"))
+    val occ = occurrences(s, dir)
+    val first = occ.join(broadcast(phrase), col("term") === col("t1"))
+      .select(col("doc_id"), (col("pos") + 1).as("next_pos"))
+    val second = occ.join(broadcast(phrase), col("term") === col("t2"))
+      .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    first.join(second,
+        col("doc_id") === col("doc_b") && col("next_pos") === col("pos_b"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+}

@@ -350,4 +350,165 @@ object StreamingAnalytics {
         SessionOut(uid, new Timestamp(s.start), new Timestamp(s.lastSeen), s.nEvents))).toSeq
     }.sortBy(o => (o.user_id, o.session_start.getTime))
   }
+
+  /** Spool `documents` into per-wave parquet files with a SYNTHETIC
+    * event time (`tsMsExpr`, integer arithmetic over doc_id so any engine
+    * reproduces it), one wave per `waveExpr` value — the bounded-corpus
+    * arrival schedule that lets a real Structured-Streaming execution be
+    * oracle-checked. `maxFilesPerTrigger=1` on the reader turns each wave
+    * file into its own micro-batch, so cross-batch state is genuinely
+    * exercised (the coalesce(1)-per-wave writes are test-harness
+    * machinery, not a production path — a live deployment reads the
+    * actual stream). Returns the spool dir; callers delete it. */
+  private def spoolDocuments(s: SparkSession, dir: String, waves: Int,
+                             waveExpr: org.apache.spark.sql.Column,
+                             tsMsExpr: org.apache.spark.sql.Column): java.nio.file.Path = {
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-docspool-$runId")
+    val docs = graft.operators.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"),
+        tsMsExpr.cast("long").as("ts_ms"), waveExpr.cast("int").as("wave"))
+    // Stage each wave then move its part file in under a wave-ordered name
+    // with an explicitly stamped, strictly increasing mtime: the file
+    // source orders micro-batches by modification time, and wave order is
+    // a CORRECTNESS input for watermark progression (an out-of-order
+    // hour-wave would be late-dropped), not a nicety.
+    val epoch0 = java.nio.file.Files.getLastModifiedTime(tmp).toMillis
+    (0 until waves).foreach { w =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-docspool-stage-$runId")
+      docs.filter(col("wave") === w).drop("wave")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).zipWithIndex.foreach { case (p, i) =>
+          val dst = tmp.resolve(f"wave_${w}%04d_$i.parquet")
+          java.nio.file.Files.move(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(epoch0 + w * 1000L)): Unit
+        }
+      deleteRecursively(stage)
+    }
+    tmp
+  }
+
+  private def docStream(s: SparkSession, tmp: java.nio.file.Path): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType), StructField("ts_ms", LongType)))
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp.toString)
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    del(p.toFile)
+  }
+
+  /** ORACLE-CHECKED streaming near-dup: spool the corpus through a REAL
+    * execution of [[nearDupStream]] (file source, one wave per
+    * micro-batch, band-keyed `flatMapGroupsWithState`) and gate the
+    * emitted pair set against batch
+    * [[graft.operators.Dedup.minhashPairs]] — same signature kernel, same
+    * band candidates, same estimate, so the sets must be EQUAL when the
+    * horizon covers the whole spool. Pair direction depends on arrival
+    * order (prior, arriving), so both sides compare canonicalized
+    * (least, greatest); emission is exactly-once per pair (first agreeing
+    * band), so equality is set equality, no dedup exchange.
+    *
+    * Output (n_true, stream_equals_batch): n_true = brute token-Jaccard
+    * pair count — the engine-independent quantity DuckDB recomputes —
+    * and the equality bit carries the streaming claim. */
+  def nearDupSpooled(s: SparkSession, dir: String, waves: Int = 4,
+                     threshold: Double = 0.9): DataFrame = {
+    val runId = spoolRuns.incrementAndGet()
+    // wave = doc_id mod waves: arrival order ≠ doc_id order, which is the
+    // point — canonicalization, not spool layout, must give determinism
+    val tmp = spoolDocuments(s, dir, waves,
+      pmod(col("doc_id"), lit(waves)),
+      lit(86400000L) + pmod(col("doc_id"), lit(waves)) * 60000L)
+    val name = s"graft_neardup_$runId"
+    // horizon "7 days" ≫ the spool's 4-minute spread: nothing is ever
+    // late or evicted, so the streamed set must match full-corpus batch
+    val q = nearDupStream(docStream(s, tmp).select(col("doc_id"), col("ts"), col("text")),
+        threshold = threshold, lateness = "7 days")
+      .toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = s.table(name)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        lit(1).as("in_stream"))
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    val batch = graft.operators.Dedup.minhashPairs(s, dir, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_batch"))
+    val eq = streamed.join(batch, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(coalesce(sum(when(col("in_stream").isNull || col("in_batch").isNull, 1)
+        .otherwise(0)), lit(0)).as("mismatch"))
+    graft.operators.Dedup.jaccardPairsUnsorted(s, dir, threshold)
+      .agg(count(lit(1)).as("n_true"))
+      .crossJoin(eq) // 1 × 1 rows
+      .select(col("n_true"), (col("mismatch") === 0).as("stream_equals_batch"))
+  }
+
+  /** ORACLE-CHECKED streaming quality monitor: spool the corpus with a
+    * deterministic event schedule (doc d arrives at minute `d mod 180`,
+    * one hour-wave per micro-batch so the watermark genuinely advances
+    * between batches), run the REAL [[qualityMonitorStream]] execution,
+    * and emit the closed windows. Output is integer-exact per
+    * (window, source) — counts plus one int/int division — which is what
+    * lets DuckDB reproduce the hash exactly; the stream's avg_* signal
+    * columns are double SUMS whose order is engine-dependent, so the
+    * spooled projection drops them (they stay on the live operator).
+    *
+    * Same two-sentinel flush protocol as [[sessionizeSpooled]]: the first
+    * far-future row advances the watermark past every real window, the
+    * second triggers the batch that emits them. */
+  def qualityMonitorSpooled(s: SparkSession, dir: String,
+                            lateness: String = "10 minutes"): DataFrame = {
+    val runId = spoolRuns.incrementAndGet()
+    val minutes = 180
+    val base = 86400000L
+    // hour-ordered waves: wave w holds minutes [60w, 60w+60) so event
+    // time only moves forward across micro-batches — watermark
+    // progression is real, yet nothing is ever late inside the horizon
+    val tmp = spoolDocuments(s, dir, waves = 3,
+      pmod(col("doc_id"), lit(minutes)).divide(60).cast("int"),
+      lit(base) + pmod(col("doc_id"), lit(minutes)) * 60000L)
+    val latenessMs = intervalMs(lateness)
+    val maxTsMs = base + (minutes - 1) * 60000L
+    def sentinel(tsMs: Long): Unit = {
+      import s.implicits._
+      Seq((-1L, "x", "sentinel", tsMs)).toDF("doc_id", "text", "source", "ts_ms")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    }
+    val name = s"graft_quality_$runId"
+    val q = qualityMonitorStream(docStream(s, tmp), windowLen = "1 hour",
+        lateness = lateness)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable() // the three real hour-waves
+      val t1 = maxTsMs + latenessMs + 2 * 60 * 60 * 1000L
+      sentinel(t1)
+      q.processAllAvailable() // watermark → past every real window end
+      sentinel(t1 + latenessMs + 2 * 60 * 60 * 1000L)
+      q.processAllAvailable() // emits them
+    } finally q.stop()
+    val out = s.table(name)
+      .filter(col("source") =!= "sentinel")
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("source"), col("n_docs"), col("n_dropped"), col("drop_rate"))
+      .orderBy("window_start_ms", "source")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("inverted index: postings sorted ascending and capped; df counts memberships") {
+    val cap = 5
+    val rows = Search.invertedIndex(spark, sf, cap = cap).collect()
+    assert(rows.nonEmpty)
+    val memberships = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (term, df, postings) = (r.getString(0), r.getLong(1), r.getString(2))
+      assert(df == memberships(term))
+      val ids = postings.split(",").map(_.toLong).toSeq
+      assert(ids == ids.sorted)
+      assert(ids.length == math.min(df, cap.toLong))
+      assert(ids.distinct.length == ids.length)
+    }
+  }
+
+  test("tfidf top-k: ranks 1..k, scores non-increasing, hits contain a query term") {
+    val top = Search.tfidfTopK(spark, sf, nTerms = 3, topK = 10).collect()
+    assert(top.length == 10)
+    assert(top.map(_.getLong(2)).toSeq == (1L to 10L))
+    val scores = top.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // the three rarest terms, recomputed independently
+    val rare = Tables.documents(spark, sf)
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").count()
+      .orderBy(col("count").asc, col("term").asc).limit(3)
+      .collect().map(_.getString(0)).toSet
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    top.foreach { r =>
+      val words = texts(r.getLong(0)).split(" ").toSet
+      assert(words.intersect(rare).nonEmpty)
+    }
+  }
+
+  test("phrase search: every hit contains the top bigram exactly n_occurrences times") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // top bigram recomputed independently (count desc, bigram asc)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.values.foreach { t =>
+      t.split(" ").sliding(2).filter(_.length == 2)
+        .foreach(p => counts(p.mkString(" ")) = counts.getOrElse(p.mkString(" "), 0L) + 1)
+    }
+    val phrase = counts.toSeq.sortBy { case (bg, n) => (-n, bg) }.head._1
+    val expected = docs.flatMap { case (id, t) =>
+      val n = t.split(" ").sliding(2).count(_.mkString(" ") == phrase)
+      if (n > 0) Some(id -> n.toLong) else None
+    }
+    val got = Search.phraseSearch(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+}

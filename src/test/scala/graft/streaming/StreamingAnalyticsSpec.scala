@@ -333,4 +333,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("spooled near-dup stream gate: streamed pair set equals batch minhashPairs (sf0.001)") {
+    val row = nearDupSpooled(spark, "/root/testdata/sf0.001").collect()
+    assert(row.length == 1)
+    assert(row.head.getLong(0) > 0L)      // n_true: the corpus has near-dups
+    assert(row.head.getBoolean(1))        // stream set == batch set
+  }
+
+  test("spooled quality monitor equals batch per-window drop stats (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = qualityMonitorSpooled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    // batch recomputation of the same schedule with the same drop rules
+    val expected = graft.operators.Curation.qualityFilter(spark, sf)
+      .join(graft.operators.Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .withColumn("window_start_ms",
+        expr("86400000L + ((doc_id % 180) div 60) * 3600000L"))
+      .groupBy("window_start_ms", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("window_start_ms"), col("source"), col("n_docs"), col("n_dropped"),
+        (col("n_dropped").cast("double") / col("n_docs")).as("drop_rate"))
+      .orderBy("window_start_ms", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
