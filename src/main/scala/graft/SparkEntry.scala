@@ -125,6 +125,10 @@ object SparkEntry {
     "search_index"  -> ((s, d) => Search.invertedIndex(s, d)),
     "search_tfidf"  -> ((s, d) => Search.tfidfTopK(s, d)),
     "search_phrase" -> ((s, d) => Search.phraseSearch(s, d)),
+    // Persisted IVF-PQ index: recall bound + bit-identity with the fresh
+    // build (the settled-corpus ANN path, sibling of dedup_incr_artifact).
+    "ann_artifact"  -> (Gates.annArtifactGate _),
+    "text_lmscore"  -> ((s, d) => TextAnalysis.lmTypicality(s, d)),
   )
 
   private val incrementalOracleSql =
@@ -229,6 +233,26 @@ object SparkEntry {
         |        ORDER BY count(*) DESC, bg ASC LIMIT 1)
         |SELECT doc_id, count(*) AS n_occurrences
         |FROM big JOIN top USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ann_artifact" ->
+      """SELECT count(*) AS n_exact, true AS recall_ok,
+        | true AS artifact_equals_fresh FROM (
+        | SELECT q.vec_id FROM embeddings q, embeddings e
+        | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+        | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5)""".stripMargin,
+    // Exact-integer bigram-LM scoring: both engines sum the same BIGINT
+    // corpus counts and floor-divide by the same bigram count.
+    "text_lmscore" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |      FROM t, unnest(range(1, len(ts))) AS u(i)
+        |      WHERE len(ts) >= 2),
+        |c AS (SELECT w1, w2, count(*) AS c_ab FROM p GROUP BY w1, w2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | CAST(sum(c_ab) AS BIGINT) AS sum_bf,
+        | CAST(sum(c_ab) AS BIGINT) * 1000000 // count(*) AS typicality
+        |FROM p JOIN c USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

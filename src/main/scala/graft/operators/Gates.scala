@@ -80,6 +80,29 @@ object Gates {
           lit(true)).as("recall_ok"))
   }
 
+  /** Persisted-index ANN gate: the artifact-served top-k must (a) meet
+    * the same recall bound as the fresh IVF-PQ gate and (b) be
+    * BIT-IDENTICAL to the fresh build — same deterministic training
+    * sample, codebook doubles round-tripped exactly through parquet
+    * ([[Similarity.ivfPqIndexArtifact]]). */
+  def annArtifactGate(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: consumed by both the equality join and the recall
+    // gate; 50 rows, same precedent as minhashPairs
+    val art = Similarity.ivfPqTopKFromArtifact(s, dir).localCheckpoint()
+    val fresh = Similarity.ivfPqTopK(s, dir)
+    val eq = art.select(col("query_id"), col("neighbor_id"), col("rank"),
+        lit(1).as("in_art"))
+      .join(fresh.select(col("query_id"), col("neighbor_id"), col("rank"),
+          lit(1).as("in_fresh")),
+        Seq("query_id", "neighbor_id", "rank"), "full_outer")
+      .agg(coalesce(sum(when(col("in_art").isNull || col("in_fresh").isNull, 1)
+        .otherwise(0)), lit(0)).as("mismatch"))
+    annGate(s, dir, art, envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
+      .crossJoin(eq) // 1 × 1 rows
+      .select(col("n_exact"), col("recall_ok"),
+        (col("mismatch") === 0).as("artifact_equals_fresh"))
+  }
+
   /** Sign-LSH ANN recall gate — measured 0.96 at sf0.01 (16 bands x 4
     * bits; see [[Similarity.lshTopK]] for the band math). */
   def annLshGate(s: SparkSession, dir: String): DataFrame =

@@ -44,11 +44,13 @@ object Search {
   /** Inverted index: per term, document frequency plus the postings list
     * capped to the `cap` SMALLEST doc_ids (rendered as a comma-joined
     * string so the artifact is engine-portable). The cap is applied with
-    * a per-term `row_number` BEFORE the aggregate — Spark's
-    * WindowGroupLimit prunes partial/final around the window, so the
-    * collect_list never materializes an uncapped postings array; df still
-    * counts every membership in the same single term-keyed exchange
-    * (collect_list skips the nulls the cap produces). */
+    * a per-term `row_number` BEFORE the aggregate: rows past the cap
+    * contribute NULL to the collect_list (which skips nulls), so the
+    * uncapped postings array never materializes, while df still counts
+    * every membership. The whole build is ONE term-keyed exchange — the
+    * window sort and both aggregate phases reuse its partitioning
+    * (verified: plan shows Exchange → Sort → Window → two
+    * ObjectHashAggregates with no second data exchange). */
   def invertedIndex(s: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     val w = Window.partitionBy("term").orderBy("doc_id")
     memberships(s, dir)
@@ -111,10 +113,15 @@ object Search {
       .select(col("doc_id"), explode(expr(
         "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))"
       )).as("bigram"))
+    // localCheckpoint: the ONE-ROW phrase is consumed by both postings
+    // joins; without it each reference re-runs the corpus-wide bigram
+    // aggregate (verified in the plan — two identical agg subtrees).
+    // Control-plane sized, same precedent as Dedup.minhashPairs.
     val phrase = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc).limit(1)
       .select(split(col("bigram"), " ").getItem(0).as("t1"),
               split(col("bigram"), " ").getItem(1).as("t2"))
+      .localCheckpoint()
     val occ = occurrences(s, dir)
     val first = occ.join(broadcast(phrase), col("term") === col("t1"))
       .select(col("doc_id"), (col("pos") + 1).as("next_pos"))

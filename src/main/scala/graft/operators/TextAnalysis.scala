@@ -292,6 +292,43 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** Bigram-LM typicality scoring — the CCNet idea (score text against a
+    * language model of the corpus, filter the tails) in exact-integer
+    * form: the corpus's own adjacent-bigram counts ARE the model, and a
+    * document's score is the sum of its bigrams' corpus counts. High
+    * typicality = generic, template-like text; low = novel or noisy —
+    * both tails are curation signals. `typicality` is the per-bigram
+    * mean scaled to stay integral ((sum·10^6) div n), so scores are
+    * engine-reproducible bit-for-bit — a log-prob LM ranks the same
+    * docs but its doubles cannot be hash-compared across libm
+    * implementations.
+    *
+    * Plan shape: the exploded bigram relation is materialized ONCE
+    * (localCheckpoint) and feeds both the count aggregate and the
+    * re-join; the join and both aggregates are bigram-/doc-keyed — at
+    * 100 TB the bigram keys would ride as xxhash64 of the pair (the
+    * string keys here keep the DuckDB oracle exact; collision-free
+    * hashing changes no count). */
+  def lmTypicality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    // same explode-the-ATTRIBUTE idiom as [[collocations]]
+    val pairRows = documents(s, dir)
+      .withColumn("ts", toks)
+      .select(col("doc_id"), col("ts"), posexplode(when(size(col("ts")) >= 2,
+        slice(col("ts"), lit(1), size(col("ts")) - 1))
+        .otherwise(typedlit(Seq.empty[String])))
+        .as(Seq("i", "w1")))
+      .select(col("doc_id"), col("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
+      .localCheckpoint()
+    val counts = pairRows.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    pairRows.join(counts, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c_ab")).as("sum_bf"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bf"),
+        expr("(sum_bf * 1000000) div n_bigrams").as("typicality"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct sorted 3-gram shingle sets per doc, shaped like
     * [[Dedup]]'s hashed token sets (doc_id, toks, sz) so the prefix-join
     * pair machinery applies unchanged. Gram-set jaccard is SEQUENCE-level

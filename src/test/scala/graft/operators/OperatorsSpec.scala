@@ -407,6 +407,48 @@ class OperatorsSpec extends SparkSpec {
     assert(raw.nonEmpty)
   }
 
+  test("persisted ANN index: artifact top-k is bit-identical to the fresh build") {
+    val sf = "/root/testdata/sf0.001"
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val art = ids(Similarity.ivfPqTopKFromArtifact(spark, sf))
+    val fresh = ids(Similarity.ivfPqTopK(spark, sf))
+    assert(art == fresh)
+    assert(art.nonEmpty)
+  }
+
+  test("persisted ANN index: the index scan partition-prunes to the probed lists") {
+    val sf = "/root/testdata/sf0.001"
+    val plan = Similarity.ivfPqTopKFromArtifact(spark, sf)
+      .queryExecution.sparkPlan.toString
+    // the partitioned catalog table must be read under a partition filter
+    // on list_id — NOT a full scan plus a post-filter
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"no partition pruning on the index scan:\n$plan")
+  }
+
+  test("bigram-LM typicality: scores are mean corpus bigram counts, integer-exact") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.lmTypicality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // independent recomputation on the driver
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val allBigrams = texts.flatMap(_._2.split(" ").sliding(2).filter(_.length == 2)
+      .map(_.mkString(" ")).toSeq)
+    val counts = allBigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expected = texts.flatMap { case (id, t) =>
+      val bgs = t.split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      if (bgs.isEmpty) None
+      else {
+        val sum = bgs.map(counts).sum
+        Some((id, bgs.length.toLong, sum, sum * 1000000L / bgs.length))
+      }
+    }.sortBy(_._1).toSeq
+    assert(rows.toSeq == expected)
+  }
+
   test("PQ ANN: re-ranked top-k ranks the planted neighbor first; codes well-formed") {
     val top = Similarity.pqTopK(spark, dir, nQueries = 1, k = 2, rerank = 3).collect()
     assert(top.head.getLong(0) == 0L && top.head.getLong(1) == 1L && top.head.getLong(2) == 1L)
