@@ -160,15 +160,12 @@ object SparkEntry {
         |       max(tms) AS session_end_ms, count(*) AS n_events
         |FROM g GROUP BY user_id, grp
         |ORDER BY user_id, session_start_ms""".stripMargin,
-    // The equality bit (stream set == batch minhashPairs set) is computed
-    // Spark-side; DuckDB recomputes the engine-independent quantity — the
-    // brute token-Jaccard pair count — exactly like dedup_minhash's gate.
+    // Pinned booleans (the dedup_simhash oracle shape): the claim — the
+    // streaming execution emits exactly the batch minhash pair set — is
+    // computed Spark-side; recall vs brute-Jaccard truth is dedup_minhash's
+    // claim and is gated (and oracle-counted) there.
     "stream_neardup" ->
-      """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
-        |SELECT count(*) AS n_true, true AS stream_equals_batch FROM (
-        | SELECT a.doc_id FROM ts a, ts b WHERE a.doc_id < b.doc_id
-        |  AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9)""".stripMargin,
+      "SELECT true AS has_pairs, true AS stream_equals_batch",
     // Synthetic schedule: doc d arrives at minute (d mod 180) after epoch
     // ms 86400000, tumbling 1-hour windows — both engines derive
     // window_start_ms with the same integer arithmetic. Drop rules are

@@ -457,14 +457,18 @@ object Dedup {
     * signatures are re-joined keyed after candidate generation (AQE
     * broadcasts the signature side when it is actually small). */
   def minhashPairs(s: SparkSession, dir: String, k: Int = 64, bands: Int = 8,
-                   threshold: Double = 0.9): DataFrame = {
+                   threshold: Double = 0.9,
+                   maxDocId: Long = Long.MaxValue): DataFrame = {
     import graft.functions.ArrayOps.positionalMatchCount
     val r = k / bands
     // localCheckpoint (not persist): materialized once, reused by the
     // band join + both re-joins, and reclaimed by the ContextCleaner
     // when unreferenced — a .persist here would leak cache across the
     // session since the operator never sees query completion.
-    val sigArr = minhashSignatureArrays(s, dir, k).localCheckpoint()
+    // maxDocId bounds the corpus for bounded-replay gates
+    // (StreamingAnalytics.nearDupSpooled); the default is the whole corpus.
+    val sigArr = minhashSignatureArrays(s, dir, k)
+      .filter(col("doc_id") < maxDocId).localCheckpoint()
     val cand = bandCandidates(sigArr, bands, r)
     // No broadcast hints on the O(N) signature table: AQE broadcasts it
     // when actually small and degrades to a keyed shuffle when not.

@@ -362,10 +362,12 @@ object StreamingAnalytics {
     * actual stream). Returns the spool dir; callers delete it. */
   private def spoolDocuments(s: SparkSession, dir: String, waves: Int,
                              waveExpr: org.apache.spark.sql.Column,
-                             tsMsExpr: org.apache.spark.sql.Column): java.nio.file.Path = {
+                             tsMsExpr: org.apache.spark.sql.Column,
+                             docLimit: Long = Long.MaxValue): java.nio.file.Path = {
     val runId = spoolRuns.incrementAndGet()
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-docspool-$runId")
     val docs = graft.operators.Tables.documents(s, dir)
+      .filter(col("doc_id") < docLimit)
       .select(col("doc_id"), col("text"), col("source"),
         tsMsExpr.cast("long").as("ts_ms"), waveExpr.cast("int").as("wave"))
     // Stage each wave then move its part file in under a wave-ordered name
@@ -420,17 +422,33 @@ object StreamingAnalytics {
     * (least, greatest); emission is exactly-once per pair (first agreeing
     * band), so equality is set equality, no dedup exchange.
     *
-    * Output (n_true, stream_equals_batch): n_true = brute token-Jaccard
-    * pair count — the engine-independent quantity DuckDB recomputes —
-    * and the equality bit carries the streaming claim. */
+    * Output (has_pairs, stream_equals_batch) — pinned booleans, the
+    * [[graft.operators.Gates.simhashGate]] oracle shape. The gate
+    * deliberately does NOT re-run the brute-Jaccard truth: recall vs
+    * truth is dedup_minhash's claim and is gated there; THIS query's
+    * claim is that the streaming execution emits exactly the batch pair
+    * set, and adding a third full pair computation to the gate would
+    * double its cost for a bound already pinned elsewhere.
+    *
+    * `docLimit` makes the replay BOUNDED (both sides identically): the
+    * operator's production regime is per-arrival increments with
+    * horizon-bounded state — replaying an entire dense settled corpus
+    * through per-row state matching is the one regime it is NOT for
+    * (that is batch minhashPairs' job), and an equality pin is
+    * structural, not statistical, so it needs arrivals that exercise
+    * every path (cross-batch state, same-batch ordering, dense
+    * buckets), not every row. The sf0.01 correctness corpus (500 docs)
+    * replays in full. */
   def nearDupSpooled(s: SparkSession, dir: String, waves: Int = 4,
-                     threshold: Double = 0.9): DataFrame = {
+                     threshold: Double = 0.9,
+                     docLimit: Long = 2000L): DataFrame = {
     val runId = spoolRuns.incrementAndGet()
     // wave = doc_id mod waves: arrival order ≠ doc_id order, which is the
     // point — canonicalization, not spool layout, must give determinism
     val tmp = spoolDocuments(s, dir, waves,
       pmod(col("doc_id"), lit(waves)),
-      lit(86400000L) + pmod(col("doc_id"), lit(waves)) * 60000L)
+      lit(86400000L) + pmod(col("doc_id"), lit(waves)) * 60000L,
+      docLimit = docLimit)
     val name = s"graft_neardup_$runId"
     // horizon "7 days" ≫ the spool's 4-minute spread: nothing is ever
     // late or evicted, so the streamed set must match full-corpus batch
@@ -446,15 +464,15 @@ object StreamingAnalytics {
       .localCheckpoint()
     s.catalog.dropTempView(name)
     deleteRecursively(tmp)
-    val batch = graft.operators.Dedup.minhashPairs(s, dir, threshold = threshold)
+    val batch = graft.operators.Dedup.minhashPairs(s, dir, threshold = threshold,
+        maxDocId = docLimit)
       .select(col("doc_a"), col("doc_b"), lit(1).as("in_batch"))
-    val eq = streamed.join(batch, Seq("doc_a", "doc_b"), "full_outer")
-      .agg(coalesce(sum(when(col("in_stream").isNull || col("in_batch").isNull, 1)
-        .otherwise(0)), lit(0)).as("mismatch"))
-    graft.operators.Dedup.jaccardPairsUnsorted(s, dir, threshold)
-      .agg(count(lit(1)).as("n_true"))
-      .crossJoin(eq) // 1 × 1 rows
-      .select(col("n_true"), (col("mismatch") === 0).as("stream_equals_batch"))
+    streamed.join(batch, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("in_stream").isNull || col("in_batch").isNull, 1)
+          .otherwise(0)), lit(0)).as("mismatch"))
+      .select((col("n") > 0).as("has_pairs"),
+        (col("mismatch") === 0).as("stream_equals_batch"))
   }
 
   /** ORACLE-CHECKED streaming quality monitor: spool the corpus with a
