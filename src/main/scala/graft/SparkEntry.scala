@@ -120,6 +120,10 @@ object SparkEntry {
       graft.streaming.StreamingAnalytics.nearDupSpooled(s, d)),
     "stream_quality" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.qualityMonitorSpooled(s, d)),
+    // Real stream-stream interval join over the spooled events corpus —
+    // the join operator class's first oracle row.
+    "stream_attribution" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.clickAttributionSpooled(s, d)),
     // Keyword-retrieval surface (operators.Search): postings construction,
     // integer-exact TF-IDF ranking, positional phrase search.
     "search_index"  -> ((s, d) => Search.invertedIndex(s, d)),
@@ -166,6 +170,17 @@ object SparkEntry {
     // claim and is gated (and oracle-counted) there.
     "stream_neardup" ->
       "SELECT true AS has_pairs, true AS stream_equals_batch",
+    // Every (view, click) pair for the same user with the click at most
+    // 10 minutes after the view — the batch interval join DuckDB runs
+    // directly; epoch-ms on both sides (stream_sessions precedent).
+    "stream_attribution" ->
+      """SELECT i.user_id, i.event_id AS imp_id, c.event_id AS click_id,
+        | epoch_ms(i.ts) AS imp_ms, epoch_ms(c.ts) AS click_ms
+        |FROM events i JOIN events c
+        | ON i.event_type = 'view' AND c.event_type = 'click'
+        | AND i.user_id = c.user_id
+        | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 10 MINUTE
+        |ORDER BY i.user_id, imp_id, click_id""".stripMargin,
     // Synthetic schedule: doc d arrives at minute (d mod 180) after epoch
     // ms 86400000, tumbling 1-hour windows — both engines derive
     // window_start_ms with the same integer arithmetic. Drop rules are

@@ -351,6 +351,78 @@ object StreamingAnalytics {
     }.sortBy(o => (o.user_id, o.session_start.getTime))
   }
 
+  /** ORACLE-CHECKED stream-stream join: spool the bounded `events` table
+    * through a REAL streaming execution of [[clickAttribution]] — both
+    * sides read from the spool as a self-join (view-branch vs
+    * click-branch of one file source, each under its own event-time
+    * watermark; Spark holds the global watermark at the min of the two)
+    * — and emit every (view, click) match. Inner interval joins emit
+    * matches as rows arrive; the two sentinel batches exist to let the
+    * engine finalize state (and prove the watermark machinery runs), not
+    * to flush withheld output. Output carries both event_ids so rows are
+    * unique, and epoch-ms times on both sides (the parquet nanos
+    * truncate to the same µs values in Spark and DuckDB — the
+    * stream_sessions precedent). */
+  def clickAttributionSpooled(s: SparkSession, dir: String,
+                              joinWindow: String = "10 minutes",
+                              lateness: String = "5 minutes"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-attrspool-$runId")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(src).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+      } else Seq(src)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p, tmp.resolve(f"real_$i%04d.parquet"))
+    }
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val horizonNanos =
+      (intervalMs(joinWindow) + intervalMs(lateness) + 60 * 60 * 1000L) * 1000000L
+    def sentinel(tsNanos: Long): Unit = {
+      import s.implicits._
+      Seq((tsNanos, -1L, "view", -1L), (tsNanos, -1L, "click", -2L))
+        .toDF("ts", "user_id", "event_type", "event_id")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    }
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("event_id", LongType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val imp = stream.filter(col("event_type") === "view")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_key"),
+        col("ts").as("imp_ts"))
+    val clk = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_key"),
+        col("ts").as("click_ts"))
+    val name = s"graft_attr_$runId"
+    val q = clickAttribution(imp, clk, joinWindow, lateness)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable() // the whole bounded corpus
+      sentinel(maxTsNanos + horizonNanos)
+      q.processAllAvailable()
+      sentinel(maxTsNanos + 2 * horizonNanos)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = s.table(name)
+      .filter(col("imp_key") >= 0)
+      .select(col("imp_key").as("user_id"), col("imp_id"), col("click_id"),
+        unix_millis(col("imp_ts")).as("imp_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+      .orderBy("user_id", "imp_id", "click_id")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
+
   /** Spool `documents` into per-wave parquet files with a SYNTHETIC
     * event time (`tsMsExpr`, integer arithmetic over doc_id so any engine
     * reproduces it), one wave per `waveExpr` value — the bounded-corpus

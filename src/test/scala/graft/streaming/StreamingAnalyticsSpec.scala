@@ -334,6 +334,30 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("spooled attribution stream equals the batch interval join (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val got = clickAttributionSpooled(spark, sf).collect().map(key).toSeq
+    val ev = graft.operators.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+    val expected = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts").as("imp_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+            col("ts").as("click_ts")),
+        col("user_id") === col("cu") && col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr("interval 10 minutes"))
+      .select(col("user_id"), col("imp_id"), col("click_id"),
+        unix_millis(col("imp_ts")).as("imp_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+      .orderBy("user_id", "imp_id", "click_id")
+      .collect().map(key).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("spooled near-dup stream gate: streamed pair set equals batch minhashPairs (sf0.001)") {
     val row = nearDupSpooled(spark, "/root/testdata/sf0.001").collect()
     assert(row.length == 1)
