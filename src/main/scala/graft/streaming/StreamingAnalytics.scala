@@ -369,16 +369,17 @@ object StreamingAnalytics {
     import org.apache.spark.sql.types._
     val runId = spoolRuns.incrementAndGet()
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-attrspool-$runId")
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val parts: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(src).iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq
-      } else Seq(src)
-    parts.zipWithIndex.foreach { case (p, i) =>
-      java.nio.file.Files.copy(p, tmp.resolve(f"real_$i%04d.parquet"))
-    }
+    // Spool ONLY the two streams the operator consumes: its contract is
+    // an impression stream and a click stream — routing the other 60% of
+    // event types through source + join state just to drop them inside
+    // the stream would test nothing and triple the state volume.
+    graft.operators.Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(unix_micros(col("ts")).as("us"), col("user_id"),
+        col("event_type"), col("event_id"))
+      .select((col("us") * 1000L).as("ts"), col("user_id"),
+        col("event_type"), col("event_id"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val horizonNanos =
