@@ -66,7 +66,21 @@ object GraftExtensions {
     ("word_edit_ops",
       info("word_edit_ops",
         "word_edit_ops(a, b) - min(Levenshtein distance, 2) of two bigint sequences in one prefix/suffix pass"),
-      (args: Seq[Expression]) => WordEditOps(args(0), args(1))))
+      (args: Seq[Expression]) => WordEditOps(args(0), args(1))),
+    ("sorted_jaccard",
+      info("sorted_jaccard",
+        "sorted_jaccard(a, b, t) - jaccard of two sorted bigint arrays in one merge walk, -1.0 as soon as the t threshold is provably unreachable (t a literal double)"),
+      (args: Seq[Expression]) =>
+        SortedJaccard(args(0), args(1),
+          foldableDouble(args(2), "sorted_jaccard", "t"))),
+    ("span_join_except",
+      info("span_join_except",
+        "span_join_except(toks, covered) - tokens whose 0-based position is NOT in the sorted covered-position array, one merge walk"),
+      (args: Seq[Expression]) => SpanJoinExcept(args(0), args(1))),
+    ("py_repr_json",
+      info("py_repr_json",
+        "py_repr_json(j) - Python str() rendering of a JSON array/scalar string (the reference's list stringification)"),
+      (args: Seq[Expression]) => PyReprJson(args(0))))
 
   /** Static int parameters (k, n, w) must be literals at parse time — the
     * kernels specialize their generated loops on them. */
@@ -76,6 +90,18 @@ object GraftExtensions {
       case i: Int => i
       case other => throw new IllegalArgumentException(
         s"$fn: $param must be a literal integer, got $other")
+    }
+  }
+
+  private def foldableDouble(e: Expression, fn: String, param: String): Double = {
+    require(e.foldable, s"$fn: $param must be a literal double")
+    e.eval() match {
+      case d: Double => d
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case i: Int => i.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param must be a literal double, got $other")
     }
   }
 

@@ -43,4 +43,19 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal"))
   }
+
+  test("round-7 kernels: sorted_jaccard, span_join_except, py_repr_json from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L), 0.1D) AS j,
+        | sorted_jaccard(array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L),
+        |                array(11L, 12L), 0.9D) AS early,
+        | span_join_except(array('a', 'b', 'c', 'd'), array(1, 3)) AS sp,
+        | py_repr_json(to_json(array('10', '11'))) AS pr""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getDouble(1) == -1.0) // threshold provably unreachable -> early exit
+    assert(r.getString(2) == "a c")
+    assert(r.getString(3) == "['10', '11']")
+  }
 }
