@@ -65,6 +65,9 @@ object SparkEntry {
     "dedup_edit1"     -> ((s, d) => Dedup.editPairs(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangleCounts(s, d)),
     "graph_clustering" -> ((s, d) => Graph.clusteringCoefficients(s, d)),
+    "graph_components" -> ((s, d) => Graph.componentAssignments(s, d)),
+    "dedup_semantic"  -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "curate_domaincap" -> ((s, d) => Curation.domainCap(s, d)),
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -128,6 +131,7 @@ object SparkEntry {
     // integer-exact TF-IDF ranking, positional phrase search.
     "search_index"  -> ((s, d) => Search.invertedIndex(s, d)),
     "search_tfidf"  -> ((s, d) => Search.tfidfTopK(s, d)),
+    "search_bm25"   -> ((s, d) => Search.bm25TopK(s, d)),
     "search_phrase" -> ((s, d) => Search.phraseSearch(s, d)),
     // Persisted IVF-PQ index: recall bound + bit-identity with the fresh
     // build (the settled-corpus ANN path, sibling of dedup_incr_artifact).
@@ -229,6 +233,30 @@ object SparkEntry {
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
         |sc AS (SELECT tf.doc_id, CAST(sum(tf.tf * q.weight) AS BIGINT) AS score
         |       FROM tf JOIN q USING (term) GROUP BY tf.doc_id)
+        |SELECT doc_id, score,
+        | CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Exact-integer BM25 (k1 = 5/4, b = 3/4 cleared to integers; log-free
+    // Robertson idf) — see Search.bm25TopK for the derivation. Every
+    // intermediate is BIGINT floor arithmetic, so scores hash-match.
+    "search_bm25" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |l AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_len FROM l),
+        |u AS (SELECT DISTINCT doc_id, term FROM t),
+        |d AS (SELECT term, count(*) AS df FROM u GROUP BY term),
+        |q AS (SELECT term,
+        |        ((2 * st.n_docs - 2 * df + 1) * 1000000) // (2 * df + 1) AS idf_micro,
+        |        st.s_len, st.n_docs
+        |      FROM d, st ORDER BY df ASC, term ASC LIMIT 3),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |c AS (SELECT tf.doc_id,
+        |        (q.idf_micro * ((1000000 * 36 * tf.tf * q.s_len) //
+        |          (16 * tf.tf * q.s_len + 5 * q.s_len + 15 * l.dl * q.n_docs)))
+        |         // 1000000 AS contrib
+        |      FROM tf JOIN q USING (term) JOIN l ON tf.doc_id = l.doc_id),
+        |sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+        |       FROM c GROUP BY doc_id)
         |SELECT doc_id, score,
         | CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
@@ -580,6 +608,13 @@ object SparkEntry {
          |    ORDER BY ${graft.operators.Curation.lcgKeySql}, doc_id) AS rk
          | FROM documents) t
          |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    "curate_domaincap" ->
+      s"""SELECT doc_id, source, rk FROM (
+         | SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY ${graft.operators.Curation.lcgKeySql}, doc_id) AS rk
+         | FROM documents) t
+         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "curate_mix" -> {
       val qs = graft.operators.Curation.mixQuotas
         .map { case (src, n) => s"('$src', $n)" }.mkString(", ")
@@ -920,6 +955,21 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // SemDeDup truth: same cosine pair relation as dedup_embedding (both
+    // directions), transitive closure by recursive reachability, rep =
+    // component min — the dedup_cluster oracle pattern on the embedding
+    // side.
+    "dedup_semantic" ->
+      """WITH RECURSIVE
+        |e AS (SELECT a.vec_id AS src, b.vec_id AS dst
+        |      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35),
+        |reach(vec_id, r) AS (
+        | SELECT vec_id, vec_id FROM embeddings
+        | UNION
+        | SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.vec_id)
+        |SELECT vec_id, min(r) AS rep_id, min(r) = vec_id AS kept
+        |FROM reach GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // Trained k-means lists aren't SQL-expressible (Lloyd iterations), so
     // the gate pins list count/balance/quantization-gain booleans and the
     // oracle recomputes the corpus size (Gates.embedClusterGate).
@@ -971,6 +1021,29 @@ object SparkEntry {
         |      UNION ALL SELECT c FROM t)
         |SELECT vec_id, count(*) AS n_triangles FROM n
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Components of the mutual-kNN graph: same m edge CTE as the other
+    // graph oracles, made bidirectional for recursive reachability;
+    // component_id = min reachable id, singletons label themselves.
+    "graph_components" ->
+      """WITH RECURSIVE p AS (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS (SELECT src, dst FROM p WHERE rk <= 5),
+        |m AS (SELECT d1.src AS u, d1.dst AS v
+        |      FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |      WHERE d1.src < d1.dst),
+        |b AS (SELECT u, v FROM m UNION ALL SELECT v AS u, u AS v FROM m),
+        |reach(vec_id, r) AS (
+        | SELECT vec_id, vec_id FROM embeddings
+        | UNION
+        | SELECT b.u, reach.r FROM b JOIN reach ON b.v = reach.vec_id),
+        |c AS (SELECT vec_id, min(r) AS component_id FROM reach GROUP BY vec_id),
+        |sz AS (SELECT component_id, count(*) AS n_members
+        |       FROM c GROUP BY component_id)
+        |SELECT c.vec_id, c.component_id, sz.n_members
+        |FROM c JOIN sz USING (component_id) ORDER BY c.vec_id""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

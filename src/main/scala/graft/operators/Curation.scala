@@ -126,6 +126,30 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  /** Per-domain document cap (the Gopher/C4 "limit documents per
+    * domain/source" crawl-balancing rule): keep at most `cap` documents
+    * from EVERY source, chosen by the same deterministic LCG
+    * pseudo-shuffle as [[sampleStratified]] so the survivors are an
+    * unbiased-but-reproducible draw rather than a doc_id-prefix artifact.
+    * Unlike [[mixSources]] (an explicit per-source quota TABLE for
+    * rebalancing toward target proportions), the cap is uniform and
+    * config-free — the defensive pass a crawl pipeline runs BEFORE mixing
+    * so one domain's millions of pages cannot dominate any downstream
+    * draw. Output: survivors with their source and draw rank.
+    *
+    * One shuffle total: the literal rank bound turns the per-source
+    * window into a map-side-pruned WindowGroupLimit — at 100 TB each
+    * executor forwards at most `cap` rows per source it scans, so the
+    * exchange carries O(sources · cap), not the corpus. */
+  def domainCap(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(lcgKey, col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .orderBy("source", "rk")
+  }
+
   /** PII patterns: (count-column suffix, regex, redaction tag). The
     * regexes are deliberately restricted to the dialect intersection of
     * Java `Pattern` (Spark codegen) and RE2 (DuckDB, Go tooling): no

@@ -896,4 +896,41 @@ object Dedup {
       .filter(col("edit_ops") <= 1)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023 "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): collapse each
+    * group of semantically near-identical embeddings to ONE representative.
+    * Near-dup pairs come from the cosine threshold ([[embeddingPairs]] —
+    * the same pair relation `dedup_embedding` gates), groups are their
+    * TRANSITIVE closure ([[connectedComponents]] — pairwise pruning alone
+    * under-prunes chains A~B~C), and the representative is the component's
+    * minimum vec_id — a deterministic stand-in for the paper's
+    * closest-to-centroid choice that keeps the operator exactly
+    * oracle-checkable (the centroid rule needs the trained k-means the
+    * oracle cannot express; rep election is one `min`, so swapping the
+    * election rule changes one aggregate).
+    *
+    * Output: every vector with its representative and the keep/prune
+    * verdict (`kept` ⟺ the vector IS its group's representative);
+    * singleton vectors keep themselves. Downstream training reads
+    * `WHERE kept`.
+    *
+    * Scale shape: the pair feed is the tiled block join (shuffle B·N rows,
+    * never all-pairs in one task), CC is O(log n) keyed star rounds on the
+    * EDGE SUBGRAPH only (dup pairs, a small fraction of the corpus), and
+    * isolated vectors join back with one left join — the same shape as
+    * [[clusterAssignments]] on the text side. */
+  def semanticDedup(s: SparkSession, dir: String,
+                    threshold: Double = 0.35): DataFrame = {
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"))
+    val pairs = embeddingPairs(s, dir, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comp = connectedComponents(pairs, assumeNormalized = true)
+    vecs.join(comp.select(col("node").as("vec_id"), col("label")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("rep_id"))
+      .withColumn("kept", col("rep_id") === col("vec_id"))
+      .orderBy("vec_id")
+  }
 }

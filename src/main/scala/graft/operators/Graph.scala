@@ -217,4 +217,37 @@ object Graph {
         expr("degree * (degree - 1) div 2").as("n_wedges"))
       .orderBy("vec_id")
   }
+
+  /** Connected components of the mutual-kNN graph: (vec_id, component_id,
+    * n_members) for EVERY vector — component_id = the smallest vec_id in
+    * the component, singletons (no mutual edge) label themselves with
+    * n_members = 1. Components of the mutual graph are the semantic
+    * cluster skeleta the triangle/coefficient queries score locally; this
+    * is the global view (how many islands, how big) a curation pass reads
+    * before deciding mixture weights over embedding clusters.
+    *
+    * Reuses [[Dedup.connectedComponents]]' large-star/small-star rounds
+    * (O(log n) keyed aggregates even on chain-shaped components, throws
+    * on non-convergence) over the exactly-once u < v edge list. The
+    * label table is localCheckpointed before the size aggregate: it feeds
+    * two consumers (the groupBy and the join-back), and without
+    * materialization EACH would re-run the kNN build — the most expensive
+    * subtree in the plan. Size attach is one keyed aggregate + one keyed
+    * join on component_id — no broadcast of any O(N) side. */
+  def componentAssignments(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"))
+    val comp = Dedup.connectedComponents(
+      mutualKnnEdges(s, dir, k)
+        .select(col("u").as("doc_a"), col("v").as("doc_b")),
+      assumeNormalized = true)
+    val lbl = vecs.join(comp.select(col("node").as("vec_id"), col("label")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("component_id"))
+      .localCheckpoint()
+    lbl.join(lbl.groupBy("component_id").agg(count(lit(1)).as("n_members")),
+        "component_id")
+      .select("vec_id", "component_id", "n_members")
+      .orderBy("vec_id")
+  }
 }

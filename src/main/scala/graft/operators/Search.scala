@@ -95,6 +95,63 @@ object Search {
         .cast("long"))
   }
 
+  /** BM25 top-k (Robertson–Spärck Jones) in EXACT-INTEGER form, same
+    * self-selected rarest-term query set as [[tfidfTopK]]. Two standard
+    * substitutions keep every intermediate a BIGINT so ranks hash-match
+    * any engine bit-for-bit (the floats in textbook BM25 — log idf,
+    * double division — are not cross-libm reproducible):
+    *
+    *  - k1 = 5/4 and b = 3/4 (inside the usual tuning range). Multiplying
+    *    the tf saturation term through by 16·S·N (S = Σ doc lengths, so
+    *    avgdl = S/N) clears every denominator:
+    *      tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *        = 36·tf·S / (16·tf·S + 5·S + 15·dl·N)     — all integers.
+    *  - idf uses the probabilistic Robertson form WITHOUT the log,
+    *    (N−df+½)/(df+½) = (2N−2df+1)/(2df+1) — order-preserving in df,
+    *    which is all a ranking needs.
+    *
+    * Both factors floor to micro-units (`div`), the per-term product
+    * floors back once, and the per-doc score is an integer SUM of term
+    * contributions — associative, so partial aggregation commutes and
+    * the result is identical on any partitioning. Magnitudes: the widest
+    * product is 10⁶·36·tf·S ≈ 10⁸·tf·S, within int64 up to ~10⁹ total
+    * corpus tokens per partition of the df domain; past that, scale the
+    * micro factor down or lift to decimal(38,0) (q24's HUGEINT twin).
+    *
+    * Plan shape mirrors [[tfidfTopK]]: stats and query terms are 1-row /
+    * nTerms-row broadcasts, tf is one (doc,term) aggregate over the
+    * query-filtered postings, dl attaches with one doc-keyed join, and
+    * the global top-k is orderBy.limit (TakeOrderedAndProject) with ranks
+    * windowed over the k survivors only. */
+  def bm25TopK(s: SparkSession, dir: String, nTerms: Int = 3,
+               topK: Int = 10): DataFrame = {
+    val lens = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_len"))
+    val qterms = memberships(s, dir)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").asc, col("term").asc).limit(nTerms)
+      .crossJoin(stats) // nTerms × 1 rows
+      .select(col("term"),
+        expr("((2 * n_docs - 2 * df + 1) * 1000000) div (2 * df + 1)")
+          .as("idf_micro"),
+        col("s_len"), col("n_docs"))
+    val tf = occurrences(s, dir)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(lens, "doc_id")
+      .select(col("doc_id"),
+        expr("""(idf_micro *
+                ((1000000 * 36 * tf * s_len) div
+                 (16 * tf * s_len + 5 * s_len + 15 * dl * n_docs))) div 1000000""")
+          .as("contrib"))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long"))
+  }
+
   /** Positional phrase search for the corpus's most frequent bigram
     * (count descending, bigram ascending — self-selected like
     * [[tfidfTopK]]'s query terms): documents containing the phrase with

@@ -759,4 +759,43 @@ class OperatorsSpec extends SparkSpec {
     assert(r(1L) == ("repetitive_types", false))
     assert(r(2L) == ("too_short", false))
   }
+
+  test("semantic dedup: reps keep themselves, every near-dup pair collapses") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.semanticDedup(spark, sf).collect()
+    val rep = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(rep(r.getLong(1)) == r.getLong(1)) // rep of a rep is itself
+      assert(r.getLong(1) <= r.getLong(0))      // rep = component MIN
+      assert(r.getBoolean(2) == (r.getLong(0) == r.getLong(1)))
+    }
+    // both endpoints of every threshold pair share a representative
+    Dedup.embeddingPairs(spark, sf).collect()
+      .foreach(p => assert(rep(p.getLong(0)) == rep(p.getLong(1))))
+  }
+
+  test("graph components: labels are minima, sizes count members, edges agree") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Graph.componentAssignments(spark, sf).collect()
+    val comp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == comp.size) // one row per vector
+    rows.groupBy(_.getLong(1)).foreach { case (cid, ms) =>
+      assert(ms.map(_.getLong(0)).min == cid)
+      assert(ms.forall(_.getLong(2) == ms.length.toLong))
+    }
+    Graph.mutualKnnEdges(spark, sf, 5).collect()
+      .foreach(e => assert(comp(e.getLong(0)) == comp(e.getLong(1))))
+  }
+
+  test("domain cap: at most cap survivors per source, ranks contiguous, deterministic") {
+    val sf = "/root/testdata/sf0.001"
+    def draw() = Curation.domainCap(spark, sf, cap = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = draw()
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+    }
+    assert(rows.toSet == draw().toSet)
+  }
 }

@@ -63,4 +63,35 @@ class SearchSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("bm25 top-k: ranks and scores match a BigInt recomputation of the formula") {
+    val top = Search.bm25TopK(spark, sf, nTerms = 3, topK = 10).collect()
+    assert(top.length == 10)
+    assert(top.map(_.getLong(2)).toSeq == (1L to 10L))
+    // full independent recomputation in arbitrary precision
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = BigInt(texts.size)
+    val sLen = BigInt(texts.values.map(_.length.toLong).sum)
+    val df = texts.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, o) => t -> BigInt(o.size) }
+    val rare = df.toSeq.sortBy { case (t, d) => (d, t) }.take(3)
+    val expected = texts.map { case (id, toks) =>
+      val dl = BigInt(toks.length)
+      id -> rare.map { case (term, d) =>
+        val tf = BigInt(toks.count(_ == term))
+        if (tf == 0) BigInt(0)
+        else {
+          val idf = ((2 * n - 2 * d + 1) * 1000000) / (2 * d + 1)
+          val sat = (1000000 * 36 * tf * sLen) /
+            (16 * tf * sLen + 5 * sLen + 15 * dl * n)
+          (idf * sat) / 1000000
+        }
+      }.sum
+    }
+    top.foreach(r => assert(BigInt(r.getLong(1)) == expected(r.getLong(0))))
+    val trueTop = expected.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(10).map(_._1)
+    assert(top.map(_.getLong(0)).toSeq == trueTop)
+  }
 }
