@@ -68,6 +68,8 @@ object SparkEntry {
     "graph_components" -> ((s, d) => Graph.componentAssignments(s, d)),
     "dedup_semantic"  -> ((s, d) => Dedup.semanticDedup(s, d)),
     "curate_domaincap" -> ((s, d) => Curation.domainCap(s, d)),
+    "curate_dsir"     -> ((s, d) => Curation.dsirAffinity(s, d)),
+    "multimodal_dupframes" -> ((s, d) => Multimodal.dupFrames(s, d)),
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -127,6 +129,10 @@ object SparkEntry {
     // the join operator class's first oracle row.
     "stream_attribution" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.clickAttributionSpooled(s, d)),
+    // Streaming exact dedup: kept row per hash made deterministic by the
+    // spool's hash-rank wave schedule; oracle = min(doc_id) per text.
+    "stream_dedup" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.dedupSpooled(s, d)),
     // Keyword-retrieval surface (operators.Search): postings construction,
     // integer-exact TF-IDF ranking, positional phrase search.
     "search_index"  -> ((s, d) => Search.invertedIndex(s, d)),
@@ -615,6 +621,28 @@ object SparkEntry {
          |    ORDER BY ${graft.operators.Curation.lcgKeySql}, doc_id) AS rk
          | FROM documents) t
          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // DSIR affinity truth from bigram STRINGS (hash-invariant counts,
+    // same convention as curate_decontaminate); add-one-smoothed
+    // target/corpus ratio in integer micro-units.
+    "curate_dsir" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, source, unnest(list_transform(range(len(toks) - 1),
+        |        i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT bg, count(*) AS c_all,
+        |        CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+        |      FROM g GROUP BY bg),
+        |w AS (SELECT bg, ((c_tgt + 1) * 1000000) // (c_all + 1) AS w FROM c)
+        |SELECT g.doc_id, count(*) AS n_bigrams,
+        | CAST(sum(w.w) AS BIGINT) AS affinity_micro
+        |FROM g JOIN w USING (bg) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // Streaming exact dedup: the spool schedules each hash group's lowest
+    // doc_id into an earlier micro-batch than its duplicates, so kept =
+    // first arrival = min(doc_id) per text.
+    "stream_dedup" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
     "curate_mix" -> {
       val qs = graft.operators.Curation.mixQuotas
         .map { case (src, n) => s"('$src', $n)" }.mkString(", ")
@@ -939,6 +967,19 @@ object SparkEntry {
         |FROM (SELECT asset_id, text,
         |      unnest(range(0, greatest(nf-1, 0)+1, 4)) AS frame_idx FROM v)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    "multimodal_dupframes" ->
+      """WITH v AS (
+        | SELECT doc_id AS asset_id, text,
+        |        CAST(ceil(length(text) / 64.0) AS BIGINT) AS nf
+        | FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT asset_id,
+        |       sha256(substring(text, CAST(frame_idx*64+1 AS INT), 64)) AS frame_sha
+        |      FROM (SELECT asset_id, text,
+        |            unnest(range(0, greatest(nf-1, 0)+1, 4)) AS frame_idx FROM v))
+        |SELECT frame_sha, count(DISTINCT asset_id) AS n_assets,
+        |       count(*) AS n_frames
+        |FROM f GROUP BY frame_sha HAVING count(DISTINCT asset_id) >= 2
+        |ORDER BY frame_sha""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         | length(text) AS n_chars

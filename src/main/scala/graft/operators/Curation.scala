@@ -126,6 +126,53 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  /** DSIR-style domain-affinity scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", linearized to exact
+    * integers): score each document by how much its bigram distribution
+    * looks like a TARGET domain (here the `targetSource` slice of the
+    * corpus — in production the target is a small in-domain seed set).
+    * Per-bigram weight = ((c_target + 1) · 10⁶) div (c_corpus + 1) — the
+    * add-one-smoothed target/corpus frequency ratio in micro-units — and
+    * a document's affinity is the SUM of its bigram-occurrence weights:
+    * the log-linearized form of DSIR's importance weight Π (p̂/q̂)^count,
+    * order-preserving for resampling, and BIGINT end-to-end so the oracle
+    * hash-matches (the real log-space weight ranks identically but its
+    * doubles are not cross-libm comparable). Docs with < 2 tokens have no
+    * bigrams and drop out — they carry no evidence either way.
+    *
+    * Plan shape mirrors [[TextAnalysis.lmTypicality]]: the exploded
+    * bigram relation is materialized ONCE and feeds both the count
+    * aggregate and the re-join; everything exchanges on the bigram /
+    * doc key. At 100 TB the bigram keys ride as xxhash64 (string keys
+    * here keep the DuckDB oracle exact; collision-free hashing changes
+    * no count) and the target seed's gram table is tiny — but no
+    * broadcast hint, so a large target degrades to a keyed join. */
+  def dsirAffinity(s: SparkSession, dir: String,
+                   targetSource: String = "src0"): DataFrame = {
+    val toks = split(col("text"), " ")
+    // explode-the-ATTRIBUTE idiom (see lmTypicality): `ts` is projected
+    // below the Generate, never re-evaluated per bigram row
+    val pairRows = documents(s, dir)
+      .withColumn("ts", toks)
+      .select(col("doc_id"), col("source"), col("ts"),
+        posexplode(when(size(col("ts")) >= 2,
+          slice(col("ts"), lit(1), size(col("ts")) - 1))
+          .otherwise(typedlit(Seq.empty[String])))
+          .as(Seq("i", "w1")))
+      .select(col("doc_id"), col("source"), col("w1"),
+        element_at(col("ts"), col("i") + 2).as("w2"))
+      .localCheckpoint()
+    val weights = pairRows.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("c_tgt"))
+      .select(col("w1"), col("w2"),
+        expr("((c_tgt + 1) * 1000000) div (c_all + 1)").as("w"))
+    pairRows.join(weights, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("affinity_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Per-domain document cap (the Gopher/C4 "limit documents per
     * domain/source" crawl-balancing rule): keep at most `cap` documents
     * from EVERY source, chosen by the same deterministic LCG

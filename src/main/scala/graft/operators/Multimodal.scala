@@ -87,4 +87,27 @@ object Multimodal {
       .drop("frame_bytes")
       .orderBy("asset_id", "frame_idx")
   }
+
+  /** Cross-asset duplicate frames: every frame hash sampled from ≥ 2
+    * DISTINCT video assets, with how many assets and how many sampled
+    * frames carry it — the video-dedup primitive (re-uploads, edits and
+    * mirrored clips share exact frame content long before they share
+    * whole-file hashes). Consumes [[frameSample]]'s hashes, so a real
+    * perceptual-hash decoder slots in at the same column.
+    *
+    * One exchange: the groupBy on the 32-byte sha (frame bodies were
+    * already dropped by frameSample — only (asset_id, sha) rows move);
+    * count(distinct) folds into the same aggregate via Spark's expand
+    * rewrite, and frameSample's presentation sort is eliminated under
+    * the aggregate (verified plan property, see DocPipeline). At 100 TB
+    * the exchange carries one row per sampled frame — the scan of the
+    * video payloads dominates, as it must. */
+  def dupFrames(s: SparkSession, dir: String,
+                frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    frameSample(s, dir, frameBytes, stride)
+      .groupBy("frame_sha")
+      .agg(countDistinct(col("asset_id")).as("n_assets"),
+        count(lit(1)).as("n_frames"))
+      .filter(col("n_assets") >= 2)
+      .orderBy("frame_sha")
 }

@@ -548,6 +548,44 @@ object StreamingAnalytics {
         (col("mismatch") === 0).as("stream_equals_batch"))
   }
 
+  /** ORACLE-CHECKED streaming exact dedup: spool the corpus through a
+    * REAL [[dedupStream]] execution and emit the surviving doc_ids. The
+    * kept row per content hash is made deterministic BY THE SPOOL: wave =
+    * min(rank of the doc within its hash group by doc_id, waves) − 1, so
+    * a hash group's lowest doc_id always arrives in an earlier micro-batch
+    * than its duplicates (later members may share the final wave, but by
+    * then the state entry exists and drops them regardless of intra-batch
+    * order). The oracle is then simply min(doc_id) per text — first-
+    * arrival semantics the batch engine can state declaratively.
+    *
+    * Horizon "7 days" ≫ the spool's spread: no state entry is ever
+    * reclaimed mid-replay, so stream = batch exactly. No sentinels:
+    * dropDuplicatesWithinWatermark emits survivors on arrival (Append),
+    * not on watermark close. State is one 8-byte key per distinct hash
+    * within the horizon — the 100-TB knob is the horizon, argued at
+    * [[dedupStream]]. */
+  def dedupSpooled(s: SparkSession, dir: String, waves: Int = 4): DataFrame = {
+    val runId = spoolRuns.incrementAndGet()
+    val hashRank = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(xxhash64(col("text"))).orderBy("doc_id"))
+    val waveCol = least(hashRank, lit(waves)) - 1
+    val tmp = spoolDocuments(s, dir, waves, waveCol,
+      lit(86400000L) + (least(hashRank, lit(waves)) - 1) * 60000L)
+    val name = s"graft_dedup_$runId"
+    val q = dedupStream(
+        docStream(s, tmp).select(col("doc_id"), col("ts"), col("text")),
+        lateness = "7 days")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name).select(col("doc_id"))
+      .orderBy("doc_id").localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
+
   /** ORACLE-CHECKED streaming quality monitor: spool the corpus with a
     * deterministic event schedule (doc d arrives at minute `d mod 180`,
     * one hour-wave per micro-batch so the watermark genuinely advances

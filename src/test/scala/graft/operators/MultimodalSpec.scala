@@ -33,4 +33,25 @@ class MultimodalSpec extends SparkSpec {
         case Seq(a, b) => b - a == 4L; case _ => true })
     }
   }
+
+  test("dup frames: planted identical videos collide, distinct video does not") {
+    import spark.implicits._
+    // video assets are doc_id % 3 == 2; ids 2 and 5 share payload, 8 differs
+    val d2 = java.nio.file.Files.createTempDirectory("graft-dupframes").toString
+    val shared = "x" * 50
+    Seq((2L, shared), (5L, shared), (8L, "y" * 50))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val rows = Multimodal.dupFrames(spark, d2).collect()
+    assert(rows.length == 1) // one shared 64-byte frame (50-char payloads -> 1 frame each)
+    assert(rows.head.getLong(1) == 2L) // n_assets
+    assert(rows.head.getLong(2) == 2L) // n_frames
+    // and on the real corpus every reported sha really spans >= 2 assets
+    val real = Multimodal.dupFrames(spark, dir).collect()
+    val frames = Multimodal.frameSample(spark, dir).collect()
+      .groupBy(_.getString(2)).map { case (sha, fs) =>
+        sha -> fs.map(_.getLong(0)).distinct.length }
+    real.foreach(r => assert(frames(r.getString(0)) == r.getLong(1) && r.getLong(1) >= 2))
+  }
 }

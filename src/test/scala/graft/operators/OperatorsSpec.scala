@@ -787,6 +787,28 @@ class OperatorsSpec extends SparkSpec {
       .foreach(e => assert(comp(e.getLong(0)) == comp(e.getLong(1))))
   }
 
+  test("dsir affinity matches a BigInt recomputation; target bigrams score higher") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    val bigrams = docs.flatMap { case (id, src, toks) =>
+      toks.sliding(2).filter(_.length == 2).map(p => (id, src, p.mkString(" ")))
+    }
+    val cAll = bigrams.groupBy(_._3).map { case (bg, o) => bg -> BigInt(o.length) }
+    val cTgt = bigrams.filter(_._2 == "src0").groupBy(_._3)
+      .map { case (bg, o) => bg -> BigInt(o.length) }
+    val w = cAll.map { case (bg, ca) =>
+      bg -> ((cTgt.getOrElse(bg, BigInt(0)) + 1) * 1000000) / (ca + 1) }
+    val expected = bigrams.groupBy(_._1).map { case (id, occ) =>
+      id -> ((BigInt(occ.length), occ.map(o => w(o._3)).sum)) }
+    val got = Curation.dsirAffinity(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, a) = expected(r.getLong(0))
+      assert(BigInt(r.getLong(1)) == n && BigInt(r.getLong(2)) == a)
+    }
+  }
+
   test("domain cap: at most cap survivors per source, ranks contiguous, deterministic") {
     val sf = "/root/testdata/sf0.001"
     def draw() = Curation.domainCap(spark, sf, cap = 3).collect()

@@ -385,4 +385,20 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("spooled dedup stream keeps exactly min(doc_id) per planted dup group") {
+    import spark.implicits._
+    // the real corpora have no exact-dup texts, so the hash-rank wave
+    // schedule (the determinism mechanism) needs planted groups: sizes
+    // 3/2/1, min ids deliberately NOT in arrival-file order by id
+    val d2 = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    Seq((5L, "alpha beta gamma"), (0L, "alpha beta gamma"), (9L, "alpha beta gamma"),
+        (7L, "delta epsilon zeta"), (1L, "delta epsilon zeta"),
+        (2L, "unique eta theta"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val kept = dedupSpooled(spark, d2).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L, 1L, 2L))
+  }
 }
