@@ -133,6 +133,10 @@ object SparkEntry {
     // spool's hash-rank wave schedule; oracle = min(doc_id) per text.
     "stream_dedup" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.dedupSpooled(s, d)),
+    // The family's foundational windowed aggregate as a real execution;
+    // integer-exact projection (counts; the double sum stays live-only).
+    "stream_windowstats" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.windowStatsSpooled(s, d)),
     // Keyword-retrieval surface (operators.Search): postings construction,
     // integer-exact TF-IDF ranking, positional phrase search.
     "search_index"  -> ((s, d) => Search.invertedIndex(s, d)),
@@ -174,6 +178,12 @@ object SparkEntry {
         |       max(tms) AS session_end_ms, count(*) AS n_events
         |FROM g GROUP BY user_id, grp
         |ORDER BY user_id, session_start_ms""".stripMargin,
+    // Tumbling 1-hour windows aligned to epoch — both engines derive
+    // window_start_ms with the same integer arithmetic on epoch ms.
+    "stream_windowstats" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        | event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Pinned booleans (the dedup_simhash oracle shape): the claim — the
     // streaming execution emits exactly the batch minhash pair set — is
     // computed Spark-side; recall vs brute-Jaccard truth is dedup_minhash's

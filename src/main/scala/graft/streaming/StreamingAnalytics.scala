@@ -329,6 +329,66 @@ object StreamingAnalytics {
     out
   }
 
+  /** ORACLE-CHECKED streaming windowed stats: the watermarked
+    * tumbling-window aggregate ([[windowedEventStats]], the family's
+    * foundational operator) run as a REAL execution over the spooled
+    * events corpus, windows closed by the two-sentinel protocol. The
+    * live operator's `sum_value` is a DOUBLE accumulation whose order is
+    * engine-dependent, so the spooled projection keeps the integer-exact
+    * column (`n`) — the same rule that drops `avg_*` in
+    * [[qualityMonitorSpooled]]; the sum stays on the live operator. */
+  def windowStatsSpooled(s: SparkSession, dir: String,
+                         windowLen: String = "1 hour",
+                         lateness: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-wstatspool-$runId")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(src).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+      } else Seq(src)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p, tmp.resolve(f"real_$i%04d.parquet")): Unit
+    }
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val latenessMs = intervalMs(lateness)
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, "sentinel", 0.0)).toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_wstats_$runId"
+    val q = windowedEventStats(stream, windowLen, lateness)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable() // batch 1: the whole bounded corpus
+      val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+      val t1 = maxTsNanos + step
+      sentinel(t1)
+      q.processAllAvailable() // watermark → past every real window end
+      sentinel(t1 + step)
+      q.processAllAvailable() // emits them
+    } finally q.stop()
+    val out = s.table(name)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy("window_start_ms", "event_type")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
+
   /** Batch-mode check of the same sessionization logic (identical fold,
     * no streaming machinery) — lets the gap semantics be oracle-tested. */
   def sessionizeBatch(events: Seq[SessionEvent], gapMs: Long): Seq[SessionOut] = {

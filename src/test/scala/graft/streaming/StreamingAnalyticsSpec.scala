@@ -386,6 +386,20 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("spooled windowed stats equal the batch tumbling-window counts (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = windowStatsSpooled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = graft.operators.Tables.events(spark, sf)
+      .select(expr("(unix_millis(ts) div 3600000) * 3600000").as("w"),
+        col("event_type"))
+      .groupBy("w", "event_type").agg(count(lit(1)).as("n"))
+      .orderBy("w", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("spooled dedup stream keeps exactly min(doc_id) per planted dup group") {
     import spark.implicits._
     // the real corpora have no exact-dup texts, so the hash-rank wave
