@@ -143,6 +143,9 @@ object SparkEntry {
     "search_tfidf"  -> ((s, d) => Search.tfidfTopK(s, d)),
     "search_bm25"   -> ((s, d) => Search.bm25TopK(s, d)),
     "search_phrase" -> ((s, d) => Search.phraseSearch(s, d)),
+    // Retrieve-then-rerank: BM25 top-50 candidates re-ranked by embedding
+    // cosine vs the top lexical hit's vector (rank-only, hash-exact).
+    "search_hybrid" -> ((s, d) => Search.hybridSearch(s, d)),
     // Persisted IVF-PQ index: recall bound + bit-identity with the fresh
     // build (the settled-corpus ANN path, sibling of dedup_incr_artifact).
     "ann_artifact"  -> (Gates.annArtifactGate _),
@@ -276,6 +279,41 @@ object SparkEntry {
         |SELECT doc_id, score,
         | CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Retrieve-then-rerank: the BM25 CTE chain widened to 50 candidates,
+    // then cosine re-rank vs the top hit's embedding. Rank-only output
+    // (plus the BIGINT lexical score) — the bruteForceTopK precedent for
+    // hash-stable cross-engine float ordering.
+    "search_hybrid" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |l AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_len FROM l),
+        |u AS (SELECT DISTINCT doc_id, term FROM t),
+        |d AS (SELECT term, count(*) AS df FROM u GROUP BY term),
+        |q AS (SELECT term,
+        |        ((2 * st.n_docs - 2 * df + 1) * 1000000) // (2 * df + 1) AS idf_micro,
+        |        st.s_len, st.n_docs
+        |      FROM d, st ORDER BY df ASC, term ASC LIMIT 3),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |c AS (SELECT tf.doc_id,
+        |        (q.idf_micro * ((1000000 * 36 * tf.tf * q.s_len) //
+        |          (16 * tf.tf * q.s_len + 5 * q.s_len + 15 * l.dl * q.n_docs)))
+        |         // 1000000 AS contrib
+        |      FROM tf JOIN q USING (term) JOIN l ON tf.doc_id = l.doc_id),
+        |sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+        |       FROM c GROUP BY doc_id),
+        |cand AS (SELECT doc_id, score,
+        |          row_number() OVER (ORDER BY score DESC, doc_id) AS brank
+        |         FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+        |qv AS (SELECT cand.doc_id AS q_doc, e.embedding AS qe
+        |       FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id
+        |       WHERE cand.brank = 1),
+        |rr AS (SELECT cand.doc_id, cand.score,
+        |        CAST(row_number() OVER (ORDER BY
+        |          list_cosine_similarity(e.embedding, qv.qe) DESC,
+        |          cand.doc_id) AS BIGINT) AS rank
+        |       FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id, qv
+        |       WHERE cand.doc_id <> qv.q_doc)
+        |SELECT doc_id, score, rank FROM rr WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // The most frequent adjacent bigram (count DESC, bigram ASC) is the
     // phrase; occurrence counts per containing document. The bigram rows
     // ARE the adjacency relation, so the oracle counts them directly —

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
 
 /** Keyword search over the `documents` table: inverted-index construction,
   * integer-exact TF-IDF ranking, and positional phrase search — the
@@ -188,5 +189,41 @@ object Search {
         col("doc_id") === col("doc_b") && col("next_pos") === col("pos_b"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
       .orderBy("doc_id")
+  }
+
+  /** Hybrid retrieval: BM25 lexical candidate generation re-ranked by
+    * embedding cosine — the retrieve-then-rerank shape a RAG-style
+    * curation pipeline runs at corpus scale. Stage 1 is [[bm25TopK]]
+    * widened to `nCand` candidates (term-keyed, integer-exact); stage 2
+    * joins ONLY those candidates to their embeddings (an nCand-row
+    * equi-join — the other N − nCand vectors never move) and re-ranks
+    * by cosine against the top-BM25 document's vector ("more like
+    * this", the query doc itself excluded). Output carries the BIGINT
+    * lexical score plus the cosine RANK only, so the DuckDB oracle
+    * hash-matches exactly ([[Similarity.bruteForceTopK]] precedent:
+    * ranks are float-library-stable, raw cosines are not). At 100 TB
+    * stage 1 is the family's standard term exchange; stage 2 is
+    * control-plane sized on both sides of its broadcasts. */
+  def hybridSearch(s: SparkSession, dir: String, nTerms: Int = 3,
+                   nCand: Int = 50, topK: Int = 10): DataFrame = {
+    // localCheckpoint: the nCand-row candidate set feeds BOTH the rerank
+    // join and the query-vector pick; without it each consumer re-runs
+    // the corpus-wide BM25 (phraseSearch precedent, control-plane sized).
+    val cands = bm25TopK(s, dir, nTerms, nCand).localCheckpoint()
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+    val qv = cands.filter(col("rank") === 1)
+      .join(vecs, col("vec_id") === col("doc_id"))
+      .select(col("doc_id").as("q_doc"), col("v").as("qv"),
+              col("nrm").as("qnrm"))
+    val w = Window.orderBy(col("cosine").desc, col("doc_id").asc)
+    cands.join(vecs, col("vec_id") === col("doc_id"))
+      .join(broadcast(qv), col("doc_id") =!= col("q_doc"))
+      .select(col("doc_id"), col("score"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("rrank", row_number().over(w).cast("long"))
+      .filter(col("rrank") <= topK)
+      .select(col("doc_id"), col("score"), col("rrank").as("rank"))
+      .orderBy("rank")
   }
 }

@@ -94,4 +94,32 @@ class SearchSpec extends SparkSpec {
       .take(10).map(_._1)
     assert(top.map(_.getLong(0)).toSeq == trueTop)
   }
+
+  test("hybrid search: cosine re-rank of the BM25 candidate set, query doc excluded") {
+    val nCand = 20
+    val got = Search.hybridSearch(spark, sf, nCand = nCand, topK = 10).collect()
+    assert(got.map(_.getLong(2)).toSeq == (1L to got.length.toLong))
+    val cands = Search.bm25TopK(spark, sf, topK = nCand).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val qDoc = cands.collectFirst { case (id, (_, 1L)) => id }.get
+    // results come from the candidate set minus the query doc, and carry
+    // the candidate's lexical score unchanged
+    got.foreach { r =>
+      assert(r.getLong(0) != qDoc)
+      assert(cands(r.getLong(0))._1 == r.getLong(1))
+    }
+    // rank order equals an independent double-precision cosine ordering
+    // vs the query doc's embedding (id tiebreak)
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qv = vecs(qDoc)
+    val expected = (cands.keySet - qDoc).toSeq
+      .map(id => id -> cos(vecs(id), qv))
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    assert(got.map(_.getLong(0)).toSeq == expected)
+  }
 }
