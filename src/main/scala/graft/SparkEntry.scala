@@ -150,6 +150,19 @@ object SparkEntry {
     // build (the settled-corpus ANN path, sibling of dedup_incr_artifact).
     "ann_artifact"  -> (Gates.annArtifactGate _),
     "text_lmscore"  -> ((s, d) => TextAnalysis.lmTypicality(s, d)),
+    // Data-layout family: write the z-ordered (Morton-clustered) lineitem
+    // copy, then answer a 2-D band aggregate over it. The hash match vs
+    // the oracle's raw-table scan proves layout never changes results —
+    // it only changes what the scan skips (tools/MeasureZOrder).
+    "layout_zorder" -> ((s, d) => Layout.zorderQuery(s, d)),
+    // Nearest-centroid (Rocchio) domain classifier in exact-integer
+    // arithmetic — the curation-routing step before curate_mix.
+    "text_classify" -> ((s, d) => Classify.centroidClassify(s, d)),
+    // Streaming CDC compaction (last-wins upsert per key) — what a sink
+    // does with Singer key_properties; real watermarked execution over
+    // the spooled events corpus.
+    "stream_upsert" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.upsertSpooled(s, d)),
   )
 
   private val incrementalOracleSql =
@@ -233,6 +246,17 @@ object SparkEntry {
         | CAST(sum(dropped) AS DOUBLE) / count(*) AS drop_rate
         |FROM r GROUP BY window_start_ms, source
         |ORDER BY window_start_ms, source""".stripMargin,
+    // Last-wins per key by (event-time µs, event_id) — the same order the
+    // stream's commutative fold keeps; value passes through bit-exact.
+    "stream_upsert" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |  epoch_us(ts) AS tus,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, tus AS last_us, event_id AS last_event_id,
+        | event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "search_index" ->
       """WITH u AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
         |           FROM documents)
@@ -348,6 +372,38 @@ object SparkEntry {
         | CAST(sum(c_ab) AS BIGINT) * 1000000 // count(*) AS typicality
         |FROM p JOIN c USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The oracle aggregates the RAW table with the same integer-derived
+    // band bounds; the Spark side answers over its z-ordered copy — the
+    // hash match is the proof that layout changes nothing but the scan.
+    "layout_zorder" ->
+      """WITH m AS (SELECT max(l_partkey) AS pm, max(l_suppkey) AS sm
+        |           FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, m
+        |WHERE l_partkey BETWEEN pm * 45 // 100 AND pm * 55 // 100
+        |  AND l_suppkey BETWEEN sm * 45 // 100 AND sm * 55 // 100""".stripMargin,
+    // Rocchio centroid classification: micro-unit integer weights and
+    // BIGINT scores make the prediction engine-exact (see Classify).
+    "text_classify" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |lab AS (SELECT doc_id, source FROM documents),
+        |ctf AS (SELECT l.source AS cls, tf.term, sum(tf.tf) AS ctf
+        |        FROM tf JOIN lab l USING (doc_id) GROUP BY cls, tf.term),
+        |ctot AS (SELECT cls, sum(ctf) AS ctot FROM ctf GROUP BY cls),
+        |w AS (SELECT cls, term, ctf * 1000000 // ctot AS weight
+        |      FROM ctf JOIN ctot USING (cls)),
+        |sc AS (SELECT tf.doc_id, w.cls, CAST(sum(tf.tf * w.weight) AS BIGINT) AS score
+        |       FROM tf JOIN w USING (term) GROUP BY tf.doc_id, w.cls),
+        |best AS (SELECT doc_id, cls AS pred, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, cls) AS rn FROM sc)
+        |SELECT b.doc_id, b.pred, b.score, b.pred = l.source AS is_correct
+        |FROM best b JOIN lab l ON b.doc_id = l.doc_id
+        |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -700,4 +700,123 @@ object StreamingAnalytics {
     deleteRecursively(tmp)
     out
   }
+
+  final case class UpsertEvent(user_id: Long, ts: Timestamp, ts_us: Long,
+                               event_id: Long, event_type: String,
+                               value: Double)
+  final case class UpsertState(tsUs: Long, eventId: Long, eventType: String,
+                               value: Double)
+  final case class UpsertOut(user_id: Long, last_us: Long,
+                             last_event_id: Long, last_type: String,
+                             last_value: Double)
+
+  /** Streaming CDC compaction: LAST-WINS upsert per key. The reference
+    * captures Singer `key_properties` on every SCHEMA message but never
+    * uses them (SURVEY.md §1.1); this operator is what a sink DOES with
+    * them — fold the change stream down to each key's latest record, the
+    * Singer/Kafka-compacted-topic semantics.
+    *
+    * "Last" is defined by the (event-time µs, event_id) ORDER, not by
+    * arrival: the fold keeps the max of that pair, which is commutative
+    * and associative, so any batch slicing / partition interleaving
+    * yields the same kept record — the property that makes the operator
+    * oracle-checkable and makes replays idempotent. A key's compacted
+    * record is emitted once the watermark passes its last change +
+    * `settle` (event-time timeout); state per key is one record, bounded
+    * by the distinct-key cardinality, and reclaimed at emission. */
+  def upsertStream(events: Dataset[UpsertEvent],
+                   lateness: String = "10 minutes",
+                   settle: String = "30 minutes"): Dataset[UpsertOut] = {
+    import events.sparkSession.implicits._
+    val settleMs = intervalMs(settle)
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, rows: Iterator[UpsertEvent], state: GroupState[UpsertState]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(UpsertOut(uid, st.tsUs, st.eventId, st.eventType, st.value))
+          } else {
+            var cur = state.getOption
+            rows.foreach { e =>
+              val newer = cur.forall(c =>
+                e.ts_us > c.tsUs || (e.ts_us == c.tsUs && e.event_id > c.eventId))
+              if (newer)
+                cur = Some(UpsertState(e.ts_us, e.event_id, e.event_type, e.value))
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c.tsUs / 1000L + settleMs)
+            }
+            Iterator.empty
+          }
+        })
+  }
+
+  /** ORACLE-CHECKED streaming upsert: spool the bounded `events` table
+    * through a REAL execution of [[upsertStream]] and return every key's
+    * compacted record. Output carries the event-time in µs (the stream's
+    * own comparison precision — parquet's nanos truncate identically in
+    * both engines) and the record payload verbatim (`value` passes
+    * through untouched, so the double is bit-exact). Two-sentinel flush
+    * protocol and layout per [[sessionizeSpooled]]. */
+  def upsertSpooled(s: SparkSession, dir: String,
+                    lateness: String = "10 minutes",
+                    settle: String = "30 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-upspool-$runId")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(src).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+      } else Seq(src)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p, tmp.resolve(f"real_$i%04d.parquet")): Unit
+    }
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val stepNanos =
+      (intervalMs(settle) + intervalMs(lateness) + 60 * 60 * 1000L) * 1000000L
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, -1L, -1L, "sentinel", 0.0))
+        .toDF("ts", "user_id", "event_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select(col("user_id"), col("ts"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[UpsertEvent]
+    val name = s"graft_upsert_$runId"
+    val q = upsertStream(stream, lateness, settle)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable() // batch 1: the whole bounded corpus
+      val t1 = maxTsNanos + stepNanos
+      sentinel(t1)
+      q.processAllAvailable() // batch 2: watermark → maxTs − lateness
+      sentinel(t1 + stepNanos)
+      q.processAllAvailable() // batch 3: every real key settles
+    } finally q.stop()
+    val out = s.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("last_us"), col("last_event_id"),
+        col("last_type"), col("last_value"))
+      .orderBy("user_id")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
 }

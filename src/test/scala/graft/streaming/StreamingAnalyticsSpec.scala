@@ -415,4 +415,55 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val kept = dedupSpooled(spark, d2).collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(0L, 1L, 2L))
   }
+
+  test("upsert stream keeps the last record per key under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[UpsertEvent]
+    def ev(uid: Long, min: Int, id: Long, tpe: String, v: Double): UpsertEvent = {
+      val t = ts(min)
+      UpsertEvent(uid, t, t.getTime * 1000L, id, tpe, v)
+    }
+    // lateness must cover the out-of-order gap: batch 1's max event time
+    // (min 9) sets the watermark, and batch 2's min-4 arrivals would be
+    // late-dropped under a 5-minute bound (correct watermark semantics,
+    // not last-wins semantics — this test targets the latter)
+    val q = upsertStream(input.toDS(), lateness = "20 minutes", settle = "10 minutes")
+      .writeStream.format("memory").queryName("upsert_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: later event arrives FIRST; user 2: same-µs tie broken by id
+      input.addData(ev(1L, 9, 103L, "click", 3.0), ev(2L, 4, 201L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(1L, 2, 101L, "view", 1.0), ev(2L, 4, 202L, "click", 2.0))
+      q.processAllAvailable()
+      // two far-future waves: advance the watermark, then fire timeouts
+      input.addData(ev(99L, 120, 900L, "x", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(99L, 360, 901L, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("upsert_t").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4)))
+        .filter(_._1 < 90L).sortBy(_._1).toSeq
+      assert(got == Seq((1L, 103L, "click", 3.0), (2L, 202L, "click", 2.0)))
+    } finally q.stop()
+  }
+
+  test("spooled upsert equals batch last-wins on the real corpus (sf0.001)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = upsertSpooled(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").desc, col("event_id").desc)
+    val expected = graft.operators.Tables.events(spark, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "tus", "event_id")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
 }
