@@ -163,7 +163,64 @@ object SparkEntry {
     // the spooled events corpus.
     "stream_upsert" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.upsertSpooled(s, d)),
+    // MMR diversified retrieval over the BM25 candidates — exact-integer
+    // greedy, oracle-checked by unrolling the same greedy in SQL.
+    "search_mmr" -> ((s, d) => Search.mmrTopK(s, d)),
   )
+
+  /** Greedy MMR unrolled in SQL: the BM25 candidate chain (the
+    * search_bm25 CTEs widened to 50), micro-unit relevance and pairwise
+    * token-Jaccard, then `topK` argmax steps — step k maximizes
+    * `rel − max(sim to the k−1 already-picked docs)` over the unpicked
+    * rest, ties by doc_id. Every value is BIGINT floor arithmetic, so
+    * the selection matches [[graft.operators.Search.mmrTopK]]'s driver
+    * greedy exactly. Generated (not hand-written) because the greedy is
+    * inherently sequential: SQL gets one CTE pair (pick + picked-set)
+    * per step. */
+  private def mmrOracle(topK: Int): String = {
+    val base =
+      """WITH t AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |l AS MATERIALIZED (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS MATERIALIZED (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_len FROM l),
+        |u AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM t),
+        |d AS MATERIALIZED (SELECT term, count(*) AS df FROM u GROUP BY term),
+        |q AS MATERIALIZED (SELECT term,
+        |        ((2 * st.n_docs - 2 * df + 1) * 1000000) // (2 * df + 1) AS idf_micro,
+        |        st.s_len, st.n_docs
+        |      FROM d, st ORDER BY df ASC, term ASC LIMIT 3),
+        |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |c AS MATERIALIZED (SELECT tf.doc_id,
+        |        (q.idf_micro * ((1000000 * 36 * tf.tf * q.s_len) //
+        |          (16 * tf.tf * q.s_len + 5 * q.s_len + 15 * l.dl * q.n_docs)))
+        |         // 1000000 AS contrib
+        |      FROM tf JOIN q USING (term) JOIN l ON tf.doc_id = l.doc_id),
+        |sc AS MATERIALIZED (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+        |       FROM c GROUP BY doc_id),
+        |cand AS MATERIALIZED (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+        |mx AS MATERIALIZED (SELECT max(score) AS ms FROM cand),
+        |r AS MATERIALIZED (SELECT c2.doc_id, c2.score * 1000000 // mx.ms AS rel,
+        |             list_distinct(string_split(dd.text, ' ')) AS ts
+        |      FROM cand c2 JOIN documents dd USING (doc_id), mx),
+        |sim AS MATERIALIZED (SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |         len(list_intersect(a.ts, b.ts)) * 1000000 //
+        |         (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS s
+        |        FROM r a, r b WHERE a.doc_id <> b.doc_id),
+        |s1 AS MATERIALIZED (SELECT doc_id, rel AS m FROM r ORDER BY rel DESC, doc_id LIMIT 1),
+        |p1 AS MATERIALIZED (SELECT doc_id FROM s1)""".stripMargin
+    val steps = (2 to topK).map { k =>
+      s"""s$k AS MATERIALIZED (SELECT r.doc_id, r.rel - max(sim.s) AS m
+         |  FROM r JOIN sim ON sim.ai = r.doc_id
+         |    AND sim.bi IN (SELECT doc_id FROM p${k - 1})
+         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM p${k - 1})
+         |  GROUP BY r.doc_id, r.rel ORDER BY m DESC, r.doc_id LIMIT 1),
+         |p$k AS MATERIALIZED (SELECT doc_id FROM p${k - 1}
+         |        UNION ALL SELECT doc_id FROM s$k)""".stripMargin
+    }
+    val out = (1 to topK).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, doc_id, m AS mmr_score FROM s$k"
+    }.mkString("\n", "\nUNION ALL ", "\nORDER BY rank")
+    (Seq(base) ++ steps).mkString(",\n") + out
+  }
 
   private val incrementalOracleSql =
     """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
@@ -257,6 +314,7 @@ object SparkEntry {
         |SELECT user_id, tus AS last_us, event_id AS last_event_id,
         | event_type AS last_type, value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "search_mmr" -> mmrOracle(10),
     "search_index" ->
       """WITH u AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
         |           FROM documents)

@@ -191,6 +191,66 @@ object Search {
       .orderBy("doc_id")
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified top-k: greedily pick the candidate maximizing
+    * `relevance − redundancy`, where redundancy is the max similarity to
+    * the already-selected set — the standard diversification step between
+    * retrieval and consumption (dedup-at-serving-time for RAG, or
+    * coverage-aware curation sampling).
+    *
+    * Exact-integer instantiation (family rule): relevance is the BM25
+    * score normalized to micro-units of the candidate max
+    * (`(score·10⁶) div max_score`), similarity is token-set Jaccard in
+    * micro-units (`(|A∩B|·10⁶) div |A∪B|`), and the λ=½ trade-off drops
+    * out of the argmax — so every comparison is BIGINT and the selection
+    * is engine-reproducible (the DuckDB oracle unrolls the same greedy).
+    *
+    * Plan shape: the corpus-scale work is [[bm25TopK]] (term-keyed) plus
+    * ONE broadcast equi-join fetching the `nCand` candidates' token sets;
+    * the greedy loop itself runs on the driver over the nCand-row
+    * candidate table (bounded control-plane collect — the BPE-merge-table
+    * precedent), because greedy MMR is inherently sequential in k and
+    * k·nCand is dozens of rows, not data. At 100 TB nothing changes:
+    * candidates stay bounded, the corpus never leaves the BM25 stage. */
+  def mmrTopK(s: SparkSession, dir: String, nTerms: Int = 3,
+              nCand: Int = 50, topK: Int = 10): DataFrame = {
+    import s.implicits._
+    val cands = bm25TopK(s, dir, nTerms, nCand).localCheckpoint()
+    val toks = Tables.documents(s, dir)
+      .join(broadcast(cands.select("doc_id")), "doc_id")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+    val rows = cands.join(toks, "doc_id")
+      .select(col("doc_id"), col("score"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toSet))
+    val maxScore = rows.map(_._2).max
+    val rel = rows.map { case (id, sc, tk) =>
+      (id, sc * 1000000L / maxScore, tk)
+    }.sortBy(_._1)
+    def simMicro(a: Set[String], b: Set[String]): Long = {
+      val inter = (a & b).size.toLong
+      val union = a.size + b.size - inter
+      if (union == 0) 0L else inter * 1000000L / union
+    }
+    val tokOf = rel.map { case (id, _, tk) => id -> tk }.toMap
+    var selected = Vector.empty[(Long, Long)] // (doc_id, mmr_score)
+    var remaining = rel
+    while (selected.size < topK && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, r, tk) =>
+        val red =
+          if (selected.isEmpty) 0L
+          else selected.map { case (sid, _) => simMicro(tk, tokOf(sid)) }.max
+        (id, r - red)
+      }
+      val best = scored.minBy { case (id, m) => (-m, id) }
+      selected :+= best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    selected.zipWithIndex
+      .map { case ((id, m), i) => (i + 1L, id, m) }
+      .toDF("rank", "doc_id", "mmr_score")
+  }
+
   /** Hybrid retrieval: BM25 lexical candidate generation re-ranked by
     * embedding cosine — the retrieve-then-rerank shape a RAG-style
     * curation pipeline runs at corpus scale. Stage 1 is [[bm25TopK]]

@@ -122,4 +122,46 @@ class SearchSpec extends SparkSpec {
       .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
     assert(got.map(_.getLong(0)).toSeq == expected)
   }
+
+  test("MMR: selection matches an independent recomputation of the greedy") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Search.mmrTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.length == 10)
+    assert(got.map(_._1) == (1L to 10L))
+    assert(got.map(_._2).distinct.size == 10)
+    // max marginal relevance is non-increasing in k: the step-k pick was
+    // available at step k-1 with weakly higher marginal
+    val scores = got.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // independent recomputation: candidate relevance from bm25TopK's
+    // (already independently pinned) output, similarity and the greedy
+    // itself redone here in BigInt arithmetic
+    val cands = Search.bm25TopK(spark, sf, topK = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val maxScore = cands.values.max
+    val rel = cands.map { case (id, sc) =>
+      id -> (BigInt(sc) * 1000000 / BigInt(maxScore)).toLong
+    }
+    def sim(a: Long, b: Long): Long = {
+      val (x, y) = (toks(a), toks(b))
+      val inter = (x & y).size.toLong
+      val union = x.size + y.size - inter
+      if (union == 0) 0L else inter * 1000000L / union
+    }
+    var sel = Vector.empty[(Long, Long)]
+    var rem = rel.keySet
+    while (sel.size < 10) {
+      val best = rem.toSeq.map { id =>
+        val red = if (sel.isEmpty) 0L else sel.map(s => sim(id, s._1)).max
+        (id, rel(id) - red)
+      }.minBy { case (id, m) => (-m, id) }
+      sel :+= best
+      rem -= best._1
+    }
+    val expected = sel.zipWithIndex.map { case ((id, m), i) => (i + 1L, id, m) }
+    assert(got == expected)
+  }
 }
