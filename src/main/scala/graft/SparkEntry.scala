@@ -66,6 +66,9 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => Graph.triangleCounts(s, d)),
     "graph_clustering" -> ((s, d) => Graph.clusteringCoefficients(s, d)),
     "graph_components" -> ((s, d) => Graph.componentAssignments(s, d)),
+    // Exact-integer PageRank centrality on the same mutual-kNN graph
+    // (fixed power steps, micro-unit arithmetic — see Graph.pageRank).
+    "graph_pagerank"  -> ((s, d) => Graph.pageRank(s, d)),
     "dedup_semantic"  -> ((s, d) => Dedup.semanticDedup(s, d)),
     "curate_domaincap" -> ((s, d) => Curation.domainCap(s, d)),
     "curate_dsir"     -> ((s, d) => Curation.dsirAffinity(s, d)),
@@ -1224,6 +1227,36 @@ object SparkEntry {
         |      UNION ALL SELECT c FROM t)
         |SELECT vec_id, count(*) AS n_triangles FROM n
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Same m edge CTE as the other graph oracles, then the three integer
+    // power steps unrolled (MATERIALIZED: each step references the last,
+    // and inlining would re-expand the N² kNN window per step).
+    "graph_pagerank" ->
+      """WITH p AS MATERIALIZED (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS MATERIALIZED (SELECT src, dst FROM p WHERE rk <= 5),
+        |m AS MATERIALIZED (SELECT d1.src AS u, d1.dst AS v
+        |      FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |      WHERE d1.src < d1.dst),
+        |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM m
+        |      UNION ALL SELECT v AS src, u AS dst FROM m),
+        |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+        |r0 AS MATERIALIZED (SELECT src AS vec_id, CAST(1000000 AS BIGINT) AS pr FROM dg),
+        |r1 AS MATERIALIZED (SELECT a.dst AS vec_id,
+        |        CAST(150000 + (17 * sum(r.pr // g.deg)) // 20 AS BIGINT) AS pr
+        |      FROM adj a JOIN r0 r ON a.src = r.vec_id
+        |                 JOIN dg g ON g.src = a.src GROUP BY a.dst),
+        |r2 AS MATERIALIZED (SELECT a.dst AS vec_id,
+        |        CAST(150000 + (17 * sum(r.pr // g.deg)) // 20 AS BIGINT) AS pr
+        |      FROM adj a JOIN r1 r ON a.src = r.vec_id
+        |                 JOIN dg g ON g.src = a.src GROUP BY a.dst),
+        |r3 AS MATERIALIZED (SELECT a.dst AS vec_id,
+        |        CAST(150000 + (17 * sum(r.pr // g.deg)) // 20 AS BIGINT) AS pr
+        |      FROM adj a JOIN r2 r ON a.src = r.vec_id
+        |                 JOIN dg g ON g.src = a.src GROUP BY a.dst)
+        |SELECT vec_id, pr FROM r3 ORDER BY vec_id""".stripMargin,
     // Components of the mutual-kNN graph: same m edge CTE as the other
     // graph oracles, made bidirectional for recursive reachability;
     // component_id = min reachable id, singletons label themselves.

@@ -234,6 +234,56 @@ object Graph {
     * materialization EACH would re-run the kNN build — the most expensive
     * subtree in the plan. Size attach is one keyed aggregate + one keyed
     * join on component_id — no broadcast of any O(N) side. */
+  /** PageRank centrality on the mutual-kNN graph, in EXACT integers —
+    * which embedding-space neighborhoods are structurally central (rank
+    * mass concentrates in dense, well-connected regions) vs peripheral;
+    * the graph family's global-importance signal next to the local
+    * triangle/coefficient ones.
+    *
+    * Fixed-iteration power method in micro-units (Page et al. 1999, with
+    * d = 0.85 = 17/20 kept as an integer ratio): pr₀ = 10⁶ per node;
+    * pr_{k+1}(v) = 150000 + (17 · Σ_{u∼v} (pr_k(u) div deg(u))) div 20.
+    * Every step is BIGINT floor arithmetic, so the result hash-matches
+    * any engine — the family's standard determinism trade (a float
+    * PageRank converges to the same ORDER but its doubles cannot be
+    * hash-compared). Dangling mass does not arise: the graph is
+    * undirected and every node in it has degree ≥ 1 (singleton vectors
+    * are absent, as in [[triangleCounts]]).
+    *
+    * Plan shape per iteration: one node-keyed equi-join (ranks onto the
+    * degree-annotated adjacency) + one node-keyed aggregate — the
+    * standard distributed PageRank exchange pattern, O(E) rows per
+    * round, no broadcast of any O(N) side. The adjacency is
+    * localCheckpointed once: it feeds every iteration, and each re-use
+    * would otherwise re-run the kNN build. `iters` is fixed and small
+    * (the oracle unrolls the same steps); centrality ORDER stabilizes in
+    * a handful of rounds on k-regular-ish graphs, and a production run
+    * continues with the same step until an integer fixpoint. */
+  def pageRank(s: SparkSession, dir: String, k: Int = 5,
+               iters: Int = 3): DataFrame = {
+    val e = mutualKnnEdges(s, dir, k)
+    pageRankFromEdges(e, iters).orderBy("vec_id")
+  }
+
+  /** (vec_id, pr) after `iters` integer power steps over a u<v edge
+    * list. */
+  private[graft] def pageRankFromEdges(e: DataFrame, iters: Int): DataFrame = {
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adjDeg = adj.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("vec_id"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = adjDeg.join(ranks, col("src") === col("vec_id"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("m"))
+        .select(col("dst").as("vec_id"),
+          (lit(150000L) + expr("(17 * m) div 20")).as("pr"))
+    }
+    ranks
+  }
+
   def componentAssignments(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val vecs = Tables.embeddings(s, dir).select(col("vec_id"))
     val comp = Dedup.connectedComponents(

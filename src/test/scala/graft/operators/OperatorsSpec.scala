@@ -787,6 +787,38 @@ class OperatorsSpec extends SparkSpec {
       .foreach(e => assert(comp(e.getLong(0)) == comp(e.getLong(1))))
   }
 
+  test("pagerank: planted graph matches a hand-rolled integer power iteration") {
+    import spark.implicits._
+    // triangle {1,2,3} with a pendant 4 attached to 3: the triangle's
+    // hub (3) must outrank the pendant, and every step is exact integers
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = Graph.pageRankFromEdges(e, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent recomputation
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L),
+                  3L -> Seq(1L, 2L, 4L), 4L -> Seq(3L))
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var pr = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      pr = adj.keys.map { v =>
+        val s = adj(v).map(u => pr(u) / deg(u)).sum
+        v -> (150000L + 17L * s / 20L)
+      }.toMap
+    }
+    assert(got == pr)
+    assert(got(3L) > got(4L)) // hub above pendant
+    assert(got(1L) == got(2L)) // symmetric nodes tie exactly
+  }
+
+  test("pagerank on the real corpus: every mutual-graph node ranked, mass positive") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Graph.pageRank(spark, sf).collect()
+    val nodes = Graph.mutualKnnEdges(spark, sf, 5).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(_.getLong(0)).toSet == nodes)
+    assert(rows.forall(_.getLong(1) >= 150000L))
+  }
+
   test("dsir affinity matches a BigInt recomputation; target bigrams score higher") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
