@@ -45,6 +45,9 @@ object SparkEntry {
     "q23_skew_join"   -> ((s, d) => Analytics.q23SkewJoin(s, d)),
     "q24_anomaly"     -> (Analytics.q24EventAnomaly _),
     "q25_bucketed_join" -> (Bucketing.bucketedJoinQuery _),
+    "q26_grouping_sets" -> (Analytics.q26GroupingSets _),
+    "q27_window_suite" -> (Analytics.q27WindowSuite _),
+    "q28_full_outer"  -> (Analytics.q28FullOuter _),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "range_join"      -> ((s, d) => RangeJoin.eventBands(s, d)),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
@@ -540,6 +543,37 @@ object SparkEntry {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q26_grouping_sets" ->
+      """SELECT c_mktsegment, n_name AS nation_name,
+        | CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+        | CAST(GROUPING(n_name) AS BIGINT) AS g_nat,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), ())
+        |ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
+        |         nation_name NULLS FIRST""".stripMargin,
+    // Deterministic by the o_orderkey tiebreak; percent_rank/cume_dist
+    // are int/int divisions, IEEE-exact in both engines.
+    "q27_window_suite" ->
+      """SELECT c_mktsegment, o_orderkey,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drank
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY c_mktsegment, o_orderkey""".stripMargin,
+    "q28_full_outer" ->
+      """WITH rich AS (SELECT c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |  FROM customer WHERE c_acctbal > 7500),
+        |active AS (SELECT o_custkey, count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey HAVING count(*) >= 8)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, acctbal, n_orders
+        |FROM rich FULL OUTER JOIN active ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
     // The salted join must equal the PLAIN join — that equality IS the
     // correctness contract of the skew utility.
     "q23_skew_join" ->

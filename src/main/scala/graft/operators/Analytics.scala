@@ -315,6 +315,65 @@ object Analytics {
           col("exact").cast("double") * 0.05).as("within_5pct"))
       .orderBy("event_type")
 
+  /** GROUPING SETS with explicit grouping markers — the general form of
+    * q11's ROLLUP / q18's CUBE: three chosen aggregation levels in ONE
+    * pass (Catalyst expands to a single Expand + aggregate, one shuffle,
+    * not three scans). The `grouping()` markers disambiguate subtotal
+    * NULLs from data NULLs — the portable way to consume the result. */
+  def q26GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("graft_q26_customer")
+    nation(s, dir).createOrReplaceTempView("graft_q26_nation")
+    s.sql(
+      """SELECT /*+ BROADCAST(n) */ c_mktsegment, n_name AS nation_name,
+        | CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+        | CAST(GROUPING(n_name) AS BIGINT) AS g_nat,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM graft_q26_customer c JOIN graft_q26_nation n
+        |  ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), ())
+        |ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
+        |         nation_name NULLS FIRST""".stripMargin)
+  }
+
+  /** The distribution-analytic window functions q4/q21 don't cover:
+    * ntile quartiles, percent_rank, cume_dist, dense_rank — per-segment
+    * price distribution positions. The ORDER BY carries o_orderkey as a
+    * tiebreak so every function is deterministic; percent_rank and
+    * cume_dist are int/int divisions of rank counts, IEEE-exact in both
+    * engines. One shuffle on the segment key. */
+  def q27WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).join(
+      broadcast(customer(s, dir).select("c_custkey", "c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("c_mktsegment"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        dense_rank().over(w).cast("long").as("drank"))
+      .orderBy("c_mktsegment", "o_orderkey")
+  }
+
+  /** FULL OUTER join with null rows on BOTH sides: high-balance
+    * customers vs active order books — the reconciliation shape (which
+    * accounts have money but no orders, which have orders but modest
+    * balances). Both inputs are keyed aggregates/filters of the same
+    * join key, so the full outer is one sort-merge exchange pair. */
+  def q28FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val rich = customer(s, dir)
+      .filter(col("c_acctbal") > 7500)
+      .select(col("c_custkey"), dec(col("c_acctbal")).cast("double").as("acctbal"))
+    val active = orders(s, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 8)
+    rich.join(active, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("acctbal"), col("n_orders"))
+      .orderBy("custkey")
+  }
+
   /** The engine's SQL surface: the same ANSI SQL DuckDB runs as the
     * oracle executes verbatim on `spark.sql` over registered views —
     * correlated scalar subquery included (Catalyst decorrelates it into
