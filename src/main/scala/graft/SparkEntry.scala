@@ -155,6 +155,9 @@ object SparkEntry {
     // Persisted IVF-PQ index: recall bound + bit-identity with the fresh
     // build (the settled-corpus ANN path, sibling of dedup_incr_artifact).
     "ann_artifact"  -> (Gates.annArtifactGate _),
+    // Incrementally-maintained ANN index: increment appended under frozen
+    // quantizers must equal the one-pass rebuild bit-for-bit + recall.
+    "ann_incr_artifact" -> (Gates.annIncrArtifactGate _),
     "text_lmscore"  -> ((s, d) => TextAnalysis.lmTypicality(s, d)),
     // Data-layout family: write the z-ordered (Morton-clustered) lineitem
     // copy, then answer a 2-D band aggregate over it. The hash match vs
@@ -419,6 +422,13 @@ object SparkEntry {
     "ann_artifact" ->
       """SELECT count(*) AS n_exact, true AS recall_ok,
         | true AS artifact_equals_fresh FROM (
+        | SELECT q.vec_id FROM embeddings q, embeddings e
+        | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+        | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5)""".stripMargin,
+    "ann_incr_artifact" ->
+      """SELECT count(*) AS n_exact, true AS recall_ok,
+        | true AS incr_equals_onepass FROM (
         | SELECT q.vec_id FROM embeddings q, embeddings e
         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
         | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id

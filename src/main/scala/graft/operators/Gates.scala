@@ -103,6 +103,34 @@ object Gates {
         (col("mismatch") === 0).as("artifact_equals_fresh"))
   }
 
+  /** Incremental-index ANN gate: the INCREMENTALLY-MAINTAINED index
+    * (settled corpus encoded at build, increment batch appended under
+    * frozen quantizers — [[Similarity.ivfPqIncrArtifacts]]) must serve
+    * top-k (a) meeting the recall bound over the full corpus and (b)
+    * BIT-IDENTICAL to its one-pass twin (same settled-trained
+    * quantizers, settled ∪ increment encoded in one pass) — proving
+    * append-maintenance loses nothing vs rebuilding. */
+  def annIncrArtifactGate(s: SparkSession, dir: String): DataFrame = {
+    val ((incrIdx, incrCb), (twinIdx, twinCb)) =
+      Similarity.ivfPqIncrArtifacts(s, dir)
+    // localCheckpoint: consumed by both the equality join and the recall
+    // gate; 50 rows, same precedent as annArtifactGate
+    val served = Similarity.ivfPqTopKServe(s, dir, incrIdx, incrCb)
+      .localCheckpoint()
+    val twin = Similarity.ivfPqTopKServe(s, dir, twinIdx, twinCb)
+    val eq = served.select(col("query_id"), col("neighbor_id"), col("rank"),
+        lit(1).as("in_incr"))
+      .join(twin.select(col("query_id"), col("neighbor_id"), col("rank"),
+          lit(1).as("in_twin")),
+        Seq("query_id", "neighbor_id", "rank"), "full_outer")
+      .agg(coalesce(sum(when(col("in_incr").isNull || col("in_twin").isNull, 1)
+        .otherwise(0)), lit(0)).as("mismatch"))
+    annGate(s, dir, served, envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
+      .crossJoin(eq) // 1 × 1 rows
+      .select(col("n_exact"), col("recall_ok"),
+        (col("mismatch") === 0).as("incr_equals_onepass"))
+  }
+
   /** Sign-LSH ANN recall gate — measured 0.96 at sf0.01 (16 bands x 4
     * bits; see [[Similarity.lshTopK]] for the band math). */
   def annLshGate(s: SparkSession, dir: String): DataFrame =

@@ -505,30 +505,101 @@ object Similarity {
     indexCache.getOrElseUpdate(s"$dir|$nlist|$m|$ksub", {
       val key = math.abs(s"$dir|$nlist|$m|$ksub".hashCode).toString
       val all = corpus(s, dir)
-      val sample = normalizedSample(all, 2048)
-      val cents = centroids(all, nlist, sharedSample = sample)
-      val books = pqCodebooks(all, m, ksub, sharedSample = sample)
       val cbName = s"graft_ann_codebook_$key"
       val idxName = s"graft_ann_index_$key"
-      import s.implicits._
-      val cbRows: Seq[(String, Int, Int, Double)] =
-        cents.toSeq.zipWithIndex.flatMap { case (c, i) =>
-          c.zipWithIndex.map { case (v, d) => ("coarse", i, d, v) } } ++
-        books.toSeq.zipWithIndex.flatMap { case (bj, j) =>
-          bj.toSeq.zipWithIndex.flatMap { case (c, ci) =>
-            c.toSeq.zipWithIndex.map { case (v, d) => ("pq", j * ksub + ci, d, v) } } }
-      cbRows.toDF("kind", "slot", "component", "value")
-        .coalesce(1).write.mode("overwrite")
-        .option("path", s"$indexRoot/$cbName").saveAsTable(cbName)
-      def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
-      pqEncode(all.withColumn("cd", centDots)
-            .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1")),
-          books, m)
-        .select(col("vec_id"), col("nrm"), col("codes"), col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id")
-        .option("path", s"$indexRoot/$idxName").saveAsTable(idxName)
+      writeIndexTables(s, trainOn = all, encodeOn = all,
+        idxName = idxName, cbName = cbName, nlist = nlist, m = m, ksub = ksub)
       (idxName, cbName)
     })
+
+  /** Train quantizers on `trainOn`, persist them as `cbName`, encode
+    * `encodeOn` and write it as `idxName` (partitioned by list). Returns
+    * the trained quantizers so callers can [[appendCoded]] later batches
+    * without retraining — the index-maintenance primitive. Training is
+    * deterministic (hash-ordered bounded sample), so two builds from the
+    * same `trainOn` produce bit-identical codebooks. */
+  private def writeIndexTables(s: SparkSession, trainOn: DataFrame,
+      encodeOn: DataFrame, idxName: String, cbName: String,
+      nlist: Int, m: Int, ksub: Int)
+      : (Array[Seq[Double]], Array[Array[Array[Double]]]) = {
+    val sample = normalizedSample(trainOn, 2048)
+    val cents = centroids(trainOn, nlist, sharedSample = sample)
+    val books = pqCodebooks(trainOn, m, ksub, sharedSample = sample)
+    import s.implicits._
+    val cbRows: Seq[(String, Int, Int, Double)] =
+      cents.toSeq.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, d) => ("coarse", i, d, v) } } ++
+      books.toSeq.zipWithIndex.flatMap { case (bj, j) =>
+        bj.toSeq.zipWithIndex.flatMap { case (c, ci) =>
+          c.toSeq.zipWithIndex.map { case (v, d) => ("pq", j * ksub + ci, d, v) } } }
+    cbRows.toDF("kind", "slot", "component", "value")
+      .coalesce(1).write.mode("overwrite")
+      .option("path", s"$indexRoot/$cbName").saveAsTable(cbName)
+    coded(encodeOn, cents, books, m)
+      .write.mode("overwrite").partitionBy("list_id")
+      .option("path", s"$indexRoot/$idxName").saveAsTable(idxName)
+    (cents, books)
+  }
+
+  /** (vec_id, nrm, codes, list_id) for `df` under the given quantizers. */
+  private def coded(df: DataFrame, cents: Array[Seq[Double]],
+                    books: Array[Array[Array[Double]]], m: Int): DataFrame = {
+    val centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    pqEncode(df.withColumn("cd", centDots)
+          .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1")),
+        books, m)
+      .select(col("vec_id"), col("nrm"), col("codes"), col("list_id"))
+  }
+
+  /** Append a new batch to an existing index WITHOUT retraining: encode
+    * under the frozen quantizers, insert into the partitioned table
+    * (positional — the select order matches the table schema). */
+  private def appendCoded(s: SparkSession, df: DataFrame,
+      cents: Array[Seq[Double]], books: Array[Array[Array[Double]]],
+      m: Int, idxName: String): Unit =
+    coded(df, cents, books, m).write.mode("append").insertInto(idxName)
+
+  /** INCREMENTALLY-MAINTAINED IVF-PQ index plus its one-pass twin — the
+    * nightly-ANN-job shape ([[graft.operators.Dedup]]'s
+    * `incrementalPairsArtifact` sibling): the settled corpus (vec_id with
+    * `% 10 ≠ 0`, the repo's standard settled/increment split) trains the
+    * quantizers and is encoded at build; the increment batch is encoded
+    * under the FROZEN quantizers and appended — no retrain, no corpus
+    * re-encode, cost tracks the batch. The twin index trains on the same
+    * settled corpus but encodes settled ∪ increment in one pass; because
+    * training is deterministic and encoding is per-row under frozen
+    * quantizers, maintained and twin indexes hold identical rows — the
+    * equality the gate pins (plus the standard recall bound). At 100 TB
+    * this is the difference between re-encoding the corpus nightly and
+    * encoding only the day's arrivals. */
+  private[graft] def ivfPqIncrArtifacts(s: SparkSession, dir: String,
+      nlist: Int = 16, m: Int = 16, ksub: Int = 32)
+      : ((String, String), (String, String)) = {
+    val mainNames = indexCache.getOrElseUpdate(s"$dir|incr|$nlist|$m|$ksub", {
+      val key = math.abs(s"$dir|incr|$nlist|$m|$ksub".hashCode).toString
+      val all = corpus(s, dir)
+      val settled = all.filter(col("vec_id") % 10 =!= 0)
+      val incr = all.filter(col("vec_id") % 10 === 0)
+      val idxName = s"graft_ann_incr_index_$key"
+      val cbName = s"graft_ann_incr_codebook_$key"
+      val (cents, books) = writeIndexTables(s, trainOn = settled,
+        encodeOn = settled, idxName = idxName, cbName = cbName,
+        nlist = nlist, m = m, ksub = ksub)
+      appendCoded(s, incr, cents, books, m, idxName)
+      (idxName, cbName)
+    })
+    val twinNames = indexCache.getOrElseUpdate(s"$dir|twin|$nlist|$m|$ksub", {
+      val key = math.abs(s"$dir|twin|$nlist|$m|$ksub".hashCode).toString
+      val all = corpus(s, dir)
+      val settled = all.filter(col("vec_id") % 10 =!= 0)
+      val idxName = s"graft_ann_twin_index_$key"
+      val cbName = s"graft_ann_twin_codebook_$key"
+      writeIndexTables(s, trainOn = settled, encodeOn = all,
+        idxName = idxName, cbName = cbName, nlist = nlist, m = m, ksub = ksub)
+      (idxName, cbName)
+    })
+    (mainNames, twinNames)
+  }
 
   /** IVF-PQ top-k served FROM the persisted index: no training, no
     * corpus encode — the query batch loads the quantizer table, probes
@@ -545,6 +616,17 @@ object Similarity {
                             m: Int = 16, ksub: Int = 32,
                             rerank: Int = 64): DataFrame = {
     val (idxName, cbName) = ivfPqIndexArtifact(s, dir, nlist, m, ksub)
+    ivfPqTopKServe(s, dir, idxName, cbName, nQueries, k, nprobe, m, ksub, rerank)
+  }
+
+  /** Serve top-k from ANY persisted (index, codebook) table pair — the
+    * query path shared by the write-once and incrementally-maintained
+    * artifacts. */
+  private[graft] def ivfPqTopKServe(s: SparkSession, dir: String,
+                            idxName: String, cbName: String,
+                            nQueries: Int = 10, k: Int = 5, nprobe: Int = 12,
+                            m: Int = 16, ksub: Int = 32,
+                            rerank: Int = 64): DataFrame = {
     val cbRows = s.table(cbName).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     def slots(kind: String): Map[Int, Seq[Double]] =

@@ -245,6 +245,27 @@ object StreamingAnalytics {
 
   private val spoolRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** State shards for the SPOOLED (bounded-corpus) executions. Stateful
+    * queries pay per-microbatch state-store commit I/O PER SHUFFLE
+    * PARTITION — a stream-stream join keeps four stores per partition,
+    * so a 32-partition session spends ~3 s/batch on store commits alone
+    * for kilobyte-scale state (measured, tools/ProfileStream). Shard
+    * count should track state VOLUME, not core count: the bounded spool
+    * corpora need few shards; a production deployment with millions of
+    * live keys raises the session conf instead. The spooled runners set
+    * this for the query's lifetime (the count is fixed at query start)
+    * and restore the session conf after. */
+  private val SpoolStatePartitions = "8"
+
+  /** Run `body` (which must start AND stop its streaming query) with
+    * `spark.sql.shuffle.partitions` scoped down for spooled state sizing;
+    * restores the prior value however the body exits. */
+  private def withSpoolPartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", SpoolStatePartitions)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** The first ORACLE-CHECKED streaming query: spool the bounded `events`
     * table through a REAL Structured-Streaming execution of [[sessionize]]
     * (file source → watermark → flatMapGroupsWithState → memory sink) and
@@ -302,17 +323,19 @@ object StreamingAnalytics {
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[SessionEvent]
     val name = s"graft_sessions_$runId"
-    val q = sessionize(stream, gapMs, lateness)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      q.processAllAvailable() // batch 1: the whole bounded corpus
-      val t1 = maxTsNanos + (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L
-      sentinel(t1)
-      q.processAllAvailable() // batch 2: watermark → maxTs − lateness
-      sentinel(t1 + (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L)
-      q.processAllAvailable() // batch 3: every real session times out
-    } finally q.stop()
+    withSpoolPartitions(s) {
+      val q = sessionize(stream, gapMs, lateness)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // batch 1: the whole bounded corpus
+        val t1 = maxTsNanos + (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L
+        sentinel(t1)
+        q.processAllAvailable() // batch 2: watermark → maxTs − lateness
+        sentinel(t1 + (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L)
+        q.processAllAvailable() // batch 3: every real session times out
+      } finally q.stop()
+    }
     val out = s.table(name)
       .filter(col("user_id") >= 0)
       .select(col("user_id"),
@@ -366,18 +389,20 @@ object StreamingAnalytics {
     val stream = s.readStream.schema(schema).parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_wstats_$runId"
-    val q = windowedEventStats(stream, windowLen, lateness)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      q.processAllAvailable() // batch 1: the whole bounded corpus
-      val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
-      val t1 = maxTsNanos + step
-      sentinel(t1)
-      q.processAllAvailable() // watermark → past every real window end
-      sentinel(t1 + step)
-      q.processAllAvailable() // emits them
-    } finally q.stop()
+    withSpoolPartitions(s) {
+      val q = windowedEventStats(stream, windowLen, lateness)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // batch 1: the whole bounded corpus
+        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+        val t1 = maxTsNanos + step
+        sentinel(t1)
+        q.processAllAvailable() // watermark → past every real window end
+        sentinel(t1 + step)
+        q.processAllAvailable() // emits them
+      } finally q.stop()
+    }
     val out = s.table(name)
       .filter(col("event_type") =!= "sentinel")
       .select(unix_millis(col("window_start")).as("window_start_ms"),
@@ -462,16 +487,18 @@ object StreamingAnalytics {
       .select(col("event_id").as("click_id"), col("user_id").as("click_key"),
         col("ts").as("click_ts"))
     val name = s"graft_attr_$runId"
-    val q = clickAttribution(imp, clk, joinWindow, lateness)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      q.processAllAvailable() // the whole bounded corpus
-      sentinel(maxTsNanos + horizonNanos)
-      q.processAllAvailable()
-      sentinel(maxTsNanos + 2 * horizonNanos)
-      q.processAllAvailable()
-    } finally q.stop()
+    withSpoolPartitions(s) {
+      val q = clickAttribution(imp, clk, joinWindow, lateness)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // the whole bounded corpus
+        sentinel(maxTsNanos + horizonNanos)
+        q.processAllAvailable()
+        sentinel(maxTsNanos + 2 * horizonNanos)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     val out = s.table(name)
       .filter(col("imp_key") >= 0)
       .select(col("imp_key").as("user_id"), col("imp_id"), col("click_id"),
@@ -585,11 +612,13 @@ object StreamingAnalytics {
     val name = s"graft_neardup_$runId"
     // horizon "7 days" ≫ the spool's 4-minute spread: nothing is ever
     // late or evicted, so the streamed set must match full-corpus batch
-    val q = nearDupStream(docStream(s, tmp).select(col("doc_id"), col("ts"), col("text")),
-        threshold = threshold, lateness = "7 days")
-      .toDF().writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
+    withSpoolPartitions(s) {
+      val q = nearDupStream(docStream(s, tmp).select(col("doc_id"), col("ts"), col("text")),
+          threshold = threshold, lateness = "7 days")
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val streamed = s.table(name)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"),
@@ -633,12 +662,14 @@ object StreamingAnalytics {
     val tmp = spoolDocuments(s, dir, waves, waveCol,
       lit(86400000L) + (least(hashRank, lit(waves)) - 1) * 60000L)
     val name = s"graft_dedup_$runId"
-    val q = dedupStream(
-        docStream(s, tmp).select(col("doc_id"), col("ts"), col("text")),
-        lateness = "7 days")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
+    withSpoolPartitions(s) {
+      val q = dedupStream(
+          docStream(s, tmp).select(col("doc_id"), col("ts"), col("text")),
+          lateness = "7 days")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val out = s.table(name).select(col("doc_id"))
       .orderBy("doc_id").localCheckpoint()
     s.catalog.dropTempView(name)
@@ -678,18 +709,20 @@ object StreamingAnalytics {
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     }
     val name = s"graft_quality_$runId"
-    val q = qualityMonitorStream(docStream(s, tmp), windowLen = "1 hour",
-        lateness = lateness)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      q.processAllAvailable() // the three real hour-waves
-      val t1 = maxTsMs + latenessMs + 2 * 60 * 60 * 1000L
-      sentinel(t1)
-      q.processAllAvailable() // watermark → past every real window end
-      sentinel(t1 + latenessMs + 2 * 60 * 60 * 1000L)
-      q.processAllAvailable() // emits them
-    } finally q.stop()
+    withSpoolPartitions(s) {
+      val q = qualityMonitorStream(docStream(s, tmp), windowLen = "1 hour",
+          lateness = lateness)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // the three real hour-waves
+        val t1 = maxTsMs + latenessMs + 2 * 60 * 60 * 1000L
+        sentinel(t1)
+        q.processAllAvailable() // watermark → past every real window end
+        sentinel(t1 + latenessMs + 2 * 60 * 60 * 1000L)
+        q.processAllAvailable() // emits them
+      } finally q.stop()
+    }
     val out = s.table(name)
       .filter(col("source") =!= "sentinel")
       .select(unix_millis(col("window_start")).as("window_start_ms"),
@@ -798,17 +831,19 @@ object StreamingAnalytics {
         col("event_type"), col("value"))
       .as[UpsertEvent]
     val name = s"graft_upsert_$runId"
-    val q = upsertStream(stream, lateness, settle)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      q.processAllAvailable() // batch 1: the whole bounded corpus
-      val t1 = maxTsNanos + stepNanos
-      sentinel(t1)
-      q.processAllAvailable() // batch 2: watermark → maxTs − lateness
-      sentinel(t1 + stepNanos)
-      q.processAllAvailable() // batch 3: every real key settles
-    } finally q.stop()
+    withSpoolPartitions(s) {
+      val q = upsertStream(stream, lateness, settle)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // batch 1: the whole bounded corpus
+        val t1 = maxTsNanos + stepNanos
+        sentinel(t1)
+        q.processAllAvailable() // batch 2: watermark → maxTs − lateness
+        sentinel(t1 + stepNanos)
+        q.processAllAvailable() // batch 3: every real key settles
+      } finally q.stop()
+    }
     val out = s.table(name)
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("last_us"), col("last_event_id"),

@@ -787,6 +787,21 @@ class OperatorsSpec extends SparkSpec {
       .foreach(e => assert(comp(e.getLong(0)) == comp(e.getLong(1))))
   }
 
+  test("incremental ANN index: appended batch equals the one-pass twin, recall holds") {
+    val sf = "/root/testdata/sf0.001"
+    val row = Gates.annIncrArtifactGate(spark, sf).collect()(0)
+    assert(row.getLong(0) > 0)       // brute truth non-empty
+    assert(row.getBoolean(1))        // recall bound met on the full corpus
+    assert(row.getBoolean(2))        // append-maintained == one-pass rebuild
+    // the maintained index holds every corpus vector exactly once
+    val ((idx, _), _) = Similarity.ivfPqIncrArtifacts(spark, sf)
+    val n = spark.table(idx).count()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(n == total)
+    val distinct = spark.table(idx).select("vec_id").distinct().count()
+    assert(distinct == total)
+  }
+
   test("pagerank: planted graph matches a hand-rolled integer power iteration") {
     import spark.implicits._
     // triangle {1,2,3} with a pendant 4 attached to 3: the triangle's
