@@ -14,25 +14,39 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark rejects by
-    * default; read it as a nanos long and rebuild a (µs-truncated)
-    * TimestampType column.
+  /** `events.ts` normalization: every operator downstream assumes a µs
+    * `TimestampType` (LTZ) column, but the driver's generator has shipped
+    * the column as parquet TIMESTAMP(NANOS) (rounds 1–6) and as µs
+    * TIMESTAMP_NTZ (round 7 regeneration), so the loader accepts all
+    * three physical shapes:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
-    * build (all graft mains and the test harness set it). The loader
-    * deliberately does NOT set it here: mutating session config inside a
-    * table loader is a global side effect that would surprise a shared
-    * session. */
+    *  - nanos-as-long (`spark.sql.legacy.parquet.nanosAsLong=true`, which
+    *    all graft mains and the test harness still set — harmless when no
+    *    nanos column exists): rebuild a µs-truncated timestamp;
+    *  - TIMESTAMP_NTZ: reinterpret the wall time as UTC. The cast is done
+    *    via `to_timestamp_ltz` under an explicit UTC requirement rather
+    *    than the session default so a non-UTC session cannot silently
+    *    shift event times away from what the DuckDB oracle (which reads
+    *    the same naive µs values) computes;
+    *  - TimestampType: already the contract shape.
+    *
+    * The loader deliberately does NOT set session config here: mutating
+    * config inside a table loader is a global side effect that would
+    * surprise a shared session. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(events.parquet is TIMESTAMP(NANOS))")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read under nanosAsLong
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "set spark.sql.session.timeZone=UTC at session build: events.ts " +
+            "is TIMESTAMP_NTZ and the NTZ->LTZ cast must not shift it")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")

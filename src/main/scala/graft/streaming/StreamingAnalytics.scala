@@ -297,17 +297,14 @@ object StreamingAnalytics {
     import org.apache.spark.sql.types._
     val runId = spoolRuns.incrementAndGet()
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-spool-$runId")
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    // single parquet file or a directory of part files — spool either
-    val parts: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(src).iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq
-      } else Seq(src)
-    parts.zipWithIndex.foreach { case (p, i) =>
-      java.nio.file.Files.copy(p, tmp.resolve(f"real_$i%04d.parquet"))
-    }
+    // Spool through the [[Tables.events]] loader (which owns the at-rest
+    // timestamp shape — nanos in rounds 1-6, µs NTZ after the round-7
+    // regeneration) rather than copying the raw files: the spool's wire
+    // format is pinned to nanos longs regardless of what parquet holds.
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("user_id"),
+        col("event_type"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
@@ -367,16 +364,11 @@ object StreamingAnalytics {
     import org.apache.spark.sql.types._
     val runId = spoolRuns.incrementAndGet()
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-wstatspool-$runId")
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val parts: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(src).iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq
-      } else Seq(src)
-    parts.zipWithIndex.foreach { case (p, i) =>
-      java.nio.file.Files.copy(p, tmp.resolve(f"real_$i%04d.parquet")): Unit
-    }
+    // Nanos-long spool via the loader (see [[sessionizeSpooled]]).
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("event_type"),
+        col("value"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
@@ -802,16 +794,11 @@ object StreamingAnalytics {
     import org.apache.spark.sql.types._
     val runId = spoolRuns.incrementAndGet()
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-upspool-$runId")
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val parts: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(src).iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq
-      } else Seq(src)
-    parts.zipWithIndex.foreach { case (p, i) =>
-      java.nio.file.Files.copy(p, tmp.resolve(f"real_$i%04d.parquet")): Unit
-    }
+    // Nanos-long spool via the loader (see [[sessionizeSpooled]]).
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("user_id"),
+        col("event_id"), col("event_type"), col("value"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val stepNanos =

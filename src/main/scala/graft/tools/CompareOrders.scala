@@ -10,6 +10,7 @@ object CompareOrders {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val s = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     def run(rf: Boolean): Unit = {

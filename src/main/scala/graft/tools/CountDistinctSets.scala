@@ -9,6 +9,7 @@ object CountDistinctSets {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     for (dir <- args) {

@@ -5,6 +5,7 @@ object ExplainJaccard {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val df = graft.operators.Dedup.jaccardPairs(s, "/root/testdata/sf0.001")

@@ -10,6 +10,7 @@ object MeasureRecall {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val s = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     import graft.operators._

@@ -51,6 +51,7 @@ object MeasureZOrder {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val s = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val tmp = java.nio.file.Files.createTempDirectory("graft-zmeasure").toString

@@ -12,6 +12,7 @@ object ProfileJaccard {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     import graft.functions.ArrayOps.{sortedIntersectCount, sortedFirstCommon}

@@ -13,6 +13,7 @@ object ProfileJaccardFunnel {
     val threshold = 0.85
     val s = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     import graft.functions.ArrayOps.{sortedFirstCommon, sortedIntersectCount}
