@@ -48,6 +48,12 @@ object SparkEntry {
     "q26_grouping_sets" -> (Analytics.q26GroupingSets _),
     "q27_window_suite" -> (Analytics.q27WindowSuite _),
     "q28_full_outer"  -> (Analytics.q28FullOuter _),
+    // Event-sequence analytics triad: ordered conversion funnel, weekly
+    // retention cohorts, Markov transition counts — one user_id exchange
+    // each (EventAnalytics scaladoc).
+    "events_funnel"      -> ((s, d) => EventAnalytics.funnel(s, d)),
+    "events_retention"   -> (EventAnalytics.retention _),
+    "events_transitions" -> (EventAnalytics.transitions _),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "range_join"      -> ((s, d) => RangeJoin.eventBands(s, d)),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
@@ -605,6 +611,62 @@ object SparkEntry {
         |  9 * CAST(n AS HUGEINT) * (n*ss - s*s)
         | ELSE false END AS is_anomaly
         |FROM h JOIN st USING (event_type) ORDER BY event_type, hour""".stripMargin,
+    // Funnel: the same greedy earliest-chain cascade of windowed running
+    // minima, on exact epoch-µs longs (epoch_us mirrors unix_micros on
+    // the µs-precision column; ties break on event_id in both engines).
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |           FROM events),
+        |s0 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN tus END)
+        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS m0 FROM e),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view'
+        |                          AND m0 IS NOT NULL AND tus > m0 THEN tus END)
+        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS m1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |                          AND m1 IS NOT NULL AND tus > m1 THEN tus END)
+        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS m2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+        |                          AND m2 IS NOT NULL AND tus > m2 THEN tus END)
+        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS m3 FROM s2),
+        |u AS (SELECT user_id,
+        |  max(CASE WHEN m0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+        |  max(CASE WHEN m1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+        |  max(CASE WHEN m2 IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+        |  max(CASE WHEN m3 IS NOT NULL THEN 1 ELSE 0 END) AS r3
+        |  FROM s3 GROUP BY user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_no, 'signup' AS step,
+        |         CAST(sum(r0) AS BIGINT) AS n_users FROM u
+        |  UNION ALL SELECT 2, 'view', CAST(sum(r1) AS BIGINT) FROM u
+        |  UNION ALL SELECT 3, 'click', CAST(sum(r2) AS BIGINT) FROM u
+        |  UNION ALL SELECT 4, 'purchase', CAST(sum(r3) AS BIGINT) FROM u)
+        |ORDER BY step_no""".stripMargin,
+    // Retention: integer day indices (floor division on positive epochs,
+    // `div` = `//`), distinct users per (cohort_week, week_offset).
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |f AS (SELECT user_id, day,
+        |             min(day) OVER (PARTITION BY user_id) AS d0 FROM e)
+        |SELECT d0 // 7 AS cohort_week, (day - d0) // 7 AS week_offset,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Transitions: lead() over the identical (tus, event_id) per-user
+    // order, exact-integer counts.
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |           FROM events),
+        |n AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY tus, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM n WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q14_sql_subquery" ->
       """SELECT c_mktsegment, COUNT(*) AS n_above
         |FROM customer c

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.events
+
+/** Event-sequence analytics over the `events` table — the funnel /
+  * retention / journey triad every event-analytics engine ships. The
+  * reference has no query surface at all (SURVEY.md §2.5); these are
+  * north-star extensions in the same spirit as the relational q-suite.
+  *
+  * All three share one scale shape: a single hash exchange on `user_id`
+  * followed by a per-user sort (the window), then a small keyed
+  * aggregate. Nothing is ever all-pairs and no per-user state leaves the
+  * executor — at 100 TB the cost is one shuffle of the events table, the
+  * same bound as any groupBy(user). Timestamps are compared as exact
+  * epoch-microsecond longs (`unix_micros`), the [[Tables.events]] loader's
+  * native precision, so ordering and strict-inequality semantics are
+  * bit-identical in DuckDB (`epoch_us`); ties break on `event_id`.
+  */
+object EventAnalytics {
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("tus"))
+
+  /** Ordered conversion funnel: how many users complete each prefix of
+    * `steps`, where step k must occur STRICTLY after the user's earliest
+    * completion of step k-1 (the greedy earliest chain — if any
+    * time-ordered chain exists, the greedy one does, so this counts
+    * exactly the users with a full ordered traversal).
+    *
+    * Per user the chain is a cascade of running minima over one
+    * event-time sort: m₀ = running min of step-0 times; qₖ = this row's
+    * time if it is a step-k event after mₖ₋₁; mₖ = running min of qₖ.
+    * Catalyst stacks the k dependent Window projections over ONE
+    * partition-by-user sort — one exchange total — and the per-user
+    * flags then aggregate without re-shuffling (same key). Output is one
+    * exact-integer row per step: (step_no, step, n_users). */
+  def funnel(s: SparkSession, dir: String,
+             steps: Seq[String] = Seq("signup", "view", "click", "purchase"))
+  : DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = base(s, dir)
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val q: Column =
+        if (i == 0) when(col("event_type") === st, col("tus"))
+        else when(col("event_type") === st && col(s"m${i - 1}").isNotNull &&
+          col("tus") > col(s"m${i - 1}"), col("tus"))
+      df = df.withColumn(s"m$i", min(q).over(w))
+    }
+    val flags = steps.indices.map(i =>
+      max(when(col(s"m$i").isNotNull, 1L).otherwise(0L)).as(s"r$i"))
+    val perUser = df.groupBy("user_id").agg(flags.head, flags.tail: _*)
+    val totals = perUser.agg(
+      sum(col("r0")).as("c0"),
+      steps.indices.tail.map(i => sum(col(s"r$i")).as(s"c$i")): _*)
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).cast("long").as("step_no"), lit(st).as("step"),
+        col(s"c$i").cast("long").as("n_users"))
+    }
+    totals.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step_no"), col("r.step"), col("r.n_users"))
+      .orderBy("step_no")
+  }
+
+  /** Weekly retention cohorts: users grouped by the epoch-week of their
+    * FIRST event; for each (cohort_week, week_offset) the number of
+    * distinct cohort members active that many weeks later. All integer
+    * arithmetic on epoch-µs day indices (`div` floor division on
+    * positives), so both engines produce identical keys.
+    *
+    * Plan: the first-event day rides a partition-by-user window min on
+    * the same exchange the funnel uses (no join back to events), then
+    * one distinct-aggregate exchange on (cohort_week, week_offset) —
+    * count(DISTINCT user) partially dedups map-side. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val day = expr("tus div 86400000000").as("day")
+    val wu = Window.partitionBy("user_id")
+    base(s, dir).select(col("user_id"), day)
+      .withColumn("d0", min(col("day")).over(wu))
+      .select(col("user_id"),
+        expr("d0 div 7").as("cohort_week"),
+        expr("(day - d0) div 7").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** User-journey transition counts: for every consecutive pair of
+    * events per user (event-time order, `event_id` tie-break), how often
+    * each `event_type → event_type` transition occurs — the Markov
+    * transition matrix journey-mining and next-event models start from.
+    *
+    * One lead() over the shared per-user sort, then a tiny
+    * (|types|² ≤ 25-row) keyed aggregate with map-side combine. */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    base(s, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+}

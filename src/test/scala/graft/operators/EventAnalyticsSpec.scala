@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Independent in-memory references for the funnel / retention /
+  * transitions triad: each test recomputes the expected answer from the
+  * collected sf0.001 events with plain Scala collections and compares the
+  * operator's full output. */
+class EventAnalyticsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  // (user_id, event_id, event_type, epoch µs), the operators' own base.
+  private lazy val evs: Seq[(Long, Long, String, Long)] =
+    Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+  private val steps = Seq("signup", "view", "click", "purchase")
+
+  test("funnel: greedy earliest-chain counts match an independent fold") {
+    val expected = Array.fill(steps.length)(0L)
+    evs.groupBy(_._1).foreach { case (_, rows) =>
+      // greedy chain: earliest step-0 time, then earliest strictly-later
+      // occurrence of each next step
+      var prev = Option.empty[Long]
+      var alive = true
+      steps.zipWithIndex.foreach { case (st, i) =>
+        if (alive) {
+          val t = rows.iterator
+            .filter(e => e._3 == st && prev.forall(p => e._4 > p))
+            .map(_._4).minOption
+          t match {
+            case Some(m) => expected(i) += 1; prev = Some(m)
+            case None    => alive = false
+          }
+        }
+      }
+    }
+    val got = EventAnalytics.funnel(spark, sf, steps).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == steps.zipWithIndex.map { case (st, i) =>
+      ((i + 1).toLong, st, expected(i))
+    })
+    // funnel counts are monotone non-increasing by construction
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted.reverse)
+    assert(got.head._3 > 0)
+  }
+
+  test("retention: cohort-week × offset distinct-user counts match") {
+    val day = evs.map(e => (e._1, e._4 / 86400000000L))
+    val d0 = day.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val expected = day.map { case (u, d) =>
+      (d0(u) / 7, (d - d0(u)) / 7, u)
+    }.distinct.groupBy(t => (t._1, t._2)).map { case (k, us) => k -> us.size.toLong }
+    val got = EventAnalytics.retention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // every user's cohort row exists at offset 0
+    assert(expected.keys.exists(_._2 == 0L))
+  }
+
+  test("transitions: per-user consecutive-pair counts match") {
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(e => (e._4, e._2)).map(_._3)
+      ordered.zip(ordered.drop(1))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = EventAnalytics.transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    assert(got.toMap == expected)
+    // output is sorted by (from, to)
+    val keys = got.map(_._1).toSeq
+    assert(keys == keys.sorted)
+    // conservation: transitions per user = events per user - 1 (when >=1)
+    val totalExpected = evs.groupBy(_._1).map { case (_, r) => r.size - 1 }.sum
+    assert(got.map(_._2).sum == totalExpected)
+  }
+}
