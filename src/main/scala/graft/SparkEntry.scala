@@ -78,6 +78,9 @@ object SparkEntry {
     // Exact-integer PageRank centrality on the same mutual-kNN graph
     // (fixed power steps, micro-unit arithmetic — see Graph.pageRank).
     "graph_pagerank"  -> ((s, d) => Graph.pageRank(s, d)),
+    // BFS hop distances from the max-degree seed, executed as a SQL
+    // WITH RECURSIVE (Catalyst UnionLoop) — the iterative-SQL surface.
+    "graph_bfs"       -> ((s, d) => Graph.bfsHops(s, d)),
     "dedup_semantic"  -> ((s, d) => Dedup.semanticDedup(s, d)),
     "curate_domaincap" -> ((s, d) => Curation.domainCap(s, d)),
     "curate_dsir"     -> ((s, d) => Curation.dsirAffinity(s, d)),
@@ -1386,6 +1389,31 @@ object SparkEntry {
         |       FROM c GROUP BY component_id)
         |SELECT c.vec_id, c.component_id, sz.n_members
         |FROM c JOIN sz USING (component_id) ORDER BY c.vec_id""".stripMargin,
+    // Same mutual-kNN edge construction as graph_components, then the
+    // identical per-level-DISTINCT recursive BFS the Spark side runs
+    // (UNION-dedup is unsupported in Spark's recursive CTEs, so both
+    // engines expand the frontier with DISTINCT and collapse re-visits
+    // with min(hop)).
+    "graph_bfs" ->
+      """WITH RECURSIVE p AS (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS (SELECT src, dst FROM p WHERE rk <= 5),
+        |m AS (SELECT d1.src AS u, d1.dst AS v
+        |      FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |      WHERE d1.src < d1.dst),
+        |b AS (SELECT u, v FROM m UNION ALL SELECT v AS u, u AS v FROM m),
+        |seed AS (SELECT u AS vec_id FROM b GROUP BY u
+        |         ORDER BY count(*) DESC, u LIMIT 1),
+        |walk(vec_id, hop) AS (
+        |  SELECT vec_id, CAST(0 AS BIGINT) AS hop FROM seed
+        |  UNION ALL
+        |  SELECT DISTINCT b.v, walk.hop + 1 FROM b JOIN walk ON b.u = walk.vec_id
+        |  WHERE walk.hop < 6)
+        |SELECT vec_id, min(hop) AS hop FROM walk
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

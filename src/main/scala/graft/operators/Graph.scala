@@ -284,6 +284,45 @@ object Graph {
     ranks
   }
 
+  /** BFS hop distance from a deterministic seed over the mutual-kNN
+    * graph, executed as a SQL `WITH RECURSIVE` (Catalyst `UnionLoop`) —
+    * the engine's ITERATIVE-SQL surface, complementing the driver-loop
+    * iteration style of [[pageRankFromEdges]] / `Dedup.connectedComponents`.
+    * Seed = the highest-degree node (ties → smallest id); output one row
+    * per reached node within `maxHops`: (vec_id, hop), hop = shortest
+    * path length.
+    *
+    * Recursion shape: Spark's recursive CTE does not yet support
+    * UNION-dedup across levels (`UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE`),
+    * so the recursive branch dedups WITHIN each level (`SELECT DISTINCT`
+    * frontier expansion) and the final `min(hop)` collapses re-visits —
+    * level width is bounded by |V| and total accumulated rows by
+    * (maxHops+1)·|V|, never by path count. Each level is one node-keyed
+    * equi-join of the frontier against the edge relation — the standard
+    * distributed-BFS exchange, O(E) rows per round, no O(N) broadcast.
+    * The edge list is localCheckpointed: both CTE legs and every loop
+    * step read it, and each re-use would otherwise re-run the kNN
+    * build. */
+  def bfsHops(s: SparkSession, dir: String, k: Int = 5,
+              maxHops: Int = 6): DataFrame = {
+    mutualKnnEdges(s, dir, k).localCheckpoint()
+      .createOrReplaceTempView("graft_bfs_edges")
+    s.sql(
+      s"""WITH RECURSIVE
+         |b(u, v) AS (SELECT u, v FROM graft_bfs_edges
+         |            UNION ALL SELECT v, u FROM graft_bfs_edges),
+         |seed(vec_id) AS (SELECT u FROM b GROUP BY u
+         |                 ORDER BY count(*) DESC, u LIMIT 1),
+         |walk(vec_id, hop) AS (
+         |  SELECT vec_id, CAST(0 AS BIGINT) FROM seed
+         |  UNION ALL
+         |  SELECT DISTINCT b.v, walk.hop + 1
+         |  FROM b JOIN walk ON b.u = walk.vec_id
+         |  WHERE walk.hop < $maxHops)
+         |SELECT vec_id, min(hop) AS hop FROM walk
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+  }
+
   def componentAssignments(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val vecs = Tables.embeddings(s, dir).select(col("vec_id"))
     val comp = Dedup.connectedComponents(

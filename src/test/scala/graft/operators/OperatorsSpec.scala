@@ -164,6 +164,32 @@ class OperatorsSpec extends SparkSpec {
     assert(gotCc.exists(t => t._2 == 0L)) // zero-closure nodes must be kept
   }
 
+  test("recursive-CTE BFS hops match an independent queue BFS (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    // edge feed is pinned exact by the triangle/bound-pruned tests;
+    // this test checks the recursive-CTE traversal on top of it
+    val edges = Graph.mutualKnnEdges(spark, sf, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    val seed = adj.keys.toSeq.map(n => (adj(n).size, n))
+      .sortBy { case (d, n) => (-d, n) }.head._2
+    val maxHops = 6
+    val dist = scala.collection.mutable.Map(seed -> 0L)
+    val queue = scala.collection.mutable.Queue(seed)
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      if (dist(n) < maxHops)
+        adj(n).foreach { m =>
+          if (!dist.contains(m)) { dist(m) = dist(n) + 1; queue.enqueue(m) }
+        }
+    }
+    val got = Graph.bfsHops(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == dist.toSeq.sortBy(_._1))
+    assert(got.exists(_._2 > 1)) // traversal goes beyond the direct frontier
+  }
+
   test("bound-pruned kNN equals the brute all-pairs build (sf0.001 + fixture)") {
     // The branch-and-bound build must be EXACT at any prune rate — this
     // pin is what lets the brute-force DuckDB oracle keep checking the
