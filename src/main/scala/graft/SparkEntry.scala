@@ -121,6 +121,9 @@ object SparkEntry {
     "ann_ivf"         -> (Gates.annIvfGate _),
     "ann_pq"          -> (Gates.annPqGate _),
     "ann_ivfpq"       -> (Gates.annIvfPqGate _),
+    // Cross-language top-1 mining (bitext candidates): exact rows with a
+    // gated IVF scale-leg agreement flag (Gates.bitextGate scaladoc).
+    "mine_bitext"     -> ((s, d) => Gates.bitextGate(s, d)),
     "multimodal_summary" -> (Multimodal.assetSummary _),
     "multimodal_features" -> ((s, d) => Multimodal.extractFeatures(s, d)
       .toDF().select("asset_id", "modality", "n_bytes", "width", "height")
@@ -1414,6 +1417,22 @@ object SparkEntry {
         |  WHERE walk.hop < 6)
         |SELECT vec_id, min(hop) AS hop FROM walk
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Exact cross-language top-1 per bounded query; ivf_ok is the gated
+    // scale-leg agreement (deterministic, so `true` is a pin).
+    "mine_bitext" ->
+      """WITH q AS (SELECT e.vec_id AS qid, e.embedding AS qv, d.lang AS qlang
+        |           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |           WHERE e.vec_id < 50),
+        |c AS (SELECT q.qid AS query_id, e.vec_id AS match_id,
+        |        d.lang AS match_lang,
+        |        ROW_NUMBER() OVER (PARTITION BY q.qid
+        |          ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+        |                   e.vec_id) AS rk
+        |      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+        |      JOIN documents d ON d.doc_id = e.vec_id
+        |      WHERE d.lang <> q.qlang)
+        |SELECT query_id, match_id, match_lang, true AS ivf_ok
+        |FROM c WHERE rk = 1 ORDER BY query_id""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

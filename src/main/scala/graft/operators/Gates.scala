@@ -239,6 +239,30 @@ object Gates {
     * `n_true_pairs` is recomputed by the DuckDB oracle from gram STRINGS
     * (jaccard is hash-invariant), so the truth definition itself is
     * oracle-pinned. */
+  /** Bitext-mining gate: the registered rows are the EXACT cross-language
+    * top-1 matches ([[Similarity.bitextBruteTop1]] — fully DuckDB-
+    * recomputable), and `ivf_ok` asserts the IVF-probed scale leg
+    * ([[Similarity.bitextIvfTop1]]) agrees on at least `bound` of the
+    * queries (measured 1.0 at sf0.01 under the default nprobe=12
+    * codebook; both legs deterministic, so the measurement is a pin, not
+    * a sample). crossJoin: 50 rows × 1 gate row. */
+  def bitextGate(s: SparkSession, dir: String,
+                 bound: Double =
+                   envBound("GRAFT_BITEXT_AGREE_BOUND", 0.9)): DataFrame = {
+    // localCheckpoint: feeds both the output rows and the agreement join;
+    // 50 rows, same precedent as annArtifactGate
+    val brute = Similarity.bitextBruteTop1(s, dir).localCheckpoint()
+    val agree = brute.join(
+        Similarity.bitextIvfTop1(s, dir)
+          .select(col("query_id"), col("match_id"), lit(1).as("hit")),
+        Seq("query_id", "match_id"), "left_outer")
+      .agg(count(lit(1)).as("n"), count(col("hit")).as("n_hit"))
+      .select(coalesce(col("n_hit").cast("double") / col("n") >= bound,
+        lit(true)).as("ivf_ok"))
+    brute.crossJoin(agree) // 50 × 1 rows
+      .orderBy("query_id")
+  }
+
   def fingerprintGate(s: SparkSession, dir: String,
                       overlapBound: Double =
                         Gates.envBound("GRAFT_FP_OVERLAP_BOUND", 0.5)): DataFrame = {

@@ -268,8 +268,14 @@ object Graph {
   /** (vec_id, pr) after `iters` integer power steps over a u<v edge
     * list. */
   private[graft] def pageRankFromEdges(e: DataFrame, iters: Int): DataFrame = {
+    // The checkpoint must sit BELOW every consumer: deg feeds both the
+    // adjacency annotation and the initial ranks, and an unmaterialized
+    // deg lineage would re-run the whole kNN build once more for the
+    // rank seed (measured: the seed leg alone re-paid the ~3 s edge
+    // build at sf0.1 before adj was checkpointed here).
     val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
     val adjDeg = adj.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("vec_id"), lit(1000000L).as("pr"))

@@ -677,4 +677,81 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
   }
+
+  /** Corpus vectors annotated with their document's language tag
+    * (vec_id and doc_id share the id domain in the driver's testdata) —
+    * the input relation for cross-language mining. One keyed equi-join
+    * of two scans; AQE broadcasts whichever side a selective filter
+    * shrinks. */
+  private def corpusWithLang(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir).join(
+      Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("lang")),
+      "vec_id")
+
+  /** Bitext mining, exact leg: for each of the first `nQueries` docs,
+    * the single highest-cosine corpus vector whose document carries a
+    * DIFFERENT language tag — top-1 cross-language retrieval in the
+    * LASER/CCMatrix mold (Artetxe & Schwenk 2019: mine translation-pair
+    * candidates from a multilingual crawl by nearest-neighbor search in
+    * a shared embedding space). Output (query_id, match_id, match_lang),
+    * rank-only (no float emitted) so the result is hash-stable across
+    * engines. Same scale shape as [[bruteForceTopK]]: the BOUNDED query
+    * set broadcasts, the corpus streams through one scan, and the only
+    * exchange is the per-query top-1. */
+  def bitextBruteTop1(s: SparkSession, dir: String,
+                      nQueries: Int = 50): DataFrame = {
+    val all = corpusWithLang(s, dir)
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("lang").as("qlang"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .filter(col("lang") =!= col("qlang"))
+      .select(col("qid").as("query_id"), col("vec_id").as("match_id"),
+        col("lang").as("match_lang"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select("query_id", "match_id", "match_lang")
+      .orderBy("query_id")
+  }
+
+  /** Bitext mining, IVF-probed scale leg: identical semantics to
+    * [[bitextBruteTop1]] but candidates come from the trained coarse
+    * quantizer's probe join ([[ivfTopK]] machinery) with the
+    * different-language filter applied on the candidate stream — at
+    * 100 TB a query batch touches ~nprobe/nlist of the corpus instead
+    * of all of it. Agreement with the exact leg is gated
+    * (`Gates.bitextGate`); like every trained-codebook path here the
+    * result is fully deterministic (bounded hash-ordered sample,
+    * fixed Lloyd steps). */
+  def bitextIvfTop1(s: SparkSession, dir: String, nQueries: Int = 50,
+                    nlist: Int = 16, nprobe: Int = 12): DataFrame = {
+    val all = corpusWithLang(s, dir)
+    val cents = centroids(all, nlist)
+    def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    val assigned = all
+      .withColumn("cd", centDots)
+      .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1"))
+      .drop("cd")
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .withColumn("cd", centDots)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("lang").as("qlang"),
+        explode(slice(reverse(array_sort(zip_with(
+          col("cd"), sequence(lit(0), lit(cents.length - 1)),
+          (d, i) => struct(d.as("d"), i.as("i"))))), 1, nprobe)).as("probe"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("qlang"),
+        col("probe.i").cast("long").as("list_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid") && col("lang") =!= col("qlang"))
+      .select(col("qid").as("query_id"), col("vec_id").as("match_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select("query_id", "match_id")
+  }
 }

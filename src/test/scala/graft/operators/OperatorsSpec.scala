@@ -164,6 +164,34 @@ class OperatorsSpec extends SparkSpec {
     assert(gotCc.exists(t => t._2 == 0L)) // zero-closure nodes must be kept
   }
 
+  test("bitext mining: exact cross-language top-1 matches an independent fold; IVF leg agrees (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = ids.filter(_ < 50).flatMap { q =>
+      ids.filter(m => m != q && langs(m) != langs(q))
+        .map(m => (m, cos(vecs(q), vecs(m))))
+        .sortBy { case (m, c) => (-c, m) }.headOption
+        .map { case (m, _) => (q, m, langs(m)) }
+    }
+    val got = Gates.bitextGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == expected)
+    assert(got.forall(_._4)) // IVF scale leg agrees within the gate bound
+    assert(expected.map(_._3).distinct.size > 1) // matches span languages
+  }
+
   test("recursive-CTE BFS hops match an independent queue BFS (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     // edge feed is pinned exact by the triangle/bound-pruned tests;
