@@ -81,6 +81,9 @@ object SparkEntry {
     // BFS hop distances from the max-degree seed, executed as a SQL
     // WITH RECURSIVE (Catalyst UnionLoop) — the iterative-SQL surface.
     "graph_bfs"       -> ((s, d) => Graph.bfsHops(s, d)),
+    // Triangles served from the persisted settled-corpus edge artifact,
+    // gated bit-equal to the fresh build (Gates.graphArtifactGate).
+    "graph_artifact"  -> ((s, d) => Gates.graphArtifactGate(s, d)),
     "dedup_semantic"  -> ((s, d) => Dedup.semanticDedup(s, d)),
     "curate_domaincap" -> ((s, d) => Curation.domainCap(s, d)),
     "curate_dsir"     -> ((s, d) => Curation.dsirAffinity(s, d)),
@@ -1338,6 +1341,27 @@ object SparkEntry {
         |n AS (SELECT a AS vec_id FROM t UNION ALL SELECT b FROM t
         |      UNION ALL SELECT c FROM t)
         |SELECT vec_id, count(*) AS n_triangles FROM n
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // graph_triangles' oracle plus the pinned artifact-equality flag
+    // (both builds deterministic from the same corpus, so `true` is a
+    // pin, not an assumption).
+    "graph_artifact" ->
+      """WITH p AS (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS (SELECT src, dst FROM p WHERE rk <= 5),
+        |m AS (SELECT d1.src AS u, d1.dst AS v
+        |      FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |      WHERE d1.src < d1.dst),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |      FROM m e1 JOIN m e2 ON e1.v = e2.u
+        |                 JOIN m e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT a AS vec_id FROM t UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t)
+        |SELECT vec_id, count(*) AS n_triangles,
+        |       true AS artifact_equals_fresh FROM n
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // Same m edge CTE as the other graph oracles, then the three integer
     // power steps unrolled (MATERIALIZED: each step references the last,

@@ -263,6 +263,26 @@ object Gates {
       .orderBy("query_id")
   }
 
+  /** Graph edge-artifact gate: triangle counts served from the persisted
+    * settled-corpus edge table ([[Graph.triangleCountsFromArtifact]])
+    * must be BIT-IDENTICAL to the fresh-build counts — the build is
+    * deterministic, so any divergence is a broken artifact write/read.
+    * The fresh rebuild is the gate's truth cost (the annArtifactGate
+    * protocol); the artifact's own serve cost is benched raw. */
+  def graphArtifactGate(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: feeds both the output rows and the equality join
+    val art = Graph.triangleCountsFromArtifact(s, dir).localCheckpoint()
+    val eq = art.select(col("vec_id"), col("n_triangles"), lit(1).as("in_art"))
+      .join(Graph.triangleCounts(s, dir)
+          .select(col("vec_id"), col("n_triangles"), lit(1).as("in_fresh")),
+        Seq("vec_id", "n_triangles"), "full_outer")
+      .agg(coalesce(sum(when(col("in_art").isNull || col("in_fresh").isNull, 1)
+        .otherwise(0)), lit(0)).as("mismatch"))
+      .select((col("mismatch") === 0).as("artifact_equals_fresh"))
+    art.crossJoin(eq) // |V_tri| × 1 rows
+      .orderBy("vec_id")
+  }
+
   def fingerprintGate(s: SparkSession, dir: String,
                       overlapBound: Double =
                         Gates.envBound("GRAFT_FP_OVERLAP_BOUND", 0.5)): DataFrame = {

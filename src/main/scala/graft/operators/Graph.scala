@@ -290,6 +290,48 @@ object Graph {
     ranks
   }
 
+  /** Session-scoped warehouse for persisted edge artifacts, removed on
+    * JVM exit (the [[Similarity]] index-root pattern). */
+  private lazy val edgeRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-knnedges")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Persisted settled-corpus mutual-kNN edge artifact: the edge build
+    * (the only expensive stage in every graph query — branch-and-bound
+    * over IVF lists, ~3 s at sf0.1 and the dominant cost at any scale)
+    * runs ONCE per (corpus, k) and lands as a catalog parquet table;
+    * every later consumer reads ≤ N·k/2 rows of two longs instead of
+    * re-deriving them from N vectors. The nightly-build shape for the
+    * whole graph family — triangles, clustering, components, PageRank
+    * and BFS can all serve from the same table; deterministic build, so
+    * artifact and fresh edges are bit-identical
+    * ([[graft.operators.Gates]] `graphArtifactGate` pins it). */
+  private[graft] def edgeArtifact(s: SparkSession, dir: String,
+                                  k: Int): String =
+    edgeCache.getOrElseUpdate(s"$dir|$k", {
+      val name = s"graft_knn_edges_${math.abs(s"$dir|$k".hashCode)}"
+      mutualKnnEdges(s, dir, k).write.mode("overwrite")
+        .option("path", s"$edgeRoot/$name").saveAsTable(name)
+      name
+    })
+
+  /** Triangle counts served from the persisted edge artifact — the
+    * production read path: three parquet scans of the edge table, zero
+    * vector math. */
+  def triangleCountsFromArtifact(s: SparkSession, dir: String,
+                                 k: Int = 5): DataFrame =
+    triangleCountsFromEdges(s.table(edgeArtifact(s, dir, k)))
+      .orderBy("vec_id")
+
   /** BFS hop distance from a deterministic seed over the mutual-kNN
     * graph, executed as a SQL `WITH RECURSIVE` (Catalyst `UnionLoop`) —
     * the engine's ITERATIVE-SQL surface, complementing the driver-loop

@@ -192,6 +192,20 @@ class OperatorsSpec extends SparkSpec {
     assert(expected.map(_._3).distinct.size > 1) // matches span languages
   }
 
+  test("edge-artifact triangles are bit-identical to the fresh build (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val gate = Gates.graphArtifactGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val fresh = Graph.triangleCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gate.map(t => (t._1, t._2)).toSeq == fresh.toSeq)
+    assert(gate.forall(_._3))
+    // second serve hits the session cache: same table name, same rows
+    val again = Graph.triangleCountsFromArtifact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == fresh.toSeq)
+  }
+
   test("recursive-CTE BFS hops match an independent queue BFS (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     // edge feed is pinned exact by the triangle/bound-pruned tests;
