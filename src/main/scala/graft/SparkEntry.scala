@@ -158,6 +158,11 @@ object SparkEntry {
     // integer-exact projection (counts; the double sum stays live-only).
     "stream_windowstats" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.windowStatsSpooled(s, d)),
+    // Stateful sequence matching (the CEP class): the streaming funnel's
+    // per-user cursor state machine, batch-equal by construction — its
+    // oracle IS events_funnel's SQL.
+    "stream_funnel" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.funnelSpooled(s, d)),
     // Keyword-retrieval surface (operators.Search): postings construction,
     // integer-exact TF-IDF ranking, positional phrase search.
     "search_index"  -> ((s, d) => Search.invertedIndex(s, d)),
@@ -624,6 +629,40 @@ object SparkEntry {
     // minima, on exact epoch-µs longs (epoch_us mirrors unix_micros on
     // the µs-precision column; ties break on event_id in both engines).
     "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |           FROM events),
+        |s0 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN tus END)
+        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS m0 FROM e),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view'
+        |                          AND m0 IS NOT NULL AND tus > m0 THEN tus END)
+        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS m1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |                          AND m1 IS NOT NULL AND tus > m1 THEN tus END)
+        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS m2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+        |                          AND m2 IS NOT NULL AND tus > m2 THEN tus END)
+        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS m3 FROM s2),
+        |u AS (SELECT user_id,
+        |  max(CASE WHEN m0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+        |  max(CASE WHEN m1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+        |  max(CASE WHEN m2 IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+        |  max(CASE WHEN m3 IS NOT NULL THEN 1 ELSE 0 END) AS r3
+        |  FROM s3 GROUP BY user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_no, 'signup' AS step,
+        |         CAST(sum(r0) AS BIGINT) AS n_users FROM u
+        |  UNION ALL SELECT 2, 'view', CAST(sum(r1) AS BIGINT) FROM u
+        |  UNION ALL SELECT 3, 'click', CAST(sum(r2) AS BIGINT) FROM u
+        |  UNION ALL SELECT 4, 'purchase', CAST(sum(r3) AS BIGINT) FROM u)
+        |ORDER BY step_no""".stripMargin,
+    // The streaming funnel's state machine is batch-equal by
+    // construction, so its oracle is the SAME greedy earliest-chain SQL
+    // as events_funnel.
+    "stream_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
         |           FROM events),
         |s0 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN tus END)

@@ -841,4 +841,127 @@ object StreamingAnalytics {
     deleteRecursively(tmp)
     out
   }
+
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, ts_us: Long,
+                               event_id: Long, event_type: String)
+  final case class FunnelProgress(step: Int, lastUs: Long, maxSeenUs: Long)
+  final case class FunnelUserOut(user_id: Long, steps_completed: Long)
+
+  /** Streaming conversion funnel: per-user greedy earliest-chain step
+    * matching ([[graft.operators.EventAnalytics.funnel]] semantics) as a
+    * stateful SEQUENCE MATCHER — the complex-event-processing operator
+    * class, new next to the family's windows/joins/dedup/upsert. State
+    * per user is a cursor into the step sequence plus two epoch-µs longs
+    * REGARDLESS of event count (the batch cascade's running minima
+    * collapse to the cursor under in-order folding) — at 100 TB the
+    * store holds live users only, reclaimed by event-time timeout, which
+    * also emits the user's final steps-completed count.
+    *
+    * Equivalence to the batch fold: within a micro-batch the fold sorts
+    * by (event time, event_id); across batches it needs event-time-
+    * ordered arrival, which the spooled runner guarantees by delivering
+    * the corpus in one batch (the sessionize/upsert contract) and a
+    * production deployment gets from the watermark discipline. */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   steps: Seq[String] =
+                     Seq("signup", "view", "click", "purchase"),
+                   lateness: String = "10 minutes",
+                   settle: String = "30 minutes"): Dataset[FunnelUserOut] = {
+    import events.sparkSession.implicits._
+    val settleMs = intervalMs(settle)
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(FunnelUserOut(uid, st.step.toLong))
+          } else {
+            var st = state.getOption
+              .getOrElse(FunnelProgress(0, Long.MinValue, Long.MinValue))
+            rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              // strict > on the chain time: an equal-timestamp event can
+              // never follow the previous step (the batch cascade's rule)
+              if (st.step < steps.length && e.event_type == steps(st.step) &&
+                  (st.step == 0 || e.ts_us > st.lastUs))
+                st = st.copy(step = st.step + 1, lastUs = e.ts_us)
+              if (e.ts_us > st.maxSeenUs) st = st.copy(maxSeenUs = e.ts_us)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.maxSeenUs / 1000L + settleMs)
+            Iterator.empty
+          }
+        })
+  }
+
+  /** ORACLE-CHECKED streaming funnel: spool the bounded `events` table
+    * through a REAL [[funnelStream]] execution, then aggregate the
+    * per-user completion counts to the same (step_no, step, n_users)
+    * rows the batch funnel emits — the oracle IS `events_funnel`'s SQL.
+    * Two-sentinel flush protocol and layout per [[upsertSpooled]]. */
+  def funnelSpooled(s: SparkSession, dir: String,
+                    steps: Seq[String] =
+                      Seq("signup", "view", "click", "purchase"),
+                    lateness: String = "10 minutes",
+                    settle: String = "30 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-funspool-$runId")
+    // Nanos-long spool via the loader (see [[sessionizeSpooled]]).
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("user_id"),
+        col("event_id"), col("event_type"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val stepNanos =
+      (intervalMs(settle) + intervalMs(lateness) + 60 * 60 * 1000L) * 1000000L
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, -1L, -1L, "sentinel"))
+        .toDF("ts", "user_id", "event_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select(col("user_id"), col("ts"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .as[FunnelEvent]
+    val name = s"graft_funnel_$runId"
+    withSpoolPartitions(s) {
+      val q = funnelStream(stream, steps, lateness, settle)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // batch 1: the whole bounded corpus
+        val t1 = maxTsNanos + stepNanos
+        sentinel(t1)
+        q.processAllAvailable() // batch 2: watermark → maxTs − lateness
+        sentinel(t1 + stepNanos)
+        q.processAllAvailable() // batch 3: every real user settles
+      } finally q.stop()
+    }
+    val perUser = s.table(name).filter(col("user_id") >= 0)
+    val totals = perUser.agg(
+      sum(when(col("steps_completed") >= 1, 1L).otherwise(0L)).as("c0"),
+      steps.indices.tail.map(i =>
+        sum(when(col("steps_completed") >= i + 1, 1L).otherwise(0L))
+          .as(s"c$i")): _*)
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).cast("long").as("step_no"), lit(st).as("step"),
+        col(s"c$i").cast("long").as("n_users"))
+    }
+    val out = totals.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step_no"), col("r.step"), col("r.n_users"))
+      .orderBy("step_no")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
 }

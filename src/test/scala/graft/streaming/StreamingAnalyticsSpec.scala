@@ -466,4 +466,14 @@ class StreamingAnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected && got.nonEmpty)
   }
+
+  test("spooled funnel equals the batch greedy earliest-chain fold (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = funnelSpooled(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = graft.operators.EventAnalytics.funnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.head._3 > 0) // somebody converts
+  }
 }
