@@ -54,6 +54,9 @@ object SparkEntry {
     "events_funnel"      -> ((s, d) => EventAnalytics.funnel(s, d)),
     "events_retention"   -> (EventAnalytics.retention _),
     "events_transitions" -> (EventAnalytics.transitions _),
+    // Batch gaps-and-islands sessionization — stream_sessions' batch
+    // twin, same oracle SQL.
+    "events_sessions"    -> ((s, d) => EventAnalytics.sessions(s, d)),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "range_join"      -> ((s, d) => RangeJoin.eventBands(s, d)),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
@@ -96,6 +99,9 @@ object SparkEntry {
     "curate_pii"      -> (Curation.piiDemo _),
     "curate_spans"    -> ((s, d) => Curation.removeSharedSpans(s, d)),
     "curate_split"    -> ((s, d) => Curation.splitAssignments(s, d)),
+    // Exact-integer percentile winsorization via the bounded-domain
+    // value-histogram trick (no global sort, no per-group value map).
+    "curate_winsorize" -> ((s, d) => Curation.winsorize(s, d)),
     "curate_filter"   -> ((s, d) => Curation.qualityFilter(s, d)),
     // Seeded-hash operators are not ANSI-SQL-expressible; their entries
     // run the recall/precision/equality gates vs exact in-repo
@@ -693,6 +699,19 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'click', CAST(sum(r2) AS BIGINT) FROM u
         |  UNION ALL SELECT 4, 'purchase', CAST(sum(r3) AS BIGINT) FROM u)
         |ORDER BY step_no""".stripMargin,
+    // Batch gaps-and-islands sessionization: stream_sessions' exact SQL.
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+        |d AS (SELECT user_id, tms,
+        |  CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)
+        |            > 1800000 THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, tms,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |                 ROWS UNBOUNDED PRECEDING) AS grp FROM d)
+        |SELECT user_id, min(tms) AS session_start_ms,
+        |       max(tms) AS session_end_ms, count(*) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start_ms""".stripMargin,
     // Retention: integer day indices (floor division on positive epochs,
     // `div` = `//`), distinct users per (cohort_week, week_offset).
     "events_retention" ->
@@ -703,6 +722,20 @@ object SparkEntry {
         |SELECT d0 // 7 AS cohort_week, (day - d0) // 7 AS week_offset,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Winsorization: identical integer quantile arithmetic
+    // (smallest value with 100·cum ≥ p·n) over the same value histogram.
+    "curate_winsorize" ->
+      """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+        |t AS (SELECT sum(c) AS n FROM h),
+        |cm AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars
+        |         ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |cuts AS (SELECT min(CASE WHEN cum*100 >= n*5 THEN n_chars END) AS lo,
+        |                min(CASE WHEN cum*100 >= n*95 THEN n_chars END) AS hi
+        |         FROM cm, t)
+        |SELECT doc_id, n_chars,
+        |       greatest(least(n_chars, hi), lo) AS n_chars_w,
+        |       n_chars < lo AS clipped_low, n_chars > hi AS clipped_high
+        |FROM documents, cuts ORDER BY doc_id""".stripMargin,
     // Transitions: lead() over the identical (tus, event_id) per-user
     // order, exact-integer counts.
     "events_transitions" ->

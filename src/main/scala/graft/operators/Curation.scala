@@ -373,6 +373,40 @@ object Curation {
     * plane sized (1M rows at a billion docs), the only single-partition
     * window in the plan. The block-offset join is keyed; AQE broadcasts
     * the tiny side on its own. */
+  /** Winsorize document lengths at exact integer percentiles — outlier
+    * clipping before length-sensitive downstream stages (packing, token
+    * budgeting), with the cut points computed EXACTLY at any scale.
+    *
+    * The percentile trick: `n_chars` has a bounded integer domain, so
+    * the exact p-th order statistic needs no global sort and no per-
+    * group value map (contrast [[Analytics.q19Quantiles]]'s
+    * `percentile`, which builds one) — a value HISTOGRAM
+    * (groupBy(n_chars), vocabulary-scale shuffle) plus a cumulative sum
+    * over the sorted distinct values gives every quantile at once. The
+    * single-partition cumulative window runs over distinct LENGTHS, not
+    * rows — bounded the way text_vocab's rank window is — and the two
+    * cut points broadcast back as a 1-row crossJoin. Quantile
+    * definition: smallest v with cum ≥ ceil(p·n/100), kept in integer
+    * arithmetic (`100·cum ≥ p·n`) so both engines agree bit-for-bit. */
+  def winsorize(s: SparkSession, dir: String, pLo: Int = 5,
+                pHi: Int = 95): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    val wcum = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist.withColumn("cum", sum("c").over(wcum))
+      .crossJoin(hist.agg(sum("c").as("n")))
+      .agg(
+        min(when(col("cum") * 100 >= col("n") * pLo, col("n_chars"))).as("lo"),
+        min(when(col("cum") * 100 >= col("n") * pHi, col("n_chars"))).as("hi"))
+    docs.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_chars"),
+        greatest(least(col("n_chars"), col("hi")), col("lo")).as("n_chars_w"),
+        (col("n_chars") < col("lo")).as("clipped_low"),
+        (col("n_chars") > col("hi")).as("clipped_high"))
+      .orderBy("doc_id")
+  }
+
   def packSequences(s: SparkSession, dir: String, budget: Int = 256,
                     blockSize: Int = 1024): DataFrame = {
     val d = documents(s, dir)

@@ -91,6 +91,31 @@ object EventAnalytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Batch gap sessionization — the gaps-and-islands window pattern, the
+    * batch twin of the streaming family's `sessionize` (same semantics,
+    * same oracle SQL): a session break is a gap > `gapMs` between a
+    * user's consecutive events; the running sum of breaks is the session
+    * id; one aggregate per (user, session). Epoch-MILLISECOND arithmetic
+    * mirrors the streaming operator's `Timestamp.getTime` floors, so all
+    * three computations (batch, streaming, DuckDB) agree bit-for-bit.
+    * Same single user_id exchange as the rest of the triad — the lag,
+    * the running sum and the final aggregate all reuse one partitioning. */
+  def sessions(s: SparkSession, dir: String,
+               gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val e = base(s, dir).select(col("user_id"), expr("tus div 1000").as("tms"))
+    val w = Window.partitionBy("user_id").orderBy("tms")
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("brk",
+        when(col("tms") - lag(col("tms"), 1).over(w) > gapMs, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(wrun))
+      .groupBy("user_id", "grp")
+      .agg(min(col("tms")).as("session_start_ms"),
+        max(col("tms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+      .orderBy("user_id", "session_start_ms")
+  }
+
   /** User-journey transition counts: for every consecutive pair of
     * events per user (event-time order, `event_id` tie-break), how often
     * each `event_type → event_type` transition occurs — the Markov

@@ -62,6 +62,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(expected.keys.exists(_._2 == 0L))
   }
 
+  test("sessions: batch gaps-and-islands equals an independent fold") {
+    val gapMs = 30 * 60 * 1000L
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val tms = rows.map(_._4 / 1000L).sorted
+      val sess = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+      var start = tms.head; var last = tms.head; var cnt = 1L
+      tms.tail.foreach { t =>
+        if (t - last > gapMs) { sess += ((u, start, last, cnt)); start = t; cnt = 0L }
+        last = t; cnt += 1
+      }
+      sess += ((u, start, last, cnt))
+      sess
+    }.sortBy(t => (t._1, t._2))
+    val got = EventAnalytics.sessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.size > evs.map(_._1).distinct.size) // gaps actually split
+  }
+
   test("transitions: per-user consecutive-pair counts match") {
     val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
       val ordered = rows.sortBy(e => (e._4, e._2)).map(_._3)

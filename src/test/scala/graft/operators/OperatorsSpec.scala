@@ -164,6 +164,28 @@ class OperatorsSpec extends SparkSpec {
     assert(gotCc.exists(t => t._2 == 0L)) // zero-closure nodes must be kept
   }
 
+  test("winsorize: exact integer percentile cuts and clipping (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val lens = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byId = lens.toMap
+    val sorted = lens.map(_._2).sorted
+    val n = sorted.length
+    // smallest v with #(x <= v) >= ceil(p*n/100) = the k-th smallest
+    def cut(p: Int): Long = sorted((p * n + 99) / 100 - 1)
+    val (lo, hi) = (cut(5), cut(95))
+    val got = Curation.winsorize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(got.length == n)
+    got.foreach { case (id, nc, w, cl, ch) =>
+      assert(nc == byId(id))
+      assert(w == math.max(lo, math.min(hi, nc)))
+      assert(cl == (nc < lo) && ch == (nc > hi))
+    }
+    assert(got.exists(_._4) && got.exists(_._5)) // both tails clip
+  }
+
   test("bitext mining: exact cross-language top-1 matches an independent fold; IVF leg agrees (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
