@@ -84,6 +84,10 @@ object SparkEntry {
     // BFS hop distances from the max-degree seed, executed as a SQL
     // WITH RECURSIVE (Catalyst UnionLoop) — the iterative-SQL surface.
     "graph_bfs"       -> ((s, d) => Graph.bfsHops(s, d)),
+    // Same traversal as a driver-stepped loop whose frontier anti-joins
+    // the visited set each level — the scale path (the CTE re-expands
+    // settled nodes every hop; see Graph.bfsHopsFrontier).
+    "graph_bfs_frontier" -> ((s, d) => Graph.bfsHopsFrontier(s, d)),
     // Triangles served from the persisted settled-corpus edge artifact,
     // gated bit-equal to the fresh build (Gates.graphArtifactGate).
     "graph_artifact"  -> ((s, d) => Gates.graphArtifactGate(s, d)),
@@ -1494,6 +1498,29 @@ object SparkEntry {
     // engines expand the frontier with DISTINCT and collapse re-visits
     // with min(hop)).
     "graph_bfs" ->
+      """WITH RECURSIVE p AS (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS (SELECT src, dst FROM p WHERE rk <= 5),
+        |m AS (SELECT d1.src AS u, d1.dst AS v
+        |      FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |      WHERE d1.src < d1.dst),
+        |b AS (SELECT u, v FROM m UNION ALL SELECT v AS u, u AS v FROM m),
+        |seed AS (SELECT u AS vec_id FROM b GROUP BY u
+        |         ORDER BY count(*) DESC, u LIMIT 1),
+        |walk(vec_id, hop) AS (
+        |  SELECT vec_id, CAST(0 AS BIGINT) AS hop FROM seed
+        |  UNION ALL
+        |  SELECT DISTINCT b.v, walk.hop + 1 FROM b JOIN walk ON b.u = walk.vec_id
+        |  WHERE walk.hop < 6)
+        |SELECT vec_id, min(hop) AS hop FROM walk
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Identical traversal semantics (shortest hop = min over all walks),
+    // so the frontier-subtracted Spark loop shares graph_bfs's oracle:
+    // subtracting visited nodes never changes any node's min(hop).
+    "graph_bfs_frontier" ->
       """WITH RECURSIVE p AS (
         | SELECT q.vec_id AS src, e.vec_id AS dst,
         |  ROW_NUMBER() OVER (PARTITION BY q.vec_id

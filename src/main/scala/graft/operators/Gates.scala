@@ -273,7 +273,7 @@ object Gates {
     // localCheckpoint: feeds both the output rows and the equality join
     val art = Graph.triangleCountsFromArtifact(s, dir).localCheckpoint()
     val eq = art.select(col("vec_id"), col("n_triangles"), lit(1).as("in_art"))
-      .join(Graph.triangleCounts(s, dir)
+      .join(Graph.triangleCountsFresh(s, dir)
           .select(col("vec_id"), col("n_triangles"), lit(1).as("in_fresh")),
         Seq("vec_id", "n_triangles"), "full_outer")
       .agg(coalesce(sum(when(col("in_art").isNull || col("in_fresh").isNull, 1)

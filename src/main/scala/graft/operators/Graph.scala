@@ -178,10 +178,24 @@ object Graph {
     * each triangle exactly once. With degree ≤ k the wedge join fans out
     * to at most N·k² rows — id-ordered orientation suffices; the
     * degree-ordered variant is only needed on unbounded-degree graphs.
-    * The edge list (≤ N·k/2 rows of two longs) is localCheckpointed: it
+    * Served from the persisted edge artifact ([[artifactEdges]]): three
+    * parquet scans of ≤ N·k/2 (long, long) rows, zero vector math —
+    * through round 7 each graph query paid its own full kNN rebuild
+    * (~3 s at sf0.1, ×5 queries) for edges the repo had already
+    * persisted. [[triangleCountsFresh]] keeps the fresh-build path as
+    * the gate's correctness pin. */
+  def triangleCounts(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    triangleCountsFromEdges(artifactEdges(s, dir, k))
+      .orderBy("vec_id")
+
+  /** Fresh-build triangle counts: re-derives the mutual-kNN edges from
+    * the vectors on every call. ONLY consumer is `graphArtifactGate`'s
+    * bit-identity pin (artifact == fresh); every production read goes
+    * through [[triangleCounts]]. The edge list is localCheckpointed: it
     * feeds three join legs, and without materialization each leg would
     * recompute the full kNN build. */
-  def triangleCounts(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+  private[graft] def triangleCountsFresh(s: SparkSession, dir: String,
+                                         k: Int = 5): DataFrame =
     triangleCountsFromEdges(mutualKnnEdges(s, dir, k).localCheckpoint())
       .orderBy("vec_id")
 
@@ -207,7 +221,7 @@ object Graph {
     * the output, which [[triangleCounts]] by construction omits — those
     * are exactly the manifold outliers a curation pass wants to flag. */
   def clusteringCoefficients(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = mutualKnnEdges(s, dir, k).localCheckpoint()
+    val e = artifactEdges(s, dir, k)
     val deg = e.select(explode(array(col("u"), col("v"))).as("vec_id"))
       .groupBy("vec_id").agg(count(lit(1)).as("degree"))
     deg.filter(col("degree") >= 2)
@@ -260,19 +274,18 @@ object Graph {
     * a handful of rounds on k-regular-ish graphs, and a production run
     * continues with the same step until an integer fixpoint. */
   def pageRank(s: SparkSession, dir: String, k: Int = 5,
-               iters: Int = 3): DataFrame = {
-    val e = mutualKnnEdges(s, dir, k)
-    pageRankFromEdges(e, iters).orderBy("vec_id")
-  }
+               iters: Int = 3): DataFrame =
+    pageRankFromEdges(artifactEdges(s, dir, k), iters).orderBy("vec_id")
 
   /** (vec_id, pr) after `iters` integer power steps over a u<v edge
     * list. */
   private[graft] def pageRankFromEdges(e: DataFrame, iters: Int): DataFrame = {
     // The checkpoint must sit BELOW every consumer: deg feeds both the
-    // adjacency annotation and the initial ranks, and an unmaterialized
-    // deg lineage would re-run the whole kNN build once more for the
-    // rank seed (measured: the seed leg alone re-paid the ~3 s edge
-    // build at sf0.1 before adj was checkpointed here).
+    // adjacency annotation and the initial ranks, and every iteration
+    // re-reads adjDeg — without materialization each re-use would
+    // re-execute whatever edge lineage feeds this (through round 6 that
+    // was the full ~3 s kNN build; today it is still one parquet scan
+    // of the artifact per iteration per leg).
     val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint()
@@ -302,9 +315,6 @@ object Graph {
     }))
     p.toString
   }
-  private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** Persisted settled-corpus mutual-kNN edge artifact: the edge build
     * (the only expensive stage in every graph query — branch-and-bound
     * over IVF lists, ~3 s at sf0.1 and the dominant cost at any scale)
@@ -312,25 +322,44 @@ object Graph {
     * every later consumer reads ≤ N·k/2 rows of two longs instead of
     * re-deriving them from N vectors. The nightly-build shape for the
     * whole graph family — triangles, clustering, components, PageRank
-    * and BFS can all serve from the same table; deterministic build, so
-    * artifact and fresh edges are bit-identical
-    * ([[graft.operators.Gates]] `graphArtifactGate` pins it). */
+    * and BFS ALL serve from this table ([[artifactEdges]]); deterministic
+    * build, so artifact and fresh edges are bit-identical
+    * ([[graft.operators.Gates]] `graphArtifactGate` pins it).
+    *
+    * No memo map: existence IS the catalog's `tableExists` (a cached map
+    * went stale when a rebuilt SparkSession lost the table), and the
+    * table name carries a full SHA-256 of the (dir, k) key — an earlier
+    * `abs(hashCode)` name could collide across corpora and silently
+    * serve one corpus's edges to another. */
   private[graft] def edgeArtifact(s: SparkSession, dir: String,
-                                  k: Int): String =
-    edgeCache.getOrElseUpdate(s"$dir|$k", {
-      val name = s"graft_knn_edges_${math.abs(s"$dir|$k".hashCode)}"
-      mutualKnnEdges(s, dir, k).write.mode("overwrite")
-        .option("path", s"$edgeRoot/$name").saveAsTable(name)
-      name
-    })
+                                  k: Int): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$dir|$k".getBytes("UTF-8"))
+      .take(12).map(b => f"$b%02x").mkString
+    val name = s"graft_knn_edges_$digest"
+    edgeBuildLock.synchronized {
+      if (!s.catalog.tableExists(name))
+        mutualKnnEdges(s, dir, k).write.mode("overwrite")
+          .option("path", s"$edgeRoot/$name").saveAsTable(name)
+    }
+    name
+  }
+  private[this] val edgeBuildLock = new Object
 
-  /** Triangle counts served from the persisted edge artifact — the
-    * production read path: three parquet scans of the edge table, zero
-    * vector math. */
+  /** The u<v mutual-kNN edge relation served from the persisted artifact
+    * — the read path every registered graph query uses. A parquet scan
+    * of ≤ N·k/2 (long, long) rows; already materialized on disk, so
+    * multi-leg consumers (the triangle triple-join) just scan it per leg
+    * with no checkpoint. */
+  private[graft] def artifactEdges(s: SparkSession, dir: String,
+                                   k: Int): DataFrame =
+    s.table(edgeArtifact(s, dir, k))
+
+  /** Triangle counts served from the persisted edge artifact — alias of
+    * [[triangleCounts]] kept for the bench's raw-serve row. */
   def triangleCountsFromArtifact(s: SparkSession, dir: String,
                                  k: Int = 5): DataFrame =
-    triangleCountsFromEdges(s.table(edgeArtifact(s, dir, k)))
-      .orderBy("vec_id")
+    triangleCounts(s, dir, k)
 
   /** BFS hop distance from a deterministic seed over the mutual-kNN
     * graph, executed as a SQL `WITH RECURSIVE` (Catalyst `UnionLoop`) —
@@ -348,17 +377,25 @@ object Graph {
     * (maxHops+1)·|V|, never by path count. Each level is one node-keyed
     * equi-join of the frontier against the edge relation — the standard
     * distributed-BFS exchange, O(E) rows per round, no O(N) broadcast.
-    * The edge list is localCheckpointed: both CTE legs and every loop
-    * step read it, and each re-use would otherwise re-run the kNN
-    * build. */
+    * Edges come straight from the persisted artifact CATALOG table (the
+    * CTE names it directly — no shared temp view to race on or leak),
+    * so the recursion is fed by a parquet scan, not a kNN rebuild.
+    *
+    * KNOWN BOUND: the single-reference CTE cannot subtract
+    * already-settled nodes (that needs `walk` on both the join and an
+    * anti-join, and the recursive relation may be referenced once), so
+    * every node settled at hop h is re-expanded at hops h+1…maxHops —
+    * O(maxHops·E) join rows, acceptable here because maxHops is a small
+    * constant. [[bfsHopsFrontier]] is the scale path: a driver-stepped
+    * loop whose per-level frontier anti-joins the visited set, joining
+    * only NEW nodes each round. */
   def bfsHops(s: SparkSession, dir: String, k: Int = 5,
               maxHops: Int = 6): DataFrame = {
-    mutualKnnEdges(s, dir, k).localCheckpoint()
-      .createOrReplaceTempView("graft_bfs_edges")
+    val tbl = edgeArtifact(s, dir, k)
     s.sql(
       s"""WITH RECURSIVE
-         |b(u, v) AS (SELECT u, v FROM graft_bfs_edges
-         |            UNION ALL SELECT v, u FROM graft_bfs_edges),
+         |b(u, v) AS (SELECT u, v FROM $tbl
+         |            UNION ALL SELECT v, u FROM $tbl),
          |seed(vec_id) AS (SELECT u FROM b GROUP BY u
          |                 ORDER BY count(*) DESC, u LIMIT 1),
          |walk(vec_id, hop) AS (
@@ -371,10 +408,45 @@ object Graph {
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin)
   }
 
+  /** Frontier-subtracted BFS — the production-scale variant of
+    * [[bfsHops]], same output contract: (vec_id, hop) for every node
+    * within `maxHops` of the max-degree seed, hop = shortest path
+    * length. A driver-stepped loop (the [[pageRankFromEdges]] iteration
+    * style): each level expands ONLY the previous frontier and anti-joins
+    * the accumulated visited set, so a node settled at hop h is never
+    * re-joined at h+1…maxHops — per-level cost is O(edges incident to
+    * the frontier), total O(E) over the whole traversal vs the CTE's
+    * O(maxHops·E). Levels localCheckpoint ≤ |V| (long, long) rows each:
+    * frontier feeds the next expansion AND the visited union, and the
+    * loop terminates early on an empty frontier (`isEmpty` on the
+    * checkpointed relation is a metadata read, not a recompute). */
+  def bfsHopsFrontier(s: SparkSession, dir: String, k: Int = 5,
+                      maxHops: Int = 6): DataFrame = {
+    val e = artifactEdges(s, dir, k)
+    val b = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val seed = b.groupBy("u").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("u")).limit(1)
+      .select(col("u").as("vec_id"), lit(0L).as("hop"))
+    var visited = seed.localCheckpoint()
+    var frontier = visited
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = b.join(frontier.select(col("vec_id").as("u")), "u")
+        .select(col("v").as("vec_id")).distinct()
+        .join(visited.select("vec_id"), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), lit(hop).as("hop"))
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    visited.orderBy("vec_id")
+  }
+
   def componentAssignments(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val vecs = Tables.embeddings(s, dir).select(col("vec_id"))
     val comp = Dedup.connectedComponents(
-      mutualKnnEdges(s, dir, k)
+      artifactEdges(s, dir, k)
         .select(col("u").as("doc_a"), col("v").as("doc_b")),
       assumeNormalized = true)
     val lbl = vecs.join(comp.select(col("node").as("vec_id"), col("label")),

@@ -41,9 +41,16 @@ object Tables {
       case LongType => // TIMESTAMP(NANOS) read under nanosAsLong
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
-          "set spark.sql.session.timeZone=UTC at session build: events.ts " +
-            "is TIMESTAMP_NTZ and the NTZ->LTZ cast must not shift it")
+        // Normalized comparison: "Etc/UTC", "+00:00" and "Z" are all the
+        // UTC rules and the cast is equally safe under them — a literal
+        // string match rejected sessions that were already in UTC.
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        val isUtc =
+          try java.time.ZoneId.of(tz).getRules == java.time.ZoneOffset.UTC.getRules
+          catch { case _: java.time.DateTimeException => false }
+        require(isUtc,
+          s"set spark.sql.session.timeZone to UTC at session build (got '$tz'): " +
+            "events.ts is TIMESTAMP_NTZ and the NTZ->LTZ cast must not shift it")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }

@@ -861,7 +861,15 @@ object StreamingAnalytics {
     * by (event time, event_id); across batches it needs event-time-
     * ordered arrival, which the spooled runner guarantees by delivering
     * the corpus in one batch (the sessionize/upsert contract) and a
-    * production deployment gets from the watermark discipline. */
+    * production deployment gets from the watermark discipline.
+    *
+    * PER-TRIGGER BUFFERING: that intra-batch sort materializes one
+    * user's slice of the micro-batch in executor heap — O(1) state but
+    * O(events-per-user-per-trigger) transient memory, a skew hazard if
+    * one user floods a large trigger. A source that already guarantees
+    * intra-key event-time order can fold in arrival order and drop the
+    * sort; otherwise bound trigger size (maxFilesPerTrigger /
+    * maxOffsetsPerTrigger) to bound the slice. */
   def funnelStream(events: Dataset[FunnelEvent],
                    steps: Seq[String] =
                      Seq("signup", "view", "click", "purchase"),

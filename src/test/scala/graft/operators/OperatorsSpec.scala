@@ -252,6 +252,11 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == dist.toSeq.sortBy(_._1))
     assert(got.exists(_._2 > 1)) // traversal goes beyond the direct frontier
+    // The frontier-subtracted driver loop is the same traversal with the
+    // settled set anti-joined out each level — identical hop map.
+    val frontier = Graph.bfsHopsFrontier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(frontier == got)
   }
 
   test("bound-pruned kNN equals the brute all-pairs build (sf0.001 + fixture)") {
