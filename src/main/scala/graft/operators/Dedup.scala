@@ -257,8 +257,6 @@ object Dedup {
     }))
     p.toString
   }
-  private val artifactCache =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   /** WRITE-ONCE settled-corpus dedup artifacts — what a production corpus
     * maintains between ingests instead of recomputing per run: the
@@ -276,12 +274,12 @@ object Dedup {
     * bit-identical to [[incrementalPairs]]' corpus∪increment ordering
     * (OperatorsSpec pins it). */
   private[graft] def settledArtifact(s: SparkSession, dir: String,
-                                     threshold: Double, mod: Int): (String, String) =
-    artifactCache.getOrElseUpdate(s"$dir|$threshold|$mod", {
-      val key = math.abs(s"$dir|$threshold|$mod".hashCode).toString
+                                     threshold: Double, mod: Int): (String, String) = {
+    val key = Artifacts.key(s"$dir|$threshold|$mod")
+    val pName = s"graft_settled_prefix_$key"
+    val dName = s"graft_settled_df_$key"
+    Artifacts.ensure(s, Seq(pName, dName)) {
       val settled = hashedTokenSets(s, dir).filter(col("doc_id") % mod =!= 0)
-      val pName = s"graft_settled_prefix_$key"
-      val dName = s"graft_settled_df_$key"
       prefixTable(settled, threshold, rarestFirst = true)
         .write.mode("overwrite").bucketBy(32, "ptok")
         .option("path", s"$artifactRoot/$pName").saveAsTable(pName)
@@ -289,8 +287,9 @@ object Dedup {
         .groupBy("tok").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").bucketBy(32, "tok")
         .option("path", s"$artifactRoot/$dName").saveAsTable(dName)
-      (pName, dName)
-    })
+    }
+    (pName, dName)
+  }
 
   /** [[incrementalPairs]] against the PERSISTED artifacts — the shape the
     * nightly job actually runs at 100 TB: the settled corpus contributes
@@ -346,12 +345,6 @@ object Dedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
         jaccardExpr.as("jaccard"))
   }
-
-  /** Measurement hook for tools/CompareOrders: the word-token prefix join
-    * under an explicit prefix-order choice. */
-  private[graft] def wordPairsWithOrder(s: SparkSession, dir: String,
-                                        threshold: Double, rarestFirst: Boolean): DataFrame =
-    jaccardPairsFromSets(hashedTokenSets(s, dir), threshold, rarestFirst)
 
   /** SEQUENCE-level near-dup: jaccard over 3-gram shingle sets — the
     * standard document near-dup for LLM curation (two docs are near-dups

@@ -326,25 +326,17 @@ object Graph {
     * build, so artifact and fresh edges are bit-identical
     * ([[graft.operators.Gates]] `graphArtifactGate` pins it).
     *
-    * No memo map: existence IS the catalog's `tableExists` (a cached map
-    * went stale when a rebuilt SparkSession lost the table), and the
-    * table name carries a full SHA-256 of the (dir, k) key — an earlier
-    * `abs(hashCode)` name could collide across corpora and silently
-    * serve one corpus's edges to another. */
+    * Naming + existence via [[Artifacts]] (catalog-backed, strong-hash
+    * names — see its scaladoc for the failure modes this fixes). */
   private[graft] def edgeArtifact(s: SparkSession, dir: String,
                                   k: Int): String = {
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$dir|$k".getBytes("UTF-8"))
-      .take(12).map(b => f"$b%02x").mkString
-    val name = s"graft_knn_edges_$digest"
-    edgeBuildLock.synchronized {
-      if (!s.catalog.tableExists(name))
-        mutualKnnEdges(s, dir, k).write.mode("overwrite")
-          .option("path", s"$edgeRoot/$name").saveAsTable(name)
+    val name = s"graft_knn_edges_${Artifacts.key(s"$dir|$k")}"
+    Artifacts.ensure(s, Seq(name)) {
+      mutualKnnEdges(s, dir, k).write.mode("overwrite")
+        .option("path", s"$edgeRoot/$name").saveAsTable(name)
     }
     name
   }
-  private[this] val edgeBuildLock = new Object
 
   /** The u<v mutual-kNN edge relation served from the persisted artifact
     * — the read path every registered graph query uses. A parquet scan

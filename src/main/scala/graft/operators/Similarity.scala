@@ -484,8 +484,6 @@ object Similarity {
     }))
     p.toString
   }
-  private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   /** WRITE-ONCE persisted IVF-PQ index — what a production corpus
     * maintains instead of retraining and re-encoding per query batch:
@@ -501,16 +499,18 @@ object Similarity {
     * (indexTable, codebookTable) names. */
   private[graft] def ivfPqIndexArtifact(s: SparkSession, dir: String,
                                         nlist: Int = 16, m: Int = 16,
-                                        ksub: Int = 32): (String, String) =
-    indexCache.getOrElseUpdate(s"$dir|$nlist|$m|$ksub", {
-      val key = math.abs(s"$dir|$nlist|$m|$ksub".hashCode).toString
+                                        ksub: Int = 32): (String, String) = {
+    val key = Artifacts.key(s"$dir|$nlist|$m|$ksub")
+    val cbName = s"graft_ann_codebook_$key"
+    val idxName = s"graft_ann_index_$key"
+    Artifacts.ensure(s, Seq(idxName, cbName)) {
       val all = corpus(s, dir)
-      val cbName = s"graft_ann_codebook_$key"
-      val idxName = s"graft_ann_index_$key"
       writeIndexTables(s, trainOn = all, encodeOn = all,
         idxName = idxName, cbName = cbName, nlist = nlist, m = m, ksub = ksub)
-      (idxName, cbName)
-    })
+      ()
+    }
+    (idxName, cbName)
+  }
 
   /** Train quantizers on `trainOn`, persist them as `cbName`, encode
     * `encodeOn` and write it as `idxName` (partitioned by list). Returns
@@ -575,29 +575,29 @@ object Similarity {
   private[graft] def ivfPqIncrArtifacts(s: SparkSession, dir: String,
       nlist: Int = 16, m: Int = 16, ksub: Int = 32)
       : ((String, String), (String, String)) = {
-    val mainNames = indexCache.getOrElseUpdate(s"$dir|incr|$nlist|$m|$ksub", {
-      val key = math.abs(s"$dir|incr|$nlist|$m|$ksub".hashCode).toString
+    val mainKey = Artifacts.key(s"$dir|incr|$nlist|$m|$ksub")
+    val mainNames = (s"graft_ann_incr_index_$mainKey",
+      s"graft_ann_incr_codebook_$mainKey")
+    Artifacts.ensure(s, Seq(mainNames._1, mainNames._2)) {
       val all = corpus(s, dir)
       val settled = all.filter(col("vec_id") % 10 =!= 0)
       val incr = all.filter(col("vec_id") % 10 === 0)
-      val idxName = s"graft_ann_incr_index_$key"
-      val cbName = s"graft_ann_incr_codebook_$key"
       val (cents, books) = writeIndexTables(s, trainOn = settled,
-        encodeOn = settled, idxName = idxName, cbName = cbName,
+        encodeOn = settled, idxName = mainNames._1, cbName = mainNames._2,
         nlist = nlist, m = m, ksub = ksub)
-      appendCoded(s, incr, cents, books, m, idxName)
-      (idxName, cbName)
-    })
-    val twinNames = indexCache.getOrElseUpdate(s"$dir|twin|$nlist|$m|$ksub", {
-      val key = math.abs(s"$dir|twin|$nlist|$m|$ksub".hashCode).toString
+      appendCoded(s, incr, cents, books, m, mainNames._1)
+    }
+    val twinKey = Artifacts.key(s"$dir|twin|$nlist|$m|$ksub")
+    val twinNames = (s"graft_ann_twin_index_$twinKey",
+      s"graft_ann_twin_codebook_$twinKey")
+    Artifacts.ensure(s, Seq(twinNames._1, twinNames._2)) {
       val all = corpus(s, dir)
       val settled = all.filter(col("vec_id") % 10 =!= 0)
-      val idxName = s"graft_ann_twin_index_$key"
-      val cbName = s"graft_ann_twin_codebook_$key"
       writeIndexTables(s, trainOn = settled, encodeOn = all,
-        idxName = idxName, cbName = cbName, nlist = nlist, m = m, ksub = ksub)
-      (idxName, cbName)
-    })
+        idxName = twinNames._1, cbName = twinNames._2,
+        nlist = nlist, m = m, ksub = ksub)
+      ()
+    }
     (mainNames, twinNames)
   }
 
