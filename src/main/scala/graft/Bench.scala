@@ -47,8 +47,40 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Suite-JVM hygiene + self-diagnosing telemetry (round-7 finding: the
+    // 110-query driver bench showed a 2-7x heavy tail its same-commit
+    // standalone runs did not — same-JVM pressure, not plan cost). After
+    // each query's timed reps: drop the query's leftover localCheckpoint
+    // RDDs (each holds its partitions in block-manager memory until the
+    // ContextCleaner notices the dead reference; 110 queries of them
+    // accumulate into GC pressure), then record heap / RSS / surviving
+    // checkpoint-RDD count so the bench artifact itself shows whether
+    // pressure built up. Unpersist is safe here because nothing retains a
+    // checkpointed DataFrame across registered queries: the settled
+    // artifacts (dedup prefix/df, ANN index, kNN edges) are CATALOG
+    // PARQUET tables, not persisted RDDs — verified by grep and by the
+    // artifact queries staying green after this hygiene pass.
+    case class MemSample(heapMb: Long, rssMb: Long, ckptRdds: Int)
+    val memory = scala.collection.mutable.LinkedHashMap[String, MemSample]()
+    def rssMb: Long = try {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("VmRSS:") => l.split("\\s+")(1).toLong / 1024
+      }.getOrElse(-1L) finally src.close()
+    } catch { case _: Throwable => -1L }
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    def sweep(name: String): Unit = {
+      dropCheckpoints()
+      System.gc() // heap reading below is meaningless over uncollected garbage
+      val rt = Runtime.getRuntime
+      memory(name) = MemSample((rt.totalMemory - rt.freeMemory) / (1 << 20),
+        rssMb, spark.sparkContext.getPersistentRDDs.size)
+    }
     def median(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val ts = Seq.fill(math.max(1, reps))(timeOnce(name, fn)).sorted
+      sweep(name)
       ts(ts.length / 2)
     }
 
@@ -71,9 +103,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     val selectedRaw = rawOps.filter { case (n, _) => only.forall(_(n)) }
-    // Warm-up pass: not timed.
-    selected.foreach { case (n, fn) => timeOnce(n, fn) }
-    selectedRaw.foreach { case (n, fn) => timeOnce(n, fn) }
+    // Warm-up pass: not timed; checkpoints still dropped per query so the
+    // warm-up itself cannot seed the pressure the timed pass measures.
+    selected.foreach { case (n, fn) => timeOnce(n, fn); dropCheckpoints() }
+    selectedRaw.foreach { case (n, fn) => timeOnce(n, fn); dropCheckpoints() }
     errors.clear() // warm-up errors re-surface in the timed pass
     val results = selected.map { case (name, fn) => name -> median(name, fn) }
     val rawResults = selectedRaw.map { case (name, fn) =>
@@ -94,9 +127,15 @@ object Bench {
     val qs = obj(results.map { case (k, v) => k -> ms(v) })
     val raws = obj(rawResults.map { case (k, v) => k -> ms(v) })
     val errs = obj(errors.map { case (k, v) => k -> s""""${esc(v)}"""" })
+    // Post-query [heap_mb, rss_mb, surviving_ckpt_rdds]: a flat heap/RSS
+    // series across the suite is the evidence that per-query hygiene
+    // held; a rising one self-diagnoses JVM pressure without a judge
+    // calibration pass.
+    val mems = obj(memory.map { case (k, m) =>
+      k -> s"[${m.heapMb},${m.rssMb},${m.ckptRdds}]" })
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
-      s""""raw_operators":$raws,"errors":$errs,"sf":"$sfDir"}"""
+      s""""raw_operators":$raws,"errors":$errs,"memory":$mems,"sf":"$sfDir"}"""
     // File first (the durable artifact), then stdout, explicitly flushed:
     // the driver's tail scrape must never be the only copy.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),

@@ -52,6 +52,46 @@ object MeasureRecall {
       println(s"[recall] ivfPqTopK nlist=$nlist nprobe=$nprobe rerank=32 " +
         s"residual=$res recall=${(exact & got).size.toDouble / exact.size}")
     }
+    // Residual's WIN regime (VERDICT r7 #6): the real corpus has uniform
+    // directions (cells never tighten — residual loses there, see
+    // BASELINE.md round 7), so measure on a CLUSTERED synthetic corpus:
+    // 8 tight direction clusters (center + sigma*noise, normalized,
+    // seeded). Residual codes quantize v − c_list, whose spread is the
+    // within-cluster sigma, far below the vector spread — the codebook's
+    // 256 cells cover a much smaller ball, so at small rerank residual
+    // should recover neighbors raw codes blur away.
+    locally {
+      val rnd = new scala.util.Random(42)
+      val dim = 64; val nClusters = 8; val nVecs = 2000; val sigma = 0.12
+      def unit(v: Array[Double]): Array[Float] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / n).toFloat)
+      }
+      val centers = Array.fill(nClusters)(
+        unit(Array.fill(dim)(rnd.nextGaussian())))
+      val vecs = (0 until nVecs).map { i =>
+        val c = centers(i % nClusters)
+        (i.toLong,
+          unit(c.map(_.toDouble).zip(Array.fill(dim)(rnd.nextGaussian()))
+            .map { case (cv, g) => cv + sigma * g }),
+          i % nClusters)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-clustered").toString
+      import s.implicits._
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val cexact = Similarity.bruteForceTopK(s, tmp)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (rerank <- Seq(8, 16, 32); res <- Seq(false, true)) {
+        val got = Similarity.ivfPqTopK(s, tmp, nlist = 16, nprobe = 4,
+            rerank = rerank, residual = res)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"[recall] CLUSTERED ivfPqTopK nlist=16 nprobe=4 rerank=$rerank " +
+          s"residual=$res recall=${(cexact & got).size.toDouble / cexact.size}")
+      }
+    }
     // IVF list balance + quantization quality (embed_cluster gate bounds)
     val asg = Similarity.ivfAssignments(s, dir)
     val n = asg.count()
