@@ -1,72 +1,154 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, flowing through real Spark schema /
-  * partitioning / batch machinery. The actual media decode is STUBBED
-  * (this container has no image/audio libraries): `stubDecode` is a
-  * deterministic fake standing in for e.g. a JPEG decoder; swap it for a
-  * real codec without touching any of the distributed plumbing.
+  * partitioning / batch machinery.
+  *
+  * IMAGE payloads are REAL PNGs: generated deterministically per asset
+  * (tiny gray images, pixel values a pure function of (asset, x, y)),
+  * encoded AND decoded with pure-JVM `javax.imageio` on the executors —
+  * no native codec needed. The decode side reports stats of the DECODED
+  * raster, so the DuckDB oracle (which re-derives the same pixels from
+  * the formula, never seeing a PNG) verifies the whole
+  * encode→store→decode loop end to end: a broken encoder, decoder or
+  * byte shuffle anywhere breaks the content hash.
+  *
+  * AUDIO/VIDEO payloads remain opaque byte containers (the container
+  * ships no audio/video codecs — documented divergence): their byte
+  * stats are computed for real over the payload itself, and a real
+  * decoder slots into the same per-partition contract the image path
+  * exercises.
   */
 object Multimodal {
 
-  /** A decoded-asset feature row (what a real decoder would emit). */
-  final case class AssetFeatures(
-      asset_id: Long, modality: String, n_bytes: Long,
-      width: Int, height: Int, features: Array[Float])
+  /** Deterministic tiny image shape per asset: width 4-16, height 3-9 —
+    * small enough that the oracle re-derives per-pixel expectations over
+    * an unnest(range(...)) grid without blowing up. */
+  private[graft] def imageDims(id: Long): (Int, Int) =
+    (4 + (id % 13).toInt, 3 + (id % 7).toInt)
 
-  /** Simulated asset table derived deterministically from `documents`:
-    * payload = UTF-8 bytes of the text (stands in for media bytes),
-    * metadata struct carries the declared shape. */
-  def assets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id").as("asset_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("modality"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        (col("n_chars") % 640).cast("int").as("width"),
-        (col("n_chars") % 480).cast("int").as("height"),
-        lit("stub/v1").as("format")).as("meta"))
+  /** Gray value of pixel (x, y) of asset `id`, in the printable-ASCII
+    * band 32-95 so the oracle can rebuild the raster byte string with
+    * chr()/string_agg and hash it. */
+  private[graft] def pixel(id: Long, x: Int, y: Int): Int =
+    32 + ((x + y + id) % 64).toInt
 
-  /** STUB decoder — deterministic fake features from the payload bytes.
-    * A real implementation would decode the media and run a feature
-    * extractor here; the signature (bytes in, fixed-width float vector
-    * out, executed per partition with no driver involvement) is the real
-    * contract. */
-  def stubDecode(payload: Array[Byte], dim: Int = 8): Array[Float] = {
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) { out(i % dim) += (payload(i) & 0xFF) / 255.0f; i += 1 }
-    out
+  /** Real PNG bytes for asset `id` (TYPE_BYTE_GRAY, deterministic
+    * pixels). PNG is lossless, so the decode side recovers the exact
+    * gray values; runs per partition on executors. */
+  private[graft] def pngBytes(id: Long): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  /** Distributed decode/feature-extract over the binary column via
-    * `mapPartitions` on a typed Dataset — the Scala analogue of a Pandas
-    * `mapInPandas` batch UDF: executors stream batches of (id, bytes)
-    * rows through the decoder, never materializing the table anywhere. */
-  def extractFeatures(s: SparkSession, dir: String): Dataset[AssetFeatures] = {
+  final case class AssetMeta(width: Int, height: Int, format: String)
+  final case class Asset(asset_id: Long, modality: String,
+                         payload: Array[Byte], meta: AssetMeta)
+
+  /** Asset table derived deterministically from `documents`: image
+    * payloads are real PNGs (built on the executors — the encode leg of
+    * the decode loop the oracle pins); audio/video payloads are the
+    * UTF-8 text bytes standing in for container bytes, with declared
+    * metadata shape. */
+  def assets(s: SparkSession, dir: String): Dataset[Asset] = {
     import s.implicits._
-    assets(s, dir)
-      .select(col("asset_id"), col("modality"), col("payload"),
-              col("meta.width"), col("meta.height"))
-      .as[(Long, String, Array[Byte], Int, Int)]
-      .mapPartitions(_.map { case (id, mod, bytes, w, h) =>
-        AssetFeatures(id, mod, bytes.length.toLong, w, h, stubDecode(bytes))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        id % 3 match {
+          case 0 =>
+            val (w, h) = imageDims(id)
+            Asset(id, "image", pngBytes(id), AssetMeta(w, h, "image/png"))
+          case m =>
+            Asset(id, if (m == 1) "audio" else "video", text.getBytes("UTF-8"),
+              AssetMeta((nChars % 640).toInt, (nChars % 480).toInt, "stub/v1"))
+        }
       })
   }
 
-  /** Oracle-checkable summary of the multimodal pipeline: byte counts and
-    * payload digests are real (not stubbed), so DuckDB can verify the
-    * binary plumbing end-to-end even though feature values are fake. */
+  /** A decoded asset: dimensions, content size and exact integer pixel
+    * stats, plus the content hash. For images every field comes from the
+    * DECODED raster (row-major byte order), not the metadata — that is
+    * the point. */
+  final case class DecodedAsset(
+      asset_id: Long, modality: String, width: Int, height: Int,
+      n_bytes: Long, px_sum: Long, px_min: Int, px_max: Int,
+      content_sha256: String)
+
+  /** Distributed decode/feature-extract over the binary column via
+    * `mapPartitions` on a typed Dataset — the Scala analogue of a Pandas
+    * `mapInPandas` batch UDF: executors stream batches of assets through
+    * the decoder, never materializing the table anywhere.
+    *
+    * image → `ImageIO.read` of the PNG payload; width/height and the
+    * pixel bytes come from the decoded raster. audio/video → the payload
+    * bytes ARE the content (no codec in-container); metadata supplies
+    * the declared dims. Stats are exact integers and the hash is the
+    * canonical row-major content — both recomputable by the oracle from
+    * the generation formula (image) or the source text (audio/video). */
+  def decodeAssets(s: SparkSession, dir: String): Dataset[DecodedAsset] = {
+    import s.implicits._
+    assets(s, dir).mapPartitions(_.map { a =>
+      val (w, h, content) = a.modality match {
+        case "image" =>
+          val img = ImageIO.read(new ByteArrayInputStream(a.payload))
+          val (iw, ih) = (img.getWidth, img.getHeight)
+          val bytes = new Array[Byte](iw * ih)
+          val raster = img.getRaster
+          var i = 0
+          var y = 0
+          while (y < ih) {
+            var x = 0
+            while (x < iw) {
+              bytes(i) = raster.getSample(x, y, 0).toByte; i += 1; x += 1
+            }
+            y += 1
+          }
+          (iw, ih, bytes)
+        case _ => (a.meta.width, a.meta.height, a.payload)
+      }
+      var sum = 0L; var mn = 255; var mx = 0
+      var i = 0
+      while (i < content.length) {
+        val v = content(i) & 0xFF
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(content).map(b => f"$b%02x").mkString
+      DecodedAsset(a.asset_id, a.modality, w, h, content.length.toLong,
+        sum, mn, mx, sha)
+    })
+  }
+
+  /** Oracle-checkable summary of the multimodal pipeline: for images the
+    * size, hash and width are of the DECODED raster (verifying the PNG
+    * round-trip); for audio/video they are of the raw payload. */
   def assetSummary(s: SparkSession, dir: String): DataFrame =
-    assets(s, dir).select(
-      col("asset_id"), col("modality"),
-      length(col("payload")).cast("long").as("n_bytes"),
-      sha2(col("payload"), 256).as("payload_sha256"),
-      col("meta.width").cast("long").as("width"))
+    decodeAssets(s, dir).toDF().select(
+      col("asset_id"), col("modality"), col("n_bytes"),
+      col("content_sha256").as("payload_sha256"),
+      col("width").cast("long").as("width"))
       .orderBy("asset_id")
 
   /** Frame sampling (video-style): slice the payload into fixed-size
@@ -75,7 +157,7 @@ object Multimodal {
   def frameSample(s: SparkSession, dir: String,
                   frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("long")
-    assets(s, dir)
+    assets(s, dir).toDF()
       .filter(col("modality") === "video")
       .select(col("asset_id"), col("payload"), nFrames.as("n_frames"),
         posexplode(sequence(lit(0L), greatest(nFrames - 1, lit(0L)), lit(stride.toLong)))

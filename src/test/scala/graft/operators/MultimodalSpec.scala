@@ -13,14 +13,38 @@ class MultimodalSpec extends SparkSpec {
     assert(a.count() == 500)
   }
 
-  test("stub decode is deterministic and batch-shaped") {
-    val f1 = Multimodal.extractFeatures(spark, dir).collect().sortBy(_.asset_id)
-    val f2 = Multimodal.extractFeatures(spark, dir).collect().sortBy(_.asset_id)
-    assert(f1.length == 500)
-    assert(f1.head.features.length == 8)
-    assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
-    // n_bytes is the real payload size, not stubbed
-    assert(f1.forall(r => r.n_bytes > 0))
+  test("image payloads are real PNGs; decode recovers the exact pixels") {
+    // encode leg: the stored payload parses as a PNG with the declared dims
+    val img = Multimodal.assets(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("modality") === "image")
+      .head()
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(img.payload))
+    assert(decoded != null)
+    val (w, h) = Multimodal.imageDims(img.asset_id)
+    assert(decoded.getWidth == w && decoded.getHeight == h)
+
+    // decode leg: distributed stats equal the pixel formula, per asset
+    val rows = Multimodal.decodeAssets(spark, dir).collect()
+      .filter(_.modality == "image")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ew, eh) = Multimodal.imageDims(r.asset_id)
+      val px = for (y <- 0 until eh; x <- 0 until ew)
+        yield Multimodal.pixel(r.asset_id, x, y)
+      assert(r.width == ew && r.height == eh)
+      assert(r.n_bytes == ew.toLong * eh)
+      assert(r.px_sum == px.map(_.toLong).sum)
+      assert(r.px_min == px.min && r.px_max == px.max)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(px.map(_.toByte).toArray).map(b => f"$b%02x").mkString
+      assert(r.content_sha256 == sha)
+    }
+
+    // audio/video: content bytes are the payload itself
+    val others = Multimodal.decodeAssets(spark, dir).collect()
+      .filter(_.modality != "image")
+    assert(others.forall(r => r.n_bytes > 0 && r.px_min <= r.px_max))
   }
 
   test("frame sampling slices video payloads with stride") {
