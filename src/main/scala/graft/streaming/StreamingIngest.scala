@@ -209,6 +209,20 @@ final class StreamingIngest(
       .trigger(trigger)
       .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
       .start()
+
+  /** Start the streaming query over LIVE stdin via the DSv2
+    * [[StdinMicroBatchStream]] — the unbounded `tap | target` pipe with
+    * no pre-spool. Same per-micro-batch core; replay/restart semantics
+    * documented at [[StdinStream]]. */
+  def startLive(checkpointDir: String,
+                trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    spark.readStream.format(classOf[StdinStreamProvider].getName).load()
+      .toDF("value")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .start()
 }
 
 private object Bookmarks {

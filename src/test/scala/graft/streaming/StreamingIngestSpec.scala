@@ -177,6 +177,51 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(expected).count() == 1)
   }
 
+  test("live stdin DSv2 source: unbounded pipe, incremental micro-batches, spool-path parity") {
+    val out = Files.createTempDirectory("live-out").toString
+    val cp = Files.createTempDirectory("live-cp").toString
+    val pipeIn = new java.io.PipedInputStream(1 << 16)
+    val writer = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(new java.io.PipedOutputStream(pipeIn),
+        java.nio.charset.StandardCharsets.UTF_8), true)
+    StdinStream.inputFactory = () => pipeIn
+    try {
+      val ingest = new StreamingIngest(spark, out,
+        TargetConfig(streamsInSeparateFolder = true))
+      val q = ingest.startLive(cp)
+      def settle(cond: => Boolean): Unit = {
+        val end = System.currentTimeMillis + 30000
+        while (!cond && System.currentTimeMillis < end) {
+          q.processAllAvailable(); Thread.sleep(50)
+        }
+        assert(cond)
+      }
+      // wave 1: schema + 2 records, while the pipe stays OPEN — the
+      // spooler path can only do this with a chunk flush; the DSv2
+      // source batches whatever has arrived.
+      writer.println(schemaLine)
+      writer.println("""{"type": "RECORD", "stream": "s1", "record": {"pk": 1, "v": "a"}}""")
+      writer.println("""{"type": "RECORD", "stream": "s1", "record": {"pk": 2, "v": "b"}}""")
+      settle(new java.io.File(s"$out/s1").exists &&
+        spark.read.parquet(s"$out/s1").count() == 2)
+      // wave 2: a LATER record + trailing state — a genuinely
+      // incremental micro-batch against the same registry.
+      writer.println("""{"type": "RECORD", "stream": "s1", "record": {"pk": 3, "v": "c"}}""")
+      writer.println("""{"type": "STATE", "value": {"bookmarks": {"s1": 3}}}""")
+      settle(spark.read.parquet(s"$out/s1").count() == 3 &&
+        ingest.emittedState.contains("""{"bookmarks":{"s1":3}}"""))
+      q.stop()
+      // Same rows the file-spool path would land (StreamingIngest's core
+      // is shared; this pins the new source end to end).
+      val pks = spark.read.parquet(s"$out/s1").collect()
+        .map(r => r.getAs[Long]("pk")).sorted.toSeq
+      assert(pks == Seq(1L, 2L, 3L))
+    } finally {
+      StdinStream.inputFactory = () => System.in
+      writer.close()
+    }
+  }
+
   test("streaming: record for unknown stream fails the batch") {
     val in = Files.createTempDirectory("stream-in2")
     val out = Files.createTempDirectory("stream-out2").toString
