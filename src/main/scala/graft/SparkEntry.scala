@@ -138,8 +138,13 @@ object SparkEntry {
     // gated IVF scale-leg agreement flag (Gates.bitextGate scaladoc).
     "mine_bitext"     -> ((s, d) => Gates.bitextGate(s, d)),
     "multimodal_summary" -> (Multimodal.assetSummary _),
-    "multimodal_features" -> ((s, d) => Multimodal.extractFeatures(s, d)
-      .toDF().select("asset_id", "modality", "n_bytes", "width", "height")
+    // Decoded stats: for images every column comes from a REAL
+    // javax.imageio decode of the PNG payload; the oracle re-derives the
+    // expected pixels from the generation formula, pinning the whole
+    // encode->store->decode loop.
+    "multimodal_features" -> ((s, d) => Multimodal.decodeAssets(s, d)
+      .toDF().select("asset_id", "modality", "width", "height", "n_bytes",
+        "px_sum", "px_min", "px_max")
       .orderBy("asset_id")),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     // A REAL Structured-Streaming execution (file source → watermark →
@@ -1305,14 +1310,42 @@ object SparkEntry {
         | true AS all_counts_valid,
         | true AS neardup_overlap_ok,
         | true AS exactdup_identical""".stripMargin,
+    // Image rows: the engine reports stats of the DECODED PNG raster;
+    // the oracle recomputes them from the pixel formula
+    // v(x,y) = 32 + ((x + y + doc_id) % 64) over the w×h grid — it never
+    // sees a PNG, so agreement proves the encode->store->decode loop.
+    // Audio/video rows: payload = UTF-8 text (pure ASCII in this corpus,
+    // so char stats ARE byte stats).
     "multimodal_features" ->
-      """SELECT doc_id AS asset_id,
-        | CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-        | octet_length(encode(text)) AS n_bytes,
-        | CAST(n_chars % 640 AS INTEGER) AS width,
-        | CAST(n_chars % 480 AS INTEGER) AS height
-        |FROM documents ORDER BY asset_id""".stripMargin,
+      """WITH g AS (SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |xs AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM g),
+        |px AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+        |istats AS (SELECT doc_id, count(*) AS n,
+        |            CAST(sum(32 + ((x + y + doc_id) % 64)) AS BIGINT) AS s,
+        |            min(32 + ((x + y + doc_id) % 64)) AS mn,
+        |            max(32 + ((x + y + doc_id) % 64)) AS mx
+        |           FROM px GROUP BY doc_id),
+        |tpx AS (SELECT doc_id, ascii(c) AS v FROM
+        |         (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |          FROM documents WHERE doc_id % 3 <> 0)),
+        |tstats AS (SELECT doc_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |            min(v) AS mn, max(v) AS mx FROM tpx GROUP BY doc_id)
+        |SELECT d.doc_id AS asset_id,
+        | CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+        |      WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        | CAST(CASE WHEN d.doc_id % 3 = 0 THEN 4 + (d.doc_id % 13)
+        |      ELSE d.n_chars % 640 END AS INTEGER) AS width,
+        | CAST(CASE WHEN d.doc_id % 3 = 0 THEN 3 + (d.doc_id % 7)
+        |      ELSE d.n_chars % 480 END AS INTEGER) AS height,
+        | COALESCE(i.n, t.n) AS n_bytes,
+        | COALESCE(i.s, t.s) AS px_sum,
+        | CAST(COALESCE(i.mn, t.mn) AS INTEGER) AS px_min,
+        | CAST(COALESCE(i.mx, t.mx) AS INTEGER) AS px_max
+        |FROM documents d
+        |LEFT JOIN istats i ON i.doc_id = d.doc_id
+        |LEFT JOIN tstats t ON t.doc_id = d.doc_id
+        |ORDER BY asset_id""".stripMargin,
     "multimodal_frames" ->
       """WITH v AS (
         | SELECT doc_id AS asset_id, text,
@@ -1564,13 +1597,28 @@ object SparkEntry {
         | FROM embeddings q, embeddings e
         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Image rows: n_bytes/sha/width are of the DECODED raster, which the
+    // oracle rebuilds as a byte string with chr()/string_agg in row-major
+    // (y, x) order and hashes — the PNG round-trip pin. Others: raw
+    // payload (= the text).
     "multimodal_summary" ->
-      """SELECT doc_id AS asset_id,
-        | CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-        | octet_length(encode(text)) AS n_bytes,
-        | sha256(text) AS payload_sha256,
-        | n_chars % 640 AS width
-        |FROM documents ORDER BY asset_id""".stripMargin,
+      """WITH g AS (SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |xs AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM g),
+        |px AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+        |isha AS (SELECT doc_id, count(*) AS n,
+        |          sha256(string_agg(chr(CAST(32 + ((x + y + doc_id) % 64) AS INTEGER)),
+        |                            '' ORDER BY y, x)) AS sha
+        |         FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS asset_id,
+        | CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+        |      WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        | CASE WHEN d.doc_id % 3 = 0 THEN i.n
+        |      ELSE octet_length(encode(d.text)) END AS n_bytes,
+        | CASE WHEN d.doc_id % 3 = 0 THEN i.sha ELSE sha256(d.text) END AS payload_sha256,
+        | CASE WHEN d.doc_id % 3 = 0 THEN 4 + (d.doc_id % 13)
+        |      ELSE d.n_chars % 640 END AS width
+        |FROM documents d LEFT JOIN isha i ON i.doc_id = d.doc_id
+        |ORDER BY asset_id""".stripMargin,
   )
 }
