@@ -1314,8 +1314,10 @@ object SparkEntry {
     // the oracle recomputes them from the pixel formula
     // v(x,y) = 32 + ((x + y + doc_id) % 64) over the w×h grid — it never
     // sees a PNG, so agreement proves the encode->store->decode loop.
-    // Audio/video rows: payload = UTF-8 text (pure ASCII in this corpus,
-    // so char stats ARE byte stats).
+    // Audio rows: same for the DECODED WAV frames,
+    // v(i) = 32 + ((7i + doc_id) % 64) over n = 32 + doc_id % 41
+    // samples. Video rows: payload = UTF-8 text (pure ASCII in this
+    // corpus, so char stats ARE byte stats).
     "multimodal_features" ->
       """WITH g AS (SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
         |           FROM documents WHERE doc_id % 3 = 0),
@@ -1326,24 +1328,32 @@ object SparkEntry {
         |            min(32 + ((x + y + doc_id) % 64)) AS mn,
         |            max(32 + ((x + y + doc_id) % 64)) AS mx
         |           FROM px GROUP BY doc_id),
+        |apx AS (SELECT doc_id, 32 + ((7 * i + doc_id) % 64) AS v FROM
+        |         (SELECT doc_id, unnest(range(0, 32 + doc_id % 41)) AS i
+        |          FROM documents WHERE doc_id % 3 = 1)),
+        |astats AS (SELECT doc_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |            min(v) AS mn, max(v) AS mx FROM apx GROUP BY doc_id),
         |tpx AS (SELECT doc_id, ascii(c) AS v FROM
         |         (SELECT doc_id, unnest(string_split(text, '')) AS c
-        |          FROM documents WHERE doc_id % 3 <> 0)),
+        |          FROM documents WHERE doc_id % 3 = 2)),
         |tstats AS (SELECT doc_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
         |            min(v) AS mn, max(v) AS mx FROM tpx GROUP BY doc_id)
         |SELECT d.doc_id AS asset_id,
         | CASE WHEN d.doc_id % 3 = 0 THEN 'image'
         |      WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
         | CAST(CASE WHEN d.doc_id % 3 = 0 THEN 4 + (d.doc_id % 13)
+        |      WHEN d.doc_id % 3 = 1 THEN 32 + (d.doc_id % 41)
         |      ELSE d.n_chars % 640 END AS INTEGER) AS width,
         | CAST(CASE WHEN d.doc_id % 3 = 0 THEN 3 + (d.doc_id % 7)
+        |      WHEN d.doc_id % 3 = 1 THEN 1
         |      ELSE d.n_chars % 480 END AS INTEGER) AS height,
-        | COALESCE(i.n, t.n) AS n_bytes,
-        | COALESCE(i.s, t.s) AS px_sum,
-        | CAST(COALESCE(i.mn, t.mn) AS INTEGER) AS px_min,
-        | CAST(COALESCE(i.mx, t.mx) AS INTEGER) AS px_max
+        | COALESCE(i.n, a.n, t.n) AS n_bytes,
+        | COALESCE(i.s, a.s, t.s) AS px_sum,
+        | CAST(COALESCE(i.mn, a.mn, t.mn) AS INTEGER) AS px_min,
+        | CAST(COALESCE(i.mx, a.mx, t.mx) AS INTEGER) AS px_max
         |FROM documents d
         |LEFT JOIN istats i ON i.doc_id = d.doc_id
+        |LEFT JOIN astats a ON a.doc_id = d.doc_id
         |LEFT JOIN tstats t ON t.doc_id = d.doc_id
         |ORDER BY asset_id""".stripMargin,
     "multimodal_frames" ->
@@ -1597,10 +1607,11 @@ object SparkEntry {
         | FROM embeddings q, embeddings e
         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    // Image rows: n_bytes/sha/width are of the DECODED raster, which the
-    // oracle rebuilds as a byte string with chr()/string_agg in row-major
-    // (y, x) order and hashes — the PNG round-trip pin. Others: raw
-    // payload (= the text).
+    // Image/audio rows: n_bytes/sha/width are of the DECODED content
+    // (raster in row-major (y, x) order / PCM frames in sample order),
+    // which the oracle rebuilds as a byte string with chr()/string_agg
+    // and hashes — the PNG and WAV round-trip pins. Video: raw payload
+    // (= the text).
     "multimodal_summary" ->
       """WITH g AS (SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
         |           FROM documents WHERE doc_id % 3 = 0),
@@ -1609,16 +1620,28 @@ object SparkEntry {
         |isha AS (SELECT doc_id, count(*) AS n,
         |          sha256(string_agg(chr(CAST(32 + ((x + y + doc_id) % 64) AS INTEGER)),
         |                            '' ORDER BY y, x)) AS sha
-        |         FROM px GROUP BY doc_id)
+        |         FROM px GROUP BY doc_id),
+        |asha AS (SELECT doc_id, count(*) AS n,
+        |          sha256(string_agg(chr(CAST(32 + ((7 * i + doc_id) % 64) AS INTEGER)),
+        |                            '' ORDER BY i)) AS sha
+        |         FROM (SELECT doc_id, unnest(range(0, 32 + doc_id % 41)) AS i
+        |               FROM documents WHERE doc_id % 3 = 1)
+        |         GROUP BY doc_id)
         |SELECT d.doc_id AS asset_id,
         | CASE WHEN d.doc_id % 3 = 0 THEN 'image'
         |      WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
         | CASE WHEN d.doc_id % 3 = 0 THEN i.n
+        |      WHEN d.doc_id % 3 = 1 THEN a.n
         |      ELSE octet_length(encode(d.text)) END AS n_bytes,
-        | CASE WHEN d.doc_id % 3 = 0 THEN i.sha ELSE sha256(d.text) END AS payload_sha256,
+        | CASE WHEN d.doc_id % 3 = 0 THEN i.sha
+        |      WHEN d.doc_id % 3 = 1 THEN a.sha
+        |      ELSE sha256(d.text) END AS payload_sha256,
         | CASE WHEN d.doc_id % 3 = 0 THEN 4 + (d.doc_id % 13)
+        |      WHEN d.doc_id % 3 = 1 THEN 32 + (d.doc_id % 41)
         |      ELSE d.n_chars % 640 END AS width
-        |FROM documents d LEFT JOIN isha i ON i.doc_id = d.doc_id
+        |FROM documents d
+        |LEFT JOIN isha i ON i.doc_id = d.doc_id
+        |LEFT JOIN asha a ON a.doc_id = d.doc_id
         |ORDER BY asset_id""".stripMargin,
   )
 }

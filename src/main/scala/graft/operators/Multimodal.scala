@@ -20,11 +20,16 @@ import org.apache.spark.sql.functions._
   * encode→store→decode loop end to end: a broken encoder, decoder or
   * byte shuffle anywhere breaks the content hash.
   *
-  * AUDIO/VIDEO payloads remain opaque byte containers (the container
-  * ships no audio/video codecs — documented divergence): their byte
-  * stats are computed for real over the payload itself, and a real
-  * decoder slots into the same per-partition contract the image path
-  * exercises.
+  * AUDIO payloads are REAL WAVs: deterministic 8-bit PCM mono signals
+  * written and parsed with pure-JVM `javax.sound.sampled` — the decode
+  * side reads the container's declared frame count and the PCM frames
+  * through `AudioInputStream`, so header parsing and sample extraction
+  * are the real thing, oracle-pinned the same way as images.
+  *
+  * VIDEO payloads remain opaque byte containers (no pure-JVM video
+  * codec exists): their byte stats are computed for real over the
+  * payload itself, and a real decoder slots into the same per-partition
+  * contract the image and audio paths exercise.
   */
 object Multimodal {
 
@@ -58,6 +63,29 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic audio signal per asset: 32-72 samples of 8-bit PCM,
+    * values in the same printable band as pixels (32-95) so the oracle
+    * rebuilds the sample string with chr()/string_agg and hashes it. */
+  private[graft] def audioSamples(id: Long): Array[Byte] = {
+    val n = 32 + (id % 41).toInt
+    Array.tabulate(n)(i => (32 + ((7L * i + id) % 64)).toByte)
+  }
+
+  /** Real WAV bytes for asset `id`: 8-bit UNSIGNED PCM mono (the WAV
+    * convention for 8-bit), so sample bytes round-trip the container
+    * exactly. */
+  private[graft] def wavBytes(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = audioSamples(id)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   final case class AssetMeta(width: Int, height: Int, format: String)
   final case class Asset(asset_id: Long, modality: String,
                          payload: Array[Byte], meta: AssetMeta)
@@ -77,8 +105,13 @@ object Multimodal {
           case 0 =>
             val (w, h) = imageDims(id)
             Asset(id, "image", pngBytes(id), AssetMeta(w, h, "image/png"))
-          case m =>
-            Asset(id, if (m == 1) "audio" else "video", text.getBytes("UTF-8"),
+          case 1 =>
+            // 1-D signal in 2-D metadata: (n_samples, 1) — keeps the
+            // decoded-stats contract uniform across modalities.
+            Asset(id, "audio", wavBytes(id),
+              AssetMeta(audioSamples(id).length, 1, "audio/wav"))
+          case _ =>
+            Asset(id, "video", text.getBytes("UTF-8"),
               AssetMeta((nChars % 640).toInt, (nChars % 480).toInt, "stub/v1"))
         }
       })
@@ -99,11 +132,14 @@ object Multimodal {
     * the decoder, never materializing the table anywhere.
     *
     * image → `ImageIO.read` of the PNG payload; width/height and the
-    * pixel bytes come from the decoded raster. audio/video → the payload
-    * bytes ARE the content (no codec in-container); metadata supplies
-    * the declared dims. Stats are exact integers and the hash is the
-    * canonical row-major content — both recomputable by the oracle from
-    * the generation formula (image) or the source text (audio/video). */
+    * pixel bytes come from the decoded raster. audio →
+    * `AudioSystem.getAudioInputStream` over the WAV payload; the frame
+    * count comes from the parsed header and the sample bytes from the
+    * PCM stream. video → the payload bytes ARE the content (no pure-JVM
+    * video codec); metadata supplies the declared dims. Stats are exact
+    * integers and the hash is the canonical content order — all
+    * recomputable by the oracle from the generation formula
+    * (image/audio) or the source text (video). */
   def decodeAssets(s: SparkSession, dir: String): Dataset[DecodedAsset] = {
     import s.implicits._
     assets(s, dir).mapPartitions(_.map { a =>
@@ -123,6 +159,19 @@ object Multimodal {
             y += 1
           }
           (iw, ih, bytes)
+        case "audio" =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(a.payload))
+          val n = ais.getFrameLength.toInt // parsed from the WAV header
+          val bytes = new Array[Byte](n)   // 1 byte/frame: 8-bit mono PCM
+          var off = 0
+          while (off < n) {
+            val r = ais.read(bytes, off, n - off)
+            if (r < 0) throw new IllegalStateException(
+              s"WAV stream of asset ${a.asset_id} ended at $off of $n frames")
+            off += r
+          }
+          (n, 1, bytes)
         case _ => (a.meta.width, a.meta.height, a.payload)
       }
       var sum = 0L; var mn = 255; var mx = 0
@@ -141,9 +190,10 @@ object Multimodal {
     })
   }
 
-  /** Oracle-checkable summary of the multimodal pipeline: for images the
-    * size, hash and width are of the DECODED raster (verifying the PNG
-    * round-trip); for audio/video they are of the raw payload. */
+  /** Oracle-checkable summary of the multimodal pipeline: for images and
+    * audio the size, hash and width are of the DECODED content (raster
+    * bytes / PCM frames — verifying the PNG and WAV round-trips); for
+    * video they are of the raw payload. */
   def assetSummary(s: SparkSession, dir: String): DataFrame =
     decodeAssets(s, dir).toDF().select(
       col("asset_id"), col("modality"), col("n_bytes"),
