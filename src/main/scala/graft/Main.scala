@@ -26,6 +26,12 @@ import graft.sources.S3Conf
   *    (__init__.py:215) and adds crash-resume via the file-source
   *    checkpoint. With `--input <dir>` the directory itself is watched and
   *    stdin is not read.
+  *  - `--mode live`: the same incremental loop with NO spool files — raw
+  *    stdin through the DSv2 micro-batch source
+  *    ([[graft.streaming.StdinStreamProvider]]). Zero-copy, but a pipe
+  *    cannot replay across a process restart (the source refuses a gap
+  *    rather than hiding it); crash-durable deployments use
+  *    `--mode stream`.
   *
   * Divergences (documented, SURVEY.md §7.4): `--output` allows a local/
   * hdfs URI instead of S3 (the reference requires a bucket); compression
@@ -73,8 +79,11 @@ object Main {
     S3Conf(spark, config)
 
     try {
-      if (opts.getOrElse("mode", "batch") == "stream") runStream(spark, opts, output, config)
-      else runBatch(spark, opts, output, config)
+      opts.getOrElse("mode", "batch") match {
+        case "stream" => runStream(spark, opts, output, config)
+        case "live"   => runLive(spark, opts, output, config)
+        case _        => runBatch(spark, opts, output, config)
+      }
     } finally spark.stop()
   }
 
@@ -108,6 +117,28 @@ object Main {
     result.outputs.foreach(o =>
       System.err.println(s"[graft] wrote ${o.rows} rows -> ${o.path}"))
     SingerPipeline.emitState(result.state)
+  }
+
+  /** Live mode: raw stdin through the DSv2 source — no spool directory,
+    * no chunk files; per-trigger parquet + bookmarks while the tap
+    * produces. The checkpoint is per-run by default: a pipe cannot be
+    * re-read after a crash, so resuming an old checkpoint would only
+    * trip the source's evicted-offset guard. */
+  private def runLive(spark: SparkSession, opts: Map[String, String],
+                      output: String, config: TargetConfig): Unit = {
+    val checkpoint = opts.getOrElse("checkpoint", (tempRoot(config) match {
+      case Some(root) => Files.createTempDirectory(root, "graft-live-ckpt")
+      case None => Files.createTempDirectory("graft-live-ckpt")
+    }).toString)
+    val ingest = new StreamingIngest(spark, output, config)
+    val query = ingest.startLive(checkpoint, Trigger.ProcessingTime("500 milliseconds"))
+    // Same wait discipline as the spooled path: EOF *or* query death.
+    while (!graft.streaming.StdinStream.eofReached && query.isActive)
+      query.awaitTermination(500)
+    if (query.isActive) {
+      query.processAllAvailable() // tap closed the pipe: drain the buffer
+      query.stop()
+    } else query.awaitTermination() // died: surface the real failure
   }
 
   /** Stream mode: consume the pipe incrementally — parquet and bookmarks

@@ -42,6 +42,14 @@ object StdinStream {
   val schema: StructType =
     StructType(Seq(StructField("value", StringType, nullable = false)))
   @volatile var inputFactory: () => InputStream = () => System.in
+
+  /** True once the CURRENT stream's input hit EOF (or failed) — the
+    * driver loop in [[graft.Main]] polls this to know when the tap
+    * closed the pipe (a pipe-fed query otherwise idles forever). Reset
+    * when a new stream starts; stdin is one serial pipe, so at most one
+    * live stream exists at a time. */
+  @volatile private[streaming] var eof = false
+  def eofReached: Boolean = eof
 }
 
 final class StdinStreamProvider extends TableProvider {
@@ -76,6 +84,7 @@ final class StdinMicroBatchStream(in: InputStream) extends MicroBatchStream {
   private var evicted = 0L
   @volatile private var failure: Throwable = _
 
+  StdinStream.eof = false
   private val reader = new Thread(() => {
     try {
       val br = new BufferedReader(new InputStreamReader(in, UTF_8))
@@ -85,6 +94,7 @@ final class StdinMicroBatchStream(in: InputStream) extends MicroBatchStream {
         line = br.readLine()
       }
     } catch { case t: Throwable => failure = t }
+    finally StdinStream.eof = true
   }, "graft-stdin-source")
   reader.setDaemon(true)
   reader.start()
