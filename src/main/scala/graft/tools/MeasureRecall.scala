@@ -62,7 +62,7 @@ object MeasureRecall {
     // should recover neighbors raw codes blur away.
     locally {
       val rnd = new scala.util.Random(42)
-      val dim = 64; val nClusters = 8; val nVecs = 2000; val sigma = 0.12
+      val dim = 64; val nClusters = 8; val nVecs = 2000; val sigma = 0.08
       def unit(v: Array[Double]): Array[Float] = {
         val n = math.sqrt(v.map(x => x * x).sum)
         v.map(x => (x / n).toFloat)
@@ -80,15 +80,19 @@ object MeasureRecall {
       import s.implicits._
       vecs.toDF("vec_id", "embedding", "label")
         .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-      val cexact = Similarity.bruteForceTopK(s, tmp)
+      // 50 queries × k=5 = 250 truth edges per point, and rerank at its
+      // floor: the exact re-rank repairs whatever the codes got wrong, so
+      // encoding quality is visible ONLY while rerank is small.
+      val nq = 50
+      val cexact = Similarity.bruteForceTopK(s, tmp, nQueries = nq)
         .select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      for (rerank <- Seq(8, 16, 32); res <- Seq(false, true)) {
-        val got = Similarity.ivfPqTopK(s, tmp, nlist = 16, nprobe = 4,
-            rerank = rerank, residual = res)
+      for (rerank <- Seq(5, 8, 16, 32); res <- Seq(false, true)) {
+        val got = Similarity.ivfPqTopK(s, tmp, nQueries = nq, nlist = 16,
+            nprobe = 4, rerank = rerank, residual = res)
           .select("query_id", "neighbor_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        println(s"[recall] CLUSTERED ivfPqTopK nlist=16 nprobe=4 rerank=$rerank " +
+        println(s"[recall] CLUSTERED ivfPqTopK nq=$nq nlist=16 nprobe=4 rerank=$rerank " +
           s"residual=$res recall=${(cexact & got).size.toDouble / cexact.size}")
       }
     }
