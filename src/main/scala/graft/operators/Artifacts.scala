@@ -24,14 +24,16 @@ private[graft] object Artifacts {
       .digest(parts.getBytes("UTF-8")).take(12).map(b => f"$b%02x").mkString
 
   /** Build-once guard: runs `build` iff any of `tables` is absent from
-    * the session catalog, serialized so concurrent first callers cannot
-    * race the write. The catalog lookup is the source of truth — calling
-    * this again after a session rebuild transparently re-creates the
-    * artifact. */
+    * the session catalog, serialized PER ARTIFACT (keyed on the first
+    * table name) so concurrent first callers cannot race the write while
+    * unrelated artifacts still build in parallel. The catalog lookup is
+    * the source of truth — calling this again after a session rebuild
+    * transparently re-creates the artifact. */
   def ensure(s: SparkSession, tables: Seq[String])(build: => Unit): Unit =
-    lock.synchronized {
+    locks.computeIfAbsent(tables.head, _ => new Object).synchronized {
       if (!tables.forall(s.catalog.tableExists)) build
     }
 
-  private[this] val lock = new Object
+  private[this] val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

@@ -32,11 +32,19 @@ object Gates {
     * precision is 1.0 by construction (every emitted pair is re-checked
     * with true jaccard), so the gate is banding recall — measured 0.986
     * at sf0.01 under the MinHashSignature kernel family (theoretical
-    * 1-(1-0.9^8)^8 = 0.988 at the 0.9 threshold). */
+    * 1-(1-0.9^8)^8 = 0.988 at the 0.9 threshold).
+    *
+    * The truth side reads the persisted pair artifact
+    * ([[Dedup.jaccardPairArtifact]]): this gate's oracle recomputes
+    * n_true from raw text in DuckDB (brute N² jaccard), so a corrupt
+    * artifact cannot hash-match — same end-to-end pin as
+    * dedup_cluster's, and the gate row now measures the operator under
+    * test instead of re-paying the corpus prefix join. */
   def minhashGate(s: SparkSession, dir: String, threshold: Double = 0.9,
                   recallBound: Double =
                     Gates.envBound("GRAFT_MINHASH_RECALL_BOUND", 0.95)): DataFrame = {
-    val truth = Dedup.jaccardPairsUnsorted(s, dir, threshold).select("doc_a", "doc_b")
+    val truth = s.table(Dedup.jaccardPairArtifact(s, dir, threshold))
+      .select("doc_a", "doc_b")
     val found = Dedup.minhashPairsVerifiedUnsorted(s, dir, threshold = threshold)
       .select(col("doc_a").as("fa"), col("doc_b").as("fb"))
     truth.join(found,
