@@ -91,6 +91,10 @@ object SparkEntry {
     // Triangles served from the persisted settled-corpus edge artifact,
     // gated bit-equal to the fresh build (Gates.graphArtifactGate).
     "graph_artifact"  -> ((s, d) => Gates.graphArtifactGate(s, d)),
+    // Incrementally-MAINTAINED kNN edges (settled table + increment
+    // queries + τ-pruned updates, Graph.knnIncrMaintained), gated
+    // bit-equal to the full rebuild — the graph family's nightly shape.
+    "graph_incr_artifact" -> ((s, d) => Gates.graphIncrArtifactGate(s, d)),
     "dedup_semantic"  -> ((s, d) => Dedup.semanticDedup(s, d)),
     "curate_domaincap" -> ((s, d) => Curation.domainCap(s, d)),
     "curate_dsir"     -> ((s, d) => Curation.dsirAffinity(s, d)),
@@ -1560,6 +1564,21 @@ object SparkEntry {
         |  WHERE walk.hop < 6)
         |SELECT vec_id, min(hop) AS hop FROM walk
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // The maintained edge set is bit-identical to the full build, so its
+    // oracle is the mutual-kNN pair SQL itself; the flag is the pinned
+    // deterministic equality (both sides deterministic, so `true` is a
+    // pin, not a sample — the annArtifact/bitext precedent).
+    "graph_incr_artifact" ->
+      """WITH p AS (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS (SELECT src, dst FROM p WHERE rk <= 5)
+        |SELECT d1.src AS u, d1.dst AS v, true AS maintained_equals_full
+        |FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |WHERE d1.src < d1.dst
+        |ORDER BY u, v""".stripMargin,
     // Identical traversal semantics (shortest hop = min over all walks),
     // so the frontier-subtracted Spark loop shares graph_bfs's oracle:
     // subtracting visited nodes never changes any node's min(hop).

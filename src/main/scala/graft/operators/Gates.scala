@@ -291,6 +291,28 @@ object Gates {
       .orderBy("vec_id")
   }
 
+  /** Incremental graph-edge gate: mutual edges derived from the
+    * incrementally-MAINTAINED directed top-k
+    * ([[Graph.knnIncrMaintained]] — settled table + increment queries +
+    * τ-pruned update candidates, one re-rank) must be BIT-IDENTICAL to
+    * the full-build edge artifact, itself pinned bit-equal to a fresh
+    * build by [[graphArtifactGate]]. The maintained build is the gate's
+    * truth cost; the full-build side is a parquet read. crossJoin:
+    * |E| × 1 gate row. */
+  def graphIncrArtifactGate(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: feeds both the output rows and the equality join
+    val m = Graph.mutualKnnEdgesMaintained(s, dir).localCheckpoint()
+    val eq = m.select(col("u"), col("v"), lit(1).as("in_m"))
+      .join(Graph.artifactEdges(s, dir, 5)
+          .select(col("u"), col("v"), lit(1).as("in_full")),
+        Seq("u", "v"), "full_outer")
+      .agg(coalesce(sum(when(col("in_m").isNull || col("in_full").isNull, 1)
+        .otherwise(0)), lit(0)).as("mismatch"))
+      .select((col("mismatch") === 0).as("maintained_equals_full"))
+    m.crossJoin(eq) // |E| × 1 rows
+      .orderBy("u", "v")
+  }
+
   def fingerprintGate(s: SparkSession, dir: String,
                       overlapBound: Double =
                         Gates.envBound("GRAFT_FP_OVERLAP_BOUND", 0.5)): DataFrame = {

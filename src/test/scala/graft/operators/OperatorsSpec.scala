@@ -259,6 +259,20 @@ class OperatorsSpec extends SparkSpec {
     assert(frontier == got)
   }
 
+  test("incrementally-maintained kNN edges equal the full rebuild (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val maintained = Graph.mutualKnnEdgesMaintained(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Graph.mutualKnnEdges(spark, sf, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == full)
+    assert(maintained.nonEmpty)
+    // and the gate row agrees with itself end to end
+    val gate = Gates.graphIncrArtifactGate(spark, sf).collect()
+    assert(gate.forall(_.getBoolean(2)))
+    assert(gate.map(r => (r.getLong(0), r.getLong(1))).toSet == full)
+  }
+
   test("bound-pruned kNN equals the brute all-pairs build (sf0.001 + fixture)") {
     // The branch-and-bound build must be EXACT at any prune rate — this
     // pin is what lets the brute-force DuckDB oracle keep checking the
