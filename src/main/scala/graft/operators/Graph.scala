@@ -487,7 +487,16 @@ object Graph {
     * against the settled-corpus edge artifact, itself pinned bit-equal
     * to fresh by `graphArtifactGate`. */
   private[graft] def knnIncrMaintained(s: SparkSession, dir: String,
-                                       k: Int = 5, nlist: Int = 16): DataFrame = {
+                                       k: Int = 5, nlist: Int = 16): DataFrame =
+    knnIncrBuild(s, dir, k, nlist)._3
+
+  /** The maintenance pass's three relations, exposed so
+    * tools/ProfileKnnBound can count τ-prune survival (the measured
+    * basis for the tracks-batch-size claim) without duplicating plan
+    * logic: (settled table, update candidates, maintained top-k). */
+  private[graft] def knnIncrBuild(s: SparkSession, dir: String,
+                                  k: Int = 5, nlist: Int = 16)
+      : (DataFrame, DataFrame, DataFrame) = {
     val all = Similarity.corpus(s, dir)
     val settled = all.filter(col("vec_id") % 10 =!= 0)
     val incr = all.filter(col("vec_id") % 10 === 0)
@@ -538,11 +547,12 @@ object Graph {
       .select("src", "dst", "cosine")
 
     val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
-    a.select("src", "dst", "cosine")
+    val maintained = a.select("src", "dst", "cosine")
       .unionByName(newTop).unionByName(updates)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("src", "dst")
+    (a, updates, maintained)
   }
 
   /** Mutual u<v edges derived from the MAINTAINED directed set — what a

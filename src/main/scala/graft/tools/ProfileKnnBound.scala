@@ -47,6 +47,24 @@ object ProfileKnnBound {
     println(f"knn_bound dir=$dir n=$n k=$k nlist=$nlist " +
       f"probes=$nProbes/$maxProbes (${nProbes.toDouble / maxProbes}%.3f) " +
       f"pruned_s=$tPruned%.2f brute_s=$tBrute%.2f")
+
+    // Incremental maintenance: τ-prune survival of the settled×increment
+    // update pass (the tracks-batch-size claim), and maintained vs full
+    // rebuild wall time.
+    import org.apache.spark.sql.functions.col
+    val nIncr = graft.operators.Similarity.corpus(spark, dir)
+      .filter(col("vec_id") % 10 === 0).count()
+    val nSettled = n - nIncr
+    val (_, updates, _) = graft.operators.Graph.knnIncrBuild(spark, dir, k, nlist)
+    val nUpdates = updates.count()
+    graft.operators.Graph.knnIncrMaintained(spark, dir, k, nlist)
+      .write.format("noop").mode("overwrite").save() // warm (settled table builds)
+    val (_, tIncr) = timed(graft.operators.Graph.knnIncrMaintained(spark, dir, k, nlist)
+      .write.format("noop").mode("overwrite").save())
+    println(f"knn_incr dir=$dir settled=$nSettled incr=$nIncr " +
+      f"update_candidates=$nUpdates/${nSettled * nIncr} " +
+      f"(${nUpdates.toDouble / (nSettled * nIncr)}%.4f of naive SxI) " +
+      f"maintained_s=$tIncr%.2f full_s=$tPruned%.2f")
     spark.stop()
   }
 }
