@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_incr_exact" -> ((s, d) => Dedup.incrementalExact(s, d)),
     "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
     "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
+    "dedup_substr"    -> ((s, d) => Dedup.substrDupSpans(s, d)),
     "dedup_edit1"     -> ((s, d) => Dedup.editPairs(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangleCounts(s, d)),
     "graph_clustering" -> ((s, d) => Graph.clusteringCoefficients(s, d)),
@@ -873,6 +874,34 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // Character-level duplicated-substring spans (L = 40). The oracle
+    // re-derives duplicated L-grams from the raw text (the Spark side
+    // carries only xxhash64 anchors — a hash collision cannot hash-match
+    // here), merges covering windows with the same lead/lag fold, and
+    // left-joins zeros for clean docs. range(0, len-39) = starts
+    // 0..len-40, matching Spark's inclusive sequence(0, len-40).
+    "dedup_substr" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |grams AS (
+        |  SELECT d.doc_id, t.p::BIGINT AS p, substr(d.text, t.p::BIGINT + 1, 40) AS g
+        |  FROM docs d, unnest(range(0, d.len - 39)) AS t(p)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |marked AS (
+        |  SELECT doc_id, p,
+        |         lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt,
+        |         lag(p)  OVER (PARTITION BY doc_id ORDER BY p) AS prv
+        |  FROM grams JOIN dup USING (g)),
+        |per AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN nxt IS NULL THEN 40 ELSE least(nxt - p, 40) END) AS dup_chars,
+        |         sum(CASE WHEN prv IS NULL OR p - prv >= 40 THEN 1 ELSE 0 END) AS n_spans
+        |  FROM marked GROUP BY doc_id)
+        |SELECT d.doc_id, d.len::BIGINT AS n_chars,
+        |       coalesce(per.dup_chars, 0)::BIGINT AS dup_chars,
+        |       coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+        |       coalesce(per.dup_chars, 0)::DOUBLE / d.len AS dup_frac
+        |FROM docs d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_jaccard" ->
       """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
         |SELECT doc_a, doc_b, jaccard FROM (

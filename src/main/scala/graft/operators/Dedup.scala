@@ -949,4 +949,80 @@ object Dedup {
       .withColumn("kept", col("rep_id") === col("vec_id"))
       .orderBy("vec_id")
   }
+
+  /** Exact duplicated-SUBSTRING detection — the character-level dedup of
+    * Lee et al., ACL 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): find, for every document, the characters that lie
+    * inside a substring of length >= `L` occurring more than once in the
+    * corpus (across documents OR repeated within one). The paper builds a
+    * corpus-wide suffix array; the distributed formulation here is the
+    * L-gram ANCHOR identity, which is exact for this output: a substring
+    * of length m >= L is duplicated iff all m-L+1 of its L-windows are
+    * duplicated L-grams, and every duplicated L-gram sits inside a
+    * duplicated substring — so the union of duplicated-L-gram windows IS
+    * the union of maximal duplicated spans of length >= L, no suffix
+    * array needed.
+    *
+    * Output per document: total chars, duplicated chars (size of the
+    * union of covering windows), count of maximal merged spans, and the
+    * duplicated fraction — the quantities the paper's ExactSubstr
+    * filtering step consumes (drop or trim docs above a dup_frac cut).
+    *
+    * Scale shape: the gram relation carries (doc_id, pos, xxhash64(gram))
+    * — 8-byte keys, never the substring text, so the df shuffle is
+    * narrow (collision odds ~G²/2⁶⁵ for G distinct grams, the same
+    * documented trade as [[exactByHash]]). Grams are built by exploding
+    * the START positions and slicing `text` in the codegen projection
+    * ABOVE the Generate: per-row work is O(L), so carrying `text` below
+    * the Generate is safe — unlike the O(len)-per-row re-split trap
+    * [[TextAnalysis.collocations]] documents — while the alternative
+    * (a `transform` building the (pos, hash) array below the Generate)
+    * pays interpreted-HOF eval per gram, measured 3.4x slower end-to-end
+    * at sf0.1 (10.2 s vs 3.0 s).
+    * Duplicated-gram starts come back through one keyed join (AQE handles
+    * a boilerplate gram's skew); interval union + span count need only
+    * each start and its per-doc neighbors — lead/lag over a doc-keyed
+    * window (no global sort), then one map-side-combined aggregation:
+    * covered chars = Σ min(next_start − start, L) with L for the last,
+    * spans start where the gap from the previous start is >= L. */
+  def substrDupSpans(s: SparkSession, dir: String, L: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    // Generation parallelism: the explode expands each doc into ~len
+    // rows each paying an O(L) slice+hash, so the stage needs tasks
+    // proportional to its OUTPUT, not its input splits — a small corpus
+    // file is one split, which would serialize the whole gram build on
+    // one core (measured 6-9 s at sf0.1; ~2 s after this repartition).
+    // At cluster scale the same decoupling holds per oversized split.
+    // The partition count is EXPLICIT because AQE coalesces a bare
+    // repartition(col) whose data volume is small back to one partition
+    // — correct for shuffle cost, wrong for a compute-bound expansion.
+    val grams = docs.where(col("len") >= L)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("len") - L)).as("p"))
+      .select(col("doc_id"), col("p"),
+        xxhash64(col("text").substr(col("p") + 1, lit(L))).as("h"))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val per = grams.join(dup, "h")
+      .select("doc_id", "p")
+      .withColumn("nxt", lead("p", 1).over(w))
+      .withColumn("prv", lag("p", 1).over(w))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("nxt").isNull, lit(L))
+          .otherwise(least(col("nxt") - col("p"), lit(L)))).as("dup_chars"),
+        sum(when(col("prv").isNull || (col("p") - col("prv") >= L), 1)
+          .otherwise(0)).as("n_spans"))
+    docs.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len").cast("long").as("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (coalesce(col("dup_chars"), lit(0L)).cast("double") / col("len"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
 }

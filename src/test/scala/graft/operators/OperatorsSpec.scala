@@ -88,6 +88,44 @@ class OperatorsSpec extends SparkSpec {
     assert(art == inc)
   }
 
+  test("substring spans: exact dup covers whole doc, shared prefix covers only the prefix") {
+    val rows = Dedup.substrDupSpans(spark, dir, L = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(0L) == ((22L, 1L, 1.0)))   // exact dup of doc 1: fully covered
+    assert(rows(1L) == ((22L, 1L, 1.0)))
+    // doc 2 shares the 19-char prefix "the cat sat on the " with docs 0/1:
+    // duplicated 10-windows start at p=0..9, union = [0, 19)
+    assert(rows(2L) == ((19L, 1L, 19.0 / 26)))
+    assert(rows(3L)._1 == 0L && rows(4L)._1 == 0L)
+  }
+
+  test("substring spans match an independent in-memory reference (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val L = 40
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Brute reference: multiset of every L-char substring, then per doc
+    // merge the starts whose gram occurs >= 2 times corpus-wide.
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    for ((_, t) <- texts; p <- 0 to t.length - L)
+      counts.update(t.substring(p, p + L), counts.getOrElse(t.substring(p, p + L), 0) + 1)
+    val expect = texts.map { case (id, t) =>
+      val starts = (0 to t.length - L).filter(p => counts(t.substring(p, p + L)) >= 2)
+      var covered = 0L; var spans = 0L; var end = -1
+      for (p <- starts) {
+        if (p >= end) { spans += 1; covered += L }
+        else covered += (p + L) - end
+        end = p + L
+      }
+      id -> ((t.length.toLong, covered, spans))
+    }
+    val got = Dedup.substrDupSpans(spark, sf, L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    assert(expect.values.exists(_._2 > 0)) // planted dups must surface
+  }
+
   test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
     val byText = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val byHash = Dedup.exactByHash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
