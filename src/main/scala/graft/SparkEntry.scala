@@ -186,6 +186,10 @@ object SparkEntry {
     // Keyword-retrieval surface (operators.Search): postings construction,
     // integer-exact TF-IDF ranking, positional phrase search.
     "search_index"  -> ((s, d) => Search.invertedIndex(s, d)),
+    // The maintained twin: settled index served from the bucketed
+    // artifact + increment merge; same full-corpus oracle as
+    // search_index, so a stale artifact cannot hash-match.
+    "search_incr_artifact" -> ((s, d) => Search.incrementalIndex(s, d)),
     "search_tfidf"  -> ((s, d) => Search.tfidfTopK(s, d)),
     "search_bm25"   -> ((s, d) => Search.bm25TopK(s, d)),
     "search_phrase" -> ((s, d) => Search.phraseSearch(s, d)),
@@ -365,6 +369,15 @@ object SparkEntry {
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "search_mmr" -> mmrOracle(10),
     "search_index" ->
+      """WITH u AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |           FROM documents)
+        |SELECT term, count(*) AS df,
+        | array_to_string(list_sort(list(doc_id))[1:64], ',') AS postings
+        |FROM u GROUP BY term ORDER BY term""".stripMargin,
+    // Maintained index == fresh index: the DuckDB truth is the SAME
+    // full-corpus rebuild from raw text, so the artifact+merge path must
+    // reproduce it bit-for-bit to hash-match.
+    "search_incr_artifact" ->
       """WITH u AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
         |           FROM documents)
         |SELECT term, count(*) AS df,

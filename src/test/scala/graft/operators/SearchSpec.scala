@@ -24,6 +24,22 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("maintained index is bit-identical to the fresh full rebuild (sf0.001)") {
+    // cap = 2 forces the merge to exercise the min-k-under-union rule
+    // (both sides capped, merged list re-capped), not just concatenation.
+    for (cap <- Seq(2, 64)) {
+      val fresh = Search.invertedIndex(spark, sf, cap = cap).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      val kept = Search.incrementalIndex(spark, sf, cap = cap).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      assert(kept.toSeq == fresh.toSeq, s"cap=$cap")
+    }
+    // The split must be non-trivial: terms exist on both sides.
+    val inc = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0).count()
+    val settled = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0).count()
+    assert(inc > 0 && settled > 0)
+  }
+
   test("tfidf top-k: ranks 1..k, scores non-increasing, hits contain a query term") {
     val top = Search.tfidfTopK(spark, sf, nTerms = 3, topK = 10).collect()
     assert(top.length == 10)
