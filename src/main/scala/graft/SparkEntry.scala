@@ -185,6 +185,7 @@ object SparkEntry {
       graft.streaming.StreamingAnalytics.funnelSpooled(s, d)),
     // Keyword-retrieval surface (operators.Search): postings construction,
     // integer-exact TF-IDF ranking, positional phrase search.
+    "profile_columns" -> (Profiling.lineitemProfile _),
     "search_index"  -> ((s, d) => Search.invertedIndex(s, d)),
     // The maintained twin: settled index served from the bucketed
     // artifact + increment merge; same full-corpus oracle as
@@ -374,6 +375,18 @@ object SparkEntry {
         |SELECT term, count(*) AS df,
         | array_to_string(list_sort(list(doc_id))[1:64], ',') AS postings
         |FROM u GROUP BY term ORDER BY term""".stripMargin,
+    // Per-column profile: DuckDB recomputes each column's stats over the
+    // RAW values (no string rendering) — equality with the melted Spark
+    // plan pins the rendering's injectivity per column. All-BIGINT
+    // output, so the hash compare is exact.
+    "profile_columns" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+        .map(c => s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+                     | count(*) - count($c) AS n_nulls,
+                     | count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // Maintained index == fresh index: the DuckDB truth is the SAME
     // full-corpus rebuild from raw text, so the artifact+merge path must
     // reproduce it bit-for-bit to hash-match.

@@ -126,6 +126,20 @@ class OperatorsSpec extends SparkSpec {
     assert(expect.values.exists(_._2 > 0)) // planted dups must surface
   }
 
+  test("column profile: null/distinct counts exact, mixed types, fixture corpus") {
+    import spark.implicits._
+    val p = Profiling.columnProfile(
+      Seq((1L, Some(2.5), "a"), (2L, None, "a"), (3L, Some(2.5), null))
+        .toDF("id", "x", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(p("id") == ((3L, 0L, 3L)))
+    assert(p("x") == ((3L, 1L, 1L)))
+    assert(p("s") == ((3L, 1L, 1L)))
+    val docs = Profiling.columnProfile(Tables.documents(spark, dir)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(docs("doc_id") == 5L && docs("text") == 4L && docs("lang") == 2L)
+  }
+
   test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
     val byText = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val byHash = Dedup.exactByHash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
