@@ -186,6 +186,7 @@ object SparkEntry {
     // Keyword-retrieval surface (operators.Search): postings construction,
     // integer-exact TF-IDF ranking, positional phrase search.
     "profile_columns" -> (Profiling.lineitemProfile _),
+    "profile_drift"   -> ((s, d) => Profiling.tokenDrift(s, d)),
     "search_index"  -> ((s, d) => Search.invertedIndex(s, d)),
     // The maintained twin: settled index served from the bucketed
     // artifact + increment merge; same full-corpus oracle as
@@ -387,6 +388,23 @@ object SparkEntry {
                      | count(*) - count($c) AS n_nulls,
                      | count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // Exact-integer rate drift settled-vs-increment; rank ties break by
+    // token, so the top-k is total-ordered and hash-stable.
+    "profile_drift" ->
+      """WITH t AS (SELECT doc_id % 10 = 0 AS is_new,
+        |                  unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |c AS (SELECT token,
+        |             sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END)::BIGINT AS c_settled,
+        |             sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS c_incr
+        |      FROM t GROUP BY token),
+        |n AS (SELECT sum(c_settled)::BIGINT AS n_settled,
+        |             sum(c_incr)::BIGINT AS n_incr FROM c)
+        |SELECT token, c_settled, c_incr,
+        |       abs(c_incr * n_settled - c_settled * n_incr)::BIGINT AS drift,
+        |       row_number() OVER (ORDER BY abs(c_incr * n_settled - c_settled * n_incr) DESC, token)::BIGINT AS rk
+        |FROM c, n
+        |ORDER BY drift DESC, token LIMIT 25""".stripMargin,
     // Maintained index == fresh index: the DuckDB truth is the SAME
     // full-corpus rebuild from raw text, so the artifact+merge path must
     // reproduce it bit-for-bit to hash-match.

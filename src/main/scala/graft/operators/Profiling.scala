@@ -56,4 +56,43 @@ object Profiling {
 
   def lineitemProfile(s: SparkSession, dir: String): DataFrame =
     columnProfile(Tables.lineitem(s, dir))
+
+  /** Distribution drift between the settled corpus (doc_id % mod != 0)
+    * and an arriving increment (doc_id % mod == 0) — the nightly gate a
+    * pipeline runs BEFORE absorbing a batch: a token whose increment
+    * rate diverges from its settled rate signals a source change,
+    * scraper regression or contamination, per-token and ranked.
+    *
+    * The score is the cross-multiplied rate difference
+    * |c_i·N_s − c_s·N_i| (c = token occurrences, N = side totals) —
+    * monotone in |c_i/N_i − c_s/N_s| for fixed totals but computed in
+    * exact BIGINT, so ranks hash-match any engine with no float epsilon
+    * (the same no-libm rule as BM25/PMI). Magnitude bound: c·N stays in
+    * int64 up to ~10⁹·10⁹; past that lift to decimal(38,0) — q24's
+    * HUGEINT-twin precedent.
+    *
+    * Plan: one corpus scan → per-(token, side) map-side-combined counts
+    * (the only data-scale shuffle) → 1-row totals broadcast by crossJoin
+    * (the house 1-row gate-broadcast shape) → TakeOrderedAndProject
+    * top-k; the rank window runs over the k survivors only. */
+  def tokenDrift(s: SparkSession, dir: String, k: Int = 25,
+                 mod: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select((col("doc_id") % mod === 0).as("is_new"),
+        explode(split(col("text"), " ")).as("token"))
+    val counts = toks.groupBy("token").agg(
+      sum(when(!col("is_new"), 1L).otherwise(0L)).as("c_settled"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("c_incr"))
+    val totals = counts.agg(sum("c_settled").as("n_settled"),
+      sum("c_incr").as("n_incr"))
+    val w = Window.orderBy(col("drift").desc, col("token"))
+    counts.crossJoin(broadcast(totals)) // 1-row totals
+      .select(col("token"), col("c_settled"), col("c_incr"),
+        abs(col("c_incr") * col("n_settled") - col("c_settled") * col("n_incr"))
+          .as("drift"))
+      .orderBy(col("drift").desc, col("token")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy("rk")
+  }
 }

@@ -140,6 +140,27 @@ class OperatorsSpec extends SparkSpec {
     assert(docs("doc_id") == 5L && docs("text") == 4L && docs("lang") == 2L)
   }
 
+  test("token drift: matches an independent integer recomputation (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cs = new scala.collection.mutable.HashMap[String, (Long, Long)]()
+    for ((id, t) <- docs; tok <- t.split(" ")) {
+      val (a, b) = cs.getOrElse(tok, (0L, 0L))
+      cs(tok) = if (id % 10 == 0) (a, b + 1) else (a + 1, b)
+    }
+    val nS = cs.valuesIterator.map(_._1).sum
+    val nI = cs.valuesIterator.map(_._2).sum
+    val expect = cs.toSeq.map { case (tok, (a, b)) =>
+      (tok, a, b, math.abs(b * nS - a * nI)) }
+      .sortBy { case (tok, _, _, d) => (-d, tok) }.take(25)
+    val got = Profiling.tokenDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expect)
+    assert(expect.head._4 > 0L) // the split must actually drift somewhere
+  }
+
   test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
     val byText = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val byHash = Dedup.exactByHash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
