@@ -72,6 +72,9 @@ object SparkEntry {
     // call, served from the catalog after) — the nightly-job shape.
     "dedup_incr_artifact" -> ((s, d) => Dedup.incrementalPairsArtifact(s, d)),
     "dedup_incr_exact" -> ((s, d) => Dedup.incrementalExact(s, d)),
+    // Same verdicts through the Bloom-prefiltered artifact path: a
+    // negative probe proves absence, so the oracle below checks both.
+    "dedup_incr_bloom" -> ((s, d) => Dedup.incrementalExactBloom(s, d)),
     "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
     "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
     "dedup_substr"    -> ((s, d) => Dedup.substrDupSpans(s, d)),
@@ -981,6 +984,16 @@ object SparkEntry {
     // Admission semantics by text (the Spark side groups on xxhash64 —
     // pinned equal to text grouping by the exactByHash tests).
     "dedup_incr_exact" ->
+      """WITH d AS (SELECT doc_id, text, doc_id % 10 = 0 AS is_new FROM documents),
+        |a AS (SELECT text, max(CASE WHEN NOT is_new THEN 1 ELSE 0 END) = 1 AS corpus_has,
+        |             min(CASE WHEN is_new THEN doc_id END) AS first_new
+        |      FROM d GROUP BY text)
+        |SELECT doc_id, NOT corpus_has AND doc_id = first_new AS keep
+        |FROM d JOIN a USING (text) WHERE is_new ORDER BY doc_id""".stripMargin,
+    // The Bloom path must reproduce the exact path bit-for-bit: false
+    // positives only route a row through the exact semi-join, never
+    // flip a verdict, and false negatives cannot exist.
+    "dedup_incr_bloom" ->
       """WITH d AS (SELECT doc_id, text, doc_id % 10 = 0 AS is_new FROM documents),
         |a AS (SELECT text, max(CASE WHEN NOT is_new THEN 1 ELSE 0 END) = 1 AS corpus_has,
         |             min(CASE WHEN is_new THEN doc_id END) AS first_new

@@ -950,6 +950,75 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** WRITE-ONCE settled exact-dedup artifacts: the settled corpus's
+    * DISTINCT text-hash table bucketed by `th` (the nightly join's key —
+    * the corpus side never exchanges again), plus the corpus's Bloom
+    * filter over those hashes serialized into a 1-row binary table (a
+    * sketch is control-plane state; persisting it beside the hash table
+    * keeps the whole nightly read-only, per the [[Artifacts]]
+    * discipline). Returns (hashTable, bloom). */
+  private[graft] def settledHashArtifact(s: SparkSession, dir: String,
+      mod: Int, fpp: Double): (String, org.apache.spark.util.sketch.BloomFilter) = {
+    val key = Artifacts.key(s"exacthash|$dir|$mod|$fpp")
+    val hName = s"graft_settled_th_$key"
+    val bName = s"graft_settled_bloom_$key"
+    Artifacts.ensure(s, Seq(hName, bName)) {
+      val th = documents(s, dir).filter(col("doc_id") % mod =!= 0)
+        .select(xxhash64(col("text")).as("th")).distinct()
+        .localCheckpoint() // feeds the count, the bloom job and the write
+      th.write.mode("overwrite").bucketBy(32, "th")
+        .option("path", s"$artifactRoot/$hName").saveAsTable(hName)
+      val bf = th.stat.bloomFilter("th", math.max(1L, th.count()), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      import s.implicits._
+      Seq(bos.toByteArray).toDF("bloom")
+        .write.mode("overwrite")
+        .option("path", s"$artifactRoot/$bName").saveAsTable(bName)
+    }
+    val bytes = s.table(bName).head().getAs[Array[Byte]](0)
+    (hName, org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes)))
+  }
+
+  /** [[incrementalExact]] with the 100-TB accelerator: an approximate-
+    * membership (Bloom) prefilter in front of the corpus join. The
+    * settled corpus persists its distinct text-hash table (bucketed by
+    * hash) and a Bloom filter over it; the nightly increment probes the
+    * filter IN CODEGEN ([[graft.functions.BloomOps]]) and only the
+    * positives — true corpus twins plus an fpp fraction of the batch —
+    * reach the exact semi-join. A negative probe is a proof of absence
+    * (Bloom filters have no false negatives), so the output is exactly
+    * [[incrementalExact]]'s keep/reject relation; false positives only
+    * waste a probe row, never flip a verdict — the same oracle SQL
+    * checks both paths, and false-positive determinism is irrelevant to
+    * the result.
+    *
+    * Scale shape: the corpus side of the semi-join is a bucketed scan
+    * with no exchange; the probe side is |true dups| + fpp·|batch| rows
+    * instead of the whole batch — with fpp = 1% the exact join all but
+    * disappears for a clean increment, and the filter itself is ~1.2 GB
+    * per 10⁹ settled docs at 1% (split into per-partition filters past
+    * driver limits; this corpus needs KBs). Within-batch twin handling
+    * (first-in-batch wins) never touches the corpus at all. */
+  def incrementalExactBloom(s: SparkSession, dir: String, mod: Int = 10,
+                            fpp: Double = 0.01): DataFrame = {
+    val (hTbl, bf) = settledHashArtifact(s, dir, mod, fpp)
+    val inc = documents(s, dir).filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"), xxhash64(col("text")).as("th"))
+    val perTh = inc.groupBy("th").agg(min(col("doc_id")).as("first_new"))
+    val confirmed = perTh
+      .filter(graft.functions.BloomOps.mightContain(col("th"), bf))
+      .join(s.table(hTbl), Seq("th"), "left_semi")
+      .select(col("th"), lit(true).as("corpus_has"))
+    inc.join(perTh, "th")
+      .join(confirmed, Seq("th"), "left")
+      .select(col("doc_id"),
+        (!coalesce(col("corpus_has"), lit(false)) &&
+          col("doc_id") === col("first_new")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact duplicated-SUBSTRING detection — the character-level dedup of
     * Lee et al., ACL 2022 ("Deduplicating Training Data Makes Language
     * Models Better"): find, for every document, the characters that lie

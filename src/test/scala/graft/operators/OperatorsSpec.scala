@@ -161,6 +161,25 @@ class OperatorsSpec extends SparkSpec {
     assert(expect.head._4 > 0L) // the split must actually drift somewhere
   }
 
+  test("bloom-prefiltered incremental exact dedup equals the plain path; filter prunes") {
+    for (sf <- Seq(dir, "/root/testdata/sf0.001")) {
+      val plain = Dedup.incrementalExact(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      val bloom = Dedup.incrementalExactBloom(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      assert(bloom == plain, sf)
+    }
+    // The prefilter must actually prune: on sf0.001 most increment docs
+    // are clean, so bloom-positive << increment size at fpp=0.01.
+    val sf = "/root/testdata/sf0.001"
+    val (hTbl, bf) = Dedup.settledHashArtifact(spark, sf, mod = 10, fpp = 0.01)
+    val inc = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+      .select(xxhash64(col("text")).as("th"))
+    val nInc = inc.count()
+    val nPos = inc.filter(graft.functions.BloomOps.mightContain(col("th"), bf)).count()
+    assert(nPos < nInc, s"bloom passed everything: $nPos of $nInc")
+  }
+
   test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
     val byText = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val byHash = Dedup.exactByHash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
