@@ -263,6 +263,43 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("SpanJoinExcept == filter-by-position join on arbitrary token/cover sets") {
+    import spark.implicits._
+    val toksGen = Gen.listOfN(12, Gen.oneOf("a", "bb", "ccc", "d"))
+    val coverGen = Gen.listOf(Gen.chooseNum(0, 14)) // may exceed bounds
+    forAll(toksGen, coverGen) { (toks, cover) =>
+      val sortedCover = cover.distinct.sorted
+      val expected = toks.zipWithIndex
+        .filterNot { case (_, i) => sortedCover.contains(i) }
+        .map(_._1).mkString(" ")
+      val got = Seq((toks, sortedCover)).toDF("t", "c")
+        .select(SpanOps.joinTokensExcept(col("t"), col("c")).as("r"))
+        .collect().head.getString(0)
+      assert(got == expected, s"toks=$toks cover=$sortedCover")
+    }
+  }
+
+  test("BloomMightContainLong: no false negatives; prunes some non-members") {
+    import spark.implicits._
+    val memberGen = Gen.listOfN(64, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    forAll(memberGen) { members =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(64, 0.05)
+      members.foreach(bf.putLong)
+      val probes = members ++ (1L to 64L).map(i => i * 1000003L)
+      val got = probes.toDF("h")
+        .select(col("h"), BloomOps.mightContain(col("h"), bf).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      members.foreach(m => assert(got(m), s"false negative on $m"))
+    }
+    // Determinism + rejection: a fixed filter must reject at least one
+    // of many non-members at fpp=0.05 (probability of this failing for a
+    // correct filter is ~0.05^64).
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(64, 0.05)
+    (1L to 64L).foreach(bf.putLong)
+    val rejected = (100000L to 100063L).map(i => !bf.mightContainLong(i))
+    assert(rejected.exists(identity))
+  }
+
   test("state fold: emitted iff a STATE exists and no record follows it") {
     val gen = for {
       stateIdxs <- Gen.listOf(Gen.chooseNum(0L, 100L))
