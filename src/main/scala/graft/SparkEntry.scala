@@ -57,6 +57,9 @@ object SparkEntry {
     // Batch gaps-and-islands sessionization — stream_sessions' batch
     // twin, same oracle SQL.
     "events_sessions"    -> ((s, d) => EventAnalytics.sessions(s, d)),
+    // Native session_window twin (gap+1ms maps half-open window
+    // semantics onto the custom > gap rule); same oracle SQL.
+    "events_sessions_native" -> ((s, d) => EventAnalytics.sessionsNative(s, d)),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "range_join"      -> ((s, d) => RangeJoin.eventBands(s, d)),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
@@ -762,6 +765,19 @@ object SparkEntry {
         |ORDER BY step_no""".stripMargin,
     // Batch gaps-and-islands sessionization: stream_sessions' exact SQL.
     "events_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+        |d AS (SELECT user_id, tms,
+        |  CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)
+        |            > 1800000 THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, tms,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |                 ROWS UNBOUNDED PRECEDING) AS grp FROM d)
+        |SELECT user_id, min(tms) AS session_start_ms,
+        |       max(tms) AS session_end_ms, count(*) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+    // The native-session_window twin must match the same truth.
+    "events_sessions_native" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
         |d AS (SELECT user_id, tms,
         |  CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)

@@ -116,6 +116,36 @@ object EventAnalytics {
       .orderBy("user_id", "session_start_ms")
   }
 
+  /** [[sessions]] via Spark's NATIVE `session_window` aggregate — the
+    * built-in the custom lag/cumsum formulation should defer to where
+    * semantics allow (SURVEY §7: compose existing ops first). They allow
+    * with NO gap adjustment: Spark merges session windows that touch
+    * (an event at exactly `prev + gap` still merges — verified by the
+    * boundary fixture in EventAnalyticsSpec, which also refutes the
+    * tempting half-open reading), which is precisely [[sessions]]'
+    * "break only when the gap EXCEEDS gapMs" rule. The spec pins
+    * bit-identity against [[sessions]] at the exact boundary and on the
+    * real corpus; the same DuckDB oracle checks both queries.
+    *
+    * Plan difference worth knowing at scale: the window/cumsum path is
+    * Exchange → Sort → Window → Window → HashAggregate; the native path
+    * is one UpdatingSessionsExec-style aggregate over the same exchange
+    * with NO window functions — sessions merge inside the aggregate
+    * buffer, so wide user histories never materialize running-sum
+    * columns. */
+  def sessionsNative(s: SparkSession, dir: String,
+                     gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val e = base(s, dir).select(col("user_id"), expr("tus div 1000").as("tms"))
+    e.withColumn("ts", timestamp_millis(col("tms")))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(min(col("tms")).as("session_start_ms"),
+        max(col("tms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+      .orderBy("user_id", "session_start_ms")
+  }
+
   /** User-journey transition counts: for every consecutive pair of
     * events per user (event-time order, `event_id` tie-break), how often
     * each `event_type → event_type` transition occurs — the Markov

@@ -81,6 +81,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.size > evs.map(_._1).distinct.size) // gaps actually split
   }
 
+  test("native session_window twin is bit-identical to the gaps-and-islands path") {
+    val custom = EventAnalytics.sessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val native = EventAnalytics.sessionsNative(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(native == custom)
+    // Boundary semantics: Spark merges TOUCHING session windows, so two
+    // events exactly gapMs apart merge (same as the custom > gap rule)
+    // and gapMs+1 splits.
+    import spark.implicits._
+    val gapMs = 30 * 60 * 1000L
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    Seq((1L, 1L, "a", 0L), (2L, 1L, "a", gapMs * 1000L),
+        (3L, 2L, "a", 0L), (4L, 2L, "a", (gapMs + 1L) * 1000L))
+      .toDF("event_id", "user_id", "event_type", "tus")
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .drop("tus")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val edge = EventAnalytics.sessionsNative(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+    assert(edge == Seq((1L, 2L), (2L, 1L), (2L, 1L))) // u1 merges, u2 splits
+    val edgeCustom = EventAnalytics.sessions(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+    assert(edgeCustom == edge)
+  }
+
   test("transitions: per-user consecutive-pair counts match") {
     val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
       val ordered = rows.sortBy(e => (e._4, e._2)).map(_._3)
