@@ -48,6 +48,9 @@ object SparkEntry {
     "q26_grouping_sets" -> (Analytics.q26GroupingSets _),
     "q27_window_suite" -> (Analytics.q27WindowSuite _),
     "q28_full_outer"  -> (Analytics.q28FullOuter _),
+    // Custom LogicalPlan/Strategy/SparkPlan path (graft.plans.TopKPerKey):
+    // partial bounded heaps, survivor-sized exchange, final merge.
+    "q29_topk_per_key" -> ((s, d) => Analytics.q29TopKPerKey(s, d)),
     // Event-sequence analytics triad: ordered conversion funnel, weekly
     // retention cohorts, Markov transition counts — one user_id exchange
     // each (EventAnalytics scaladoc).
@@ -665,6 +668,19 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY c_mktsegment
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY c_mktsegment, o_orderkey""".stripMargin,
+    // The custom bounded-heap operator must equal the window spelling -
+    // that equality IS its correctness contract (total order: price
+    // DESC, orderkey ASC).
+    "q29_topk_per_key" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |  FROM orders),
+        |r AS (SELECT o_custkey, o_orderkey, totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY totalprice DESC, o_orderkey) AS rk
+        |  FROM t)
+        |SELECT o_custkey, o_orderkey, totalprice, rk::BIGINT AS rk
+        |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "q28_full_outer" ->
       """WITH rich AS (SELECT c_custkey,
         |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal

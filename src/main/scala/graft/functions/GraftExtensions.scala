@@ -13,10 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Whole-plan extensions (the DataFrame entry points also register
+    // these per-session, so plain sessions work without this config).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -374,6 +374,26 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  /** Per-key top-k through the custom [[graft.plans.TopKPerKey]]
+    * physical operator (partial bounded heaps → survivor-sized exchange
+    * → final merge) instead of the shuffle-everything window spelling;
+    * the scaladoc there carries the plan rationale and measurements.
+    * (o_totalprice DESC, o_orderkey ASC) is a TOTAL order — orderkey is
+    * unique — so the k survivors are well-defined; the presentation rank
+    * is a window over the ≤ k·|customers| survivors only, never the
+    * orders table. Output doubles come from the same dec-cast rule as
+    * the rest of the q-suite. */
+  def q29TopKPerKey(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val o = orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+      dec(col("o_totalprice")).cast("double").as("totalprice"))
+    val top = graft.plans.TopKPerKey(o, Seq(col("o_custkey")),
+      Seq(col("totalprice").desc, col("o_orderkey").asc), k)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy("o_custkey", "rk")
+  }
+
   /** The engine's SQL surface: the same ANSI SQL DuckDB runs as the
     * oracle executes verbatim on `spark.sql` over registered views —
     * correlated scalar subquery included (Catalyst decorrelates it into

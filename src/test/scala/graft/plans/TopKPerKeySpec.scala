@@ -1,0 +1,66 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom bounded-heap operator must agree with the window-rank
+  * spelling on every input — that equality is its correctness
+  * contract. */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def windowTopK(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  test("equals the window spelling on random keyed data, k across group sizes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 500L).map(id =>
+      (id, rng.nextInt(17).toLong, rng.nextInt(40).toDouble))
+    val df = rows.toDF("id", "key", "v").repartition(7) // many partitions: partial heaps real
+    for (k <- Seq(1, 3, 100)) {
+      val got = TopKPerKey(df, Seq(col("key")),
+          Seq(col("v").desc, col("id").asc), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expect = windowTopK(df, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expect, s"k=$k")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("orders top-3 per customer equals the window spelling (sf0.001)") {
+    val got = Analytics_q29(spark, "/root/testdata/sf0.001")
+    assert(got._1 == got._2)
+  }
+
+  private def Analytics_q29(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val custom = graft.operators.Analytics.q29TopKPerKey(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val o = graft.operators.Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("totalprice"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+    val win = o.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3).orderBy("o_custkey", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    (custom, win)
+  }
+
+  test("physical plan: partial heap below the exchange, final above it") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i % 5, i.toDouble)).toDF("id", "key", "v")
+    val top = TopKPerKey(df, Seq(col("key")), Seq(col("v").desc), 2)
+    // Expected tree: final (", false") above the Exchange above the
+    // partial (", true") — the partial-aggregation shape.
+    val plan = top.queryExecution.executedPlan.toString
+    val finalIdx = plan.indexOf(", 2, false")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf(", 2, true")
+    assert(Seq(finalIdx, exchangeIdx, partialIdx).forall(_ >= 0), plan)
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, plan)
+  }
+}
