@@ -69,6 +69,10 @@ object SparkEntry {
     "ingest_validate" -> (IngestQueries.validateDemo _),
     "singer_pipeline" -> (IngestQueries.singerRoundTrip _),
     "doc_pipeline"    -> ((s, d) => DocPipeline.curate(s, d)),
+    // JSONL export -> shard read-back -> per-lang content fingerprints;
+    // the oracle derives the same fingerprints from the original
+    // parquet, pinning full fidelity through the interchange loop.
+    "ingest_jsonl"    -> ((s, d) => DocPipeline.jsonlRoundTrip(s, d)),
     "curate_pipeline" -> ((s, d) => DocPipeline.curatePipeline(s, d)),
     "dedup_exact"     -> (Dedup.exact _),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -950,6 +954,12 @@ object SparkEntry {
         |FROM documents d JOIN kept k ON d.doc_id = k.doc_id
         |WHERE len(string_split(d.text, ' ')) >= 5
         |ORDER BY d.doc_id""".stripMargin,
+    "ingest_jsonl" ->
+      """SELECT lang, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_distinct,
+        | min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+        | sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -150,4 +150,50 @@ object DocPipeline {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .mode("overwrite")
       .parquet(out)
+
+  /** JSONL interchange round trip — the export/ingest loop every
+    * training-data pipeline runs (JSONL, not parquet, is the lingua
+    * franca tokenizer trainers and data loaders consume): write the
+    * corpus as lang-partitioned, size-capped JSONL shards, read the
+    * shards back, and report per-lang content fingerprints. The output
+    * is computed FROM THE READ-BACK ROWS while the DuckDB oracle
+    * computes the same fingerprints from the original parquet — so a
+    * hash match pins full fidelity through JSON escaping, shard
+    * splitting and the partition-directory encoding of `lang`
+    * (md5(text) crosses engines as identical lowercase hex; counts and
+    * sums are BIGINT).
+    *
+    * Scale notes: the read side pins an EXPLICIT schema — schema
+    * inference on JSONL is a full extra corpus scan at 100 TB — and
+    * `lang` never rides in the JSON bodies (partition-directory
+    * encoding, recovered by partition discovery on read). The write
+    * repartitions by (lang, doc-block) like [[writeShards]], so one big
+    * language still fans across `tasksPerLang` writers. */
+  def jsonlRoundTrip(s: SparkSession, dir: String,
+                     maxRecordsPerFile: Int = 100000,
+                     tasksPerLang: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .repartition(col("lang"), pmod(col("doc_id"), lit(tasksPerLang)))
+      .write
+      .partitionBy("lang")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .mode("overwrite")
+      .json(out)
+    val bodySchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    s.read.schema(bodySchema).json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        min(md5(col("text"))).as("min_md5"),
+        max(md5(col("text"))).as("max_md5"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("lang")
+  }
 }

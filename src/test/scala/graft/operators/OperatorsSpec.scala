@@ -180,6 +180,24 @@ class OperatorsSpec extends SparkSpec {
     assert(nPos < nInc, s"bloom passed everything: $nPos of $nInc")
   }
 
+  test("jsonl round trip: read-back rows are identical to the source corpus (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-spec").toString
+    val src = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    src.write.partitionBy("lang").mode("overwrite").json(out)
+    val back = spark.read
+      .schema("doc_id long, text string, source string, n_chars long")
+      .json(out)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val a = src.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = back.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a.toSeq == b.toSeq)
+    // the summary query itself returns one row per language
+    val langs = DocPipeline.jsonlRoundTrip(spark, sf).collect().map(_.getString(0))
+    assert(langs.nonEmpty && langs.toSeq == langs.toSeq.sorted)
+  }
+
   test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
     val byText = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val byHash = Dedup.exactByHash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
