@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
     "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
     "dedup_substr"    -> ((s, d) => Dedup.substrDupSpans(s, d)),
+    "curate_substr"   -> ((s, d) => Curation.cutDuplicatedSubstrings(s, d)),
     "dedup_edit1"     -> ((s, d) => Dedup.editPairs(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangleCounts(s, d)),
     "graph_clustering" -> ((s, d) => Graph.clusteringCoefficients(s, d)),
@@ -991,6 +992,27 @@ object SparkEntry {
         |       coalesce(per.dup_chars, 0)::DOUBLE / d.len AS dup_frac
         |FROM docs d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // ExactSubstr apply: the oracle reassembles each doc's kept
+    // characters with an ordered string_agg, pinning the cut text
+    // byte-for-byte.
+    "curate_substr" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |grams AS (
+        |  SELECT d.doc_id, t.p::BIGINT AS p, substr(d.text, t.p::BIGINT + 1, 40) AS g
+        |  FROM docs d, unnest(range(0, d.len - 39)) AS t(p)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
+        |cov AS (SELECT DISTINCT h.doc_id, t.cp::BIGINT AS cp
+        |        FROM hits h, unnest(range(h.p, h.p + 40)) AS t(cp)),
+        |pos AS (SELECT d.doc_id, t.cp::BIGINT AS cp
+        |        FROM docs d, unnest(range(0, d.len)) AS t(cp)),
+        |kept AS (SELECT p.doc_id, p.cp FROM pos p LEFT JOIN cov c
+        |         ON p.doc_id = c.doc_id AND p.cp = c.cp WHERE c.cp IS NULL)
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(substr(d.text, k.cp + 1, 1), '' ORDER BY k.cp), '') AS text_clean,
+        |  count(k.cp)::BIGINT AS n_kept
+        |FROM docs d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "dedup_jaccard" ->
       """WITH ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
         |SELECT doc_a, doc_b, jaccard FROM (

@@ -41,6 +41,58 @@ object SpanOps {
   def joinTokensExcept(toks: Column, covered: Column): Column =
     ColumnBridge.column(SpanJoinExcept(
       ColumnBridge.expression(toks), ColumnBridge.expression(covered)))
+
+  /** Character-level span cut: rebuild `text` minus the union of
+    * fixed-length-`L` windows starting at each of the ASCENDING-sorted
+    * `starts` — one merge walk, O(len) per row. Positions are CODE
+    * POINTS (not UTF-16 units), matching `Column.substr` / `length()` /
+    * DuckDB `substr`, so the kernel, the anchor positions it consumes
+    * and the SQL oracle all index the same way on non-ASCII text. */
+  def cutCovered(text: UTF8String, starts: ArrayData, L: Int): UTF8String = {
+    val cps = text.toString.codePoints().toArray
+    val sb = new java.lang.StringBuilder(cps.length)
+    var cur = 0
+    var j = 0
+    val m = starts.numElements()
+    while (j < m) {
+      val p = starts.getInt(j)
+      var i = cur
+      while (i < p) { sb.appendCodePoint(cps(i)); i += 1 }
+      cur = math.max(cur, p + L)
+      j += 1
+    }
+    var i = cur
+    while (i < cps.length) { sb.appendCodePoint(cps(i)); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def cutCoveredText(text: Column, starts: Column, L: Int): Column =
+    ColumnBridge.column(SpanCutCovered(
+      ColumnBridge.expression(text), ColumnBridge.expression(starts), L))
+}
+
+/** `cut_covered(text, sorted starts, L)` as one codegen merge walk over
+  * (string, sorted array<int>); `L` is a plan-time literal. */
+case class SpanCutCovered(left: Expression, right: Expression, L: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"expected (string, array<int>), got $l / $r")
+    }
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SpanOps.cutCovered(l.asInstanceOf[UTF8String], r.asInstanceOf[ArrayData], L)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SpanOps.cutCovered($a, $b, $L);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** `concat_ws(" ", tokens at positions NOT in covered)` as one codegen

@@ -433,4 +433,33 @@ object Curation {
         (col("cum") % budget).as("pack_offset"))
       .orderBy("doc_id")
   }
+
+  /** ExactSubstr APPLY step (Lee et al. ACL 2022 §4.2) — the character-
+    * level counterpart to [[removeSharedSpans]]: delete from every
+    * document the union of corpus-duplicated L-char windows that
+    * [[Dedup.substrDupSpans]] reports, keeping the novel text between
+    * them. Share the one [[Dedup.dupGramStarts]] anchor relation, fold
+    * each doc's sorted starts, and cut in ONE codegen merge walk per row
+    * ([[graft.functions.SpanOps.cutCovered]], O(len) code points — the
+    * [[graft.functions.SpanOps.joinExcept]] precedent at character
+    * granularity).
+    *
+    * Output carries the CLEANED TEXT itself, so the DuckDB oracle — which
+    * re-derives covered positions from raw text and reassembles the kept
+    * characters with an ordered string_agg — pins the cut byte-for-byte,
+    * not just its length. */
+  def cutDuplicatedSubstrings(s: SparkSession, dir: String,
+                              L: Int = 40): DataFrame = {
+    val starts = Dedup.dupGramStarts(s, dir, L)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("starts"))
+    documents(s, dir)
+      .join(starts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        graft.functions.SpanOps.cutCoveredText(col("text"),
+          coalesce(col("starts"), typedlit(Seq.empty[Int])), L)
+          .as("text_clean"))
+      .withColumn("n_kept", length(col("text_clean")).cast("long"))
+      .orderBy("doc_id")
+  }
 }

@@ -1054,20 +1054,21 @@ object Dedup {
     * window (no global sort), then one map-side-combined aggregation:
     * covered chars = Σ min(next_start − start, L) with L for the last,
     * spans start where the gap from the previous start is >= L. */
-  def substrDupSpans(s: SparkSession, dir: String, L: Int = 40): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = documents(s, dir)
+  /** The ONE definition of the duplicated-L-gram start relation
+    * (doc_id, p) — consumed by [[substrDupSpans]] (report) and
+    * [[substrCut]] (apply), so the anchor rule cannot drift between
+    * them. Generation parallelism: the explode expands each doc into
+    * ~len rows each paying an O(L) slice+hash, so the stage needs tasks
+    * proportional to its OUTPUT, not its input splits — a small corpus
+    * file is one split, which would serialize the whole gram build on
+    * one core (measured 6-9 s at sf0.1; ~2 s after this repartition).
+    * The partition count is EXPLICIT because AQE coalesces a bare
+    * repartition(col) whose data volume is small back to one partition
+    * — correct for shuffle cost, wrong for a compute-bound expansion. */
+  private[graft] def dupGramStarts(s: SparkSession, dir: String, L: Int): DataFrame = {
+    val grams = documents(s, dir)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    // Generation parallelism: the explode expands each doc into ~len
-    // rows each paying an O(L) slice+hash, so the stage needs tasks
-    // proportional to its OUTPUT, not its input splits — a small corpus
-    // file is one split, which would serialize the whole gram build on
-    // one core (measured 6-9 s at sf0.1; ~2 s after this repartition).
-    // At cluster scale the same decoupling holds per oversized split.
-    // The partition count is EXPLICIT because AQE coalesces a bare
-    // repartition(col) whose data volume is small back to one partition
-    // — correct for shuffle cost, wrong for a compute-bound expansion.
-    val grams = docs.where(col("len") >= L)
+      .where(col("len") >= L)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), col("len") - L)).as("p"))
@@ -1075,9 +1076,15 @@ object Dedup {
         xxhash64(col("text").substr(col("p") + 1, lit(L))).as("h"))
     val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).select("h")
+    grams.join(dup, "h").select("doc_id", "p")
+  }
+
+  def substrDupSpans(s: SparkSession, dir: String, L: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
     val w = Window.partitionBy("doc_id").orderBy("p")
-    val per = grams.join(dup, "h")
-      .select("doc_id", "p")
+    val per = dupGramStarts(s, dir, L)
       .withColumn("nxt", lead("p", 1).over(w))
       .withColumn("prv", lag("p", 1).over(w))
       .groupBy("doc_id")

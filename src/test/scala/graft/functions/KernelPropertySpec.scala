@@ -279,6 +279,23 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("SpanCutCovered == per-position filter on arbitrary texts and window starts") {
+    import spark.implicits._
+    val L = 5
+    val textGen = Gen.listOfN(30, Gen.oneOf('a', 'b', ' ', 'é')).map(_.mkString)
+    forAll(textGen, Gen.listOf(Gen.chooseNum(0, 25))) { (text, rawStarts) =>
+      val n = text.codePointCount(0, text.length)
+      val starts = rawStarts.filter(_ <= n - L).distinct.sorted
+      val covered = starts.flatMap(p => p until p + L).toSet
+      val cps = text.codePoints().toArray
+      val expected = cps.indices.filterNot(covered).map(i => new String(Character.toChars(cps(i)))).mkString
+      val got = Seq((text, starts)).toDF("t", "s")
+        .select(SpanOps.cutCoveredText(col("t"), col("s"), L).as("r"))
+        .collect().head.getString(0)
+      assert(got == expected, s"text=$text starts=$starts")
+    }
+  }
+
   test("BloomMightContainLong: no false negatives; prunes some non-members") {
     import spark.implicits._
     val memberGen = Gen.listOfN(64, Gen.chooseNum(Long.MinValue, Long.MaxValue))

@@ -198,6 +198,22 @@ class OperatorsSpec extends SparkSpec {
     assert(langs.nonEmpty && langs.toSeq == langs.toSeq.sorted)
   }
 
+  test("substring cut: kept chars complement the reported dup spans (sf0.001 + fixture)") {
+    for (sf <- Seq(dir, "/root/testdata/sf0.001")) {
+      val L = if (sf == dir) 10 else 40
+      val spans = Dedup.substrDupSpans(spark, sf, L).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val cut = Curation.cutDuplicatedSubstrings(spark, sf, L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      cut.foreach { case (id, clean, nKept) =>
+        val (nChars, dupChars) = spans(id)
+        assert(nKept == nChars - dupChars, s"doc $id in $sf")
+        assert(clean.codePointCount(0, clean.length) == nKept)
+      }
+      assert(cut.exists(_._3 == 0L) || sf != dir) // fixture: full dups vanish
+    }
+  }
+
   test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
     val byText = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val byHash = Dedup.exactByHash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
