@@ -148,6 +148,10 @@ object SparkEntry {
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    // Filtered vector search (pre-filter semantics): top-k among
+    // candidates with label != the query's label; exact truth leg,
+    // IVF scale path pinned equal at full probe in SimilaritySpec.
+    "ann_filtered"    -> ((s, d) => Similarity.filteredTopK(s, d)),
     "embed_cluster"   -> (Gates.embedClusterGate(_, _)),
     "ann_lsh"         -> (Gates.annLshGate _),
     "ann_ivf"         -> (Gates.annIvfGate _),
@@ -1768,6 +1772,14 @@ object SparkEntry {
         |      WHERE d.lang <> q.qlang)
         |SELECT query_id, match_id, match_lang, true AS ivf_ok
         |FROM c WHERE rk = 1 ORDER BY query_id""".stripMargin,
+    "ann_filtered" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+        | FROM embeddings q, embeddings e
+        | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id AND e.label <> q.label) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -212,6 +212,75 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED vector search — top-k under a correlated metadata
+    * predicate (here: candidate.label != query.label, the "recommend
+    * outside the user's own category" shape), the capability that
+    * separates a vector DATABASE from a vector index. Pre-filter
+    * semantics: the predicate restricts the candidate set BEFORE
+    * ranking, so every query gets k qualifying neighbors (post-filtering
+    * a top-k can return fewer than k — the standard filtered-ANN
+    * pitfall). This is the exact truth leg (same broadcast-queries scan
+    * as [[bruteForceTopK]], predicate fused into the join condition so
+    * non-qualifying rows never reach the dot product); [[filteredIvfTopK]]
+    * is the scale path, pinned equal at full probe by SimilaritySpec. */
+  def filteredTopK(s: SparkSession, dir: String,
+                   nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val all = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").as("v"), norm(col("embedding")).as("nrm"), col("label"))
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label").as("qlabel"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    all.join(broadcast(queries),
+        col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[filteredTopK]] through the IVF index: the predicate is applied to
+    * the PROBED LISTS' rows before scoring (filter-then-score inside
+    * each list — the pre-filter strategy vector stores implement), so
+    * candidate work per query is (probed fraction) × (predicate
+    * selectivity) of the corpus, and recall behaves exactly like
+    * unfiltered IVF on the qualifying subset: at nprobe = nlist the
+    * result is BIT-IDENTICAL to the exact leg (spec-pinned); at partial
+    * probe the usual coverage/recall trade applies ([[ivfTopK]]'s
+    * measured curve). */
+  def filteredIvfTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+                      k: Int = 5, nlist: Int = 16, nprobe: Int = 12): DataFrame = {
+    val all = corpus(s, dir)
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val cents = centroids(all, nlist)
+    def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    val assigned = all
+      .withColumn("cd", centDots)
+      .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1"))
+      .drop("cd")
+      .join(labels, "vec_id")
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .withColumn("cd", centDots)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("label").as("qlabel"),
+        explode(slice(reverse(array_sort(zip_with(
+          col("cd"), sequence(lit(0), lit(cents.length - 1)),
+          (d, i) => struct(d.as("d"), i.as("i"))))), 1, nprobe)).as("probe"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("qlabel"),
+        col("probe.i").cast("long").as("list_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-accelerated top-k: candidates share at least one band with the
     * query, then exact cosine ranks them. Recall < 1 by construction; the
     * band/bit split trades recall vs candidate count. Default 16 bands of

@@ -214,6 +214,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN: same-label vectors excluded; IVF leg equals exact at full probe") {
+    // fixture: vec 0 (label 0) has near-twin vec 1 (label 0), anti vec 2
+    // (label 1), ortho vec 3 (label 2) — unfiltered rank-1 is the twin,
+    // filtered must exclude it.
+    val exact = Similarity.filteredTopK(spark, dir, nQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!exact.exists(_._2 == 1L)) // same-label twin filtered out
+    assert(exact.map(_._2).toSet == Set(2L, 3L))
+    val unfiltered = Similarity.bruteForceTopK(spark, dir, nQueries = 1, k = 1).collect()
+    assert(unfiltered.head.getLong(1) == 1L) // the twin IS rank-1 without the filter
+
+    val sf = "/root/testdata/sf0.001"
+    val e = Similarity.filteredTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ivfFull = Similarity.filteredIvfTopK(spark, sf, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ivfFull == e) // full probe == exact, predicate and all
+    // partial probe returns k qualifying rows per query (pre-filter
+    // semantics never under-fill when the lists hold enough qualifiers)
+    val part = Similarity.filteredIvfTopK(spark, sf, nprobe = 12).collect()
+    assert(part.groupBy(_.getLong(0)).forall(_._2.length == 5))
+  }
+
   test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
     val byText = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val byHash = Dedup.exactByHash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
