@@ -170,6 +170,10 @@ object SparkEntry {
         "px_sum", "px_min", "px_max")
       .orderBy("asset_id")),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
+    // Decode -> nearest-neighbor thumbnail -> raster sha; the oracle
+    // rebuilds the thumbnail from the pixel formula with identical
+    // floor arithmetic.
+    "multimodal_resize" -> ((s, d) => Multimodal.resizeImages(s, d)),
     // A REAL Structured-Streaming execution (file source → watermark →
     // flatMapGroupsWithState → memory sink) over the bounded events
     // table; equals batch gap sessionization, which DuckDB expresses as
@@ -1793,6 +1797,21 @@ object SparkEntry {
     // which the oracle rebuilds as a byte string with chr()/string_agg
     // and hashes — the PNG and WAV round-trip pins. Video: raw payload
     // (= the text).
+    "multimodal_resize" ->
+      """WITH g AS (SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, 3)) AS x FROM g),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, 2)) AS y FROM xs),
+        |v AS (SELECT doc_id, w, h, x, y,
+        |        32 + (((x * w) // 3) + ((y * h) // 2) + doc_id) % 64 AS val
+        |      FROM px),
+        |r AS (SELECT doc_id, w, h,
+        |        sha256(string_agg(chr(val::INT), '' ORDER BY y, x)) AS resized_sha256,
+        |        sum(val)::BIGINT AS px_sum
+        |      FROM v GROUP BY doc_id, w, h)
+        |SELECT doc_id AS asset_id, w::BIGINT AS src_w, h::BIGINT AS src_h,
+        |       3::BIGINT AS width, 2::BIGINT AS height, px_sum, resized_sha256
+        |FROM r ORDER BY asset_id""".stripMargin,
     "multimodal_summary" ->
       """WITH g AS (SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
         |           FROM documents WHERE doc_id % 3 = 0),

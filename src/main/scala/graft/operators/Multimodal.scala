@@ -201,6 +201,50 @@ object Multimodal {
       col("width").cast("long").as("width"))
       .orderBy("asset_id")
 
+  final case class ResizedAsset(
+      asset_id: Long, src_w: Long, src_h: Long, width: Long, height: Long,
+      px_sum: Long, resized_sha256: String)
+
+  /** Image RESIZE on the executors — the remaining verb of the
+    * decode / feature-extract / resize / frame-sample quartet: decode
+    * the PNG payload, downscale the raster to a fixed (tw × th)
+    * thumbnail by NEAREST-NEIGHBOR with pure integer source mapping
+    * (sx = ⌊x·w/tw⌋, sy = ⌊y·h/th⌋ — no float filter kernels, so the
+    * resampled bytes are engine-reproducible), and report exact stats +
+    * the sha256 of the resized raster in row-major order. The oracle
+    * re-derives the same thumbnail from the pixel formula with the same
+    * floor arithmetic and hashes it — pinning decode, the index mapping
+    * and the byte order end to end. Same `mapPartitions` batch contract
+    * as [[decodeAssets]]; a real resampling filter (area/bilinear) slots
+    * into the same loop, trading oracle exactness for quality, which is
+    * why nearest stays the checked default. */
+  def resizeImages(s: SparkSession, dir: String,
+                   tw: Int = 3, th: Int = 2): DataFrame = {
+    import s.implicits._
+    assets(s, dir).filter(col("modality") === "image")
+      .mapPartitions(_.map { a =>
+        val img = ImageIO.read(new ByteArrayInputStream(a.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val bytes = new Array[Byte](tw * th)
+        var sum = 0L
+        var i = 0
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val v = raster.getSample(x * w / tw, y * h / th, 0)
+            bytes(i) = v.toByte; sum += v; i += 1; x += 1
+          }
+          y += 1
+        }
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).map(b => f"$b%02x").mkString
+        ResizedAsset(a.asset_id, w.toLong, h.toLong, tw.toLong, th.toLong,
+          sum, sha)
+      }).toDF().orderBy("asset_id")
+  }
+
   /** Frame sampling (video-style): slice the payload into fixed-size
     * "frames" and keep every `stride`-th — the partition-parallel shape of
     * real frame extraction, with byte-slicing standing in for decode. */

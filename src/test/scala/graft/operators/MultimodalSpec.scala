@@ -76,6 +76,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: thumbnail equals the nearest-neighbor formula applied to source pixels") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Multimodal.resizeImages(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)
+      assert((w, h) == Multimodal.imageDims(id))
+      val expected = for (y <- 0 until 2; x <- 0 until 3)
+        yield Multimodal.pixel(id, x * w / 3, y * h / 2)
+      assert(r.getLong(5) == expected.map(_.toLong).sum, s"px_sum of $id")
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(expected.map(_.toByte).toArray).map(b => f"$b%02x").mkString
+      assert(r.getString(6) == sha, s"sha of $id")
+    }
+  }
+
   test("frame sampling slices video payloads with stride") {
     val frames = Multimodal.frameSample(spark, dir, frameBytes = 64, stride = 4).collect()
     assert(frames.nonEmpty)
