@@ -84,7 +84,12 @@ object GraftExtensions {
     ("py_repr_json",
       info("py_repr_json",
         "py_repr_json(j) - Python str() rendering of a JSON array/scalar string (the reference's list stringification)"),
-      (args: Seq[Expression]) => PyReprJson(args(0))))
+      (args: Seq[Expression]) => PyReprJson(args(0))),
+    ("cut_covered",
+      info("cut_covered",
+        "cut_covered(text, starts, L) - text minus the union of L-code-point windows at the sorted starts, one merge walk (L a literal int)"),
+      (args: Seq[Expression]) => SpanCutCovered(args(0), args(1),
+        foldableInt(args(2), "cut_covered", "L"))))
 
   /** Static int parameters (k, n, w) must be literals at parse time — the
     * kernels specialize their generated loops on them. */

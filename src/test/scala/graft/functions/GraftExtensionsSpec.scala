@@ -58,4 +58,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(2) == "a c")
     assert(r.getString(3) == "['10', '11']")
   }
+
+  test("round-8 kernel: cut_covered from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cut_covered('abcdefghij', array(2, 5), 3) AS cut,
+        | cut_covered('abcdefghij', cast(array() as array<int>), 3) AS whole""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "abij") // windows [2,5) and [5,8) cut c..h
+    assert(r.getString(1) == "abcdefghij")
+  }
 }
