@@ -317,6 +317,45 @@ class KernelPropertySpec extends SparkSpec {
     assert(rejected.exists(identity))
   }
 
+  test("BpeOps.applyMerges == a functional all-occurrences-per-pass reference") {
+    // Functional reference of canonical BPE apply: per iteration, the
+    // lowest-rank pair TYPE present merges at every left-to-right
+    // non-overlapping occurrence. (Merging one occurrence at a time is
+    // NOT equivalent: the first merge can create a better-ranked pair —
+    // e.g. symbols "...b c b..." with ranks (bc,b)=0 < (b,c)=1 — that
+    // all-occurrences-per-pass never sees; the single-occurrence
+    // variant's divergence on that shape is what this comment records.)
+    def naive(sy0: List[String], ranks: Map[(String, String), Int]): List[String] = {
+      @annotation.tailrec
+      def mergeAll(rest: List[String], best: (String, String),
+                   acc: List[String]): List[String] = rest match {
+        case a :: b :: tail if (a, b) == best => mergeAll(tail, best, (a + b) :: acc)
+        case a :: tail => mergeAll(tail, best, a :: acc)
+        case Nil => acc.reverse
+      }
+      @annotation.tailrec
+      def loop(sy: List[String]): List[String] = {
+        val present = sy.zip(sy.drop(1)).filter(ranks.contains)
+        if (present.isEmpty) sy
+        else loop(mergeAll(sy, present.minBy(ranks), Nil))
+      }
+      loop(sy0)
+    }
+    val symGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c"))
+    val mergeGen = Gen.listOfN(6,
+      Gen.zip(Gen.oneOf("a", "b", "c", "ab", "bc", "ca"), Gen.oneOf("a", "b", "c")))
+    forAll(symGen, mergeGen) { (syms, merges) =>
+      val distinct = merges.distinct
+      val ranks = new java.util.HashMap[String, Integer]()
+      distinct.zipWithIndex.foreach { case ((l, r), i) =>
+        ranks.put(l + BpeOps.Sep + r, i)
+      }
+      val got = BpeOps.applyMerges(syms.toArray, ranks).toList
+      val want = naive(syms, distinct.zipWithIndex.toMap)
+      assert(got == want, s"syms=$syms merges=$distinct")
+    }
+  }
+
   test("state fold: emitted iff a STATE exists and no record follows it") {
     val gen = for {
       stateIdxs <- Gen.listOf(Gen.chooseNum(0L, 100L))
