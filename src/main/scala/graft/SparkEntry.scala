@@ -180,6 +180,10 @@ object SparkEntry {
     // gaps-and-islands — the streaming family's first oracle row.
     "stream_sessions" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.sessionizeSpooled(s, d)),
+    // The NATIVE streaming session_window spelling of the same
+    // sessionization, same spool + sentinel protocol, same oracle.
+    "stream_sessions_native" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.sessionizeNativeSpooled(s, d)),
     // Real streaming executions over the spooled documents corpus:
     // band-keyed stateful near-dup (gated for set equality against batch
     // minhashPairs) and the windowed quality monitor (integer-exact
@@ -317,6 +321,18 @@ object SparkEntry {
     // ms floors; epoch_ms mirrors it), so µs-precision timestamps cannot
     // drift the hash. 1800000 = the 30-minute default gap.
     "stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+        |d AS (SELECT user_id, tms,
+        |  CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)
+        |            > 1800000 THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, tms,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |                 ROWS UNBOUNDED PRECEDING) AS grp FROM d)
+        |SELECT user_id, min(tms) AS session_start_ms,
+        |       max(tms) AS session_end_ms, count(*) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+    "stream_sessions_native" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
         |d AS (SELECT user_id, tms,
         |  CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)

@@ -349,6 +349,80 @@ object StreamingAnalytics {
     out
   }
 
+  /** [[sessionizeSpooled]] through Spark's NATIVE streaming
+    * `session_window` aggregate — the built-in path
+    * (UpdatingSessions/MergingSessions execs + append-mode watermark
+    * finalization) instead of `flatMapGroupsWithState`: sessions merge
+    * inside the aggregate state, no custom state class, no timeout
+    * protocol of our own. Semantics coincide with the custom operator
+    * with NO gap adjustment (Spark merges TOUCHING session windows —
+    * the batch twin `events_sessions_native` pinned the boundary), and
+    * the session bounds are taken as min/max event time rather than the
+    * window's [start, end+gap) so the output schema matches the custom
+    * path and the SAME DuckDB oracle checks all three spellings (batch,
+    * custom streaming state, native streaming windows). Same spool +
+    * two-sentinel flush protocol; append mode only emits sessions the
+    * watermark has passed, which the far-future sentinels guarantee for
+    * every real session. */
+  def sessionizeNativeSpooled(s: SparkSession, dir: String,
+                              gapMs: Long = 30 * 60 * 1000L,
+                              lateness: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-nsesspool-$runId")
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("user_id"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val latenessMs = intervalMs(lateness)
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, -1L)).toDF("ts", "user_id")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"))
+    val name = s"graft_nsessions_$runId"
+    withSpoolPartitions(s) {
+      val q = stream
+        .withWatermark("ts", lateness)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$gapMs milliseconds"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        val step = (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L
+        val t1 = maxTsNanos + step
+        sentinel(t1)
+        q.processAllAvailable()
+        sentinel(t1 + step)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val out = s.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("session_start_ms"),
+        unix_millis(col("session_end")).as("session_end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_ms")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    del(tmp.toFile)
+    out
+  }
+
   /** ORACLE-CHECKED streaming windowed stats: the watermarked
     * tumbling-window aggregate ([[windowedEventStats]], the family's
     * foundational operator) run as a REAL execution over the spooled

@@ -334,6 +334,16 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("native session_window stream is bit-identical to the custom stateful stream (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val custom = sessionizeSpooled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val native = sessionizeNativeSpooled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(native == custom)
+    assert(native.nonEmpty)
+  }
+
   test("spooled attribution stream equals the batch interval join (sf0.001)") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
