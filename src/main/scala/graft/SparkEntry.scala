@@ -143,6 +143,7 @@ object SparkEntry {
     "text_keyterms"   -> ((s, d) => TextAnalysis.keyTerms(s, d)),
     "text_gopher"     -> (TextAnalysis.gopherSignals _),
     "text_dupgrams"   -> (TextAnalysis.dupGramStats _),
+    "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     "text_vocab"      -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "text_bpe"        -> ((s, d) => Gates.bpeGate(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
@@ -1457,6 +1458,18 @@ object SparkEntry {
     // Same gram construction as text_fingerprint's oracle (3-grams from
     // strings, short docs padded to one gram) — df >= 2 means the gram
     // occurs in at least one other doc, since grams are per-doc distinct.
+    // Top boilerplate strings: rank ties break on the gram text, so the
+    // top-k is total-ordered and hash-stable.
+    "text_boilerplate" ->
+      """WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |grams AS (SELECT d.doc_id, substr(d.text, t.p::BIGINT + 1, 40) AS gram
+        |          FROM docs d, unnest(range(0, d.len - 39)) AS t(p)),
+        |top AS (SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |        FROM grams GROUP BY gram HAVING count(*) >= 2
+        |        ORDER BY n_occ DESC, gram LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY n_occ DESC, gram)::BIGINT AS rk,
+        |       gram, n_occ::BIGINT AS n_occ, n_docs::BIGINT AS n_docs
+        |FROM top ORDER BY rk""".stripMargin,
     "text_dupgrams" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |gr AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -221,6 +221,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate mining — WHAT the duplicated text actually is: the `k`
+    * most frequent corpus-duplicated `L`-char windows with occurrence
+    * and document counts, deterministically ranked (count desc, gram
+    * asc). The diagnostic a curation team reads before tuning
+    * [[graft.operators.Curation.cutDuplicatedSubstrings]]: the top rows
+    * ARE the site chrome / license headers / templates the cut will
+    * remove.
+    *
+    * Unlike the dedup_substr report (which shuffles 8-byte gram HASHES
+    * because it never outputs gram text), this report needs the strings,
+    * so the count shuffle is keyed on the L-byte gram itself — map-side
+    * partial aggregation compresses each partition to its distinct
+    * grams before the exchange, and the single-distinct doc count rides
+    * Spark's expand rewrite in the same aggregate (the
+    * [[graft.operators.Multimodal.dupFrames]] precedent). Top-k is
+    * TakeOrdered, never a global sort; the rank window runs over the k
+    * survivors. Same explode-then-O(L)-projection generation and
+    * explicit-parallelism repartition as [[graft.operators.Dedup]]'s
+    * anchor relation. */
+  def boilerplate(s: SparkSession, dir: String, L: Int = 40,
+                  k: Int = 20): DataFrame = {
+    val grams = documents(s, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .where(col("len") >= L)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("len") - L)).as("p"))
+      .select(col("doc_id"), col("text").substr(col("p") + 1, lit(L)).as("gram"))
+    val w = Window.orderBy(col("n_occ").desc, col("gram"))
+    grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_occ") >= 2)
+      .orderBy(col("n_occ").desc, col("gram")).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select("rk", "gram", "n_occ", "n_docs")
+      .orderBy("rk")
+  }
+
   /** Corpus vocabulary heavy hitters: the `k` most frequent tokens with
     * total term frequency and document frequency, deterministically
     * ranked (tf desc, token asc — token is unique, so the ordering is

@@ -237,6 +237,27 @@ class OperatorsSpec extends SparkSpec {
     assert(part.groupBy(_.getLong(0)).forall(_._2.length == 5))
   }
 
+  test("boilerplate report: top duplicated grams match a brute recount (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val L = 40
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val occ = new scala.collection.mutable.HashMap[String, (Long, Set[Long])]()
+    for ((id, t) <- texts; p <- 0 to t.length - L) {
+      val g = t.substring(p, p + L)
+      val (n, ds) = occ.getOrElse(g, (0L, Set.empty[Long]))
+      occ(g) = (n + 1, ds + id)
+    }
+    val expect = occ.toSeq.collect { case (g, (n, ds)) if n >= 2 => (g, n, ds.size.toLong) }
+      .sortBy { case (g, n, _) => (-n, g) }.take(20)
+      .zipWithIndex.map { case ((g, n, d), i) => (i + 1L, g, n, d) }
+    val got = TextAnalysis.boilerplate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
     val byText = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val byHash = Dedup.exactByHash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
