@@ -51,6 +51,9 @@ object SparkEntry {
     // Custom LogicalPlan/Strategy/SparkPlan path (graft.plans.TopKPerKey):
     // partial bounded heaps, survivor-sized exchange, final merge.
     "q29_topk_per_key" -> ((s, d) => Analytics.q29TopKPerKey(s, d)),
+    // Custom Aggregator (typed udaf): count + exact sum + bounded top-k
+    // ids in one aggregate pass.
+    "q30_topk_agg" -> ((s, d) => Analytics.q30TopKAgg(s, d)),
     // Event-sequence analytics triad: ordered conversion funnel, weekly
     // retention cohorts, Markov transition counts — one user_id exchange
     // each (EventAnalytics scaladoc).
@@ -698,6 +701,23 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY c_mktsegment
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY c_mktsegment, o_orderkey""".stripMargin,
+    // The custom aggregate must equal count/sum plus the rank-window
+    // top-k rendered in rank order.
+    "q30_topk_agg" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS d,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+        |  FROM orders),
+        |r AS (SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY v DESC, o_orderkey) AS rk FROM t),
+        |kk AS (SELECT o_custkey,
+        |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY rk) AS top_keys
+        |  FROM r WHERE rk <= 3 GROUP BY o_custkey)
+        |SELECT t.o_custkey, count(*)::BIGINT AS n_orders,
+        |  sum(t.d)::DOUBLE AS sum_price, any_value(kk.top_keys) AS top_keys
+        |FROM t JOIN kk ON t.o_custkey = kk.o_custkey
+        |GROUP BY t.o_custkey ORDER BY t.o_custkey""".stripMargin,
     // The custom bounded-heap operator must equal the window spelling -
     // that equality IS its correctness contract (total order: price
     // DESC, orderkey ASC).

@@ -394,6 +394,26 @@ object Analytics {
       .orderBy("o_custkey", "rk")
   }
 
+  /** Per-customer order stats WITH the bounded top-k ids, all in ONE
+    * aggregate pass — the composition the custom
+    * [[graft.functions.TopKKeysAgg]] aggregate exists for (its scaladoc
+    * carries the three-spellings comparison). Count and exact-decimal
+    * sum ride the same groupBy as the heap; no window, no second pass,
+    * no join back. */
+  def q30TopKAgg(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.TopKKeysAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.TopKEntry])
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("d"),
+        dec(col("o_totalprice")).cast("double").as("v"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("d")).cast("double").as("sum_price"),
+        topk(col("v"), col("o_orderkey")).as("top_keys"))
+      .orderBy("o_custkey")
+  }
+
   /** The engine's SQL surface: the same ANSI SQL DuckDB runs as the
     * oracle executes verbatim on `spark.sql` over registered views —
     * correlated scalar subquery included (Catalyst decorrelates it into

@@ -50,6 +50,25 @@ class TopKPerKeySpec extends SparkSpec {
     (custom, win)
   }
 
+  test("custom aggregate spelling: top keys equal the window spelling's rank order") {
+    import spark.implicits._
+    import graft.functions.{TopKEntry, TopKKeysAgg}
+    val rng = new scala.util.Random(11)
+    val rows = (1L to 300L).map(id =>
+      (id, rng.nextInt(9).toLong, rng.nextInt(50).toDouble))
+    val df = rows.toDF("id", "key", "v").repartition(5)
+    val topk = udaf(new TopKKeysAgg(3),
+      org.apache.spark.sql.Encoders.product[TopKEntry])
+    val got = df.groupBy("key")
+      .agg(count(lit(1)).as("n"), topk(col("v"), col("id")).as("top"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val expect = rows.groupBy(_._2).map { case (key, rs) =>
+      key -> ((rs.size.toLong,
+        rs.sortBy(r => (-r._3, r._1)).take(3).map(_._1).mkString(",")))
+    }
+    assert(got == expect)
+  }
+
   test("physical plan: partial heap below the exchange, final above it") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, i % 5, i.toDouble)).toDF("id", "key", "v")
