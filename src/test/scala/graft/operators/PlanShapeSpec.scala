@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-REGRESSION pins: each test asserts the physical-plan property a
+  * scaladoc's scale claim rests on, so an innocent refactor that
+  * silently reintroduces an exchange / Expand / full rebuild fails here
+  * instead of surfacing as a bench regression three rounds later. */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("search_incr_artifact: settled side is a bucketed scan with no exchange above it") {
+    val plan = planOf(Search.incrementalIndex(spark, sf))
+    // the settled table scan appears...
+    assert(plan.contains("graft_search_idx_"), plan)
+    // ...and the only exchanges are the increment build + presentation
+    // sort: settled rows never re-shuffle. The full-outer join keyed on
+    // term shows 2 exchanges total (incr side + final orderBy).
+    val exchanges = "Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges in:\n$plan")
+    // no exchange may sit between the bucketed scan and the join: the
+    // scan's subtree up to SortMergeJoin must be exchange-free
+    val scanIdx = plan.indexOf("Scan parquet spark_catalog.default.graft_search_idx_")
+    val joinIdx = plan.lastIndexOf("SortMergeJoin", scanIdx)
+    assert(joinIdx >= 0, plan)
+    val between = plan.substring(joinIdx, scanIdx)
+    // the settled leg is the FIRST child: between the join node and the
+    // scan only Sort may appear
+    assert(!between.split("\n").exists(_.contains("Exchange")),
+      s"exchange above the settled scan:\n$plan")
+  }
+
+  test("profile_columns: no Expand; distinct rides the two-phase rewrite") {
+    val plan = planOf(Profiling.columnProfile(Tables.lineitem(spark, sf)))
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("Generate"), plan) // the melt
+  }
+
+  test("dedup_incr_bloom: bloom probe inside the plan, corpus side bucketed") {
+    val plan = planOf(Dedup.incrementalExactBloom(spark, sf))
+    assert(plan.contains("graft_settled_th_"), plan)
+    assert(plan.toLowerCase.contains("bloommightcontain"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("graph family: serving queries scan the edge artifact, no IVF rebuild") {
+    val plan = planOf(Graph.triangleCounts(spark, sf))
+    assert(plan.contains("graft_knn_edges_") || plan.contains("graft_"),
+      plan.take(2000))
+    // an IVF rebuild would show the centroid dot-product projection over
+    // the embeddings scan; the serving path must not read embeddings
+    assert(!plan.contains("embeddings.parquet"), plan.take(4000))
+  }
+}
