@@ -45,12 +45,24 @@ object Profiling {
     // because AQE coalesces a bare repartition of small data to one
     // partition). Round-robin is fine — no key is needed before the
     // (col_name, value) hash aggregate.
-    t.repartition(t.sparkSession.sparkContext.defaultParallelism)
+    val stats = t
+      .repartition(t.sparkSession.sparkContext.defaultParallelism)
       .select(expr(stackExpr))
       .groupBy("col_name")
       .agg(count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("value"))).as("n_nulls"),
         count_distinct(col("value")).as("n_distinct"))
+    // The column list comes from the SCHEMA, not the data: an empty
+    // table must still profile as one all-zero row per column — a
+    // profiler that returns nothing cannot distinguish "table empty"
+    // from "profiler broken" (EmptyCorpusSpec pins this).
+    import t.sparkSession.implicits._
+    cols.toSeq.toDF("col_name")
+      .join(stats, Seq("col_name"), "left")
+      .select(col("col_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
       .orderBy("col_name")
   }
 
