@@ -258,6 +258,49 @@ class OperatorsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("substring family on non-ASCII text: code-point positions, report/apply complement") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-utf8").toString
+    // multibyte chars shift BYTE offsets away from code-point offsets —
+    // a byte-indexed implementation would mis-place every span here.
+    val shared = "héllo wörld ünïcode boilerplate κείμενο"
+    val docs = Seq(
+      (0L, s"$shared éxtra für zéro", "en", "s", 0L),
+      (1L, s"$shared éxtra für wün difference", "en", "s", 0L),
+      (2L, "gänz ändere wörter überall ohne düplikate", "de", "s", 0L))
+      .map { case (id, t, l, s0, _) => (id, t, l, s0, t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val L = 10
+    val spans = Dedup.substrDupSpans(spark, d, L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent code-point recount
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    def cps(t: String): Array[String] = {
+      val arr = t.codePoints().toArray
+      arr.map(c => new String(Character.toChars(c)))
+    }
+    for ((_, t, _, _, _) <- docs; c = cps(t); p <- 0 to c.length - L)
+      counts.updateWith(c.slice(p, p + L).mkString)(n => Some(n.getOrElse(0) + 1))
+    for ((id, t, _, _, _) <- docs) {
+      val c = cps(t)
+      val starts = (0 to c.length - L).filter(p => counts(c.slice(p, p + L).mkString) >= 2)
+      val covered = starts.flatMap(p => p until p + L).toSet
+      assert(spans(id) == ((c.length.toLong, covered.size.toLong)),
+        s"doc $id: got ${spans(id)}")
+    }
+    val cut = Curation.cutDuplicatedSubstrings(spark, d, L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, t, _, _, _) <- docs) {
+      val c = cps(t)
+      val starts = (0 to c.length - L).filter(p => counts(c.slice(p, p + L).mkString) >= 2)
+      val covered = starts.flatMap(p => p until p + L).toSet
+      val kept = c.indices.filterNot(covered).map(c).mkString
+      assert(cut(id) == kept, s"doc $id")
+    }
+    assert(spans(0L)._2 > 0) // the shared prefix must actually be flagged
+  }
+
   test("hash-keyed exact dedup (scale path) agrees with text-keyed dedup") {
     val byText = Dedup.exact(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val byHash = Dedup.exactByHash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
