@@ -66,6 +66,16 @@ object SparkEntry {
     // Native session_window twin (gap+1ms maps half-open window
     // semantics onto the custom > gap rule); same oracle SQL.
     "events_sessions_native" -> ((s, d) => EventAnalytics.sessionsNative(s, d)),
+    // SCD2 dimension history from the change stream: consecutive equal
+    // values collapse, each change opens a validity interval; one
+    // user_id exchange feeds all three stacked windows.
+    "events_scd2"     -> (EventAnalytics.scd2History _),
+    // Entity resolution on structured records: blocked candidate pairs
+    // ((nation, segment) equi-join bounds the quadratic), thresholded-
+    // Levenshtein match kernel, then large/small-star transitive closure
+    // into total entity assignments.
+    "link_pairs"      -> (Linkage.blockedPairs _),
+    "link_clusters"   -> (Linkage.entityClusters _),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "range_join"      -> ((s, d) => RangeJoin.eventBands(s, d)),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
@@ -208,6 +218,11 @@ object SparkEntry {
     // integer-exact projection (counts; the double sum stays live-only).
     "stream_windowstats" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.windowStatsSpooled(s, d)),
+    // Stream-STATIC broadcast enrichment join (stream × dimension →
+    // windowed counts per enriched attribute) — the map-side join shape
+    // that never shuffles the stream; real spooled execution.
+    "stream_enrich" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.enrichSpooled(s, d)),
     // Stateful sequence matching (the CEP class): the streaming funnel's
     // per-user cursor state machine, batch-equal by construction — its
     // oracle IS events_funnel's SQL.
@@ -354,6 +369,13 @@ object SparkEntry {
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Stream-static enrichment: the batch equi-join DuckDB runs directly,
+    // same epoch-ms window arithmetic.
+    "stream_enrich" ->
+      """SELECT (epoch_ms(e.ts) // 3600000) * 3600000 AS window_start_ms,
+        | c.c_mktsegment, count(*) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Pinned booleans (the dedup_simhash oracle shape): the claim — the
     // streaming execution emits exactly the batch minhash pair set — is
     // computed Spark-side; recall vs brute-Jaccard truth is dedup_minhash's
@@ -891,6 +913,51 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
         |FROM n WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // SCD2: same (tus, event_id) per-user order on both sides; the
+    // change compare is exact double equality on identical parquet bits.
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus
+        |           FROM events),
+        |c AS (SELECT *, lag(value) OVER (PARTITION BY user_id
+        |                                 ORDER BY tus, event_id) AS pv
+        |      FROM e),
+        |v AS (SELECT user_id, event_id, tus, value FROM c
+        |      WHERE pv IS NULL OR pv <> value)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |                          ORDER BY tus, event_id) AS BIGINT) AS version_no,
+        |  tus AS valid_from_us,
+        |  lead(tus) OVER (PARTITION BY user_id
+        |                  ORDER BY tus, event_id) AS valid_to_us,
+        |  value
+        |FROM v ORDER BY user_id, version_no""".stripMargin,
+    // Record linkage: DuckDB's levenshtein is the exact (unthresholded)
+    // distance; the Spark side's thresholded kernel returns the same
+    // value on every pair it keeps.
+    "link_pairs" ->
+      """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |       levenshtein(a.c_name, b.c_name) AS name_dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        | AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY cust_a, cust_b""".stripMargin,
+    "link_clusters" ->
+      """WITH RECURSIVE
+        |e AS (SELECT a.c_custkey AS src, b.c_custkey AS dst
+        |      FROM customer a, customer b
+        |      WHERE a.c_nationkey = b.c_nationkey
+        |        AND a.c_mktsegment = b.c_mktsegment
+        |        AND a.c_custkey <> b.c_custkey
+        |        AND levenshtein(a.c_name, b.c_name) <= 1),
+        |reach(c, r) AS (SELECT c_custkey, c_custkey FROM customer
+        |  UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.c),
+        |lbl AS (SELECT c AS c_custkey, min(r) AS entity_id
+        |        FROM reach GROUP BY c)
+        |SELECT c_custkey, entity_id,
+        |       count(*) OVER (PARTITION BY entity_id) AS n_members
+        |FROM lbl ORDER BY c_custkey""".stripMargin,
     "q14_sql_subquery" ->
       """SELECT c_mktsegment, COUNT(*) AS n_above
         |FROM customer c

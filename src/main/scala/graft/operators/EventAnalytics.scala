@@ -162,4 +162,50 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
       .orderBy("from_type", "to_type")
   }
+
+  /** Slowly-changing-dimension type-2 history build from a change
+    * stream — the warehouse-side dimension-versioning operator
+    * ([[graft.streaming.StreamingAnalytics]]'s `upsertSpooled` keeps only
+    * the LAST value per key; this keeps the full validity history):
+    * per user, consecutive events carrying the SAME `value` collapse
+    * into one version (no-change records must not open a new row — the
+    * defining SCD2 merge rule), each change opens a version row with
+    * `valid_from_us` = its event time and `valid_to_us` = the next
+    * version's start (null on the current version).
+    *
+    * Plan shape: ONE hash exchange on `user_id` feeds every step —
+    * the change-detect `lag`, the version-numbering `row_number` and
+    * the `lead` that closes intervals are all windows over the same
+    * (user_id; tus, event_id) sort, and the change filter between them
+    * preserves the partitioning, so Catalyst plans a single Exchange
+    * with stacked Window operators. Versions-per-user state never
+    * leaves the executor; at 100 TB the cost is the same one shuffle
+    * as any per-user aggregate. Times are exact epoch-µs longs and
+    * `value` passes through verbatim (the change compare is exact
+    * double equality on identical parquet bits), so the history is
+    * hash-identical cross-engine. */
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    scd2From(events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("tus")))
+
+  /** [[scd2History]] over an explicit (user_id, event_id, value, tus)
+    * change relation — exposed so the spec can pin the collapse rule on
+    * crafted repeats (the synthetic corpus never repeats a value
+    * consecutively, so the registered oracle row alone would leave the
+    * defining SCD2 rule untested). */
+  private[graft] def scd2From(changeLog: DataFrame): DataFrame = {
+    val ord = Seq(col("tus"), col("event_id"))
+    val wAll = Window.partitionBy("user_id").orderBy(ord: _*)
+    val changes = changeLog
+      .withColumn("pv", lag(col("value"), 1).over(wAll))
+      .filter(col("pv").isNull || col("pv") =!= col("value"))
+    val wVer = Window.partitionBy("user_id").orderBy(ord: _*)
+    changes
+      .withColumn("version_no", row_number().over(wVer).cast("long"))
+      .withColumn("valid_to_us", lead(col("tus"), 1).over(wVer))
+      .select(col("user_id"), col("version_no"),
+        col("tus").as("valid_from_us"), col("valid_to_us"), col("value"))
+      .orderBy("user_id", "version_no")
+  }
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution (record linkage) over structured records — the
+  * curation step that precedes any per-customer/per-author aggregation
+  * on scraped or multi-source data: near-identical records referring to
+  * the same real-world entity are detected pairwise and collapsed into
+  * entity clusters. The documents-side near-dup family
+  * ([[Dedup.editPairs]] etc.) works on free text; this family works on
+  * the STRUCTURED side (typed key/attribute columns), with the two
+  * classic stages:
+  *
+  *  1. **Blocking** — candidate pairs form only WITHIN a block (here
+  *     `(c_nationkey, c_mktsegment)`), turning the O(N²) all-pairs
+  *     product into an equi-join keyed on the block key. At 100 TB this
+  *     is the load-bearing choice: pair volume is Σ_b |b|², bounded by
+  *     the block-size distribution, and the join is a plain keyed
+  *     shuffle (AQE splits oversized blocks; a pathological block —
+  *     e.g. a null-heavy key — is the blocking-key-design problem every
+  *     ER deployment documents, not an engine limit).
+  *  2. **Pairwise matching** — a cheap codegen length-band prune
+  *     (|len(a)−len(b)| ≤ 1 is a Levenshtein lower bound), then
+  *     Spark's THRESHOLDED `levenshtein(l, r, 1)`: the banded DP
+  *     early-exits at distance > 1, O(len·threshold) per pair instead
+  *     of O(len²) — the kernel-level analogue of
+  *     [[Dedup.editPairs]]' single-walk verify.
+  *
+  * Clustering is transitive closure over match pairs
+  * ([[Dedup.connectedComponents]]' large/small-star rounds, O(log n)
+  * keyed aggregates); every customer gets an entity id (min custkey in
+  * its component) — singletons label themselves, so the output is a
+  * total assignment a downstream `GROUP BY entity_id` can consume
+  * directly.
+  *
+  * Reference context: the reference pipeline (a Singer→S3 sink) has no
+  * joins at all (SURVEY §2.5); this family is north-star extension
+  * surface.
+  */
+object Linkage {
+
+  /** Blocked match pairs: (cust_a, cust_b, name_dist), cust_a < cust_b,
+    * name Levenshtein distance ≤ 1 within (nation, segment) blocks. */
+  def blockedPairs(s: SparkSession, dir: String): DataFrame =
+    matchPairs(s, dir).orderBy("cust_a", "cust_b")
+
+  /** The unsorted pair relation — [[entityClusters]] consumes this
+    * directly so the CC input never pays the presentation sort. */
+  private def matchPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val a = c.select(col("c_custkey").as("cust_a"), col("c_name").as("na"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    val b = c.select(col("c_custkey").as("cust_b"), col("c_name").as("nb"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+    a.join(b, Seq("nk", "seg"))
+      .filter(col("cust_a") < col("cust_b"))
+      // Length band first: a 1-deletion/insertion changes length by 1,
+      // so |Δlen| > 1 can never match — prunes before the DP kernel.
+      .filter(abs(length(col("na")) - length(col("nb"))) <= 1)
+      .withColumn("name_dist", levenshtein(col("na"), col("nb"), 1).cast("long"))
+      .filter(col("name_dist") >= 0)
+      .select("cust_a", "cust_b", "name_dist")
+  }
+
+  /** Entity assignment: (c_custkey, entity_id, n_members) for EVERY
+    * customer; entity_id = smallest custkey in the match component. */
+  def entityClusters(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(s, dir).select(col("c_custkey"))
+    val comp = Dedup.connectedComponents(
+      matchPairs(s, dir)
+        .select(col("cust_a").as("doc_a"), col("cust_b").as("doc_b")),
+      assumeNormalized = true)
+    // localCheckpoint: lbl feeds both the size aggregate and the
+    // join-back; without materialization each consumer re-runs the
+    // blocked-pair join and the CC rounds.
+    val lbl = keys.join(
+        comp.select(col("node").as("c_custkey"), col("label")),
+        Seq("c_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("label"), col("c_custkey")).as("entity_id"))
+      .localCheckpoint()
+    lbl.join(lbl.groupBy("entity_id").agg(count(lit(1)).as("n_members")),
+        "entity_id")
+      .select("c_custkey", "entity_id", "n_members")
+      .orderBy("c_custkey")
+  }
+}

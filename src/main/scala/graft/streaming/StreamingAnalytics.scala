@@ -480,6 +480,87 @@ object StreamingAnalytics {
     out
   }
 
+  /** Stream-static enrichment join — the canonical "join the firehose to
+    * a dimension" deployment shape (clickstream × user table, log lines ×
+    * service registry) that completes the streaming-join surface next to
+    * the stream-STREAM interval join ([[clickAttribution]]): the static
+    * side is a bounded relation Spark re-resolves per micro-batch, and
+    * the `broadcast` hint keeps the join MAP-SIDE — the unbounded stream
+    * is never shuffled before its windowed aggregate, which is the whole
+    * point at 100 TB/day (a shuffling enrich join would re-exchange every
+    * event; the broadcast costs one dim ship per executor per batch). A
+    * dimension too large to broadcast is the documented alternative
+    * shape — pre-bucket both sides on the key — not this operator's
+    * regime. The watermark sits UPSTREAM of the join, so watermark
+    * advancement is driven by arrival (sentinels included) even when the
+    * join drops the rows.
+    *
+    * Output: exact-integer event counts per (tumbling window, enriched
+    * dimension attribute). */
+  def enrichedSegmentStats(events: DataFrame /* ts, user_id */,
+                           dim: DataFrame /* c_custkey, c_mktsegment */,
+                           windowLen: String = "1 hour",
+                           lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), windowLen), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("n"))
+
+  /** ORACLE-CHECKED stream-static enrichment: the spooled events corpus
+    * through a REAL execution of [[enrichedSegmentStats]] against the
+    * customer dimension read straight from parquet. Same two-sentinel
+    * flush protocol as [[windowStatsSpooled]]; the sentinel's user_id −1
+    * joins to no customer, so it only advances the watermark (the
+    * watermark operator sits before the join) and can never emit. */
+  def enrichSpooled(s: SparkSession, dir: String,
+                    windowLen: String = "1 hour",
+                    lateness: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-enrichspool-$runId")
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("user_id"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val latenessMs = intervalMs(lateness)
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, -1L)).toDF("ts", "user_id")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dim = graft.operators.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val name = s"graft_enrich_$runId"
+    withSpoolPartitions(s) {
+      val q = enrichedSegmentStats(stream, dim, windowLen, lateness)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // batch 1: the whole bounded corpus
+        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+        val t1 = maxTsNanos + step
+        sentinel(t1)
+        q.processAllAvailable() // watermark → past every real window end
+        sentinel(t1 + step)
+        q.processAllAvailable() // emits them
+      } finally q.stop()
+    }
+    val out = s.table(name)
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("c_mktsegment"), col("n"))
+      .orderBy("window_start_ms", "c_mktsegment")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
+
   /** Batch-mode check of the same sessionization logic (identical fold,
     * no streaming machinery) — lets the gap semantics be oracle-tested. */
   def sessionizeBatch(events: Seq[SessionEvent], gapMs: Long): Seq[SessionOut] = {

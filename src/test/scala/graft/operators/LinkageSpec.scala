@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Independent in-memory references for the record-linkage family and
+  * the SCD2 history build. */
+class LinkageSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val custs: Seq[(Long, String, Int, String)] =
+    Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private lazy val expectedPairs: Seq[(Long, Long, Long)] = (for {
+    a <- custs; b <- custs
+    if a._1 < b._1 && a._3 == b._3 && a._4 == b._4
+    d = lev(a._2, b._2)
+    if d <= 1
+  } yield (a._1, b._1, d.toLong)).sortBy(p => (p._1, p._2))
+
+  test("link_pairs: blocked thresholded-Levenshtein pairs match a full DP") {
+    val got = Linkage.blockedPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expectedPairs)
+    assert(got.nonEmpty) // the corpus must actually exercise the matcher
+  }
+
+  test("link_clusters: assignment is the transitive closure of the pairs") {
+    // union-find over the expected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    expectedPairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val keys = custs.map(_._1)
+    val label = keys.map(k => k -> find(k)).toMap
+    val sizes = label.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val expected = keys.sorted.map(k => (k, label(k), sizes(label(k))))
+
+    val got = Linkage.entityClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // non-degenerate: some real merging happened but not a giant blob
+    val nEntities = got.map(_._2).distinct.size
+    assert(nEntities < keys.size && nEntities > keys.size / 2)
+  }
+
+  test("scd2: consecutive equal values collapse; intervals chain half-open") {
+    import spark.implicits._
+    // user 1: 3.0, 3.0 (collapse), 4.0, 4.0 (collapse), 3.0 (reopens);
+    // user 2: single event -> one open version.
+    val log = Seq(
+      (1L, 10L, 3.0, 100L), (1L, 11L, 3.0, 200L), (1L, 12L, 4.0, 300L),
+      (1L, 13L, 4.0, 400L), (1L, 14L, 3.0, 500L),
+      (2L, 20L, 7.0, 50L)
+    ).toDF("user_id", "event_id", "value", "tus")
+    val got = EventAnalytics.scd2From(log).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 100L, Some(300L), 3.0),
+      (1L, 2L, 300L, Some(500L), 4.0),
+      (1L, 3L, 500L, None, 3.0),
+      (2L, 1L, 50L, None, 7.0)))
+  }
+
+  test("scd2 on the corpus: versions partition each user's event set") {
+    val hist = EventAnalytics.scd2History(spark, sf)
+    val n = Tables.events(spark, sf).count()
+    // no consecutive repeats in the synthetic corpus -> every event is a
+    // version; each user's last version (and only it) must be open
+    assert(hist.count() == n)
+    val opens = hist.filter(col("valid_to_us").isNull)
+      .groupBy("user_id").count().filter(col("count") =!= 1).count()
+    assert(opens == 0)
+  }
+}

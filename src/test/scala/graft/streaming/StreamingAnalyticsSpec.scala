@@ -410,6 +410,22 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("spooled stream-static enrich equals the batch join + window counts (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = enrichSpooled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = graft.operators.Tables.events(spark, sf)
+      .join(graft.operators.Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .select(expr("(unix_millis(ts) div 3600000) * 3600000").as("w"),
+        col("c_mktsegment"))
+      .groupBy("w", "c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("w", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("spooled dedup stream keeps exactly min(doc_id) per planted dup group") {
     import spark.implicits._
     // the real corpora have no exact-dup texts, so the hash-rank wave
