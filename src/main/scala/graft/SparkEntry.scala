@@ -54,6 +54,9 @@ object SparkEntry {
     // Custom Aggregator (typed udaf): count + exact sum + bounded top-k
     // ids in one aggregate pass.
     "q30_topk_agg" -> ((s, d) => Analytics.q30TopKAgg(s, d)),
+    // Higher-order array lambdas (transform/filter/aggregate/zip_with)
+    // over per-order line arrays — codegen expressions, one exchange.
+    "q31_higher_order" -> (Analytics.q31HigherOrder _),
     // Event-sequence analytics triad: ordered conversion funnel, weekly
     // retention cohorts, Markov transition counts — one user_id exchange
     // each (EventAnalytics scaladoc).
@@ -740,6 +743,31 @@ object SparkEntry {
         |  sum(t.d)::DOUBLE AS sum_price, any_value(kk.top_keys) AS top_keys
         |FROM t JOIN kk ON t.o_custkey = kk.o_custkey
         |GROUP BY t.o_custkey ORDER BY t.o_custkey""".stripMargin,
+    // Higher-order lambdas: DuckDB's list functions fold the same
+    // linenumber-ordered integer arrays; list_reduce needs a seed
+    // element (list_prepend 0) where Spark's aggregate takes it
+    // directly. Array contents are exact longs (cents via the shared
+    // decimal rendering), so the folds are engine-independent.
+    "q31_higher_order" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_orderkey,
+        |    list(q ORDER BY l_linenumber, q, p) AS qty_arr,
+        |    list(p ORDER BY l_linenumber, q, p) AS price_arr
+        |  FROM b GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  len(list_filter(qty_arr, x -> x > 25)) AS n_big,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), qty_arr),
+        |              (acc, x) -> acc + x) AS total_qty,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_zip(qty_arr, price_arr), x -> x[1] * x[2])),
+        |              (acc, x) -> acc + x) AS weighted_cents,
+        |  list_max(list_transform(price_arr, x -> 2 * x)) AS doubled_max_cents
+        |FROM a ORDER BY l_orderkey""".stripMargin,
     // The custom bounded-heap operator must equal the window spelling -
     // that equality IS its correctness contract (total order: price
     // DESC, orderkey ASC).

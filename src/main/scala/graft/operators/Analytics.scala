@@ -414,6 +414,42 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Higher-order array functions — the lambda surface (`transform` /
+    * `filter` / `aggregate` / `zip_with`) over per-order line arrays,
+    * all codegen Catalyst expressions (no UDF): a nested collection is
+    * built once per group and every derived statistic folds it
+    * in-place, the shape array-typed feature columns (token id lists,
+    * per-chunk scores) are processed with at 100 TB — one `l_orderkey`
+    * exchange for the collect, zero further shuffles for the lambdas.
+    *
+    * Determinism: BOTH columns ride ONE (linenumber, qty, price) struct
+    * array sorted under that total order, then project out — two
+    * independently-sorted arrays would pair different rows wherever
+    * `l_linenumber` repeats within an order (it does in this corpus:
+    * 11.8k dup groups at sf0.01), silently corrupting every positional
+    * `zip_with`. `collect_list`'s arrival order never reaches the
+    * result. Money stays exact: prices become integer CENTS via the
+    * decimal cast before any array math (a double→long cast would
+    * TRUNCATE in Spark but ROUND in DuckDB; the decimal detour is the
+    * one rendering both engines floor identically). */
+  def q31HigherOrder(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(col("l_orderkey"),
+      struct(col("l_linenumber"), col("l_quantity").cast("long").as("q"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("p")).as("qp"))
+    li.groupBy("l_orderkey")
+      .agg(expr("sort_array(collect_list(qp))").as("arr"))
+      .select(col("l_orderkey"),
+        expr("transform(arr, x -> x.q)").as("qty_arr"),
+        expr("transform(arr, x -> x.p)").as("price_arr"))
+      .select(col("l_orderkey"),
+        expr("cast(size(filter(qty_arr, x -> x > 25)) as bigint)").as("n_big"),
+        expr("aggregate(qty_arr, 0L, (acc, x) -> acc + x)").as("total_qty"),
+        expr("aggregate(zip_with(qty_arr, price_arr, (q, p) -> q * p), " +
+          "0L, (acc, x) -> acc + x)").as("weighted_cents"),
+        expr("array_max(transform(price_arr, x -> 2 * x))").as("doubled_max_cents"))
+      .orderBy("l_orderkey")
+  }
+
   /** The engine's SQL surface: the same ANSI SQL DuckDB runs as the
     * oracle executes verbatim on `spark.sql` over registered views —
     * correlated scalar subquery included (Catalyst decorrelates it into

@@ -82,6 +82,27 @@ class LinkageSpec extends SparkSpec {
       (2L, 1L, 50L, None, 7.0)))
   }
 
+  test("q31 higher-order lambdas match an independent fold (sf0.001)") {
+    val sf0 = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, sf0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (ok, ls) =>
+      // the operator's total order: (linenumber, qty, price)
+      val sorted = ls.map(t => (t._2, t._3, t._4)).sorted
+      val qty = sorted.map(_._2); val price = sorted.map(_._3)
+      (ok, qty.count(_ > 25).toLong, qty.sum,
+        qty.zip(price).map { case (q, p) => q * p }.sum, price.map(_ * 2).max)
+    }
+    val got = Analytics.q31HigherOrder(spark, sf0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
   test("scd2 on the corpus: versions partition each user's event set") {
     val hist = EventAnalytics.scd2History(spark, sf)
     val n = Tables.events(spark, sf).count()
