@@ -226,6 +226,14 @@ object SparkEntry {
     // that never shuffles the stream; real spooled execution.
     "stream_enrich" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.enrichSpooled(s, d)),
+    // EXACT streaming distinct per window via the dedup-then-count
+    // decomposition (two chained watermark-bounded stateful operators).
+    "stream_distinct" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.distinctSpooled(s, d)),
+    // Sliding (hopping) windows: each event expands map-side into its
+    // len/slide covering windows before the keyed aggregate.
+    "stream_hopping" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.hoppingSpooled(s, d)),
     // Stateful sequence matching (the CEP class): the streaming funnel's
     // per-user cursor state machine, batch-equal by construction — its
     // oracle IS events_funnel's SQL.
@@ -379,6 +387,20 @@ object SparkEntry {
         | c.c_mktsegment, count(*) AS n
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_distinct" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Hopping windows: every event belongs to two epoch-aligned 1-hour
+    // windows starting on the two 30-minute marks at or before it.
+    "stream_hopping" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS tms, event_type FROM events),
+        |x AS (SELECT unnest([(tms // 1800000) * 1800000,
+        |                     (tms // 1800000) * 1800000 - 1800000])
+        |        AS window_start_ms,
+        |       event_type FROM e)
+        |SELECT window_start_ms, event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Pinned booleans (the dedup_simhash oracle shape): the claim — the
     // streaming execution emits exactly the batch minhash pair set — is
     // computed Spark-side; recall vs brute-Jaccard truth is dedup_minhash's

@@ -480,6 +480,147 @@ object StreamingAnalytics {
     out
   }
 
+  /** EXACT per-window distinct-user counts on an unbounded stream — the
+    * dedup-then-count idiom: streaming aggregation cannot run
+    * COUNT(DISTINCT) (unbounded per-group state with no merge bound),
+    * and the usual scale answer is `approx_count_distinct`; when the
+    * count must be exact, the standard decomposition is a keyed
+    * `dropDuplicates` on (window, user) — state is one empty entry per
+    * distinct pair, EVICTED when the watermark passes the window — then
+    * a plain `count` per window. Two chained stateful operators; both
+    * keyed on the window, so the watermark bounds both states. Distinct
+    * state is O(distinct pairs in flight), the honest cost of exactness
+    * — the approx variant is one register set per window and stays the
+    * 100 TB default when ±2 % is acceptable. */
+  def windowedDistinctUsers(events: DataFrame /* ts, user_id */,
+                            windowLen: String = "1 hour",
+                            lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .select(window(col("ts"), windowLen).as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("window_start"), col("n_users"))
+
+  /** ORACLE-CHECKED streaming exact distinct: [[windowedDistinctUsers]]
+    * over the spooled events corpus, two-sentinel flush. The sentinel
+    * (user −1) lands in its own far-future window, so real windows are
+    * selected by window_start ≤ max real ts instead of by key. */
+  def distinctSpooled(s: SparkSession, dir: String,
+                      windowLen: String = "1 hour",
+                      lateness: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-distspool-$runId")
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("user_id"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val latenessMs = intervalMs(lateness)
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, -1L)).toDF("ts", "user_id")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_dist_$runId"
+    withSpoolPartitions(s) {
+      val q = windowedDistinctUsers(stream, windowLen, lateness)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+        val t1 = maxTsNanos + step
+        sentinel(t1)
+        q.processAllAvailable()
+        sentinel(t1 + step)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val out = s.table(name)
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("n_users"))
+      .filter(col("window_start_ms") <= maxTsNanos / 1000000L)
+      .orderBy("window_start_ms")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
+
+  /** Watermarked SLIDING (hopping) window counts — each event lands in
+    * windowLen/slide overlapping windows (here 2: a 1-hour window every
+    * 30 minutes), the moving-average / rolling-rate shape tumbling
+    * windows cannot express. The window expression expands each row
+    * map-side into its covering windows BEFORE the keyed aggregate, so
+    * the cost model is explicit: state and shuffle volume scale by the
+    * overlap factor — the reason production slides are a small divisor
+    * of the length, and the honest trade vs re-aggregating tumbling
+    * panes downstream. */
+  def hoppingEventStats(events: DataFrame /* ts, event_type */,
+                        windowLen: String = "1 hour",
+                        slide: String = "30 minutes",
+                        lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** ORACLE-CHECKED hopping windows: [[hoppingEventStats]] over the
+    * spooled events corpus, two-sentinel flush, sentinel rows dropped by
+    * event_type as in [[windowStatsSpooled]]. */
+  def hoppingSpooled(s: SparkSession, dir: String,
+                     windowLen: String = "1 hour",
+                     slide: String = "30 minutes",
+                     lateness: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-hopspool-$runId")
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("event_type"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val latenessMs = intervalMs(lateness)
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, "sentinel")).toDF("ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_hop_$runId"
+    withSpoolPartitions(s) {
+      val q = hoppingEventStats(stream, windowLen, slide, lateness)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+        val t1 = maxTsNanos + step
+        sentinel(t1)
+        q.processAllAvailable()
+        sentinel(t1 + step)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val out = s.table(name)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy("window_start_ms", "event_type")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
+
   /** Stream-static enrichment join — the canonical "join the firehose to
     * a dimension" deployment shape (clickstream × user table, log lines ×
     * service registry) that completes the streaming-join surface next to

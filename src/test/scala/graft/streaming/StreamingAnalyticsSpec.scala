@@ -426,6 +426,36 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("spooled exact streaming distinct equals batch count-distinct per window (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = distinctSpooled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = graft.operators.Tables.events(spark, sf)
+      .select(expr("(unix_millis(ts) div 3600000) * 3600000").as("w"),
+        col("user_id"))
+      .groupBy("w").agg(count_distinct(col("user_id")).as("n"))
+      .orderBy("w").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("spooled hopping windows equal the batch two-cover expansion (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = hoppingSpooled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = graft.operators.Tables.events(spark, sf)
+      .select(expr("(unix_millis(ts) div 1800000) * 1800000").as("s0"),
+        col("event_type"))
+      .select(explode(array(col("s0"), col("s0") - 1800000L)).as("w"),
+        col("event_type"))
+      .groupBy("w", "event_type").agg(count(lit(1)).as("n"))
+      .orderBy("w", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("spooled dedup stream keeps exactly min(doc_id) per planted dup group") {
     import spark.implicits._
     // the real corpora have no exact-dup texts, so the hash-rank wave
