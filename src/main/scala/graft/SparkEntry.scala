@@ -57,6 +57,11 @@ object SparkEntry {
     // Higher-order array lambdas (transform/filter/aggregate/zip_with)
     // over per-order line arrays — codegen expressions, one exchange.
     "q31_higher_order" -> (Analytics.q31HigherOrder _),
+    // The SAME top-k as q29 spelled declaratively (row_number <= k) and
+    // rewritten by the custom optimizer Rule into the bounded-heap plan
+    // (plans.TopKWindowRewrite) — the Rule[LogicalPlan] rung of the
+    // extension ladder.
+    "q32_topk_rewrite" -> ((s, d) => Analytics.q32TopKRewrite(s, d)),
     // Event-sequence analytics triad: ordered conversion funnel, weekly
     // retention cohorts, Markov transition counts — one user_id exchange
     // each (EventAnalytics scaladoc).
@@ -794,6 +799,18 @@ object SparkEntry {
     // that equality IS its correctness contract (total order: price
     // DESC, orderkey ASC).
     "q29_topk_per_key" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        |  FROM orders),
+        |r AS (SELECT o_custkey, o_orderkey, totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY totalprice DESC, o_orderkey) AS rk
+        |  FROM t)
+        |SELECT o_custkey, o_orderkey, totalprice, rk::BIGINT AS rk
+        |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    // The declarative spelling rewritten by the optimizer rule must give
+    // the exact window answer — one SQL pins both plans.
+    "q32_topk_rewrite" ->
       """WITH t AS (SELECT o_custkey, o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
         |  FROM orders),

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-plan extensions (the DataFrame entry points also register
     // these per-session, so plain sessions work without this config).
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // Declarative row_number()<=k spelling → bounded-heap child.
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }
 

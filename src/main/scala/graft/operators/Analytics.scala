@@ -394,6 +394,37 @@ object Analytics {
       .orderBy("o_custkey", "rk")
   }
 
+  /** The DECLARATIVE top-k spelling — plain
+    * `row_number().over(...) <= k`, no custom API — executed through the
+    * [[graft.plans.TopKWindowRewrite]] optimizer rule, which rewrites
+    * the Filter+Window pattern to run over the bounded-heap
+    * [[graft.plans.TopKPerKey]] child. Same answer as [[q29TopKPerKey]]
+    * (same oracle SQL pins both); PlanShapeSpec asserts the rewrite
+    * actually fired (TopKPerKeyExec present in the physical plan). This
+    * is the extension ladder's missing rung made first-class: users keep
+    * the idiomatic window spelling and the session's optimizer swaps the
+    * physical scheme. */
+  def q32TopKRewrite(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // Child session: the rule is semantics-preserving, but installing it
+    // on the CALLER's session would silently re-plan every later
+    // row_number<=k query in the suite depending on execution order —
+    // plan selection must not be an order-dependent side effect of
+    // having run this query. A production deployment that wants it
+    // everywhere opts in via spark.sql.extensions (GraftExtensions).
+    val s2 = s.newSession()
+    graft.plans.TopKPerKey.installRewrite(s2)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+    orders(s2, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("totalprice"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("o_custkey", "rk")
+  }
+
   /** Per-customer order stats WITH the bounded top-k ids, all in ONE
     * aggregate pass — the composition the custom
     * [[graft.functions.TopKKeysAgg]] aggregate exists for (its scaladoc

@@ -57,6 +57,19 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 }
 
 object TopKPerKey {
+  /** Register the planner strategy AND the window-rewrite optimizer rule
+    * on a live session (idempotently) — after this, the DECLARATIVE
+    * `row_number() <= k` spelling plans as the bounded-heap operator
+    * with no API change ([[TopKWindowRewrite]]). */
+  def installRewrite(s: org.apache.spark.sql.SparkSession): Unit = {
+    if (!s.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ TopKPerKeyStrategy
+    if (!s.experimental.extraOptimizations.contains(TopKWindowRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ TopKWindowRewrite
+  }
+
   /** Public entry: `topKPerKey(df, keys, order, k)` — registers the
     * strategy on the DataFrame's session (idempotently), so plain
     * sessions work without `spark.sql.extensions` configuration. */

@@ -82,4 +82,48 @@ class TopKPerKeySpec extends SparkSpec {
     assert(Seq(finalIdx, exchangeIdx, partialIdx).forall(_ >= 0), plan)
     assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, plan)
   }
+
+  // The rewrite tests run on a CHILD session (the q32 entry point's own
+  // isolation rule): installing on the shared spec session would
+  // re-plan every later suite's row_number<=k query as a side effect of
+  // suite ordering.
+  test("optimizer rewrite: row_number<=k plans as the heap, answer unchanged") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    TopKPerKey.installRewrite(s2)
+    val df = (1L to 200L).map(i => (i, i % 7, (i * 37 % 101).toDouble))
+      .toDF("id", "key", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("v").desc, col("id").asc)
+    val declarative = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+    val plan = declarative.queryExecution.executedPlan.toString
+    // the heap pair replaced the sort-based WindowGroupLimit entirely
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    val got = declarative.select("id", "key", "v", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val expect = (1L to 200L).map(i => (i, i % 7, (i * 37 % 101).toDouble))
+      .groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._1)).take(3).zipWithIndex
+          .map { case ((id, k2, v), j) => (id, k2, v, j + 1) }
+      }.toSet
+    assert(got == expect)
+  }
+
+  test("optimizer rewrite guards: rank() and unfiltered windows untouched") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    TopKPerKey.installRewrite(s2)
+    val df = (1L to 50L).map(i => (i, i % 3, i.toDouble)).toDF("id", "key", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("v").desc)
+    // rank() admits > k rows on ties: the heap is unsound, must not fire
+    val ranked = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // no rank filter at all: nothing to bound, must not fire
+    val plain = df.withColumn("rk", row_number().over(w))
+    assert(!plain.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
 }
