@@ -62,6 +62,13 @@ object SparkEntry {
     // (plans.TopKWindowRewrite) — the Rule[LogicalPlan] rung of the
     // extension ladder.
     "q32_topk_rewrite" -> ((s, d) => Analytics.q32TopKRewrite(s, d)),
+    // Time-series gap fill: continuous month spine × dimension values,
+    // absent combinations as explicit zeros.
+    "ts_densify" -> (Analytics.densifyMonthly _),
+    // Batch CDC MERGE (Delta-style upsert/delete on plain DataFrames):
+    // settled current state absorbs the increment's last event per user
+    // under matched-update / matched-delete / not-matched-insert.
+    "cdc_merge" -> (EventAnalytics.cdcMerge _),
     // Event-sequence analytics triad: ordered conversion funnel, weekly
     // retention cohorts, Markov transition counts — one user_id exchange
     // each (EventAnalytics scaladoc).
@@ -998,6 +1005,39 @@ object SparkEntry {
         |                  ORDER BY tus, event_id) AS valid_to_us,
         |  value
         |FROM v ORDER BY user_id, version_no""".stripMargin,
+    "ts_densify" ->
+      """WITH o AS (SELECT date_trunc('month', o_orderdate) AS m,
+        |                 o_orderpriority FROM orders),
+        |span AS (SELECT min(m) AS mn, max(m) AS mx FROM o),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS m
+        |          FROM span),
+        |dims AS (SELECT DISTINCT o_orderpriority FROM o),
+        |c AS (SELECT m, o_orderpriority, count(*) AS n FROM o GROUP BY 1, 2)
+        |SELECT epoch_ms(s.m) AS month_ms, d.o_orderpriority AS priority,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM spine s CROSS JOIN dims d
+        |LEFT JOIN c ON c.m = s.m AND c.o_orderpriority = d.o_orderpriority
+        |ORDER BY month_ms, priority""".stripMargin,
+    // MERGE: both sides reduce to last-event-per-user under the same
+    // (tus DESC, event_id DESC) order; FULL OUTER + the three actions.
+    "cdc_merge" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |                 epoch_us(ts) AS tus FROM events),
+        |t AS (SELECT user_id, value AS t_value FROM (
+        |   SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |     ORDER BY tus DESC, event_id DESC) AS rn
+        |   FROM e WHERE event_id % 10 <> 0) WHERE rn = 1),
+        |s AS (SELECT user_id, event_type AS s_type, value AS s_value FROM (
+        |   SELECT user_id, event_type, value, row_number() OVER (
+        |     PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+        |   FROM e WHERE event_id % 10 = 0) WHERE rn = 1)
+        |SELECT user_id, coalesce(s_value, t_value) AS value,
+        |  CASE WHEN s_value IS NULL THEN 'kept'
+        |       WHEN t_value IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS action
+        |FROM t FULL OUTER JOIN s USING (user_id)
+        |WHERE s_type IS NULL OR s_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     // Record linkage: DuckDB's levenshtein is the exact (unthresholded)
     // distance; the Spark side's thresholded kernel returns the same
     // value on every pair it keeps.

@@ -481,6 +481,33 @@ object Analytics {
       .orderBy("l_orderkey")
   }
 
+  /** Time-series densification (gap fill): monthly order counts per
+    * priority over a CONTINUOUS month spine — absent (month, priority)
+    * combinations appear as explicit zeros, which is what separates "no
+    * orders that month" from "month missing" for any downstream
+    * trend/seasonality consumer (the same reason the empty-table rule
+    * makes [[Profiling.columnProfile]] emit all-zero rows). The spine is
+    * `sequence(min, max, interval 1 month)` exploded from the 1-row span
+    * aggregate and cross-joined with the distinct dimension values —
+    * both CONTROL-PLANE sized (months in span × |priorities|), so the
+    * cross join is not a data-plane product; the data-plane cost stays
+    * the one keyed aggregate over orders, and the left join that
+    * attaches counts broadcasts the spine side. */
+  def densifyMonthly(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(
+      date_trunc("month", col("o_orderdate")).as("m"), col("o_orderpriority"))
+    val counts = o.groupBy("m", "o_orderpriority").agg(count(lit(1)).as("n"))
+    val spine = o.agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 month)")).as("m"))
+    val dims = o.select("o_orderpriority").distinct()
+    spine.crossJoin(dims)
+      .join(counts, Seq("m", "o_orderpriority"), "left")
+      .select(unix_millis(col("m")).as("month_ms"),
+        col("o_orderpriority").as("priority"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("month_ms", "priority")
+  }
+
   /** The engine's SQL surface: the same ANSI SQL DuckDB runs as the
     * oracle executes verbatim on `spark.sql` over registered views —
     * correlated scalar subquery included (Catalyst decorrelates it into

@@ -163,6 +163,57 @@ object EventAnalytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Batch CDC MERGE — the Delta/Iceberg `MERGE INTO` semantics
+    * expressed on plain DataFrames: a settled current-state table
+    * (last value per user over the settled event split, the repo's
+    * standard `% 10 != 0`) absorbs a change batch (the `% 10 == 0`
+    * increment, reduced to its last event per user) under the three
+    * canonical actions —
+    *
+    *  - matched + change's final event is an `error` → DELETE,
+    *  - matched otherwise → UPDATE to the change's value,
+    *  - not matched (new user) → INSERT (unless the lone change is an
+    *    `error`, which deletes a row that never existed — a no-op, the
+    *    MERGE edge case implementations get wrong most often).
+    *
+    * Output carries the action taken (`kept`/`updated`/`inserted`) so
+    * the row provenance is auditable. Plan shape: each side reduces to
+    * one row per user WITH its own user_id exchange, then a full-outer
+    * join on the SAME key — Catalyst reuses the aggregates'
+    * partitioning, so the join adds no third exchange; at 100 TB the
+    * cost is the two aggregations (the change side's tracking batch
+    * size, not corpus size). */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame =
+    cdcMergeFrom(events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"), unix_micros(col("ts")).as("tus")))
+
+  /** [[cdcMerge]] over an explicit (user_id, event_id, event_type,
+    * value, tus) log — exposed so the spec can pin each MERGE action
+    * (incl. the delete-of-nonexistent no-op) on crafted rows. */
+  private[graft] def cdcMergeFrom(e: DataFrame): DataFrame = {
+    def lastPerUser(side: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tus").desc, col("event_id").desc)
+      side.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("value"))
+    }
+    val target = lastPerUser(e.filter(col("event_id") % 10 =!= 0))
+      .select(col("user_id"), col("value").as("t_value"))
+    val source = lastPerUser(e.filter(col("event_id") % 10 === 0))
+      .select(col("user_id"), col("event_type").as("s_type"),
+        col("value").as("s_value"))
+    target.join(source, Seq("user_id"), "full_outer")
+      // DELETE; explicit null-arm — a bare !(s_type = 'error') is NULL
+      // (so dropped) on every target-only row
+      .filter(col("s_type").isNull || col("s_type") =!= "error")
+      .select(col("user_id"),
+        coalesce(col("s_value"), col("t_value")).as("value"),
+        when(col("s_value").isNull, "kept")
+          .when(col("t_value").isNull, "inserted")
+          .otherwise("updated").as("action"))
+      .orderBy("user_id")
+  }
+
   /** Slowly-changing-dimension type-2 history build from a change
     * stream — the warehouse-side dimension-versioning operator
     * ([[graft.streaming.StreamingAnalytics]]'s `upsertSpooled` keeps only

@@ -103,6 +103,49 @@ class LinkageSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("cdc merge: update, delete, insert, keep, and delete-nonexistent no-op") {
+    import spark.implicits._
+    // settled events: event_id % 10 != 0; changes: % 10 == 0.
+    // u1: settled 1.0, change 2.0         -> updated
+    // u2: settled 1.0, change error       -> deleted (absent)
+    // u3: change-only 7.0                 -> inserted
+    // u4: settled-only 4.0                -> kept
+    // u5: change-only error               -> no-op (absent, never existed)
+    // u6: settled 1.0; changes 9.0 then error LAST -> deleted
+    val log = Seq(
+      (1L, 11L, "view", 1.0, 100L), (1L, 20L, "click", 2.0, 200L),
+      (2L, 21L, "view", 1.0, 100L), (2L, 30L, "error", 0.0, 200L),
+      (3L, 40L, "view", 7.0, 100L),
+      (4L, 41L, "view", 4.0, 100L),
+      (5L, 50L, "error", 0.0, 100L),
+      (6L, 61L, "view", 1.0, 100L), (6L, 60L, "click", 9.0, 200L),
+      (6L, 70L, "error", 0.0, 300L)
+    ).toDF("user_id", "event_id", "event_type", "value", "tus")
+    val got = EventAnalytics.cdcMergeFrom(log).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 2.0, "updated"), (3L, 7.0, "inserted"),
+      (4L, 4.0, "kept")))
+  }
+
+  test("ts_densify: gap months appear as explicit zeros, span is continuous") {
+    val got = Analytics.densifyMonthly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val months = got.map(_._1).distinct.sorted
+    // continuous monthly spine: every consecutive pair is 1 calendar month
+    months.sliding(2).foreach { case Seq(a, b) =>
+      val d = java.time.Instant.ofEpochMilli(a).atZone(java.time.ZoneOffset.UTC)
+      assert(d.plusMonths(1).toInstant.toEpochMilli == b, s"$a -> $b")
+    case _ => ()
+    }
+    // every (month, priority) combination present exactly once
+    val prios = got.map(_._2).distinct
+    assert(got.size == months.size * prios.size)
+    assert(got.map(t => (t._1, t._2)).distinct.size == got.size)
+    // totals must reconcile with the raw table (zero-fill adds nothing)
+    val totalOrders = Tables.orders(spark, sf).count()
+    assert(got.map(_._3).sum == totalOrders)
+  }
+
   test("scd2 on the corpus: versions partition each user's event set") {
     val hist = EventAnalytics.scd2History(spark, sf)
     val n = Tables.events(spark, sf).count()
