@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 136-query suite generates thousands of whole-stage-codegen classes;
+  // the JDK default 240 MB JIT code cache fills mid-suite, after which
+  // hot loops run interpreted / flush-churn — the mechanism behind
+  // compute-bound rows timing 3-5x their standalone bands ONLY inside
+  // the long suite JVM (rounds 7-8). Size it so the suite never hits the
+  // ceiling; harmless for short runs (reserved, not committed).
+  "-XX:ReservedCodeCacheSize=1g",
 )

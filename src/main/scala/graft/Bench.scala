@@ -108,6 +108,11 @@ object Bench {
     selected.foreach { case (n, fn) => timeOnce(n, fn); dropCheckpoints() }
     selectedRaw.foreach { case (n, fn) => timeOnce(n, fn); dropCheckpoints() }
     errors.clear() // warm-up errors re-surface in the timed pass
+    // Baseline sample BEFORE the timed pass: warm-up leaves RSS residue
+    // glibc never returns to the OS (r8's misleading 22.5 GB first
+    // sample), so the memory series needs a row 0 to subtract — growth
+    // DURING the timed pass is the signal, the starting level is not.
+    sweep("__pre_timed_baseline__")
     val results = selected.map { case (name, fn) => name -> median(name, fn) }
     val rawResults = selectedRaw.map { case (name, fn) =>
       s"${name}_raw" -> median(s"${name}_raw", fn) }

@@ -102,7 +102,10 @@ object SparkEntry {
     // parquet, pinning full fidelity through the interchange loop.
     "ingest_jsonl"    -> ((s, d) => DocPipeline.jsonlRoundTrip(s, d)),
     "curate_pipeline" -> ((s, d) => DocPipeline.curatePipeline(s, d)),
-    "dedup_exact"     -> (Dedup.exact _),
+    // Registered on the 8-byte-hash spelling — the plan you'd run at
+    // 100 TB (the shuffle carries xxhash64 keys, not document bodies);
+    // OperatorsSpec pins it equal to the group-by-text twin.
+    "dedup_exact"     -> (Dedup.exactByHash _),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalPairs(s, d)),
     // Same semantics against the PERSISTED settled-corpus artifacts

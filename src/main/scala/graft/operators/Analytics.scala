@@ -399,9 +399,11 @@ object Analytics {
     * [[graft.plans.TopKWindowRewrite]] optimizer rule, which rewrites
     * the Filter+Window pattern to run over the bounded-heap
     * [[graft.plans.TopKPerKey]] child. Same answer as [[q29TopKPerKey]]
-    * (same oracle SQL pins both); PlanShapeSpec asserts the rewrite
-    * actually fired (TopKPerKeyExec present in the physical plan). This
-    * is the extension ladder's missing rung made first-class: users keep
+    * (same oracle SQL pins both); TopKPerKeySpec asserts THIS query's
+    * own physical plan carries TopKPerKey and no WindowGroupLimit, so a
+    * silent pattern-match regression (the window spelling would still
+    * give the right answer) fails a test instead of going unnoticed.
+    * This is the extension ladder's missing rung made first-class: users keep
     * the idiomatic window spelling and the session's optimizer swaps the
     * physical scheme. */
   def q32TopKRewrite(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
@@ -449,9 +451,10 @@ object Analytics {
     * `filter` / `aggregate` / `zip_with`) over per-order line arrays,
     * all codegen Catalyst expressions (no UDF): a nested collection is
     * built once per group and every derived statistic folds it
-    * in-place, the shape array-typed feature columns (token id lists,
-    * per-chunk scores) are processed with at 100 TB — one `l_orderkey`
-    * exchange for the collect, zero further shuffles for the lambdas.
+    * in-place — the shape in which array-typed feature columns (token
+    * id lists, per-chunk scores) are processed at 100 TB. One
+    * `l_orderkey` exchange for the collect, zero further shuffles for
+    * the lambdas.
     *
     * Determinism: BOTH columns ride ONE (linenumber, qty, price) struct
     * array sorted under that total order, then project out — two

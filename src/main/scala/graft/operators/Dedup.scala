@@ -16,9 +16,10 @@ object Dedup {
   import Tables.documents
 
   /** Exact dedup (hash-groupBy on content): one row per distinct text with
-    * the surviving (minimum) doc_id and the duplicate count. At scale,
-    * group on xxhash64(text) first and only compare full text within hash
-    * groups; here text is small so grouping on it directly is one shuffle. */
+    * the surviving (minimum) doc_id and the duplicate count. This is the
+    * REFERENCE spelling (shuffles full text) kept as the spec twin;
+    * [[exactByHash]] — 8-byte shuffle keys — is what the registry serves,
+    * because that is the plan you'd run at 100 TB. */
   def exact(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .groupBy("text")

@@ -229,34 +229,60 @@ object TextAnalysis {
     * ARE the site chrome / license headers / templates the cut will
     * remove.
     *
-    * Unlike the dedup_substr report (which shuffles 8-byte gram HASHES
-    * because it never outputs gram text), this report needs the strings,
-    * so the count shuffle is keyed on the L-byte gram itself — map-side
-    * partial aggregation compresses each partition to its distinct
-    * grams before the exchange, and the single-distinct doc count rides
-    * Spark's expand rewrite in the same aggregate (the
-    * [[graft.operators.Multimodal.dupFrames]] precedent). Top-k is
-    * TakeOrdered, never a global sort; the rank window runs over the k
-    * survivors. Same explode-then-O(L)-projection generation and
-    * explicit-parallelism repartition as [[graft.operators.Dedup]]'s
-    * anchor relation. */
+    * Scale shape — the dedup_substr hash-gram pattern, not a gram-text
+    * shuffle: the counting exchange is keyed on `xxhash64(gram)` (8-byte
+    * keys; the gram expansion is ~L× corpus bytes, so shuffling L-byte
+    * strings is ~7× the exchange volume at any scale). Gram TEXT moves
+    * only for the survivors: the k-th largest `n_occ` among duplicated
+    * hashes (one TakeOrdered over 8-byte rows → a 1-row collect) is the
+    * admission threshold; every hash at-or-above it — k plus boundary
+    * ties, so the exact (n_occ desc, gram asc) order is preserved — is
+    * broadcast back into a second gram pass that recovers the string
+    * map-side. The single-distinct doc count rides Spark's expand
+    * rewrite inside the hash aggregate (the
+    * [[graft.operators.Multimodal.dupFrames]] precedent); the rank
+    * window runs over the k survivors only. Same
+    * explode-then-O(L)-projection generation and explicit-parallelism
+    * repartition as [[graft.operators.Dedup]]'s anchor relation. */
   def boilerplate(s: SparkSession, dir: String, L: Int = 40,
                   k: Int = 20): DataFrame = {
-    val grams = documents(s, dir)
+    import org.apache.spark.storage.StorageLevel
+    val base = documents(s, dir)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .where(col("len") >= L)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    def gramPass(cols: Column*): DataFrame = base
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), col("len") - L)).as("p"))
       .select(col("doc_id"), col("text").substr(col("p") + 1, lit(L)).as("gram"))
-    val w = Window.orderBy(col("n_occ").desc, col("gram"))
-    grams.groupBy("gram")
+      .select(cols: _*)
+    val counts = gramPass(xxhash64(col("gram")).as("h"), col("doc_id"))
+      .groupBy("h")
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
       .where(col("n_occ") >= 2)
-      .orderBy(col("n_occ").desc, col("gram")).limit(k)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .select("rk", "gram", "n_occ", "n_docs")
-      .orderBy("rk")
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: threshold + survivor cut
+    try {
+      val kth = counts.orderBy(col("n_occ").desc).limit(k)
+        .agg(min("n_occ").as("t")).collect() // 1 row — control-plane
+      if (kth.isEmpty || kth.head.isNullAt(0))
+        return counts.sparkSession.emptyDataFrame
+          .select(lit(0L).as("rk"), lit("").as("gram"),
+            lit(0L).as("n_occ"), lit(0L).as("n_docs")).where(lit(false))
+      // Eagerly materialized (k + boundary ties rows) so the returned —
+      // still lazy — plan never recomputes the counts aggregate after
+      // the unpersist below.
+      val survivors = counts.where(col("n_occ") >= kth.head.getLong(0))
+        .localCheckpoint()
+      val w = Window.orderBy(col("n_occ").desc, col("gram"))
+      gramPass(col("gram"))
+        .join(broadcast(survivors), xxhash64(col("gram")) === col("h"))
+        .groupBy("h", "n_occ", "n_docs")
+        .agg(min("gram").as("gram")) // one gram per hash (64-bit, no collisions expected)
+        .orderBy(col("n_occ").desc, col("gram")).limit(k)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select("rk", "gram", "n_occ", "n_docs")
+        .orderBy("rk")
+    } finally { counts.unpersist(); () }
   }
 
   /** Corpus vocabulary heavy hitters: the `k` most frequent tokens with

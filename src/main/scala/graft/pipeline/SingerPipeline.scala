@@ -58,8 +58,25 @@ object SingerPipeline {
           clock: () => String = Naming.defaultTimestamp _): IngestResult = {
     import spark.implicits._
 
-    val lines = spark.read.textFile(inputPath).toDF("value")
+    val raw = spark.read.textFile(inputPath).toDF("value")
       .withColumn("idx", monotonically_increasing_id())
+    // Compute-bound-expansion rule (the dedup_substr / Profiling
+    // precedent): downstream work per line (from_json of the record
+    // payload, constraint predicates, flatten, parquet encode) is far
+    // heavier than the text scan, so parallelism must track CORES, not
+    // input splits. A tap's output often arrives as ONE spooled file —
+    // one split — which would run the whole pipeline as a single task.
+    // idx is projected BELOW the exchange (on the ordered scan
+    // partitions), so its file-order monotonicity survives the
+    // round-robin; every consumer is order-independent given idx.
+    // When the input already has >= defaultParallelism splits (any real
+    // multi-file corpus — and any 100 TB one), this is a no-op: no
+    // shuffle of raw input bytes is ever added at scale.
+    val scanParts = raw.rdd.getNumPartitions
+    val lines =
+      if (scanParts < spark.sparkContext.defaultParallelism)
+        raw.repartition(spark.sparkContext.defaultParallelism)
+      else raw
 
     // Envelope dispatch (P2) via codegen'd JSON path extraction — the full
     // record payload is NOT parsed here.

@@ -38,19 +38,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `graft.functions.GraftExtensions`. */
 object TopKWindowRewrite extends Rule[LogicalPlan] {
 
-  /** The literal k bound on `rnExpr` in one conjunct of `cond`, if any:
-    * `rn <= k` or `rn < k+1`. */
+  /** The TIGHTEST literal k bound on `rn` across the conjuncts of
+    * `cond`: for `rn <= 5 AND rn <= 2` the heap must hold 2 per key,
+    * not whichever conjunct happens first — the minimum is what bounds
+    * the output, and sizing to it also lets the WindowGroupLimit strip
+    * below fire (its `limit >= k` guard fails against a looser k). */
   private def rankBound(cond: Expression, rn: AttributeReference): Option[Int] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    conjuncts(cond).collectFirst {
+    conjuncts(cond).collect {
       case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k))
         if a.exprId == rn.exprId => k
       case LessThan(a: AttributeReference, IntegerLiteral(k))
         if a.exprId == rn.exprId => k - 1
-    }.filter(_ >= 1)
+    }.minOption.filter(_ >= 1)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {

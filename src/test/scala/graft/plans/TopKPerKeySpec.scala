@@ -112,6 +112,38 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q32's own executed plan carries the heap, not WindowGroupLimit (sf0.001)") {
+    // Pins the ENTRY POINT's plan shape, not a synthetic lookalike: a
+    // pattern-match regression in the rewrite would leave q32 running
+    // the (same-answer) window spelling and nothing else would notice.
+    val df = graft.operators.Analytics.q32TopKRewrite(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    assert(df.count() > 0)
+  }
+
+  test("optimizer rewrite: multiple rank conjuncts heap the MINIMUM bound") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    TopKPerKey.installRewrite(s2)
+    val df = (1L to 120L).map(i => (i, i % 4, i.toDouble)).toDF("id", "key", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("v").desc, col("id").asc)
+    val declarative = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5 && col("rk") <= 2)
+    val plan = declarative.queryExecution.executedPlan.toString
+    // heap sized to the tight bound (k=2), and because the heap bound now
+    // matches, the redundant sort-based WindowGroupLimit is stripped too
+    assert(plan.contains("TopKPerKey") && plan.contains(", 2, "), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    val got = declarative.select("id", "key")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (1L to 120L).map(i => (i, i % 4)).groupBy(_._2)
+      .flatMap { case (_, rs) => rs.sortBy(-_._1).take(2) }.toSet
+    assert(got == expect)
+  }
+
   test("optimizer rewrite guards: rank() and unfiltered windows untouched") {
     val s2 = spark.newSession()
     import s2.implicits._
