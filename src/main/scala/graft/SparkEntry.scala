@@ -1704,8 +1704,10 @@ object SparkEntry {
     // sees a PNG, so agreement proves the encode->store->decode loop.
     // Audio rows: same for the DECODED WAV frames,
     // v(i) = 32 + ((7i + doc_id) % 64) over n = 32 + doc_id % 41
-    // samples. Video rows: payload = UTF-8 text (pure ASCII in this
-    // corpus, so char stats ARE byte stats).
+    // samples. Video rows: same for the DECODED GVID frame rasters —
+    // frame f of asset id has scene scn = (id + 17f) % 48, dims
+    // (4 + scn%5, 3 + scn%4), v(x,y) = 32 + ((x + 2y + 5·scn) % 64);
+    // stats fold over all frames, width = frame count, height = 1.
     "multimodal_features" ->
       """WITH g AS (SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
         |           FROM documents WHERE doc_id % 3 = 0),
@@ -1721,51 +1723,64 @@ object SparkEntry {
         |          FROM documents WHERE doc_id % 3 = 1)),
         |astats AS (SELECT doc_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
         |            min(v) AS mn, max(v) AS mx FROM apx GROUP BY doc_id),
-        |tpx AS (SELECT doc_id, ascii(c) AS v FROM
-        |         (SELECT doc_id, unnest(string_split(text, '')) AS c
-        |          FROM documents WHERE doc_id % 3 = 2)),
-        |tstats AS (SELECT doc_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
-        |            min(v) AS mn, max(v) AS mx FROM tpx GROUP BY doc_id)
+        |vfr AS (SELECT doc_id, unnest(range(0, 4 + doc_id % 9)) AS f
+        |        FROM documents WHERE doc_id % 3 = 2),
+        |vs1 AS (SELECT doc_id, f, (doc_id + 17 * f) % 48 AS scn FROM vfr),
+        |vxs AS (SELECT doc_id, f, scn, 3 + scn % 4 AS h,
+        |         unnest(range(0, 4 + scn % 5)) AS x FROM vs1),
+        |vpx AS (SELECT doc_id, f, scn, x, 32 + ((x + 2 * y + 5 * scn) % 64) AS v
+        |        FROM (SELECT doc_id, f, scn, x, unnest(range(0, h)) AS y FROM vxs)),
+        |vstats AS (SELECT doc_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |            min(v) AS mn, max(v) AS mx FROM vpx GROUP BY doc_id)
         |SELECT d.doc_id AS asset_id,
         | CASE WHEN d.doc_id % 3 = 0 THEN 'image'
         |      WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
         | CAST(CASE WHEN d.doc_id % 3 = 0 THEN 4 + (d.doc_id % 13)
         |      WHEN d.doc_id % 3 = 1 THEN 32 + (d.doc_id % 41)
-        |      ELSE d.n_chars % 640 END AS INTEGER) AS width,
+        |      ELSE 4 + (d.doc_id % 9) END AS INTEGER) AS width,
         | CAST(CASE WHEN d.doc_id % 3 = 0 THEN 3 + (d.doc_id % 7)
-        |      WHEN d.doc_id % 3 = 1 THEN 1
-        |      ELSE d.n_chars % 480 END AS INTEGER) AS height,
-        | COALESCE(i.n, a.n, t.n) AS n_bytes,
-        | COALESCE(i.s, a.s, t.s) AS px_sum,
-        | CAST(COALESCE(i.mn, a.mn, t.mn) AS INTEGER) AS px_min,
-        | CAST(COALESCE(i.mx, a.mx, t.mx) AS INTEGER) AS px_max
+        |      ELSE 1 END AS INTEGER) AS height,
+        | COALESCE(i.n, a.n, v.n) AS n_bytes,
+        | COALESCE(i.s, a.s, v.s) AS px_sum,
+        | CAST(COALESCE(i.mn, a.mn, v.mn) AS INTEGER) AS px_min,
+        | CAST(COALESCE(i.mx, a.mx, v.mx) AS INTEGER) AS px_max
         |FROM documents d
         |LEFT JOIN istats i ON i.doc_id = d.doc_id
         |LEFT JOIN astats a ON a.doc_id = d.doc_id
-        |LEFT JOIN tstats t ON t.doc_id = d.doc_id
+        |LEFT JOIN vstats v ON v.doc_id = d.doc_id
         |ORDER BY asset_id""".stripMargin,
+    // The oracle re-derives each SAMPLED frame's decoded raster (scene
+    // formula, row-major chr() string) and hashes it — never seeing a
+    // GVID container or a PNG, so agreement pins the container parse,
+    // the per-frame PNG decode and the stride skip end to end.
     "multimodal_frames" ->
-      """WITH v AS (
-        | SELECT doc_id AS asset_id, text,
-        |        CAST(ceil(length(text) / 64.0) AS BIGINT) AS nf
-        | FROM documents WHERE doc_id % 3 = 2)
-        |SELECT asset_id, frame_idx,
-        | sha256(substring(text, CAST(frame_idx*64+1 AS INT), 64)) AS frame_sha
-        |FROM (SELECT asset_id, text,
-        |      unnest(range(0, greatest(nf-1, 0)+1, 4)) AS frame_idx FROM v)
+      """WITH v AS (SELECT doc_id AS asset_id,
+        |            unnest(range(0, 4 + doc_id % 9, 4)) AS f
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |s1 AS (SELECT asset_id, f, (asset_id + 17 * f) % 48 AS scn FROM v),
+        |xs AS (SELECT asset_id, f, scn, 3 + scn % 4 AS h,
+        |        unnest(range(0, 4 + scn % 5)) AS x FROM s1),
+        |px AS (SELECT asset_id, f, scn, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT asset_id, f AS frame_idx,
+        | sha256(string_agg(chr(CAST(32 + ((x + 2 * y + 5 * scn) % 64) AS INTEGER)),
+        |                   '' ORDER BY y, x)) AS frame_sha
+        |FROM px GROUP BY asset_id, f
         |ORDER BY asset_id, frame_idx""".stripMargin,
     "multimodal_dupframes" ->
-      """WITH v AS (
-        | SELECT doc_id AS asset_id, text,
-        |        CAST(ceil(length(text) / 64.0) AS BIGINT) AS nf
-        | FROM documents WHERE doc_id % 3 = 2),
-        |f AS (SELECT asset_id,
-        |       sha256(substring(text, CAST(frame_idx*64+1 AS INT), 64)) AS frame_sha
-        |      FROM (SELECT asset_id, text,
-        |            unnest(range(0, greatest(nf-1, 0)+1, 4)) AS frame_idx FROM v))
+      """WITH v AS (SELECT doc_id AS asset_id,
+        |            unnest(range(0, 4 + doc_id % 9, 4)) AS f
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |s1 AS (SELECT asset_id, f, (asset_id + 17 * f) % 48 AS scn FROM v),
+        |xs AS (SELECT asset_id, f, scn, 3 + scn % 4 AS h,
+        |        unnest(range(0, 4 + scn % 5)) AS x FROM s1),
+        |px AS (SELECT asset_id, f, scn, x, unnest(range(0, h)) AS y FROM xs),
+        |fr AS (SELECT asset_id,
+        |        sha256(string_agg(chr(CAST(32 + ((x + 2 * y + 5 * scn) % 64) AS INTEGER)),
+        |                          '' ORDER BY y, x)) AS frame_sha
+        |       FROM px GROUP BY asset_id, f)
         |SELECT frame_sha, count(DISTINCT asset_id) AS n_assets,
         |       count(*) AS n_frames
-        |FROM f GROUP BY frame_sha HAVING count(DISTINCT asset_id) >= 2
+        |FROM fr GROUP BY frame_sha HAVING count(DISTINCT asset_id) >= 2
         |ORDER BY frame_sha""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
@@ -2021,8 +2036,8 @@ object SparkEntry {
     // Image/audio rows: n_bytes/sha/width are of the DECODED content
     // (raster in row-major (y, x) order / PCM frames in sample order),
     // which the oracle rebuilds as a byte string with chr()/string_agg
-    // and hashes — the PNG and WAV round-trip pins. Video: raw payload
-    // (= the text).
+    // and hashes — the PNG, WAV and GVID round-trip pins. Video: the
+    // concatenated decoded frame rasters in (frame, row, col) order.
     "multimodal_resize" ->
       """WITH g AS (SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
         |           FROM documents WHERE doc_id % 3 = 0),
@@ -2052,22 +2067,33 @@ object SparkEntry {
         |                            '' ORDER BY i)) AS sha
         |         FROM (SELECT doc_id, unnest(range(0, 32 + doc_id % 41)) AS i
         |               FROM documents WHERE doc_id % 3 = 1)
-        |         GROUP BY doc_id)
+        |         GROUP BY doc_id),
+        |vfr AS (SELECT doc_id, unnest(range(0, 4 + doc_id % 9)) AS f
+        |        FROM documents WHERE doc_id % 3 = 2),
+        |vs1 AS (SELECT doc_id, f, (doc_id + 17 * f) % 48 AS scn FROM vfr),
+        |vxs AS (SELECT doc_id, f, scn, 3 + scn % 4 AS h,
+        |         unnest(range(0, 4 + scn % 5)) AS x FROM vs1),
+        |vpx AS (SELECT doc_id, f, scn, x, unnest(range(0, h)) AS y FROM vxs),
+        |vsha AS (SELECT doc_id, count(*) AS n,
+        |          sha256(string_agg(chr(CAST(32 + ((x + 2 * y + 5 * scn) % 64) AS INTEGER)),
+        |                            '' ORDER BY f, y, x)) AS sha
+        |         FROM vpx GROUP BY doc_id)
         |SELECT d.doc_id AS asset_id,
         | CASE WHEN d.doc_id % 3 = 0 THEN 'image'
         |      WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
         | CASE WHEN d.doc_id % 3 = 0 THEN i.n
         |      WHEN d.doc_id % 3 = 1 THEN a.n
-        |      ELSE octet_length(encode(d.text)) END AS n_bytes,
+        |      ELSE v.n END AS n_bytes,
         | CASE WHEN d.doc_id % 3 = 0 THEN i.sha
         |      WHEN d.doc_id % 3 = 1 THEN a.sha
-        |      ELSE sha256(d.text) END AS payload_sha256,
+        |      ELSE v.sha END AS payload_sha256,
         | CASE WHEN d.doc_id % 3 = 0 THEN 4 + (d.doc_id % 13)
         |      WHEN d.doc_id % 3 = 1 THEN 32 + (d.doc_id % 41)
-        |      ELSE d.n_chars % 640 END AS width
+        |      ELSE 4 + (d.doc_id % 9) END AS width
         |FROM documents d
         |LEFT JOIN isha i ON i.doc_id = d.doc_id
         |LEFT JOIN asha a ON a.doc_id = d.doc_id
+        |LEFT JOIN vsha v ON v.doc_id = d.doc_id
         |ORDER BY asset_id""".stripMargin,
   )
 }

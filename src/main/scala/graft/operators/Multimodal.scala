@@ -26,10 +26,16 @@ import org.apache.spark.sql.functions._
   * through `AudioInputStream`, so header parsing and sample extraction
   * are the real thing, oracle-pinned the same way as images.
   *
-  * VIDEO payloads remain opaque byte containers (no pure-JVM video
-  * codec exists): their byte stats are computed for real over the
-  * payload itself, and a real decoder slots into the same per-partition
-  * contract the image and audio paths exercise.
+  * VIDEO payloads are REAL MJPEG-style containers ("GVID": magic +
+  * frame count + length-prefixed per-frame payloads), with each frame a
+  * real PNG decoded by the same `javax.imageio` executor path images
+  * use — PNG instead of JPEG for the frame codec solely because it is
+  * lossless, so the oracle can re-derive the decoded rasters from the
+  * generation formula exactly as it does for images (a lossy JPEG
+  * decode is not re-derivable in SQL). Frame CONTENT is keyed by a
+  * "scene" id shared across assets, so cross-asset duplicate frames —
+  * the thing video dedup exists to find — occur by construction and
+  * the dupframes oracle can recompute them.
   */
 object Multimodal {
 
@@ -45,22 +51,27 @@ object Multimodal {
   private[graft] def pixel(id: Long, x: Int, y: Int): Int =
     32 + ((x + y + id) % 64).toInt
 
-  /** Real PNG bytes for asset `id` (TYPE_BYTE_GRAY, deterministic
-    * pixels). PNG is lossless, so the decode side recovers the exact
-    * gray values; runs per partition on executors. */
-  private[graft] def pngBytes(id: Long): Array[Byte] = {
-    val (w, h) = imageDims(id)
+  /** Real PNG bytes of a w×h gray raster with pixel function `px`
+    * (TYPE_BYTE_GRAY). PNG is lossless, so the decode side recovers the
+    * exact gray values; runs per partition on executors. */
+  private def grayPng(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { raster.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+      while (x < w) { raster.setSample(x, y, 0, px(x, y)); x += 1 }
       y += 1
     }
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Real PNG bytes for image asset `id` (deterministic pixels). */
+  private[graft] def pngBytes(id: Long): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    grayPng(w, h, (x, y) => pixel(id, x, y))
   }
 
   /** Deterministic audio signal per asset: 32-72 samples of 8-bit PCM,
@@ -86,21 +97,100 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Frame count of video asset `id`: 4-12. */
+  private[graft] def videoNFrames(id: Long): Int = 4 + (id % 9).toInt
+
+  /** "Scene" id of frame `f` of asset `id` — the content key. 48
+    * distinct scenes across the corpus, so different assets share whole
+    * frames by construction (re-uploads / edits / mirrored clips share
+    * frame content long before they share file hashes — the thing the
+    * dupframes query exists to surface). 17·f mod 48 is injective for
+    * f < 13, so a single asset never repeats a scene: every duplicate
+    * is genuinely CROSS-asset. */
+  private[graft] def videoScene(id: Long, f: Int): Int =
+    ((id + 17L * f) % 48).toInt
+
+  /** Frame dims depend only on the scene: width 4-8, height 3-6. */
+  private[graft] def sceneDims(sc: Int): (Int, Int) = (4 + sc % 5, 3 + sc % 4)
+
+  /** Gray value of pixel (x, y) of scene `sc`, printable band 32-95 so
+    * the oracle rebuilds the raster with chr()/string_agg. */
+  private[graft] def scenePixel(sc: Int, x: Int, y: Int): Int =
+    32 + ((x + 2 * y + 5 * sc) % 64)
+
+  /** Real container bytes for video asset `id`: magic "GVID", int32
+    * frame count, then per frame an int32 length + a real PNG of that
+    * frame's scene raster (all ints big-endian). The per-frame-payload
+    * layout is MJPEG's; PNG is the frame codec because it is lossless
+    * (see the object scaladoc). */
+  private[graft] def videoBytes(id: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeBytes("GVID")
+    val n = videoNFrames(id)
+    dos.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val sc = videoScene(id, f)
+      val (w, h) = sceneDims(sc)
+      val png = grayPng(w, h, (x, y) => scenePixel(sc, x, y))
+      dos.writeInt(png.length)
+      dos.write(png)
+      f += 1
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  /** Parse a GVID container: (declared frame count, a LAZY iterator of
+    * raw per-frame PNG payloads). Decode is the caller's choice — a
+    * sampler length-skips frames it never decodes. Runs on executors
+    * inside the mapPartitions decode contract. */
+  private[graft] def readVideoPayloads(payload: Array[Byte]): (Int, Iterator[Array[Byte]]) = {
+    val dis = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+    val magic = new Array[Byte](4)
+    dis.readFully(magic)
+    require(new String(magic, "US-ASCII") == "GVID", "not a GVID container")
+    val n = dis.readInt()
+    val frames = Iterator.tabulate(n) { _ =>
+      val len = dis.readInt()
+      val png = new Array[Byte](len)
+      dis.readFully(png)
+      png
+    }
+    (n, frames)
+  }
+
+  /** Decode a gray PNG to its raster bytes in row-major order. */
+  private[graft] def pngRaster(png: Array[Byte]): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val bytes = new Array[Byte](w * h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { bytes(i) = raster.getSample(x, y, 0).toByte; i += 1; x += 1 }
+      y += 1
+    }
+    bytes
+  }
+
   final case class AssetMeta(width: Int, height: Int, format: String)
   final case class Asset(asset_id: Long, modality: String,
                          payload: Array[Byte], meta: AssetMeta)
 
-  /** Asset table derived deterministically from `documents`: image
-    * payloads are real PNGs (built on the executors — the encode leg of
-    * the decode loop the oracle pins); audio/video payloads are the
-    * UTF-8 text bytes standing in for container bytes, with declared
-    * metadata shape. */
+  /** Asset table derived deterministically from `documents`: every
+    * payload is a real container built on the executors (the encode leg
+    * of the decode loop the oracle pins) — PNG images, WAV audio, GVID
+    * frame-sequence video. */
   def assets(s: SparkSession, dir: String): Dataset[Asset] = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), col("n_chars"))
-      .as[(Long, String, Long)]
-      .mapPartitions(_.map { case (id, text, nChars) =>
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
         id % 3 match {
           case 0 =>
             val (w, h) = imageDims(id)
@@ -111,8 +201,10 @@ object Multimodal {
             Asset(id, "audio", wavBytes(id),
               AssetMeta(audioSamples(id).length, 1, "audio/wav"))
           case _ =>
-            Asset(id, "video", text.getBytes("UTF-8"),
-              AssetMeta((nChars % 640).toInt, (nChars % 480).toInt, "stub/v1"))
+            // (n_frames, 1): a frame sequence's declared extent, the
+            // same 1-D convention the audio rows use.
+            Asset(id, "video", videoBytes(id),
+              AssetMeta(videoNFrames(id), 1, "video/x-gvid"))
         }
       })
   }
@@ -135,11 +227,12 @@ object Multimodal {
     * pixel bytes come from the decoded raster. audio →
     * `AudioSystem.getAudioInputStream` over the WAV payload; the frame
     * count comes from the parsed header and the sample bytes from the
-    * PCM stream. video → the payload bytes ARE the content (no pure-JVM
-    * video codec); metadata supplies the declared dims. Stats are exact
+    * PCM stream. video → the GVID container is parsed and EVERY frame
+    * PNG decoded; the content is the concatenated frame rasters in
+    * (frame, row, column) order and (width, height) report the parsed
+    * frame count as a 1-D extent, mirroring audio. Stats are exact
     * integers and the hash is the canonical content order — all
-    * recomputable by the oracle from the generation formula
-    * (image/audio) or the source text (video). */
+    * recomputable by the oracle from the generation formulas. */
   def decodeAssets(s: SparkSession, dir: String): Dataset[DecodedAsset] = {
     import s.implicits._
     assets(s, dir).mapPartitions(_.map { a =>
@@ -172,7 +265,11 @@ object Multimodal {
             off += r
           }
           (n, 1, bytes)
-        case _ => (a.meta.width, a.meta.height, a.payload)
+        case _ =>
+          val (nFrames, frames) = readVideoPayloads(a.payload)
+          val out = new ByteArrayOutputStream()
+          frames.foreach(png => out.write(pngRaster(png)))
+          (nFrames, 1, out.toByteArray)
       }
       var sum = 0L; var mn = 255; var mx = 0
       var i = 0
@@ -190,10 +287,10 @@ object Multimodal {
     })
   }
 
-  /** Oracle-checkable summary of the multimodal pipeline: for images and
-    * audio the size, hash and width are of the DECODED content (raster
-    * bytes / PCM frames — verifying the PNG and WAV round-trips); for
-    * video they are of the raw payload. */
+  /** Oracle-checkable summary of the multimodal pipeline: size, hash
+    * and width are of the DECODED content for every modality — raster
+    * bytes, PCM frames, concatenated frame rasters — verifying the PNG,
+    * WAV and GVID round-trips respectively. */
   def assetSummary(s: SparkSession, dir: String): DataFrame =
     decodeAssets(s, dir).toDF().select(
       col("asset_id"), col("modality"), col("n_bytes"),
@@ -245,22 +342,30 @@ object Multimodal {
       }).toDF().orderBy("asset_id")
   }
 
-  /** Frame sampling (video-style): slice the payload into fixed-size
-    * "frames" and keep every `stride`-th — the partition-parallel shape of
-    * real frame extraction, with byte-slicing standing in for decode. */
-  def frameSample(s: SparkSession, dir: String,
-                  frameBytes: Int = 64, stride: Int = 4): DataFrame = {
-    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("long")
-    assets(s, dir).toDF()
-      .filter(col("modality") === "video")
-      .select(col("asset_id"), col("payload"), nFrames.as("n_frames"),
-        posexplode(sequence(lit(0L), greatest(nFrames - 1, lit(0L)), lit(stride.toLong)))
-          .as(Seq("frame_pos", "frame_idx")))
-      .select(col("asset_id"), col("frame_idx"),
-        col("payload").substr((col("frame_idx") * frameBytes + 1).cast("int"),
-          lit(frameBytes)).as("frame_bytes"))
-      .withColumn("frame_sha", sha2(col("frame_bytes"), 256))
-      .drop("frame_bytes")
+  final case class SampledFrame(asset_id: Long, frame_idx: Long, frame_sha: String)
+
+  /** Frame sampling: REAL decode of every `stride`-th frame of the GVID
+    * container — parse the header, skip non-sampled frame payloads by
+    * their length prefix (never decoding them, exactly what a
+    * production frame sampler does with an MJPEG index), PNG-decode the
+    * sampled ones and hash the decoded raster. Same `mapPartitions`
+    * executor contract as [[decodeAssets]]; only (asset_id, frame_idx,
+    * sha) rows leave the partition — frame bytes never move. */
+  def frameSample(s: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+    import s.implicits._
+    assets(s, dir).filter(col("modality") === "video")
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.flatMap { a =>
+          val (_, frames) = readVideoPayloads(a.payload)
+          frames.zipWithIndex.collect { case (png, f) if f % stride == 0 =>
+            md.reset()
+            SampledFrame(a.asset_id, f.toLong,
+              md.digest(pngRaster(png)).map(b => f"$b%02x").mkString)
+          }.toVector
+        }
+      }
+      .toDF()
       .orderBy("asset_id", "frame_idx")
   }
 
@@ -268,8 +373,9 @@ object Multimodal {
     * DISTINCT video assets, with how many assets and how many sampled
     * frames carry it — the video-dedup primitive (re-uploads, edits and
     * mirrored clips share exact frame content long before they share
-    * whole-file hashes). Consumes [[frameSample]]'s hashes, so a real
-    * perceptual-hash decoder slots in at the same column.
+    * whole-file hashes). Consumes [[frameSample]]'s hashes of the
+    * DECODED frame rasters; a perceptual hash slots in at the same
+    * column.
     *
     * One exchange: the groupBy on the 32-byte sha (frame bodies were
     * already dropped by frameSample — only (asset_id, sha) rows move);
@@ -278,9 +384,8 @@ object Multimodal {
     * the aggregate (verified plan property, see DocPipeline). At 100 TB
     * the exchange carries one row per sampled frame — the scan of the
     * video payloads dominates, as it must. */
-  def dupFrames(s: SparkSession, dir: String,
-                frameBytes: Int = 64, stride: Int = 4): DataFrame =
-    frameSample(s, dir, frameBytes, stride)
+  def dupFrames(s: SparkSession, dir: String, stride: Int = 4): DataFrame =
+    frameSample(s, dir, stride)
       .groupBy("frame_sha")
       .agg(countDistinct(col("asset_id")).as("n_assets"),
         count(lit(1)).as("n_frames"))

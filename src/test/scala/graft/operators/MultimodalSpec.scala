@@ -41,10 +41,41 @@ class MultimodalSpec extends SparkSpec {
       assert(r.content_sha256 == sha)
     }
 
-    // video: content bytes are the payload itself
+    // video: content is the concatenation of the decoded frame rasters,
+    // re-derivable from the scene formula without touching a container
     val others = Multimodal.decodeAssets(spark, dir).collect()
       .filter(_.modality == "video")
-    assert(others.forall(r => r.n_bytes > 0 && r.px_min <= r.px_max))
+    assert(others.nonEmpty)
+    others.foreach { r =>
+      val n = Multimodal.videoNFrames(r.asset_id)
+      val px = for {
+        f <- 0 until n
+        sc = Multimodal.videoScene(r.asset_id, f)
+        (w, h) = Multimodal.sceneDims(sc)
+        y <- 0 until h; x <- 0 until w
+      } yield Multimodal.scenePixel(sc, x, y)
+      assert(r.width == n && r.height == 1)
+      assert(r.n_bytes == px.length.toLong)
+      assert(r.px_sum == px.map(_.toLong).sum)
+      assert(r.px_min == px.min && r.px_max == px.max)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(px.map(_.toByte).toArray).map(b => f"$b%02x").mkString
+      assert(r.content_sha256 == sha)
+    }
+  }
+
+  test("video payloads are real GVID containers of real PNG frames") {
+    val a = Multimodal.assets(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("modality") === "video")
+      .head()
+    val (n, frames) = Multimodal.readVideoPayloads(a.payload)
+    assert(n == Multimodal.videoNFrames(a.asset_id))
+    frames.zipWithIndex.foreach { case (png, f) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null) // each frame payload is a standalone decodable PNG
+      val sc = Multimodal.videoScene(a.asset_id, f)
+      assert((img.getWidth, img.getHeight) == Multimodal.sceneDims(sc))
+    }
   }
 
   test("audio payloads are real WAVs; decode recovers the exact PCM samples") {
@@ -92,32 +123,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("frame sampling slices video payloads with stride") {
-    val frames = Multimodal.frameSample(spark, dir, frameBytes = 64, stride = 4).collect()
+  test("frame sampling decodes every stride-th frame; hashes match the scene formula") {
+    val frames = Multimodal.frameSample(spark, dir, stride = 4).collect()
     assert(frames.nonEmpty)
-    val byAsset = frames.groupBy(_.getLong(0))
-    byAsset.values.foreach { fs =>
+    frames.groupBy(_.getLong(0)).foreach { case (id, fs) =>
       val idxs = fs.map(_.getLong(1)).sorted.toSeq
-      assert(idxs.head == 0L && idxs.sliding(2).forall {
-        case Seq(a, b) => b - a == 4L; case _ => true })
+      val expected = (0 until Multimodal.videoNFrames(id) by 4).map(_.toLong)
+      assert(idxs == expected, s"sampled idxs of $id")
+    }
+    frames.foreach { r =>
+      val sc = Multimodal.videoScene(r.getLong(0), r.getLong(1).toInt)
+      val (w, h) = Multimodal.sceneDims(sc)
+      val px = for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.scenePixel(sc, x, y).toByte
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(px.toArray).map(b => f"$b%02x").mkString
+      assert(r.getString(2) == sha)
     }
   }
 
-  test("dup frames: planted identical videos collide, distinct video does not") {
+  test("dup frames: same-scene assets collide, distinct scenes do not") {
     import spark.implicits._
-    // video assets are doc_id % 3 == 2; ids 2 and 5 share payload, 8 differs
+    // video assets are doc_id % 3 == 2; scene(id, f) = (id + 17f) % 48,
+    // so ids 2 and 50 (≡ 2 mod 48) share every overlapping frame's
+    // content; id 8's scenes {8, 28, 0} overlap neither
     val d2 = java.nio.file.Files.createTempDirectory("graft-dupframes").toString
-    val shared = "x" * 50
-    Seq((2L, shared), (5L, shared), (8L, "y" * 50))
-      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    Seq(2L, 50L, 8L)
+      .map { id => (id, "t" * 50, "en", "s", 50L) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d2/documents.parquet")
     val rows = Multimodal.dupFrames(spark, d2).collect()
-    assert(rows.length == 1) // one shared 64-byte frame (50-char payloads -> 1 frame each)
-    assert(rows.head.getLong(1) == 2L) // n_assets
-    assert(rows.head.getLong(2) == 2L) // n_frames
+    // sampled frames: id 2 → f∈{0,4} scenes {2,22}; id 50 → f∈{0,4,8}
+    // scenes {2,22,42}; id 8 → f∈{0,4,8} scenes {8,28,0}
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2L) // n_assets: ids 2 and 50
+      assert(r.getLong(2) == 2L) // one sampled frame from each
+    }
     // and on the real corpus every reported sha really spans >= 2 assets
     val real = Multimodal.dupFrames(spark, dir).collect()
+    assert(real.nonEmpty)
     val frames = Multimodal.frameSample(spark, dir).collect()
       .groupBy(_.getString(2)).map { case (sha, fs) =>
         sha -> fs.map(_.getLong(0)).distinct.length }
