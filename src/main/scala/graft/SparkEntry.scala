@@ -180,6 +180,11 @@ object SparkEntry {
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    // Contrastive-training data prep: positive = nearest neighbor, hard
+    // negatives = next candidates in the retrieved top-64 that are NOT
+    // near-dups of the query (cosine < 0.35); candidate cut runs on the
+    // bounded-heap TopKPerKey operator.
+    "mine_hardnegatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // Filtered vector search (pre-filter semantics): top-k among
     // candidates with label != the query's label; exact truth leg,
     // IVF scale path pinned equal at full probe in SimilaritySpec.
@@ -236,6 +241,12 @@ object SparkEntry {
     // integer-exact projection (counts; the double sum stays live-only).
     "stream_windowstats" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.windowStatsSpooled(s, d)),
+    // The SAME aggregate executed through a mid-stream crash + restart
+    // from one checkpoint into an exactly-once file sink — the
+    // fault-tolerance contract as an oracle row (state recovery AND
+    // no-replay both break the hash if violated).
+    "stream_recovery" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.windowStatsRecovered(s, d)),
     // Stream-STATIC broadcast enrichment join (stream × dimension →
     // windowed counts per enriched attribute) — the map-side join shape
     // that never shuffles the stream; real spooled execution.
@@ -392,6 +403,12 @@ object SparkEntry {
     // Tumbling 1-hour windows aligned to epoch — both engines derive
     // window_start_ms with the same integer arithmetic on epoch ms.
     "stream_windowstats" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        | event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Crash-recovery twin: the restarted execution must land on the
+    // very same batch truth as the uninterrupted one.
+    "stream_recovery" ->
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -2033,6 +2050,23 @@ object SparkEntry {
         | FROM embeddings q, embeddings e
         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "mine_hardnegatives" ->
+      """WITH ranked AS (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.embedding, e.embedding) AS cosine,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+        | FROM embeddings q, embeddings e
+        | WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id),
+        |top AS (SELECT * FROM ranked WHERE rank <= 64),
+        |pos AS (SELECT query_id, neighbor_id AS pos_id FROM top WHERE rank = 1),
+        |negs AS (SELECT query_id, neighbor_id AS neg_id,
+        |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS neg_rank
+        |         FROM top WHERE rank >= 2 AND cosine < 0.35)
+        |SELECT p.query_id, p.pos_id, n.neg_id, n.neg_rank
+        |FROM pos p JOIN negs n USING (query_id)
+        |WHERE n.neg_rank <= 3
+        |ORDER BY query_id, neg_rank""".stripMargin,
     // Image/audio rows: n_bytes/sha/width are of the DECODED content
     // (raster in row-major (y, x) order / PCM frames in sample order),
     // which the oracle rebuilds as a byte string with chr()/string_agg

@@ -51,6 +51,15 @@ object Multimodal {
   private[graft] def pixel(id: Long, x: Int, y: Int): Int =
     32 + ((x + y + id) % 64).toInt
 
+  // ImageIO defaults to a FILE-backed stream cache: every read/write
+  // creates (and deletes) a temp file — measured at ~0.3 ms/call of pure
+  // syscall churn, which dominates when the rasters are tens of bytes
+  // and the corpus is tens of thousands of frames (the r9 close put
+  // +25 s across the multimodal family on it). In-memory streams are
+  // strictly better at these sizes. Idempotent JVM-wide switch; runs on
+  // executor JVMs when the object initializes there.
+  ImageIO.setUseCache(false)
+
   /** Real PNG bytes of a w×h gray raster with pixel function `px`
     * (TYPE_BYTE_GRAY). PNG is lossless, so the decode side recovers the
     * exact gray values; runs per partition on executors. */

@@ -44,6 +44,54 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training (DPR / SimCSE-style
+    * retrieval data prep): for each query vector, the POSITIVE is its
+    * nearest neighbor and the hard NEGATIVES are the next `nNeg`
+    * retrieved candidates that are close enough to be informative but
+    * NOT near-duplicates of the query — "close but wrong" is what makes
+    * a negative hard, while a near-dup labeled negative poisons the
+    * loss (false negative). Near-dup is the corpus's own semantic-dedup
+    * relation: cosine ≥ 0.35, the dedup_embedding threshold, already
+    * hash-stable across both engines on this corpus.
+    *
+    * Mining happens INSIDE the top-`candidateK` retrieved set — the
+    * real-system shape (you mine from what the retriever returns, not
+    * from the full corpus) and the scale bound: the per-query relation
+    * entering the window work is ≤ candidateK rows, cut by the
+    * bounded-heap [[graft.plans.TopKPerKey]] operator, never a global
+    * sort of Q×N scores. The Q×N score scan itself is the brute
+    * baseline (queries broadcast, corpus streamed once, no vector
+    * shuffle); at 100 TB the scored relation is served from the
+    * persisted ANN index artifact instead (ann_artifact's serve path) —
+    * same downstream mining, cheaper candidate generation. Output is
+    * (query_id, pos_id, neg_id, neg_rank): id/rank-only, the
+    * float-stability rule bruteForceTopK's scaladoc records. */
+  def hardNegatives(s: SparkSession, dir: String, nQueries: Int = 50,
+                    nNeg: Int = 3, candidateK: Int = 64,
+                    nearDupCos: Double = 0.35): DataFrame = {
+    val all = corpus(s, dir)
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+    val top = graft.plans.TopKPerKey(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), candidateK)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val ranked = top.withColumn("rank", row_number().over(w))
+    val pos = ranked.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"))
+    val wneg = Window.partitionBy("query_id").orderBy("rank")
+    val negs = ranked.filter(col("rank") >= 2 && col("cosine") < nearDupCos)
+      .withColumn("neg_rank", row_number().over(wneg).cast("long"))
+      .filter(col("neg_rank") <= nNeg)
+      .select(col("query_id"), col("neighbor_id").as("neg_id"), col("neg_rank"))
+    pos.join(negs, "query_id")
+      .select("query_id", "pos_id", "neg_id", "neg_rank")
+      .orderBy("query_id", "neg_rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded, data-independent). */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -257,13 +257,38 @@ object StreamingAnalytics {
     * and restore the session conf after. */
   private val SpoolStatePartitions = "8"
 
+  /** State-store provider for every spooled execution, from
+    * `SPARK_GRAFT_STATE_STORE`: unset → Spark's default in-memory
+    * HDFS-backed store (right for the bounded spool corpora — state is
+    * kilobytes); `rocksdb` → the bundled RocksDB provider, the
+    * DEPLOYMENT answer once live state is 100× the executor heap
+    * (spillable off-heap state, incremental snapshot upload). Any other
+    * value passes through as a fully-qualified provider class. Parity +
+    * cost of both providers across the 12 stream_* rows is recorded in
+    * BASELINE.md; the conf is read per-query at start, so the scoped
+    * set below is all a deployment flips. */
+  private[graft] def stateStoreProvider: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_STORE").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case other => other
+    }
+
   /** Run `body` (which must start AND stop its streaming query) with
-    * `spark.sql.shuffle.partitions` scoped down for spooled state sizing;
-    * restores the prior value however the body exits. */
+    * `spark.sql.shuffle.partitions` scoped down for spooled state sizing
+    * (and, when configured, the state-store provider applied); restores
+    * the prior values however the body exits. */
   private def withSpoolPartitions[T](s: SparkSession)(body: => T): T = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(provKey)
     s.conf.set("spark.sql.shuffle.partitions", SpoolStatePartitions)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    stateStoreProvider.foreach(s.conf.set(provKey, _))
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      if (stateStoreProvider.isDefined)
+        prevProv.fold(s.conf.unset(provKey))(s.conf.set(provKey, _))
+    }
   }
 
   /** The first ORACLE-CHECKED streaming query: spool the bounded `events`
@@ -476,6 +501,80 @@ object StreamingAnalytics {
       .orderBy("window_start_ms", "event_type")
       .localCheckpoint()
     s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
+
+  /** CRASH-RECOVERY twin of [[windowStatsSpooled]], as an oracle row:
+    * the same watermarked tumbling-window aggregate, executed as TWO
+    * query incarnations over ONE checkpoint. The corpus is spooled in
+    * two time-ordered waves split at the event-time midpoint; the first
+    * query is stopped ("crashes") after processing wave 1, and a NEW
+    * query resumes from the same checkpoint into the same exactly-once
+    * FILE sink for wave 2 + the sentinel flush. Every window spanning
+    * the split must combine rows from both incarnations, so a
+    * hash-green row proves (a) the aggregation state was recovered from
+    * the checkpoint, not just the source offsets, and (b) wave 1 was
+    * not replayed into the sink (a double-count breaks the hash the
+    * other way). This is the fault-tolerance contract a 100 TB
+    * deployment actually leans on — executors and drivers WILL die
+    * mid-stream — checked against the same batch oracle as the
+    * uninterrupted spelling. Wave-2 event times all exceed the wave-1
+    * watermark (time-ordered split > lateness guard), so no event is
+    * late-dropped and the batch equivalence is exact. */
+  def windowStatsRecovered(s: SparkSession, dir: String,
+                           windowLen: String = "1 hour",
+                           lateness: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-recovspool-$runId")
+    val (spool, ckpt, sink) = (s"$tmp/in", s"$tmp/ckpt", s"$tmp/out")
+    val ev = graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("event_type"),
+        col("value"))
+    val bounds = graft.operators.Tables.events(s, dir)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val maxTsNanos = bounds.getLong(1) * 1000L
+    val splitNanos = bounds.getLong(0) * 1000L +
+      (maxTsNanos - bounds.getLong(0) * 1000L) / 2
+    val latenessMs = intervalMs(lateness)
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, "sentinel", 0.0)).toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(spool)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def startQuery() = {
+      val stream = s.readStream.schema(schema).parquet(spool)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      windowedEventStats(stream, windowLen, lateness)
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    }
+    withSpoolPartitions(s) {
+      ev.filter(col("ts") <= splitNanos).coalesce(1)
+        .write.mode("append").parquet(spool)
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop() // wave 1, then "crash"
+      ev.filter(col("ts") > splitNanos).coalesce(1)
+        .write.mode("append").parquet(spool)
+      val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+      val t1 = maxTsNanos + step
+      val q2 = startQuery() // resume: same checkpoint, same sink
+      try {
+        q2.processAllAvailable()
+        sentinel(t1); q2.processAllAvailable()
+        sentinel(t1 + step); q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    val out = s.read.parquet(sink)
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy("window_start_ms", "event_type")
+      .localCheckpoint()
     deleteRecursively(tmp)
     out
   }
