@@ -33,11 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // A 136-query suite generates thousands of whole-stage-codegen classes;
-  // the JDK default 240 MB JIT code cache fills mid-suite, after which
-  // hot loops run interpreted / flush-churn — the mechanism behind
-  // compute-bound rows timing 3-5x their standalone bands ONLY inside
-  // the long suite JVM (rounds 7-8). Size it so the suite never hits the
-  // ceiling; harmless for short runs (reserved, not committed).
+  // A 138-query suite generates thousands of whole-stage-codegen
+  // classes; the JDK default JIT code cache is 240 MB. An A/B of full
+  // closes with and without this flag (BASELINE.md round 9) showed NO
+  // local difference — the builder box never reproduces the driver
+  // artifacts' heavy-tail inflation either way, so that inflation is
+  // driver-environment, not code cache. Kept as cheap insurance for
+  // longer-lived JVMs: reserved address space, not committed memory.
   "-XX:ReservedCodeCacheSize=1g",
 )
