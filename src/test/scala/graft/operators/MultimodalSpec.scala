@@ -64,6 +64,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GVID round-trip property: every asset id encodes/decodes to the formula rasters") {
+    // property-style sweep over a spread of ids (not just corpus ids):
+    // container parse + per-frame PNG decode must invert the encoder
+    // exactly for any id, including the modulus edge ids
+    val ids = (0L to 200L by 7L) ++ Seq(47L, 48L, 95L, 96L, 1000003L)
+    ids.foreach { id =>
+      val (n, frames) = Multimodal.readVideoPayloads(Multimodal.videoBytes(id))
+      assert(n == Multimodal.videoNFrames(id))
+      frames.zipWithIndex.foreach { case (png, f) =>
+        val sc = Multimodal.videoScene(id, f)
+        val (w, h) = Multimodal.sceneDims(sc)
+        val expected = (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.scenePixel(sc, x, y).toByte).toArray
+        assert(java.util.Arrays.equals(Multimodal.pngRaster(png), expected),
+          s"raster of id=$id frame=$f")
+      }
+    }
+  }
+
   test("video payloads are real GVID containers of real PNG frames") {
     val a = Multimodal.assets(spark, dir)
       .filter(org.apache.spark.sql.functions.col("modality") === "video")

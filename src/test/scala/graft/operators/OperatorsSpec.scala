@@ -1189,4 +1189,40 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(rows.toSet == draw().toSet)
   }
+
+  test("hard negatives: heap plan fires; negatives are non-near-dup; positive is rank-1") {
+    val sf = "/root/testdata/sf0.001"
+    val df = Similarity.hardNegatives(spark, sf, nQueries = 10)
+    // the candidate cut runs on the bounded-heap operator, not a global sort
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // recompute ranks + cosines the straightforward way and check the rules
+    import org.apache.spark.sql.expressions.Window
+    val all = graft.operators.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val q = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cos = graft.functions.VectorFunctions.dot(col("embedding"), col("qv")) /
+      (graft.functions.VectorFunctions.norm(col("embedding")) *
+        graft.functions.VectorFunctions.norm(col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))
+    val ranked = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cos.as("c"))
+      .withColumn("rk", row_number().over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    rows.foreach { case (qid, posId, negId, negRank) =>
+      assert(ranked((qid, posId))._2 == 1, s"positive of $qid is the rank-1 neighbor")
+      val (negCos, negRk) = ranked((qid, negId))
+      assert(negCos < 0.35, s"negative $negId of $qid is not a near-dup")
+      assert(negRk >= 2 && negRk <= 64, s"negative $negId mined inside the top-64")
+      assert(negRank >= 1 && negRank <= 3)
+    }
+    // neg_ranks are contiguous from 1 per query
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length))
+    }
+  }
 }
