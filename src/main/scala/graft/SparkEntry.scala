@@ -148,6 +148,9 @@ object SparkEntry {
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
+    // Deterministic shuffle-into-shards (training order): one exchange
+    // keyed on shard, per-shard rank — never a global row_number.
+    "curate_shuffle"  -> ((s, d) => Curation.shuffleShards(s, d)),
     "curate_mix"      -> ((s, d) => Curation.mixSources(s, d)),
     "curate_pack"     -> ((s, d) => Curation.packSequences(s, d)),
     "curate_pii"      -> (Curation.piiDemo _),
@@ -1368,6 +1371,11 @@ object SparkEntry {
          |    ORDER BY ${graft.operators.Curation.lcgKeySql}, doc_id) AS rk
          | FROM documents) t
          |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    "curate_shuffle" ->
+      s"""SELECT doc_id, (${graft.operators.Curation.lcgKeySql}) % 8 AS shard,
+         | ROW_NUMBER() OVER (PARTITION BY (${graft.operators.Curation.lcgKeySql}) % 8
+         |   ORDER BY ${graft.operators.Curation.lcgKeySql}, doc_id) AS pos
+         |FROM documents ORDER BY shard, pos""".stripMargin,
     "curate_domaincap" ->
       s"""SELECT doc_id, source, rk FROM (
          | SELECT doc_id, source,

@@ -83,6 +83,26 @@ object Curation {
   private[graft] val lcgKeySql: String =
     "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648"
 
+  /** Deterministic global training-order shuffle into `nShards` shards —
+    * the "shuffle before sharding" step every training-data export runs
+    * last: each document gets a shard and a position inside it, both
+    * pure functions of doc_id (the shared LCG permutation), so the
+    * training order is reproducible, resumable and engine-diffable with
+    * no RNG state anywhere. Shard = LCG key mod nShards (uniform since
+    * the permutation is), position = rank of the key within the shard.
+    *
+    * Scale shape: ONE exchange keyed on shard, then per-shard sorts —
+    * never a global row_number (whose single-partition window is the
+    * classic driver-sized-sort trap); nShards at 100 TB is thousands,
+    * so each sort is a shard, not the corpus. */
+  def shuffleShards(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(lcgKey, col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), (lcgKey % nShards).cast("long").as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .orderBy("shard", "pos")
+  }
+
   def sampleStratified(s: SparkSession, dir: String, perGroup: Int = 50): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(lcgKey, col("doc_id"))
     documents(s, dir)
