@@ -250,6 +250,11 @@ object SparkEntry {
     // no-replay both break the hash if violated).
     "stream_recovery" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.windowStatsRecovered(s, d)),
+    // Per-window trending item via CHAINED streaming aggregations
+    // (multiple stateful operators): windowed counts -> re-windowed
+    // argmax as max(struct(n, type)).
+    "stream_trending" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.trendingSpooled(s, d)),
     // Stream-STATIC broadcast enrichment join (stream × dimension →
     // windowed counts per enriched attribute) — the map-side join shape
     // that never shuffles the stream; real spooled execution.
@@ -271,6 +276,9 @@ object SparkEntry {
     // Keyword-retrieval surface (operators.Search): postings construction,
     // integer-exact TF-IDF ranking, positional phrase search.
     "profile_columns" -> (Profiling.lineitemProfile _),
+    // Cross-column correlation sufficient statistics (integer-exact
+    // moments, one Aggregate pass over one scan).
+    "profile_corr"    -> (Profiling.correlationProfile _),
     "profile_drift"   -> ((s, d) => Profiling.tokenDrift(s, d)),
     "search_index"  -> ((s, d) => Search.invertedIndex(s, d)),
     // The maintained twin: settled index served from the bucketed
@@ -415,6 +423,17 @@ object SparkEntry {
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Champion rule mirrors max(struct(n, type)): count desc, then type
+    // desc — a total order, so rk = 1 is unambiguous on both engines.
+    "stream_trending" ->
+      """WITH c AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        |            event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT window_start_ms, event_type, n,
+        |       ROW_NUMBER() OVER (PARTITION BY window_start_ms
+        |         ORDER BY n DESC, event_type DESC) AS rk FROM c)
+        |SELECT window_start_ms, event_type AS top_type, n AS top_n
+        |FROM r WHERE rk = 1 ORDER BY window_start_ms""".stripMargin,
     // Stream-static enrichment: the batch equi-join DuckDB runs directly,
     // same epoch-ms window arithmetic.
     "stream_enrich" ->
@@ -512,6 +531,27 @@ object SparkEntry {
                      | count(*) - count($c) AS n_nulls,
                      | count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // Integer-exact correlation moments: the decimal detour (q31's
+    // cents rule) renders both engines' double->integer conversion
+    // identically; every sum is cast to BIGINT (DuckDB sums BIGINT into
+    // HUGEINT, which would dtype-mismatch the compare).
+    "profile_corr" ->
+      """WITH b AS (SELECT
+        |  CAST(CAST(l_quantity AS DECIMAL(18,4)) AS BIGINT) AS q,
+        |  CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS d,
+        |  CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT) AS t
+        | FROM lineitem),
+        |a AS (SELECT count(*) AS n,
+        |  CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+        |  CAST(sum(t) AS BIGINT) AS st, CAST(sum(q*q) AS BIGINT) AS sqq,
+        |  CAST(sum(d*d) AS BIGINT) AS sdd, CAST(sum(t*t) AS BIGINT) AS stt,
+        |  CAST(sum(q*d) AS BIGINT) AS sqd, CAST(sum(q*t) AS BIGINT) AS sqt,
+        |  CAST(sum(d*t) AS BIGINT) AS sdt FROM b)
+        |SELECT 'quantity_discount' AS pair, n, sq AS sum_x, sd AS sum_y,
+        |       sqq AS sum_xx, sdd AS sum_yy, sqd AS sum_xy FROM a
+        |UNION ALL SELECT 'quantity_tax', n, sq, st, sqq, stt, sqt FROM a
+        |UNION ALL SELECT 'discount_tax', n, sd, st, sdd, stt, sdt FROM a
+        |ORDER BY pair""".stripMargin,
     // Exact-integer rate drift settled-vs-increment; rank ties break by
     // token, so the top-k is total-ordered and hash-stable.
     "profile_drift" ->

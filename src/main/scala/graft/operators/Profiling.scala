@@ -69,6 +69,44 @@ object Profiling {
   def lineitemProfile(s: SparkSession, dir: String): DataFrame =
     columnProfile(Tables.lineitem(s, dir))
 
+  /** Cross-column correlation inputs in ONE scan — the numeric-profiler
+    * companion to [[columnProfile]]: for each column pair, the
+    * sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) from which
+    * covariance / Pearson correlation / OLS slope are one driver-side
+    * division away. The profile a pipeline runs to catch upstream
+    * column swaps and unit changes (a price column suddenly correlated
+    * 1.0 with quantity IS the bug report).
+    *
+    * Exactness rule: values go through the decimal detour to INTEGER
+    * units (quantity as-is, rates ×10⁴ basis points) and every moment
+    * is a BIGINT sum — bit-identical across engines, no float
+    * accumulation order anywhere (the q31 cents precedent). Σ(bp²) ≤
+    * n·10⁶ keeps BIGINT safe past sf 10⁵. Plan: ONE Aggregate node
+    * computes all ten moments in a single pass (partial + final, no
+    * Expand, no per-pair scans); the fixed three-row pair table is a
+    * literal `stack` over the 1-row aggregate. */
+  def correlationProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("decimal(18,4)").cast("long").as("q"),
+      (col("l_discount").cast("decimal(18,4)") * 10000).cast("long").as("d"),
+      (col("l_tax").cast("decimal(18,4)") * 10000).cast("long").as("t"))
+    li.agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sq"), sum("d").as("sd"), sum("t").as("st"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("q") * col("d")).as("sqd"),
+        sum(col("q") * col("t")).as("sqt"),
+        sum(col("d") * col("t")).as("sdt"))
+      .select(expr("stack(3, " +
+        "'quantity_discount', n, sq, sd, sqq, sdd, sqd, " +
+        "'quantity_tax', n, sq, st, sqq, stt, sqt, " +
+        "'discount_tax', n, sd, st, sdd, stt, sdt" +
+        ") as (pair, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy)"))
+      .orderBy("pair")
+  }
+
   /** Distribution drift between the settled corpus (doc_id % mod != 0)
     * and an arriving increment (doc_id % mod == 0) — the nightly gate a
     * pipeline runs BEFORE absorbing a batch: a token whose increment

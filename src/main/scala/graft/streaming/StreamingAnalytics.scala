@@ -579,6 +579,78 @@ object StreamingAnalytics {
     out
   }
 
+  /** Per-window TRENDING item — the top event type of each window — via
+    * CHAINED streaming aggregations, Spark's multiple-stateful-operator
+    * support (3.4+): a watermarked (window, type) count feeds a second
+    * stateful aggregate re-windowed on `window_time` that keeps the
+    * argmax. The per-window champion is `max(struct(n, event_type))` —
+    * a deterministic total order (count desc, then type desc) with no
+    * tie ambiguity, so both engines agree bit-for-bit. State in both
+    * operators is watermark-evicted; the second operator's state is one
+    * struct per window in flight. The "what's trending right now" query
+    * every event pipeline serves, expressed with zero custom state. */
+  def trendingEventTypes(events: DataFrame /* ts, event_type */,
+                         windowLen: String = "1 hour",
+                         lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), windowLen))
+      .agg(max(struct(col("n"), col("event_type"))).as("top"))
+      .select(col("window.start").as("window_start"),
+        col("top.event_type").as("top_type"), col("top.n").as("top_n"))
+
+  /** ORACLE-CHECKED spooled execution of [[trendingEventTypes]] — the
+    * two-sentinel flush protocol of [[windowStatsSpooled]]; the
+    * sentinel rows live in far-future windows no real event shares, so
+    * dropping them afterwards cannot change any real champion. */
+  def trendingSpooled(s: SparkSession, dir: String,
+                      windowLen: String = "1 hour",
+                      lateness: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-trendspool-$runId")
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("event_type"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val latenessMs = intervalMs(lateness)
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, "sentinel")).toDF("ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_trending_$runId"
+    withSpoolPartitions(s) {
+      val q = trendingEventTypes(stream, windowLen, lateness)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+        val t1 = maxTsNanos + step
+        sentinel(t1)
+        q.processAllAvailable()
+        sentinel(t1 + step)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val out = s.table(name)
+      .filter(col("top_type") =!= "sentinel")
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("top_type"), col("top_n"))
+      .orderBy("window_start_ms")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
+
   /** EXACT per-window distinct-user counts on an unbounded stream — the
     * dedup-then-count idiom: streaming aggregation cannot run
     * COUNT(DISTINCT) (unbounded per-group state with no merge bound),

@@ -533,6 +533,21 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.head._3 > 0) // somebody converts
   }
 
+  test("spooled trending equals the batch per-window argmax (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = trendingSpooled(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = graft.operators.Tables.events(spark, dir)
+      .selectExpr("unix_millis(ts) div 3600000 * 3600000 as w", "event_type")
+      .groupBy("w", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("w").agg(max(struct(col("n"), col("event_type"))).as("top"))
+      .select(col("w"), col("top.event_type"), col("top.n"))
+      .orderBy("w").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("checkpoint recovery: a restarted query resumes state exactly-once") {
     // The fault-tolerance contract a production deployment leans on:
     // kill a stateful query mid-stream, start a NEW query from the same
