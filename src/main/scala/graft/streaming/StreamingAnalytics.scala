@@ -264,15 +264,19 @@ object StreamingAnalytics {
     * DEPLOYMENT answer once live state is 100× the executor heap
     * (spillable off-heap state, incremental snapshot upload). Any other
     * value passes through as a fully-qualified provider class. Parity +
-    * cost of both providers across the 12 stream_* rows is recorded in
+    * cost of both providers across the stream_* rows is recorded in
     * BASELINE.md; the conf is read per-query at start, so the scoped
-    * set below is all a deployment flips. */
+    * set below is all a deployment flips. The system property
+    * `graft.stateStore` takes precedence over the env var — it exists
+    * so an in-JVM test can pin the RocksDB path (env is immutable from
+    * Scala; StreamingAnalyticsSpec's rocksdb test uses it). */
   private[graft] def stateStoreProvider: Option[String] =
-    sys.env.get("SPARK_GRAFT_STATE_STORE").map {
-      case "rocksdb" =>
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-      case other => other
-    }
+    sys.props.get("graft.stateStore")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE")).map {
+        case "rocksdb" =>
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        case other => other
+      }
 
   /** Run `body` (which must start AND stop its streaming query) with
     * `spark.sql.shuffle.partitions` scoped down for spooled state sizing

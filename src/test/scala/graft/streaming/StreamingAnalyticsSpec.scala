@@ -548,6 +548,21 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("RocksDB state store: spooled windowed stats equal the in-memory provider's") {
+    // Pins the alternative provider path in-tree (the BASELINE.md
+    // parity/cost runs were manual env-var executions): the same spooled
+    // query must produce identical rows under RocksDB-backed state.
+    val dir = "/root/testdata/sf0.001"
+    def rows() = windowStatsSpooled(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val default = rows()
+    sys.props("graft.stateStore") = "rocksdb"
+    try {
+      val rocks = rows()
+      assert(rocks == default && rocks.nonEmpty)
+    } finally { sys.props.remove("graft.stateStore"); () }
+  }
+
   test("checkpoint recovery: a restarted query resumes state exactly-once") {
     // The fault-tolerance contract a production deployment leans on:
     // kill a stateful query mid-stream, start a NEW query from the same
