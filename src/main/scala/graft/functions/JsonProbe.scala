@@ -107,8 +107,10 @@ object JsonCellIsString {
       }
       null // unreachable: path is non-empty
     } catch {
-      case _: java.io.IOException => null
+      // JacksonException extends IOException in Jackson 2.x, so it must
+      // be listed first (after IOException it is unreachable)
       case _: com.fasterxml.jackson.core.JacksonException => null
+      case _: java.io.IOException => null
     } finally {
       if (p != null) p.close()
     }

@@ -204,7 +204,7 @@ object Gates {
     val all = Similarity.corpus(s, dir).localCheckpoint()
 
     def assignCos(cents: Array[Seq[Double]]): DataFrame = {
-      val cd = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+      val cd = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
       all.withColumn("cd", cd)
         .select(col("vec_id"),
           (expr("array_position(cd, array_max(cd))") - 1).as("list_id"),

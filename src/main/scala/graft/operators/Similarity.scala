@@ -215,7 +215,7 @@ object Similarity {
   def ivfAssignments(s: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
     val all = corpus(s, dir)
     val cents = centroids(all, nlist)
-    val centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    val centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
     all.withColumn("cd", centDots)
       .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1"))
       .drop("cd")
@@ -236,7 +236,7 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 12): DataFrame = {
     val all = corpus(s, dir)
     val cents = centroids(all, nlist)
-    def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    def centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
     val assigned = all
       .withColumn("cd", centDots)
       .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1"))
@@ -303,7 +303,7 @@ object Similarity {
     val all = corpus(s, dir)
     val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
     val cents = centroids(all, nlist)
-    def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    def centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
     val assigned = all
       .withColumn("cd", centDots)
       .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1"))
@@ -408,7 +408,7 @@ object Similarity {
         }
         pqCodebooks(all, m, ksub, sharedSample = resSample)
       }
-    def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    def centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
     val booksSeq = books.map(_.map(_.toSeq).toSeq).toSeq
     // One corpus projection carries BOTH quantizers: coarse list id +
     // PQ codes. At scale this is the stored index table.
@@ -418,7 +418,7 @@ object Similarity {
     val indexed =
       (if (!residual) pqEncode(assigned, books, m)
        else assigned.withColumn("codes", graft.functions.PqOps.encodeResidual(
-         col("v"), col("nrm"), col("list_id"), cents, booksSeq)))
+         col("v"), col("nrm"), col("list_id"), cents.toIndexedSeq, booksSeq)))
         .drop("cd")
     val probes = all.filter(col("vec_id") < nQueries)
       .withColumn("cd", centDots)
@@ -661,7 +661,7 @@ object Similarity {
   /** (vec_id, nrm, codes, list_id) for `df` under the given quantizers. */
   private def coded(df: DataFrame, cents: Array[Seq[Double]],
                     books: Array[Array[Array[Double]]], m: Int): DataFrame = {
-    val centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    val centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
     pqEncode(df.withColumn("cd", centDots)
           .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1")),
         books, m)
@@ -756,7 +756,7 @@ object Similarity {
     val booksSeq: Seq[Seq[Seq[Double]]] =
       Seq.tabulate(m)(j => Seq.tabulate(ksub)(c => pq(j * ksub + c)))
     val all = corpus(s, dir)
-    def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    def centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
     val probes = all.filter(col("vec_id") < nQueries)
       .withColumn("cd", centDots)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
@@ -772,7 +772,7 @@ object Similarity {
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0))
     val idx = s.table(idxName)
-      .filter(col("list_id").isin(probedLists: _*))
+      .filter(col("list_id").isin(probedLists.toIndexedSeq: _*))
     val lookups = (0 until m).map(j =>
       element_at(col("qdt").getItem(j), col("codes").getItem(j) + 1)).reduce(_ + _)
     val wApprox = Window.partitionBy("query_id")
@@ -847,7 +847,7 @@ object Similarity {
                     nlist: Int = 16, nprobe: Int = 12): DataFrame = {
     val all = corpusWithLang(s, dir)
     val cents = centroids(all, nlist)
-    def centDots = array(cents.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    def centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
     val assigned = all
       .withColumn("cd", centDots)
       .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1"))
