@@ -56,14 +56,18 @@ object Multimodal {
   // syscall churn, which dominates when the rasters are tens of bytes
   // and the corpus is tens of thousands of frames (the r9 close put
   // +25 s across the multimodal family on it). In-memory streams are
-  // strictly better at these sizes. Idempotent JVM-wide switch; runs on
-  // executor JVMs when the object initializes there.
-  ImageIO.setUseCache(false)
+  // strictly better at these sizes. The switch IS JVM-global ImageIO
+  // state, so it is applied explicitly (idempotently) at the top of the
+  // two encode/decode entry points below rather than as an
+  // object-initializer side effect — other code in the same driver or
+  // executor process never pays it unless this module's codecs run.
+  private def disableImageIoFileCache(): Unit = ImageIO.setUseCache(false)
 
   /** Real PNG bytes of a w×h gray raster with pixel function `px`
     * (TYPE_BYTE_GRAY). PNG is lossless, so the decode side recovers the
     * exact gray values; runs per partition on executors. */
   private def grayPng(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    disableImageIoFileCache()
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
@@ -170,8 +174,41 @@ object Multimodal {
     (n, frames)
   }
 
+  /** Stride-aware GVID reader: yields (frame_idx, payload) for every
+    * `stride`-th frame and `skipBytes` past the rest using their length
+    * prefix — skipped frames are neither copied nor decoded (contrast
+    * [[readVideoPayloads]], which allocates every payload; this is the
+    * reader a sampler wants). Over a ByteArrayInputStream skipBytes is a
+    * position bump; over a real file stream it is a seek. */
+  private[graft] def sampledFramePayloads(payload: Array[Byte],
+                                          stride: Int): Iterator[(Int, Array[Byte])] = {
+    val dis = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+    val magic = new Array[Byte](4)
+    dis.readFully(magic)
+    require(new String(magic, "US-ASCII") == "GVID", "not a GVID container")
+    val n = dis.readInt()
+    Iterator.tabulate(n) { f =>
+      val len = dis.readInt()
+      if (f % stride == 0) {
+        val png = new Array[Byte](len)
+        dis.readFully(png)
+        Some((f, png))
+      } else {
+        var left = len
+        while (left > 0) {
+          val k = dis.skipBytes(left)
+          if (k <= 0) throw new java.io.EOFException(
+            s"GVID truncated while skipping frame $f")
+          left -= k
+        }
+        None
+      }
+    }.flatten
+  }
+
   /** Decode a gray PNG to its raster bytes in row-major order. */
   private[graft] def pngRaster(png: Array[Byte]): Array[Byte] = {
+    disableImageIoFileCache()
     val img = ImageIO.read(new ByteArrayInputStream(png))
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
@@ -245,8 +282,9 @@ object Multimodal {
   def decodeAssets(s: SparkSession, dir: String): Dataset[DecodedAsset] = {
     import s.implicits._
     assets(s, dir).mapPartitions(_.map { a =>
-      val (w, h, content) = a.modality match {
+      val (w, h, chunks) = a.modality match {
         case "image" =>
+          disableImageIoFileCache()
           val img = ImageIO.read(new ByteArrayInputStream(a.payload))
           val (iw, ih) = (img.getWidth, img.getHeight)
           val bytes = new Array[Byte](iw * ih)
@@ -260,7 +298,7 @@ object Multimodal {
             }
             y += 1
           }
-          (iw, ih, bytes)
+          (iw, ih, Iterator.single(bytes))
         case "audio" =>
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new ByteArrayInputStream(a.payload))
@@ -273,27 +311,48 @@ object Multimodal {
               s"WAV stream of asset ${a.asset_id} ended at $off of $n frames")
             off += r
           }
-          (n, 1, bytes)
+          (n, 1, Iterator.single(bytes))
         case _ =>
+          // STREAMED fold: the lazy frame iterator feeds one decoded
+          // raster at a time — per-asset transient memory is O(one
+          // frame), not O(total raster bytes), which is what survives
+          // real (minutes-long) videos. SHA-256 over incremental
+          // update() calls is bit-identical to digesting the
+          // concatenation (Merkle–Damgård streaming is the definition),
+          // and the running sum/min/max are order-insensitive — the
+          // many-frames fixture in MultimodalSpec pins equality against
+          // a concatenate-then-digest reference.
           val (nFrames, frames) = readVideoPayloads(a.payload)
-          val out = new ByteArrayOutputStream()
-          frames.foreach(png => out.write(pngRaster(png)))
-          (nFrames, 1, out.toByteArray)
+          (nFrames, 1, frames.map(pngRaster))
       }
-      var sum = 0L; var mn = 255; var mx = 0
+      val (nBytes, sum, mn, mx, sha) = foldContentChunks(chunks)
+      DecodedAsset(a.asset_id, a.modality, w, h, nBytes, sum, mn, mx, sha)
+    })
+  }
+
+  /** Incremental (n_bytes, px_sum, px_min, px_max, sha256-hex) over a
+    * stream of content chunks — O(one chunk) transient memory however
+    * long the stream. SHA-256 over incremental `update` calls is
+    * bit-identical to digesting the concatenation, and sum/min/max are
+    * order-insensitive folds; MultimodalSpec's many-frames fixture pins
+    * equality against a concatenate-then-digest reference. */
+  private[graft] def foldContentChunks(chunks: Iterator[Array[Byte]])
+      : (Long, Long, Int, Int, String) = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    var sum = 0L; var mn = 255; var mx = 0; var nBytes = 0L
+    chunks.foreach { chunk =>
       var i = 0
-      while (i < content.length) {
-        val v = content(i) & 0xFF
+      while (i < chunk.length) {
+        val v = chunk(i) & 0xFF
         sum += v
         if (v < mn) mn = v
         if (v > mx) mx = v
         i += 1
       }
-      val sha = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(content).map(b => f"$b%02x").mkString
-      DecodedAsset(a.asset_id, a.modality, w, h, content.length.toLong,
-        sum, mn, mx, sha)
-    })
+      nBytes += chunk.length
+      md.update(chunk)
+    }
+    (nBytes, sum, mn, mx, md.digest().map(b => f"$b%02x").mkString)
   }
 
   /** Oracle-checkable summary of the multimodal pipeline: size, hash
@@ -329,6 +388,7 @@ object Multimodal {
     import s.implicits._
     assets(s, dir).filter(col("modality") === "image")
       .mapPartitions(_.map { a =>
+        disableImageIoFileCache()
         val img = ImageIO.read(new ByteArrayInputStream(a.payload))
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
@@ -354,20 +414,20 @@ object Multimodal {
   final case class SampledFrame(asset_id: Long, frame_idx: Long, frame_sha: String)
 
   /** Frame sampling: REAL decode of every `stride`-th frame of the GVID
-    * container — parse the header, skip non-sampled frame payloads by
-    * their length prefix (never decoding them, exactly what a
-    * production frame sampler does with an MJPEG index), PNG-decode the
-    * sampled ones and hash the decoded raster. Same `mapPartitions`
-    * executor contract as [[decodeAssets]]; only (asset_id, frame_idx,
-    * sha) rows leave the partition — frame bytes never move. */
+    * container — parse the header, `skipBytes` past non-sampled frame
+    * payloads via their length prefix (never copied, never decoded —
+    * [[sampledFramePayloads]], exactly what a production frame sampler
+    * does with an MJPEG index), PNG-decode the sampled ones and hash the
+    * decoded raster. Same `mapPartitions` executor contract as
+    * [[decodeAssets]]; only (asset_id, frame_idx, sha) rows leave the
+    * partition — frame bytes never move. */
   def frameSample(s: SparkSession, dir: String, stride: Int = 4): DataFrame = {
     import s.implicits._
     assets(s, dir).filter(col("modality") === "video")
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
         it.flatMap { a =>
-          val (_, frames) = readVideoPayloads(a.payload)
-          frames.zipWithIndex.collect { case (png, f) if f % stride == 0 =>
+          sampledFramePayloads(a.payload, stride).map { case (f, png) =>
             md.reset()
             SampledFrame(a.asset_id, f.toLong,
               md.digest(pngRaster(png)).map(b => f"$b%02x").mkString)

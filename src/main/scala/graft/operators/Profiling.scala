@@ -45,13 +45,31 @@ object Profiling {
     // because AQE coalesces a bare repartition of small data to one
     // partition). Round-robin is fine — no key is needed before the
     // (col_name, value) hash aggregate.
+    //
+    // The distinct aggregate runs over xxhash64(col_name, value), not the
+    // rendered string: the melt's exchange and the count-distinct hash
+    // tables then carry 8-byte keys instead of 20-30 B rendered
+    // decimal/timestamp strings (~3× smaller — the house pattern from
+    // text_boilerplate/dedup_substr, landed here after the r8/r9
+    // aggregate-memory variance on this row). A 64-bit collision WITHIN a
+    // column would under-count that column's n_distinct by 1; odds are
+    // ~n²/2⁶⁵ per column (~10⁻⁷ at a billion distinct values), the same
+    // accepted stance TextAnalysis.dupGramsTopK documents. The null guard
+    // matters twice over: xxhash64 maps NULL to its seed, not NULL, so an
+    // unguarded hash would count nulls as one extra distinct value — and
+    // the guarded hash is null exactly when the value is, so count(vh)
+    // doubles as the null counter and the rendered string dies inside the
+    // melt stage.
+    val vhash = when(col("value").isNotNull,
+      xxhash64(col("col_name"), col("value")))
     val stats = t
       .repartition(t.sparkSession.sparkContext.defaultParallelism)
       .select(expr(stackExpr))
+      .select(col("col_name"), vhash.as("vh"))
       .groupBy("col_name")
       .agg(count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(col("value"))).as("n_nulls"),
-        count_distinct(col("value")).as("n_distinct"))
+        (count(lit(1)) - count(col("vh"))).as("n_nulls"),
+        count_distinct(col("vh")).as("n_distinct"))
     // The column list comes from the SCHEMA, not the data: an empty
     // table must still profile as one all-zero row per column — a
     // profiler that returns nothing cannot distinguish "table empty"

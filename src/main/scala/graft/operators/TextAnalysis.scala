@@ -277,7 +277,18 @@ object TextAnalysis {
       gramPass(col("gram"))
         .join(broadcast(survivors), xxhash64(col("gram")) === col("h"))
         .groupBy("h", "n_occ", "n_docs")
-        .agg(min("gram").as("gram")) // one gram per hash (64-bit, no collisions expected)
+        // A 64-bit collision among survivors would silently merge two
+        // distinct grams' counts into one row; min/max over the group is
+        // a free output-time detector (both already ride the aggregate),
+        // and raise_error turns the ~n²/2⁶⁵ event into a loud failure
+        // instead of a quietly wrong top-k.
+        .agg(min("gram").as("gmin"), max("gram").as("gmax"))
+        .select(col("h"), col("n_occ"), col("n_docs"),
+          when(col("gmin") === col("gmax"), col("gmin"))
+            .otherwise(raise_error(concat(
+              lit("xxhash64 collision on boilerplate gram hash "), col("h"),
+              lit(": '"), col("gmin"), lit("' vs '"), col("gmax"), lit("'"))))
+            .as("gram"))
         .orderBy(col("n_occ").desc, col("gram")).limit(k)
         .withColumn("rk", row_number().over(w).cast("long"))
         .select("rk", "gram", "n_occ", "n_docs")

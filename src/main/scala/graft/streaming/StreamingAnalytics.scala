@@ -286,11 +286,15 @@ object StreamingAnalytics {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption(provKey)
+    // captured ONCE: the def reads sys.props/env, and a test mutating
+    // graft.stateStore while body runs must not make the finally block
+    // skip or mis-restore the session conf
+    val prov = stateStoreProvider
     s.conf.set("spark.sql.shuffle.partitions", SpoolStatePartitions)
-    stateStoreProvider.foreach(s.conf.set(provKey, _))
+    prov.foreach(s.conf.set(provKey, _))
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
-      if (stateStoreProvider.isDefined)
+      if (prov.isDefined)
         prevProv.fold(s.conf.unset(provKey))(s.conf.set(provKey, _))
     }
   }

@@ -161,6 +161,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("streamed decode fold is bit-identical to concatenate-then-digest at many-frames scale") {
+    // 10k chunks of varying size (~1.1 MB total) — far past any real
+    // GVID in the corpus; the streamed fold must equal the reference
+    // that materializes the whole concatenation (the thing the operator
+    // no longer does)
+    val rnd = new scala.util.Random(7)
+    val chunks = Vector.tabulate(10000) { i =>
+      Array.fill(1 + rnd.nextInt(220))((rnd.nextInt(256) - 128).toByte)
+    }
+    val concat = chunks.flatten.toArray
+    val refSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(concat).map(b => f"$b%02x").mkString
+    val vals = concat.map(_ & 0xFF)
+    val (n, sum, mn, mx, sha) = Multimodal.foldContentChunks(chunks.iterator)
+    assert(n == concat.length.toLong)
+    assert(sum == vals.map(_.toLong).sum)
+    assert(mn == vals.min && mx == vals.max)
+    assert(sha == refSha)
+    // and the empty stream (zero-frame container) stays well-defined
+    val (n0, s0, _, _, sha0) = Multimodal.foldContentChunks(Iterator.empty)
+    assert(n0 == 0L && s0 == 0L)
+    assert(sha0 == java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Array.emptyByteArray).map(b => f"$b%02x").mkString)
+  }
+
+  test("stride-aware reader yields exactly the sampled frames and skips the rest") {
+    val ids = Seq(2L, 8L, 50L, 1000003L)
+    for (id <- ids; stride <- Seq(1, 3, 4)) {
+      val payload = Multimodal.videoBytes(id)
+      val sampled = Multimodal.sampledFramePayloads(payload, stride).toVector
+      val all = Multimodal.readVideoPayloads(payload)._2.toVector
+      val expected = all.zipWithIndex.collect {
+        case (png, f) if f % stride == 0 => (f, png)
+      }
+      assert(sampled.map(_._1) == expected.map(_._1), s"idxs id=$id stride=$stride")
+      sampled.zip(expected).foreach { case ((_, got), (_, want)) =>
+        assert(java.util.Arrays.equals(got, want))
+      }
+    }
+  }
+
   test("dup frames: same-scene assets collide, distinct scenes do not") {
     import spark.implicits._
     // video assets are doc_id % 3 == 2; scene(id, f) = (id + 17f) % 48,
