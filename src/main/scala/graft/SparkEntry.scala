@@ -185,9 +185,12 @@ object SparkEntry {
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     // Contrastive-training data prep: positive = nearest neighbor, hard
     // negatives = next candidates in the retrieved top-64 that are NOT
-    // near-dups of the query (cosine < 0.35); candidate cut runs on the
-    // bounded-heap TopKPerKey operator.
-    "mine_hardnegatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    // near-dups of the query (cosine < 0.35). Registered on the
+    // ARTIFACT-SERVED spelling (candidates from the persisted IVF-PQ
+    // index's partition-pruned code scan, cut by the bounded-heap
+    // TopKPerKey) — the plan you'd run at 100 TB; the brute Q×N leg is
+    // the gate truth, pinned equal in OperatorsSpec.
+    "mine_hardnegatives" -> ((s, d) => Similarity.hardNegativesFromIndex(s, d)),
     // Filtered vector search (pre-filter semantics): top-k among
     // candidates with label != the query's label; exact truth leg,
     // IVF scale path pinned equal at full probe in SimilaritySpec.

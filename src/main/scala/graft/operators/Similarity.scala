@@ -92,6 +92,84 @@ object Similarity {
       .orderBy("query_id", "neg_rank")
   }
 
+  /** [[hardNegatives]] with candidates served from the PERSISTED IVF-PQ
+    * index ([[ivfPqIndexArtifact]]) instead of the brute Q×N scoring
+    * scan — the registered spelling, because it is the plan you'd run at
+    * 100 TB: the query batch probes its `nprobe` lists, the index scan
+    * partition-prunes to exactly those lists (codes, not vectors — 10
+    * bytes a row), the ADC-approximate top-`rerank` per query is cut by
+    * the bounded-heap [[graft.plans.TopKPerKey]], and only those rows
+    * fetch their raw vector back for the exact re-rank that feeds the
+    * same mining tail as the brute leg. The brute Q×N leg stays the gate
+    * truth: OperatorsSpec pins this output EQUAL to [[hardNegatives]]
+    * on the test corpora.
+    *
+    * Default coverage is MEASURED, not assumed (tools/MeasureHardNeg):
+    * this corpus's near-uniform directions are the worst case for a
+    * space partitioner, and mining is head-sensitive (pos = rank 1,
+    * negs = the first `nNeg` under the near-dup ceiling), so partial
+    * probe loses heads — nprobe 12/14/16 → 38-42/12-16/0 differing rows
+    * vs brute at sf0.01. The registered spelling therefore probes all
+    * lists and lets PQ do the work: the scan still reads codes (10 B a
+    * row, 25× fewer bytes than raw vectors) through the
+    * partition-pruned index, and only ≤ rerank rows per query fetch
+    * their raw vector back. On a clustered real embedding corpus nprobe
+    * is the usual coverage/cost knob; the spec would catch any head
+    * divergence loudly rather than let it drift. */
+  def hardNegativesFromIndex(s: SparkSession, dir: String, nQueries: Int = 50,
+                             nNeg: Int = 3, candidateK: Int = 64,
+                             nearDupCos: Double = 0.35,
+                             nlist: Int = 16, nprobe: Int = 16,
+                             m: Int = 16, ksub: Int = 32,
+                             rerank: Int = 256): DataFrame = {
+    val (idxName, cbName) = ivfPqIndexArtifact(s, dir, nlist, m, ksub)
+    val (cents, booksSeq) = loadCodebooks(s, cbName, m, ksub)
+    val all = corpus(s, dir)
+    def centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    val probes = all.filter(col("vec_id") < nQueries)
+      .withColumn("cd", centDots)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        graft.functions.PqOps.ipTables(col("v"), col("nrm"), booksSeq).as("qdt"),
+        explode(slice(reverse(array_sort(zip_with(
+          col("cd"), sequence(lit(0), lit(cents.length - 1)),
+          (d, i) => struct(d.as("d"), i.as("i"))))), 1, nprobe)).as("probe"))
+      .select(col("qid"), col("qv"), col("qnrm"), col("qdt"),
+        col("probe.i").cast("long").as("list_id"))
+      .localCheckpoint() // consumed twice: probed-list collect + the join
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getLong(0))
+    val idx = s.table(idxName)
+      .filter(col("list_id").isin(probedLists.toIndexedSeq: _*))
+    val lookups = (0 until m).map(j =>
+      element_at(col("qdt").getItem(j), col("codes").getItem(j) + 1)).reduce(_ + _)
+    val scored = idx.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        lookups.as("approx_cos"), col("qv"), col("qnrm"))
+    val approxTop = graft.plans.TopKPerKey(scored, Seq(col("query_id")),
+      Seq(col("approx_cos").desc, col("neighbor_id").asc), rerank)
+    val exact = approxTop
+      .join(all.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+    val top = graft.plans.TopKPerKey(exact, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), candidateK)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val ranked = top.withColumn("rank", row_number().over(w))
+    val pos = ranked.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"))
+    val wneg = Window.partitionBy("query_id").orderBy("rank")
+    val negs = ranked.filter(col("rank") >= 2 && col("cosine") < nearDupCos)
+      .withColumn("neg_rank", row_number().over(wneg).cast("long"))
+      .filter(col("neg_rank") <= nNeg)
+      .select(col("query_id"), col("neighbor_id").as("neg_id"), col("neg_rank"))
+    pos.join(negs, "query_id")
+      .select("query_id", "pos_id", "neg_id", "neg_rank")
+      .orderBy("query_id", "neg_rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded, data-independent). */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -739,11 +817,10 @@ object Similarity {
   /** Serve top-k from ANY persisted (index, codebook) table pair — the
     * query path shared by the write-once and incrementally-maintained
     * artifacts. */
-  private[graft] def ivfPqTopKServe(s: SparkSession, dir: String,
-                            idxName: String, cbName: String,
-                            nQueries: Int = 10, k: Int = 5, nprobe: Int = 12,
-                            m: Int = 16, ksub: Int = 32,
-                            rerank: Int = 64): DataFrame = {
+  /** Reload the persisted quantizer table (control-plane sized:
+    * nlist·dim + m·ksub·dsub doubles) into in-memory codebooks. */
+  private def loadCodebooks(s: SparkSession, cbName: String, m: Int,
+                            ksub: Int): (Array[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val cbRows = s.table(cbName).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     def slots(kind: String): Map[Int, Seq[Double]] =
@@ -755,6 +832,15 @@ object Similarity {
     val pq = slots("pq")
     val booksSeq: Seq[Seq[Seq[Double]]] =
       Seq.tabulate(m)(j => Seq.tabulate(ksub)(c => pq(j * ksub + c)))
+    (cents, booksSeq)
+  }
+
+  private[graft] def ivfPqTopKServe(s: SparkSession, dir: String,
+                            idxName: String, cbName: String,
+                            nQueries: Int = 10, k: Int = 5, nprobe: Int = 12,
+                            m: Int = 16, ksub: Int = 32,
+                            rerank: Int = 64): DataFrame = {
+    val (cents, booksSeq) = loadCodebooks(s, cbName, m, ksub)
     val all = corpus(s, dir)
     def centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
     val probes = all.filter(col("vec_id") < nQueries)

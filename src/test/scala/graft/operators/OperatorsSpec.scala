@@ -1225,4 +1225,20 @@ class OperatorsSpec extends SparkSpec {
       assert(rs.map(_._4).sorted.toSeq == (1L to rs.length))
     }
   }
+
+  test("artifact-served hard negatives equal the brute gate truth; plan prunes + heaps") {
+    val sf = "/root/testdata/sf0.001"
+    val served = Similarity.hardNegativesFromIndex(spark, sf)
+    // the scale plan: bounded-heap candidate cut over the index scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    assert(plan.contains("PartitionFilters") || plan.contains("list_id"),
+      "index scan should carry the probed-list partition pruning")
+    val brute = Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute,
+      s"served minus brute: ${(got -- brute).take(5)}; brute minus served: ${(brute -- got).take(5)}")
+  }
 }
