@@ -102,6 +102,11 @@ object SparkEntry {
     // parquet, pinning full fidelity through the interchange loop.
     "ingest_jsonl"    -> ((s, d) => DocPipeline.jsonlRoundTrip(s, d)),
     "curate_pipeline" -> ((s, d) => DocPipeline.curatePipeline(s, d)),
+    // The training-export capstone: quality filter -> exact dedup ->
+    // near-dup -> decontaminate -> mix -> pack -> shuffle-into-shards
+    // as ONE declarative plan (no materialization between stages); the
+    // oracle recomputes all seven stages.
+    "export_training" -> ((s, d) => DocPipeline.exportTraining(s, d)),
     // Registered on the 8-byte-hash spelling — the plan you'd run at
     // 100 TB (the shuffle carries xxhash64 keys, not document bodies);
     // OperatorsSpec pins it equal to the group-by-text twin.
@@ -1512,6 +1517,66 @@ object SparkEntry {
         | CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
         | CAST(length(d.text) AS BIGINT) AS n_chars
         |FROM documents d JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // The capstone: curate_pipeline's four curation stages (same CTEs),
+    // then curate_mix's quota draw over the curated set, curate_pack's
+    // running prefix over the mixed set, and curate_shuffle's LCG
+    // shard/pos — all seven stages recomputed from raw text in SQL.
+    "export_training" -> {
+      val qs = graft.operators.Curation.mixQuotas
+        .map { case (src, n) => s"('$src', $n)" }.mkString(", ")
+      val lcg = graft.operators.Curation.lcgKeySql
+      s"""WITH w AS (SELECT doc_id, text, lang, string_split(text, ' ') AS words,
+         |                  len(string_split(text, ' ')) AS n, length(text) AS c
+         |           FROM documents),
+         |b AS (SELECT doc_id, text, n,
+         |       CAST(c - (n - 1) AS DOUBLE) / n AS mwl,
+         |       CAST(len(list_distinct(words)) AS DOUBLE) / n AS ttr,
+         |       CAST(list_max(list_transform(list_distinct(words),
+         |         w2 -> len(list_filter(words, x -> x = w2)))) AS DOUBLE) / n AS tws,
+         |       CASE WHEN n >= 2
+         |         THEN CAST((n - 1) - len(list_distinct(list_transform(range(n - 1),
+         |           i -> words[i + 1] || ' ' || words[i + 2]))) AS DOUBLE) / (n - 1)
+         |         ELSE 0.0 END AS dupf
+         |      FROM w),
+         |ql AS (SELECT doc_id, text FROM b
+         |      WHERE NOT (n < 30 OR n > 5000 OR mwl < 3.0 OR mwl > 10.0
+         |                 OR ttr < 0.35 OR tws > 0.15 OR dupf > 0.10)),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM ql GROUP BY text),
+         |ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         |       FROM documents JOIN surv USING (doc_id)),
+         |nd AS (SELECT DISTINCT b2.doc_id FROM ts a, ts b2 WHERE a.doc_id < b2.doc_id
+         |       AND CAST(len(list_intersect(a.toks, b2.toks)) AS DOUBLE) /
+         |           (len(a.toks) + len(b2.toks) - len(list_intersect(a.toks, b2.toks))) >= 0.9),
+         |kept AS (SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+         |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |gr AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(1, greatest(len(toks) - 2, 1) + 1),
+         |         i -> array_to_string(toks[i:i+2], ' ')))) AS gs FROM t2),
+         |ev AS (SELECT DISTINCT gs FROM gr WHERE doc_id % 100 = 0),
+         |cont AS (SELECT DISTINCT doc_id FROM gr JOIN ev USING (gs)
+         |         WHERE doc_id % 100 <> 0),
+         |fin AS (SELECT doc_id FROM kept WHERE doc_id % 100 <> 0
+         |        AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |qt(source, quota) AS (VALUES $qs),
+         |mix0 AS (SELECT d.doc_id, d.source,
+         |          len(string_split(d.text, ' ')) AS n_tokens,
+         |          ROW_NUMBER() OVER (PARTITION BY d.source
+         |            ORDER BY $lcg, d.doc_id) AS rk
+         |         FROM documents d JOIN fin USING (doc_id)),
+         |mixed AS (SELECT doc_id, source, n_tokens, rk
+         |          FROM mix0 JOIN qt USING (source) WHERE rk <= quota),
+         |cm AS (SELECT doc_id, source, n_tokens, rk,
+         |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |       FROM mixed)
+         |SELECT doc_id, source, n_tokens, rk,
+         | CAST(cum // 256 AS BIGINT) AS pack_id,
+         | CAST(cum % 256 AS BIGINT) AS pack_offset,
+         | ($lcg) % 8 AS shard,
+         | ROW_NUMBER() OVER (PARTITION BY ($lcg) % 8
+         |   ORDER BY $lcg, doc_id) AS pos
+         |FROM cm ORDER BY shard, pos""".stripMargin
+    },
     // Same lcgKey spelling as curate_sample/curate_mix (one definition
     // per side, Curation.lcgKey / lcgKeySql).
     "curate_split" -> {

@@ -389,10 +389,18 @@ object Curation {
     * The global running token count is computed in TWO PHASES so no
     * executor ever sorts the corpus in one partition: doc_id-block-local
     * prefix sums (keyed window over `blockSize`-wide blocks), plus an
-    * all-blocks prefix over the block TOTALS — N/blockSize rows, control-
-    * plane sized (1M rows at a billion docs), the only single-partition
-    * window in the plan. The block-offset join is keyed; AQE broadcasts
-    * the tiny side on its own. */
+    * all-blocks prefix over the block TOTALS — the only single-partition
+    * window in the plan. `blockSize = 0` (the default and the registered
+    * spelling) sizes blocks from the CORPUS: one cheap max(doc_id)
+    * column-scan, then blockSize = ⌈idRange / parallelism²⌉ — so the
+    * block level is bounded at ~parallelism² rows AT ANY SCALE (a fixed
+    * blockSize bounds nothing: at 10¹² docs, 1024-wide blocks put 10⁹
+    * rows through the single-partition window — the classic trap this
+    * operator exists to avoid, reintroduced one level up). Output is
+    * invariant to blockSize by construction (the prefix sum telescopes);
+    * OperatorsSpec pins equality across fixed, auto and degenerate
+    * sizes. The block-offset join is keyed; AQE broadcasts the tiny side
+    * on its own. */
   /** Winsorize document lengths at exact integer percentiles — outlier
     * clipping before length-sensitive downstream stages (packing, token
     * budgeting), with the cut points computed EXACTLY at any scale.
@@ -428,11 +436,22 @@ object Curation {
   }
 
   def packSequences(s: SparkSession, dir: String, budget: Int = 256,
-                    blockSize: Int = 1024): DataFrame = {
+                    blockSize: Long = 0L): DataFrame = {
+    val bs: Long =
+      if (blockSize > 0) blockSize
+      else {
+        // one bounded control-plane read: max over a single pruned column
+        val maxId = documents(s, dir).agg(max("doc_id")).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+        val par = s.sparkContext.defaultParallelism.toLong
+        math.max(1L, maxId / (par * par) + 1)
+      }
     val d = documents(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("blk", (col("doc_id") / blockSize).cast("long"))
+      .withColumn("blk", (col("doc_id") / bs).cast("long"))
     val wLocal = Window.partitionBy("blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wBlocks = Window.orderBy("blk")

@@ -88,6 +88,23 @@ object DocPipeline {
                      nearDupThreshold: Double = 0.9,
                      evalMod: Int = 100): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // 5. token accounting on the curated set
+    docs.join(curatedIds(s, dir, nearDupThreshold, evalMod), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .localCheckpoint() // sort sampling must not re-run the whole chain
+      .orderBy("doc_id")
+  }
+
+  /** Stages 1-4 of the curation chain as ONE declarative plan returning
+    * the surviving doc ids — shared by [[curatePipeline]] (token
+    * accounting) and [[exportTraining]] (the full export), so the two
+    * can never drift. No checkpoint/persist anywhere: callers decide
+    * whether their consumption pattern needs a materialization. */
+  private def curatedIds(s: SparkSession, dir: String,
+                         nearDupThreshold: Double, evalMod: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
 
     // 1. quality gate (per-row kernels inside the scan)
     val qualityKept = Curation.qualityFilter(s, dir)
@@ -116,16 +133,106 @@ object DocPipeline {
     val contaminated = grams.filter(col("doc_id") % evalMod =!= 0)
       .join(evalGrams, "gram")
       .select("doc_id").distinct()
-    val train = kept.filter(col("doc_id") % evalMod =!= 0)
+    kept.filter(col("doc_id") % evalMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+  }
 
-    // 5. token accounting
-    docs.join(train, "doc_id")
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        length(col("text")).cast("long").as("n_chars"))
-      .localCheckpoint() // sort sampling must not re-run the whole chain
-      .orderBy("doc_id")
+  /** The TRAINING-EXPORT capstone: every stage between "raw corpus" and
+    * "training shards", composed as ONE declarative plan —
+    *
+    *   quality filter → exact dedup → near-dup removal →
+    *   decontamination ([[curatedIds]], stages 1-4) → weighted source
+    *   mixing ([[Curation.mixSources]]' quota semantics applied to the
+    *   curated set) → sequence packing ([[Curation]]'s two-phase prefix
+    *   sum over the mixed set in doc_id order) → deterministic
+    *   shuffle-into-shards ([[Curation.shuffleShards]]' LCG spelling).
+    *
+    * Output: one row per exported doc with its source draw rank, pack
+    * coordinates and (shard, pos) training order — everything a shard
+    * writer needs. Every stage is a predicate, min-id choice or pure
+    * function of doc_id, so the result is partition-independent and
+    * exactly SQL-expressible (the oracle recomputes all seven stages).
+    *
+    * Plan shape (ExplainPipeline audits it): the quality gate's
+    * per-row kernels run inside the corpus scan (pushed down — later
+    * shuffles carry only survivors); Catalyst plans the chain as one
+    * query — the only materializations are TWO-BRANCH REUSES, not stage
+    * hand-offs: the near-dup prefix table (both sides of the pair
+    * self-join read it, [[Dedup]]'s convention) and the mixed survivor
+    * set (the pack stage's block-total aggregate AND row-local prefix
+    * window both consume it; without the checkpoint Spark — which does
+    * no cross-branch common-subexpression reuse — re-executes the
+    * ENTIRE curation chain for the second branch, the audit's original
+    * finding, and re-execution is the scale hazard, not materializing
+    * the survivor rows). The pack windows exchange on the doc_id block
+    * key (block level bounded by the corpus-sized blockSize,
+    * [[Curation.packSequences]]); the FINAL exchange is keyed on shard
+    * alone — the write-side partitioning a shard writer consumes
+    * directly. */
+  def exportTraining(s: SparkSession, dir: String,
+                     nearDupThreshold: Double = 0.9,
+                     evalMod: Int = 100,
+                     quotas: Seq[(String, Int)] = Curation.mixQuotas,
+                     budget: Int = 256,
+                     nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+
+    // 5. weighted source mixing over the curated set (quota > group
+    //    size takes the whole source; literal quota table, broadcast)
+    val q = quotas.toDF("source", "quota")
+    val wMix = Window.partitionBy("source")
+      .orderBy(Curation.lcgKey, col("doc_id"))
+    val mixed = docs
+      .join(curatedIds(s, dir, nearDupThreshold, evalMod), "doc_id")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(wMix).cast("long"))
+      .filter(col("rk") <= quotas.map(_._2).maxOption.getOrElse(0))
+      .join(q, "source")
+      .filter(col("rk") <= col("quota"))
+      .select("doc_id", "source", "n_tokens", "rk")
+      // two-branch reuse (see the scaladoc): block totals + local
+      // prefixes both read this relation; checkpoint, don't re-curate
+      .localCheckpoint()
+
+    // 6. sequence packing over the mixed set in doc_id order — the
+    //    packSequences two-phase prefix, blocks sized from the CORPUS id
+    //    range (one bounded column scan of the base table, never of the
+    //    curation chain: sizing from `mixed` would evaluate the chain
+    //    twice; output is blockSize-invariant either way)
+    val maxId = docs.agg(max("doc_id")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val par = s.sparkContext.defaultParallelism.toLong
+    val bs = math.max(1L, maxId / (par * par) + 1)
+    val wLocal = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBlocks = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = mixed.withColumn("blk", (col("doc_id") / bs).cast("long"))
+    val blockPrefix = d.groupBy("blk").agg(sum("n_tokens").as("blk_total"))
+      .withColumn("blk_prefix", coalesce(sum("blk_total").over(wBlocks), lit(0L)))
+      .select("blk", "blk_prefix")
+    val packed = d
+      .withColumn("local_prefix", coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+      .join(blockPrefix, "blk")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rk"),
+        (col("blk_prefix") + col("local_prefix")).as("cum"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rk"),
+        expr(s"cum div $budget").as("pack_id"),
+        (col("cum") % budget).as("pack_offset"))
+
+    // 7. shuffle-into-shards: shard + in-shard position, pure functions
+    //    of doc_id — ONE shard-keyed exchange, per-shard sorts only
+    val wShard = Window.partitionBy("shard")
+      .orderBy(Curation.lcgKey, col("doc_id"))
+    packed
+      .withColumn("shard", (Curation.lcgKey % nShards).cast("long"))
+      .withColumn("pos", row_number().over(wShard).cast("long"))
+      .orderBy("shard", "pos")
   }
 
   /** Materialize the curated corpus as training shards: parquet

@@ -30,6 +30,21 @@ object ExplainPipeline {
     val sorts = opt.collect { case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s }
     println(s"[explain] quality-join optimized Sort nodes: ${sorts.length}")
     println(opt.treeString.linesIterator.take(25).mkString("\n"))
+
+    // export_training capstone audit: stage-boundary materializations
+    // (ExistingRDD leaves beyond the near-dup prefix self-join reuse),
+    // exchange census, and the identity of the final hash exchange —
+    // the three properties the capstone's scaladoc claims.
+    val cap = DocPipeline.exportTraining(spark, dir)
+    cap.write.format("noop").mode("overwrite").save()
+    val plan = cap.queryExecution.executedPlan.toString
+    val rdds = plan.linesIterator.filter(_.contains("ExistingRDD")).toSeq
+    println(s"[explain] export_training ExistingRDD leaves: ${rdds.length} " +
+      s"(all two-branch reuses: ${rdds.forall(l =>
+        l.contains("ptok") || (l.contains("rk") && l.contains("n_tokens")))})")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    println(s"[explain] export_training exchanges: ${exchanges.length}")
+    exchanges.foreach(e => println("  " + e.trim.take(140)))
     spark.stop()
   }
 }

@@ -591,6 +591,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pack sequences: output invariant to blockSize (auto, fixed, degenerate)") {
+    // the prefix sum telescopes, so the block split must never show in
+    // the output: auto sizing (corpus-aware, the registered spelling),
+    // the r9 fixed width, 1-doc blocks and one-giant-block all agree
+    val sf = "/root/testdata/sf0.001"
+    def run(bs: Long) = Curation.packSequences(spark, sf, blockSize = bs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val auto = run(0L)
+    assert(auto == run(1024L))
+    assert(auto == run(1L))
+    assert(auto == run(1L << 40))
+  }
+
   test("ivf assignment: every vector lands on its own centroid when all are centroids") {
     // fixture has 4 embeddings, all within the nlist=16 codebook; cosine
     // with itself is 1.0 which strictly dominates any distinct direction.

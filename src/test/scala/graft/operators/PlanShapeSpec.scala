@@ -49,6 +49,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("export_training: one declarative plan, no barrier, final exchange keyed on shard") {
+    val df = DocPipeline.exportTraining(spark, sf)
+    val plan = planOf(df)
+    // materializations are TWO-BRANCH REUSES only (see the operator's
+    // scaladoc): the near-dup prefix relation (`ptok` column — both
+    // sides of the pair self-join) and the mixed survivor set (`rk` +
+    // `n_tokens` — the pack stage's block-total aggregate and row-local
+    // prefix window). Anything else is a stage hand-off and fails here.
+    assert(!plan.contains("InMemoryTableScan"), plan.take(3000))
+    val rddLeaves = plan.linesIterator.filter(_.contains("ExistingRDD")).toSeq
+    assert(rddLeaves.forall(l => l.contains("ptok") ||
+        (l.contains("rk") && l.contains("n_tokens"))),
+      s"stage-boundary materialization in the capstone chain:\n${rddLeaves.mkString("\n")}")
+    // and the curation chain executes ONCE: the exact-dedup
+    // hash-groupBy exchange (text-hash key `th`) appears at most once —
+    // zero when the chain ran inside the mixed checkpoint's own
+    // execution, one if a refactor inlines it; twice means the chain
+    // was re-executed for the pack stage's second branch (the audit's
+    // original finding)
+    assert(plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(th#")) <= 1,
+      "curation chain re-executed — dedup exchange appears more than once")
+    // the FINAL exchange (topmost hashpartitioning in the root-first
+    // tree print, under the presentation range sort) is keyed on shard
+    // alone — the write-side partitioning a shard writer consumes
+    val firstHash = plan.linesIterator
+      .find(_.contains("Exchange hashpartitioning"))
+      .getOrElse(fail("no hash exchange in plan"))
+    assert(firstHash.contains("shard"), s"final exchange not shard-keyed: $firstHash")
+    assert(!firstHash.contains("doc_id") && !firstHash.contains("source"),
+      s"final exchange carries more than the shard key: $firstHash")
+  }
+
   test("graph family: serving queries scan the edge artifact, no IVF rebuild") {
     val plan = planOf(Graph.triangleCounts(spark, sf))
     assert(plan.contains("graft_knn_edges_") || plan.contains("graft_"),
