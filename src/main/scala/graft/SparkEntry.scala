@@ -185,6 +185,11 @@ object SparkEntry {
     "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     "text_vocab"      -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "text_bpe"        -> ((s, d) => Gates.bpeGate(s, d)),
+    // Distributed BPE trainer at real depth: 256 merges over the
+    // UNCAPPED word vocabulary, per-iteration pair counts as a keyed
+    // Spark aggregate (Tokenizer.learnMergesDistributed); same
+    // invariants gate as text_bpe.
+    "text_bpe_dist"   -> ((s, d) => Gates.bpeDistGate(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -1675,6 +1680,10 @@ object SparkEntry {
         |FROM v ORDER BY tf DESC, token LIMIT 25""".stripMargin,
     "text_bpe" ->
       """SELECT count(*) AS n_docs, CAST(32 AS BIGINT) AS n_merges,
+        | true AS bounds_ok, true AS compressed
+        |FROM documents""".stripMargin,
+    "text_bpe_dist" ->
+      """SELECT count(*) AS n_docs, CAST(256 AS BIGINT) AS n_merges,
         | true AS bounds_ok, true AS compressed
         |FROM documents""".stripMargin,
     // PMI rank = rank of the exact-integer ratio c_ab/(c_a*c_b) — both

@@ -170,7 +170,19 @@ object Gates {
     * the corpus genuinely compressed (some merge applied). n_docs is
     * recomputed by the oracle. */
   def bpeGate(s: SparkSession, dir: String, nMerges: Int = 32): DataFrame =
-    graft.operators.Tokenizer.bpeStats(s, dir, nMerges)
+    bpeInvariants(graft.operators.Tokenizer.bpeStats(s, dir, nMerges), nMerges)
+
+  /** [[bpeGate]] over the DISTRIBUTED trainer at real merge depth
+    * (uncapped vocabulary, 256 merges) — same invariants; the
+    * merge-sequence equality with the driver-loop trainer is pinned
+    * separately in TokenizerSpec at matched caps. */
+  def bpeDistGate(s: SparkSession, dir: String, nMerges: Int = 256): DataFrame =
+    bpeInvariants(
+      graft.operators.Tokenizer.bpeStatsDistributed(s, dir, nMerges), nMerges)
+
+  private def bpeInvariants(stats: org.apache.spark.sql.DataFrame,
+                            nMerges: Int): DataFrame =
+    stats
       .agg(count(lit(1)).as("n_docs"),
         (sum(when(col("n_bpe_tokens").between(col("n_words"), col("n_symbols")), 0)
           .otherwise(1)) === 0).as("bounds_ok"),

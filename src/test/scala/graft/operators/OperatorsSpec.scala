@@ -991,6 +991,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("distributed BPE trainer equals the driver loop at matched caps, and at real depth") {
+    val sf = "/root/testdata/sf0.001"
+    // matched caps (4096 covers the whole sf0.001 vocabulary, so the
+    // capped driver loop and the uncapped distributed trainer see the
+    // same weighted vocab): merge SEQUENCES must be identical
+    val driver = Tokenizer.learnMerges(spark, sf, nMerges = 64)
+    val dist = Tokenizer.learnMergesDistributed(spark, sf, nMerges = 64)
+    assert(dist == driver, s"first divergence at ${
+      dist.zip(driver).indexWhere { case (a, b) => a != b }}")
+    // real-depth run: merges keep strictly extending the matched prefix,
+    // and applying the deeper table never inflates token counts
+    val deep = Tokenizer.learnMergesDistributed(spark, sf, nMerges = 96)
+    assert(deep.take(64) == driver)
+    assert(deep.distinct.length == deep.length, "duplicate merge learned")
+  }
+
   test("vocab top-k: tf/df totals, deterministic rank, k respected") {
     val v = TextAnalysis.vocabTopK(spark, dir, k = 3).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
