@@ -278,24 +278,46 @@ object StreamingAnalytics {
         case other => other
       }
 
+  /** RocksDB CHANGELOG CHECKPOINTING (`graft.stateStore.changelog` sys
+    * prop / `SPARK_GRAFT_STATE_STORE_CHANGELOG` env): the deployment
+    * knob that makes RocksDB commits incremental — each micro-batch
+    * uploads only the batch's change log instead of snapshotting
+    * SST files synchronously, with snapshots folded in asynchronously
+    * in the background. Semantics are identical by contract (recovery
+    * replays changelog over the last snapshot); parity + cost across
+    * all stream_* rows is recorded in BASELINE.md, and the provider
+    * spec pins output equality in-tree. Only meaningful under the
+    * RocksDB provider; ignored otherwise. */
+  private[graft] def changelogCheckpointing: Boolean =
+    sys.props.get("graft.stateStore.changelog")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE_CHANGELOG"))
+      .exists(_.equalsIgnoreCase("true"))
+
   /** Run `body` (which must start AND stop its streaming query) with
     * `spark.sql.shuffle.partitions` scoped down for spooled state sizing
     * (and, when configured, the state-store provider applied); restores
     * the prior values however the body exits. */
   private def withSpoolPartitions[T](s: SparkSession)(body: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val clogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption(provKey)
-    // captured ONCE: the def reads sys.props/env, and a test mutating
+    val prevClog = s.conf.getOption(clogKey)
+    // captured ONCE: the defs read sys.props/env, and a test mutating
     // graft.stateStore while body runs must not make the finally block
     // skip or mis-restore the session conf
     val prov = stateStoreProvider
+    val clog = changelogCheckpointing && prov.exists(_.contains("RocksDB"))
     s.conf.set("spark.sql.shuffle.partitions", SpoolStatePartitions)
     prov.foreach(s.conf.set(provKey, _))
+    if (clog) s.conf.set(clogKey, "true")
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       if (prov.isDefined)
         prevProv.fold(s.conf.unset(provKey))(s.conf.set(provKey, _))
+      if (clog)
+        prevClog.fold(s.conf.unset(clogKey))(s.conf.set(clogKey, _))
     }
   }
 

@@ -560,6 +560,15 @@ class StreamingAnalyticsSpec extends SparkSpec {
     try {
       val rocks = rows()
       assert(rocks == default && rocks.nonEmpty)
+      // and with CHANGELOG CHECKPOINTING — incremental commits (upload
+      // the batch's changelog, snapshot asynchronously) must be
+      // output-invisible; this is the RocksDB deployment configuration
+      // a production stream actually runs
+      sys.props("graft.stateStore.changelog") = "true"
+      try {
+        val clog = rows()
+        assert(clog == default && clog.nonEmpty)
+      } finally { sys.props.remove("graft.stateStore.changelog"); () }
     } finally { sys.props.remove("graft.stateStore"); () }
   }
 
