@@ -272,7 +272,9 @@ object StreamingAnalytics {
     * Scala; StreamingAnalyticsSpec's rocksdb test uses it). */
   private[graft] def stateStoreProvider: Option[String] =
     sys.props.get("graft.stateStore")
-      .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE")).map {
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE"))
+      .filter(_.nonEmpty) // `VAR=` (empty) means unset, not provider ""
+      .map {
         case "rocksdb" =>
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
         case other => other
