@@ -174,6 +174,20 @@ object DocPipeline {
                      evalMod: Int = 100,
                      quotas: Seq[(String, Int)] = Curation.mixQuotas,
                      budget: Int = 256,
+                     nShards: Int = 8): DataFrame =
+    exportTrainingUnsorted(s, dir, nearDupThreshold, evalMod, quotas,
+      budget, nShards)
+      .orderBy("shard", "pos")
+
+  /** [[exportTraining]] without the presentation sort —
+    * [[writeTrainingShards]] repartitions by shard immediately, which
+    * would throw a global (shard, pos) range sort away (the
+    * [[curateUnsorted]] precedent). */
+  private[graft] def exportTrainingUnsorted(s: SparkSession, dir: String,
+                     nearDupThreshold: Double = 0.9,
+                     evalMod: Int = 100,
+                     quotas: Seq[(String, Int)] = Curation.mixQuotas,
+                     budget: Int = 256,
                      nShards: Int = 8): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -232,8 +246,28 @@ object DocPipeline {
     packed
       .withColumn("shard", (Curation.lcgKey % nShards).cast("long"))
       .withColumn("pos", row_number().over(wShard).cast("long"))
-      .orderBy("shard", "pos")
   }
+
+  /** Materialize [[exportTraining]] as training shards: parquet
+    * partitioned by `shard`, rows inside each shard file in training
+    * (`pos`) order, file size bounded by `maxRecordsPerFile`. The
+    * writer CONSUMES the capstone's shard-keyed exchange directly —
+    * `repartition(shard) + sortWithinPartitions(pos)` collapses into
+    * the window's own exchange+sort (the plan already partitions by
+    * shard and sorts by the same key pos ranks on), so exporting costs
+    * no exchange beyond what the query itself pays; the presentation
+    * orderBy is skipped for the same reason [[writeShards]] skips
+    * [[curate]]'s. */
+  def writeTrainingShards(s: SparkSession, dir: String, out: String,
+                          maxRecordsPerFile: Int = 100000): Unit =
+    exportTrainingUnsorted(s, dir)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write
+      .partitionBy("shard")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .mode("overwrite")
+      .parquet(out)
 
   /** Materialize the curated corpus as training shards: parquet
     * partitioned by language, `maxRecordsPerFile`-bounded, rows inside a

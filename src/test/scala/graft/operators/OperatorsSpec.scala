@@ -635,6 +635,33 @@ class OperatorsSpec extends SparkSpec {
     assert(back == expected && back.nonEmpty)
   }
 
+  test("training-shard writer: shard-partitioned layout, pos-ordered rows, round-trips the export") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-trainshards").toString + "/shards"
+    DocPipeline.writeTrainingShards(spark, sf, out)
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("shard=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("shard=\\d+")))
+    val expected = DocPipeline.exportTraining(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    val back = spark.read.parquet(out)
+      // partition discovery types the shard= directory key as int
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rk"),
+        col("pack_id"), col("pack_offset"), col("shard").cast("long"),
+        col("pos")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(back == expected && back.nonEmpty)
+    // rows INSIDE each shard file are in training (pos) order — the
+    // reader-locality contract the sortWithinPartitions buys
+    for (d <- dirs; f <- new java.io.File(s"$out/$d").listFiles()
+         if f.getName.endsWith(".parquet")) {
+      val ps = spark.read.parquet(f.getPath).select("pos").collect().map(_.getLong(0))
+      assert(ps.sameElements(ps.sorted), s"unsorted rows in $d/${f.getName}")
+    }
+  }
+
   test("bucketized range join equals the naive interval join (sf0.001)") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
@@ -1000,9 +1027,13 @@ class OperatorsSpec extends SparkSpec {
     val dist = Tokenizer.learnMergesDistributed(spark, sf, nMerges = 64)
     assert(dist == driver, s"first divergence at ${
       dist.zip(driver).indexWhere { case (a, b) => a != b }}")
-    // real-depth run: merges keep strictly extending the matched prefix,
-    // and applying the deeper table never inflates token counts
-    val deep = Tokenizer.learnMergesDistributed(spark, sf, nMerges = 96)
+    // full registered depth: the 256-merge distributed sequence equals
+    // the driver loop run to the same depth (the driver's 4096 cap is a
+    // no-op on this corpus, so the two see the same weighted vocab)
+    val deep = Tokenizer.learnMergesDistributed(spark, sf, nMerges = 256)
+    val deepDriver = Tokenizer.learnMerges(spark, sf, nMerges = 256)
+    assert(deep == deepDriver, s"first divergence at ${
+      deep.zip(deepDriver).indexWhere { case (a, b) => a != b }}")
     assert(deep.take(64) == driver)
     assert(deep.distinct.length == deep.length, "duplicate merge learned")
   }
