@@ -126,7 +126,7 @@ object Similarity {
     val (cents, booksSeq) = loadCodebooks(s, cbName, m, ksub)
     val all = corpus(s, dir)
     def centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
-    val probes = all.filter(col("vec_id") < nQueries)
+    val probes0 = all.filter(col("vec_id") < nQueries)
       .withColumn("cd", centDots)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         graft.functions.PqOps.ipTables(col("v"), col("nrm"), booksSeq).as("qdt"),
@@ -135,11 +135,20 @@ object Similarity {
           (d, i) => struct(d.as("d"), i.as("i"))))), 1, nprobe)).as("probe"))
       .select(col("qid"), col("qv"), col("qnrm"), col("qdt"),
         col("probe.i").cast("long").as("list_id"))
-      .localCheckpoint() // consumed twice: probed-list collect + the join
-    val probedLists = probes.select("list_id").distinct()
-      .collect().map(_.getLong(0))
+    // At FULL probe (the registered default on this corpus) every list
+    // is probed by definition — the prune set is known on the driver
+    // with no job, and probes is consumed once, so no checkpoint. At
+    // partial probe the bounded distinct-collect (≤ nQueries·nprobe
+    // ids) turns the index scan into a partition-pruned scan of the
+    // probed lists only, and the checkpoint stops the probe build
+    // running twice.
+    val fullProbe = nprobe >= cents.length
+    val probes = if (fullProbe) probes0 else probes0.localCheckpoint()
+    val probedLists: Seq[Long] =
+      if (fullProbe) 0L until cents.length.toLong
+      else probes.select("list_id").distinct().collect().map(_.getLong(0)).toSeq
     val idx = s.table(idxName)
-      .filter(col("list_id").isin(probedLists.toIndexedSeq: _*))
+      .filter(col("list_id").isin(probedLists: _*))
     val lookups = (0 until m).map(j =>
       element_at(col("qdt").getItem(j), col("codes").getItem(j) + 1)).reduce(_ + _)
     val scored = idx.join(broadcast(probes), Seq("list_id"))

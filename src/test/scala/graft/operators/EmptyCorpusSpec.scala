@@ -43,4 +43,13 @@ class EmptyCorpusSpec extends SparkSpec {
     val p = Profiling.columnProfile(Tables.documents(spark, dir)).collect()
     assert(p.length == 5 && p.forall(r => r.getLong(1) == 0 && r.getLong(3) == 0))
   }
+
+  test("round-10 additions return empty / no merges on an empty corpus") {
+    // auto blockSize: max(doc_id) over zero rows is NULL -> handled
+    assert(Curation.packSequences(spark, dir).count() == 0)
+    // the capstone: every stage fed zero rows
+    assert(DocPipeline.exportTraining(spark, dir).count() == 0)
+    // distributed trainer: empty vocabulary -> zero merges, not a crash
+    assert(Tokenizer.learnMergesDistributed(spark, dir, nMerges = 8).isEmpty)
+  }
 }
