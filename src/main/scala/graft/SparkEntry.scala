@@ -156,6 +156,10 @@ object SparkEntry {
     // Deterministic shuffle-into-shards (training order): one exchange
     // keyed on shard, per-shard rank — never a global row_number.
     "curate_shuffle"  -> ((s, d) => Curation.shuffleShards(s, d)),
+    // URL canonicalization before url-keyed dedup (fragment / case /
+    // default-port / utm / trailing-slash rules as codegen projections;
+    // one keyed window shows the dedup-key collapse).
+    "curate_urlnorm"  -> ((s, d) => Curation.urlNormDemo(s, d)),
     "curate_mix"      -> ((s, d) => Curation.mixSources(s, d)),
     "curate_pack"     -> ((s, d) => Curation.packSequences(s, d)),
     "curate_pii"      -> (Curation.piiDemo _),
@@ -289,6 +293,10 @@ object SparkEntry {
     // Keyword-retrieval surface (operators.Search): postings construction,
     // integer-exact TF-IDF ranking, positional phrase search.
     "profile_columns" -> (Profiling.lineitemProfile _),
+    // HLL++ sketched cardinalities gated against the exact profiler:
+    // fixed-size mergeable state per column, the 100-TB distinct-count
+    // path (the exact melt's exchange carries the value domain).
+    "profile_sketch"  -> (Profiling.lineitemSketchProfile _),
     // Cross-column correlation sufficient statistics (integer-exact
     // moments, one Aggregate pass over one scan).
     "profile_corr"    -> (Profiling.correlationProfile _),
@@ -543,6 +551,17 @@ object SparkEntry {
         .map(c => s"""SELECT '$c' AS col_name, count(*) AS n_rows,
                      | count(*) - count($c) AS n_nulls,
                      | count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // Sketch gate: DuckDB recomputes the EXACT distinct counts; the
+    // HLL++ approximation never leaves the plan — only the pinned
+    // within-tolerance boolean does.
+    "profile_sketch" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+        .map(c => s"""SELECT '$c' AS col_name,
+                     | count(DISTINCT $c) AS n_distinct,
+                     | true AS sketch_ok FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // Integer-exact correlation moments: the decimal detour (q31's
     // cents rule) renders both engines' double->integer conversion
@@ -1429,6 +1448,47 @@ object SparkEntry {
          | ROW_NUMBER() OVER (PARTITION BY (${graft.operators.Curation.lcgKeySql}) % 8
          |   ORDER BY ${graft.operators.Curation.lcgKeySql}, doc_id) AS pos
          |FROM documents ORDER BY shard, pos""".stripMargin,
+    // URL derivation + the same five normalization rules, applied in
+    // the same order; regexes live in the Java-Pattern∩RE2 dialect
+    // intersection (the curate_pii convention). DuckDB backreferences
+    // are \1-style and its regexp_replace needs 'g' where Spark's
+    // replace-all semantics could matter (the utm rule).
+    "curate_urlnorm" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+        |  || 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+        |  || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+        |           WHEN doc_id % 3 = 1 THEN ':443' ELSE ':8080' END)
+        |  || '/Docs/Page' || CAST(doc_id % 5 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 2 = 0
+        |        THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+        |       WHEN doc_id % 5 = 1
+        |        THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=x'
+        |       ELSE '' END)
+        |  || (CASE WHEN doc_id % 6 = 0
+        |        THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
+        | FROM documents),
+        |n1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS s FROM u),
+        |n2 AS (SELECT doc_id, url,
+        |        lower(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+        |          || substr(s, length(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS s
+        |       FROM n1),
+        |n3 AS (SELECT doc_id, url,
+        |        regexp_replace(regexp_replace(s,
+        |          '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2'),
+        |          '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2') AS s FROM n2),
+        |n4 AS (SELECT doc_id, url,
+        |        regexp_replace(s, '[?&]utm_[^&#]*', '', 'g') AS s FROM n3),
+        |n5 AS (SELECT doc_id, url,
+        |        regexp_replace(regexp_replace(s, '^([^?&]*)&', '\1?'),
+        |          '[?&]$', '') AS s FROM n4),
+        |n6 AS (SELECT doc_id, url,
+        |        regexp_replace(regexp_replace(s, '/\?', '?'), '/$', '') AS url_norm
+        |       FROM n5)
+        |SELECT doc_id, url, url_norm,
+        | count(*) OVER (PARTITION BY url_norm) AS n_same_norm
+        |FROM n6 ORDER BY doc_id""".stripMargin,
     "curate_domaincap" ->
       s"""SELECT doc_id, source, rk FROM (
          | SELECT doc_id, source,

@@ -273,6 +273,70 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalization — the crawl-pipeline step that runs BEFORE any
+    * URL-keyed dedup, because raw crawl URLs name the same resource a
+    * dozen ways (case-insensitive scheme/host, default ports, tracking
+    * params, fragments, trailing slashes) and deduping on the raw string
+    * misses all of them. Rules, in order: (1) drop the fragment;
+    * (2) lowercase scheme://host[:port] (the case-insensitive part of a
+    * URL — the path stays case-SENSITIVE); (3) drop default ports
+    * (http :80, https :443 — explicit non-defaults stay); (4) strip
+    * `utm_*` tracking params, healing the leading `?` if the first
+    * param was tracking; (5) drop a trailing path slash.
+    *
+    * Every rule is one regex/string op in the Java-Pattern∩RE2 dialect
+    * (the [[piiPatterns]] convention: no lookaround, no backreferences
+    * in patterns) so the DuckDB oracle applies the identical sequence;
+    * the Spark side is a zero-exchange codegen projection — at 100 TB
+    * the normalization itself never shuffles, only the subsequent
+    * url-keyed dedup count does (here a window over `url_norm`, one
+    * keyed exchange, demonstrating the collapse the rules buy). */
+  def normalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // lowercase exactly the scheme://host[:port] prefix
+    val prefix = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(prefix),
+      substring(noFrag, length(prefix) + 1, lit(Int.MaxValue)))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?#]+):80([/?#].*)?$", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#].*)?$", "$1$2")
+    val noUtm = regexp_replace(noPort, "[?&]utm_[^&#]*", "")
+    // first surviving param kept its own '&': heal it to '?' (the
+    // character class guarantees we touch the FIRST separator only)
+    val healed = regexp_replace(
+      regexp_replace(noUtm, "^([^?&]*)&", "$1?"), "[?&]$", "")
+    regexp_replace(regexp_replace(healed, "/\\?", "?"), "/$", "")
+  }
+
+  /** The `curate_urlnorm` query: the synthetic corpus carries no URL
+    * column, so (the [[piiDemo]] precedent) a deterministic messy URL is
+    * derived per doc_id — mixed-case scheme/host, default and explicit
+    * ports, tracking params in first and later positions, fragments,
+    * trailing slashes — and normalized. `n_same_norm` counts docs
+    * sharing the canonical form (the dedup key the rules exist to
+    * create); the derivation and every rule are spelled identically in
+    * the oracle, so url_norm and the counts hash-compare exactly. */
+  def urlNormDemo(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val url = concat(
+      when(id % 2 === 0, "HTTP://").otherwise("https://"),
+      lit("WWW.Site"), str(id % 7), lit(".Example.COM"),
+      when(id % 3 === 0, ":80").when(id % 3 === 1, ":443").otherwise(":8080"),
+      lit("/Docs/Page"), str(id % 5),
+      when(id % 4 === 0, "/").otherwise(""),
+      when(id % 2 === 0, concat(lit("?utm_source=feed&id="), str(id % 10)))
+        .when(id % 5 === 1, concat(lit("?id="), str(id % 10), lit("&utm_campaign=x")))
+        .otherwise(lit("")),
+      when(id % 6 === 0, concat(lit("#sec"), str(id % 3))).otherwise(lit("")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("url_norm")
+    documents(s, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("url_norm", normalizeUrl(col("url")))
+      .withColumn("n_same_norm", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** Gopher/RefinedWeb-style document quality filter: the APPLY step over
     * [[TextAnalysis.gopherSignals]] — a keep/drop decision plus the FIRST
     * failing rule as `drop_reason` (rules are checked in a fixed order,

@@ -87,6 +87,45 @@ object Profiling {
   def lineitemProfile(s: SparkSession, dir: String): DataFrame =
     columnProfile(Tables.lineitem(s, dir))
 
+  /** SKETCHED cardinality profile — [[columnProfile]]'s 100-TB sibling:
+    * per-column approximate distinct counts from HyperLogLog++
+    * (`approx_count_distinct`), gated against the exact profiler. The
+    * scale argument is the whole point: the exact melt's exchange
+    * carries every distinct (column, value-hash) pair — at 100 TB that
+    * is the value domain itself — while HLL sketches are FIXED-SIZE
+    * (2^p registers) and MERGEABLE, so the sketch pass aggregates
+    * map-side into one constant-size state per column and the exchange
+    * carries kilobytes regardless of cardinality. One scan, one
+    * ordinary (non-distinct) aggregate row, no Expand, no melt.
+    *
+    * Output is oracle-checkable the gate way: the exact BIGINT
+    * n_distinct (DuckDB recomputes it from raw values) plus a pinned
+    * `sketch_ok` — relative error within `tol`, far above HLL++'s
+    * configured rsd so the boolean is stable across corpus growth.
+    * The sketch VALUE itself is engine-specific by nature and never
+    * emitted. Determinism: Spark's HLL++ is hash-based and
+    * merge-order-independent, so the boolean cannot flap across
+    * partitionings. */
+  def sketchProfile(t: DataFrame, rsd: Double = 0.05,
+                    tol: Double = 0.15): DataFrame = {
+    val cols = t.columns
+    val approx = t.agg(
+      approx_count_distinct(col(cols.head), rsd).as(cols.head),
+      cols.tail.map(c => approx_count_distinct(col(c), rsd).as(c)): _*)
+      .select(expr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, n_approx)"))
+    columnProfile(t)
+      .join(approx, "col_name")
+      .select(col("col_name"), col("n_distinct"),
+        (col("n_distinct") === 0 && col("n_approx") === 0 ||
+          abs(col("n_approx") - col("n_distinct")).cast("double") <=
+            greatest(col("n_distinct") * tol, lit(2.0))).as("sketch_ok"))
+      .orderBy("col_name")
+  }
+
+  def lineitemSketchProfile(s: SparkSession, dir: String): DataFrame =
+    sketchProfile(Tables.lineitem(s, dir))
+
   /** Cross-column correlation inputs in ONE scan — the numeric-profiler
     * companion to [[columnProfile]]: for each column pair, the
     * sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) from which

@@ -1049,6 +1049,32 @@ class OperatorsSpec extends SparkSpec {
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) }) // tf desc, token asc
   }
 
+  test("url normalization: each rule fires; non-defaults and path case survive") {
+    import spark.implicits._
+    val cases = Seq(
+      // fragment + case + default port + trailing slash
+      ("HTTP://WWW.Ex.COM:80/A/B/#frag", "http://www.ex.com/A/B"),
+      // https default port; explicit non-default stays
+      ("HTTPS://Ex.Com:443/p", "https://ex.com/p"),
+      ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+      // :443 on http and :80 on https are NOT defaults -> stay
+      ("http://ex.com:443/p", "http://ex.com:443/p"),
+      ("https://ex.com:80/p", "https://ex.com:80/p"),
+      // utm first, param follows -> '?' healed; utm last -> dropped clean
+      ("http://ex.com/p?utm_source=a&id=5", "http://ex.com/p?id=5"),
+      ("http://ex.com/p?id=5&utm_campaign=b", "http://ex.com/p?id=5"),
+      // ALL params tracking -> query gone entirely (and trailing slash)
+      ("http://ex.com/p/?utm_a=1&utm_b=2", "http://ex.com/p"),
+      // path case preserved; query case preserved
+      ("http://EX.com/CaseSensitive?Q=V", "http://ex.com/CaseSensitive?Q=V"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Curation.normalizeUrl(col("url")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"normalize($in)")
+    }
+  }
+
   test("pii scrub: counts and redaction across kinds, non-PII lookalikes survive") {
     import spark.implicits._
     val df = Seq(
