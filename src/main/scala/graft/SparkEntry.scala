@@ -297,6 +297,11 @@ object SparkEntry {
     // fixed-size mergeable state per column, the 100-TB distinct-count
     // path (the exact melt's exchange carries the value domain).
     "profile_sketch"  -> (Profiling.lineitemSketchProfile _),
+    // Count-min-sketch heavy hitters (fixed-size mergeable counters)
+    // gated on the exact vocabulary top-k; GK quantile sketch gated on
+    // integer-arithmetic exact discrete percentiles.
+    "profile_hh"      -> ((s, d) => Profiling.cmsHeavyHitters(s, d)),
+    "profile_qsketch" -> ((s, d) => Profiling.quantileSketchGate(s, d)),
     // Cross-column correlation sufficient statistics (integer-exact
     // moments, one Aggregate pass over one scan).
     "profile_corr"    -> (Profiling.correlationProfile _),
@@ -563,6 +568,34 @@ object SparkEntry {
                      | count(DISTINCT $c) AS n_distinct,
                      | true AS sketch_ok FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // CMS gate: exact top-k spelled as in text_vocab; the sketch's
+    // estimates never leave the plan, only the bound booleans.
+    "profile_hh" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |per AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+        |v AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf FROM per GROUP BY token)
+        |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rk,
+        | token, tf, true AS cms_ok
+        |FROM v ORDER BY tf DESC, token LIMIT 25""".stripMargin,
+    // Quantile-sketch gate: exact discrete percentiles via the shared
+    // integer-arithmetic histogram rule (smallest value with
+    // cum*1e6 >= n*p_ppm — the winsorize spelling, engine-neutral).
+    "profile_qsketch" ->
+      """WITH c AS (SELECT l_returnflag,
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |     FROM lineitem),
+        |h AS (SELECT l_returnflag, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |cu AS (SELECT l_returnflag, cents,
+        |        SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum
+        |       FROM h),
+        |t AS (SELECT l_returnflag, count(*) AS n FROM c GROUP BY 1)
+        |SELECT l_returnflag,
+        | min(CASE WHEN cum * 1000000 >= n * 500000 THEN cents END) AS p50_cents,
+        | min(CASE WHEN cum * 1000000 >= n * 900000 THEN cents END) AS p90_cents,
+        | true AS p50_ok, true AS p90_ok
+        |FROM cu JOIN t USING (l_returnflag)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Integer-exact correlation moments: the decimal detour (q31's
     // cents rule) renders both engines' double->integer conversion
     // identically; every sum is cast to BIGINT (DuckDB sums BIGINT into

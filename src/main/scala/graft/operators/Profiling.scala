@@ -126,6 +126,87 @@ object Profiling {
   def lineitemSketchProfile(s: SparkSession, dir: String): DataFrame =
     sketchProfile(Tables.lineitem(s, dir))
 
+  /** COUNT-MIN-SKETCH heavy hitters gated against the exact vocabulary
+    * top-k — the third canonical mergeable sketch (HLL distinct →
+    * [[sketchProfile]]; quantiles → [[quantileSketchGate]]). The scale
+    * story: exact heavy hitters pay a vocabulary-scale exchange
+    * ([[TextAnalysis.vocabTopK]]); the CMS is a FIXED-SIZE (depth ×
+    * width counters) mergeable aggregate — map-side partial sketches
+    * merge by cell-wise add, the exchange carries one sketch per
+    * partition, and any item's count is answerable after one pass.
+    *
+    * The gate pins the CMS contract on the exact top-k tokens:
+    * est ≥ tf always (counters only over-count), and est ≤ tf + 2·ε·N
+    * (double the one-sided ε·N bound, so the boolean cannot flap on
+    * per-row hash collisions). The sketch binary is engine-specific
+    * and never emitted — the exact (rk, token, tf) are, all
+    * oracle-recomputable. The driver-side estimate loop is
+    * control-plane: ONE binary blob + k membership probes, the
+    * IVF-codebook pattern. Determinism: cell-wise counter addition is
+    * commutative, so estimates are partitioning-independent for a
+    * fixed seed. */
+  def cmsHeavyHitters(s: SparkSession, dir: String, k: Int = 25,
+                      eps: Double = 0.0001, conf: Double = 0.99,
+                      seed: Int = 42): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val agg = toks.agg(
+      expr(s"count_min_sketch(token, ${eps}d, ${conf}d, $seed)").as("sk"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(agg.getAs[Array[Byte]]("sk"))
+    val slack = math.ceil(2 * eps * agg.getAs[Long]("n")).toLong
+    val exact = TextAnalysis.vocabTopK(s, dir, k) // (token, tf, df, rk)
+    import s.implicits._
+    val checks = exact.select("token", "tf", "rk").collect().map { r =>
+      val est = cms.estimateCount(r.getString(0))
+      (r.getLong(2), r.getString(0), r.getLong(1),
+        est >= r.getLong(1) && est <= r.getLong(1) + slack)
+    }.toSeq.toDF("rk", "token", "tf", "cms_ok")
+    checks.orderBy("rk")
+  }
+
+  /** Approximate-QUANTILE sketch gate (Greenwald-Khanna via
+    * `approx_percentile`) against EXACT integer-arithmetic discrete
+    * percentiles — per-group p50/p90 of l_extendedprice in cents. The
+    * exact side is the [[Curation.winsorize]] histogram trick spelled
+    * identically in both engines (smallest value with cum·10⁶ ≥ n·p_ppm
+    * — no engine-specific percentile definition can drift), computed
+    * per group over the value HISTOGRAM (distinct-cents-scale window,
+    * not row-scale). The sketch side is one fixed-size mergeable state
+    * per group. Gate: the approx value must lie between the exact
+    * discrete percentiles at p ± 2/accuracy — the GK rank guarantee
+    * with doubled slack, which holds for ANY merge order, so the
+    * boolean is partitioning-stable even though the approximate VALUE
+    * itself need not be. Only exact cents and booleans are emitted. */
+  def quantileSketchGate(s: SparkSession, dir: String,
+                         accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val hist = li.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("c").over(wcum))
+    val totals = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val slackPpm = 2000000L / accuracy // 2/accuracy in parts-per-million
+    def cut(ppm: Long) =
+      min(when(col("cum") * 1000000L >= col("n") * ppm, col("cents")))
+    val cuts = cum.join(totals, "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(cut(500000L).as("p50_cents"), cut(900000L).as("p90_cents"),
+        cut(500000L - slackPpm).as("lo50"), cut(500000L + slackPpm).as("hi50"),
+        cut(900000L - slackPpm).as("lo90"), cut(900000L + slackPpm).as("hi90"))
+    val ap = li.groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(cents, array(0.5D, 0.9D), $accuracy)").as("ap"))
+    cuts.join(ap, "l_returnflag")
+      .select(col("l_returnflag"), col("p50_cents"), col("p90_cents"),
+        col("ap").getItem(0).between(col("lo50"), col("hi50")).as("p50_ok"),
+        col("ap").getItem(1).between(col("lo90"), col("hi90")).as("p90_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** Cross-column correlation inputs in ONE scan — the numeric-profiler
     * companion to [[columnProfile]]: for each column pair, the
     * sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) from which

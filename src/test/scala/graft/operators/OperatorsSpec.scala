@@ -1049,6 +1049,18 @@ class OperatorsSpec extends SparkSpec {
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) }) // tf desc, token asc
   }
 
+  test("sketch gates hold at sf0.001: CMS bounds, GK rank bounds, HLL tolerance") {
+    val sf = "/root/testdata/sf0.001"
+    val hh = Profiling.cmsHeavyHitters(spark, sf).collect()
+    assert(hh.length == 25 && hh.forall(_.getBoolean(3)))
+    val qs = Profiling.quantileSketchGate(spark, sf).collect()
+    assert(qs.nonEmpty && qs.forall(r => r.getBoolean(3) && r.getBoolean(4)))
+    // exact discrete percentiles are genuinely order statistics: p50 <= p90
+    qs.foreach(r => assert(r.getLong(1) <= r.getLong(2)))
+    val sk = Profiling.lineitemSketchProfile(spark, sf).collect()
+    assert(sk.nonEmpty && sk.forall(_.getBoolean(2)))
+  }
+
   test("url normalization: each rule fires; non-defaults and path case survive") {
     import spark.implicits._
     val cases = Seq(
