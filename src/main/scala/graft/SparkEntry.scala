@@ -281,6 +281,11 @@ object SparkEntry {
     // decomposition (two chained watermark-bounded stateful operators).
     "stream_distinct" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.distinctSpooled(s, d)),
+    // APPROXIMATE streaming distinct: per-window HLL++ — one fixed-size
+    // register set per window instead of state per distinct (window,
+    // user) pair; gated per window against the exact batch count.
+    "stream_hll" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.hllDistinctSpooled(s, d)),
     // Sliding (hopping) windows: each event expands map-side into its
     // len/slide covering windows before the keyed aggregate.
     "stream_hopping" -> ((s, d) =>
@@ -470,6 +475,12 @@ object SparkEntry {
     "stream_distinct" ->
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
         | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // HLL gate: the oracle recomputes the exact per-window distinct;
+    // the sketch estimate never leaves the plan, only the boolean.
+    "stream_hll" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        | count(DISTINCT user_id) AS n_users, true AS hll_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Hopping windows: every event belongs to two epoch-aligned 1-hour
     // windows starting on the two 30-minute marks at or before it.

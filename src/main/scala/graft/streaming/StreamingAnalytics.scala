@@ -755,6 +755,88 @@ object StreamingAnalytics {
     out
   }
 
+  /** APPROXIMATE streaming distinct — [[windowedDistinctUsers]]' 100-TB
+    * sibling: per-window HLL++ (`approx_count_distinct`) instead of the
+    * dedup-then-count decomposition. The state story is the whole
+    * point: exact streaming distinct keeps one state entry PER DISTINCT
+    * (window, user) pair in flight — at 100 TB/day of events that state
+    * is the day's user set — while the HLL aggregate keeps one
+    * FIXED-SIZE register set per window regardless of cardinality, and
+    * registers merge across micro-batches and partitions by max. One
+    * stateful operator instead of two; same watermark eviction. */
+  def windowedApproxDistinctUsers(events: DataFrame /* ts, user_id */,
+                                  windowLen: String = "1 hour",
+                                  lateness: String = "10 minutes",
+                                  rsd: Double = 0.02): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_approx"))
+      .select(col("window.start").as("window_start"), col("n_approx"))
+
+  /** ORACLE-CHECKED streaming HLL distinct: the spooled
+    * [[windowedApproxDistinctUsers]] execution GATED per window against
+    * the exact batch distinct (the q20 gate shape — sketch estimates
+    * are engine-specific, so the emitted columns are the exact BIGINT
+    * count the oracle recomputes plus the within-tolerance boolean;
+    * HLL++ is deterministic for a given input set, so the boolean
+    * cannot flap). Same spool + two-sentinel flush as
+    * [[distinctSpooled]]; the sentinel's far-future window is dropped
+    * by the window_start bound. */
+  def hllDistinctSpooled(s: SparkSession, dir: String,
+                         windowLen: String = "1 hour",
+                         lateness: String = "10 minutes",
+                         rsd: Double = 0.02): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-hllspool-$runId")
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("user_id"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val latenessMs = intervalMs(lateness)
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, -1L)).toDF("ts", "user_id")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_hll_$runId"
+    withSpoolPartitions(s) {
+      val q = windowedApproxDistinctUsers(stream, windowLen, lateness, rsd)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+        val t1 = maxTsNanos + step
+        sentinel(t1)
+        q.processAllAvailable()
+        sentinel(t1 + step)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val approx = s.table(name)
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("n_approx"))
+      .filter(col("window_start_ms") <= maxTsNanos / 1000000L)
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    val exact = graft.operators.Tables.events(s, dir)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("n_users"))
+    exact.join(approx, "window_start_ms")
+      .select(col("window_start_ms"), col("n_users"),
+        (abs(col("n_approx") - col("n_users")).cast("double") <=
+          greatest(col("n_users") * 3 * rsd, lit(2.0))).as("hll_ok"))
+      .orderBy("window_start_ms")
+  }
+
   /** Watermarked SLIDING (hopping) window counts — each event lands in
     * windowLen/slide overlapping windows (here 2: a 1-hour window every
     * 30 minutes), the moving-average / rolling-rate shape tumbling
