@@ -499,19 +499,26 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Corpus-derived prefix-sum block size: max doc_id over parallelism²
+    * (one bounded control-plane read of a single pruned column), so the
+    * block level holds ≈ parallelism² rows regardless of corpus scale.
+    * Shared by [[packSequences]] and [[DocPipeline.exportTrainingUnsorted]]
+    * — OperatorsSpec pins packSequences blockSize-invariant, and sharing
+    * the helper extends that pin to the capstone (the two sizings used to
+    * be copy-pasted and could drift). */
+  private[operators] def autoBlockSize(s: SparkSession, dir: String): Long = {
+    val maxId = documents(s, dir).agg(max("doc_id")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val par = s.sparkContext.defaultParallelism.toLong
+    math.max(1L, maxId / (par * par) + 1)
+  }
+
   def packSequences(s: SparkSession, dir: String, budget: Int = 256,
                     blockSize: Long = 0L): DataFrame = {
     val bs: Long =
-      if (blockSize > 0) blockSize
-      else {
-        // one bounded control-plane read: max over a single pruned column
-        val maxId = documents(s, dir).agg(max("doc_id")).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }
-        val par = s.sparkContext.defaultParallelism.toLong
-        math.max(1L, maxId / (par * par) + 1)
-      }
+      if (blockSize > 0) blockSize else autoBlockSize(s, dir)
     val d = documents(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))

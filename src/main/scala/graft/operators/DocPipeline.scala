@@ -213,15 +213,11 @@ object DocPipeline {
 
     // 6. sequence packing over the mixed set in doc_id order — the
     //    packSequences two-phase prefix, blocks sized from the CORPUS id
-    //    range (one bounded column scan of the base table, never of the
-    //    curation chain: sizing from `mixed` would evaluate the chain
-    //    twice; output is blockSize-invariant either way)
-    val maxId = docs.agg(max("doc_id")).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
-    val par = s.sparkContext.defaultParallelism.toLong
-    val bs = math.max(1L, maxId / (par * par) + 1)
+    //    range via the shared [[Curation.autoBlockSize]] (one bounded
+    //    column scan of the base table, never of the curation chain:
+    //    sizing from `mixed` would evaluate the chain twice; output is
+    //    blockSize-invariant either way)
+    val bs = Curation.autoBlockSize(s, dir)
     val wLocal = Window.partitionBy("blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wBlocks = Window.orderBy("blk")
@@ -259,8 +255,14 @@ object DocPipeline {
     * orderBy is skipped for the same reason [[writeShards]] skips
     * [[curate]]'s. */
   def writeTrainingShards(s: SparkSession, dir: String, out: String,
-                          maxRecordsPerFile: Int = 100000): Unit =
-    exportTrainingUnsorted(s, dir)
+                          maxRecordsPerFile: Int = 100000,
+                          nearDupThreshold: Double = 0.9,
+                          evalMod: Int = 100,
+                          quotas: Seq[(String, Int)] = Curation.mixQuotas,
+                          budget: Int = 256,
+                          nShards: Int = 8): Unit =
+    exportTrainingUnsorted(s, dir, nearDupThreshold, evalMod, quotas,
+      budget, nShards)
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write
@@ -309,12 +311,30 @@ object DocPipeline {
     * `lang` never rides in the JSON bodies (partition-directory
     * encoding, recovered by partition discovery on read). The write
     * repartitions by (lang, doc-block) like [[writeShards]], so one big
-    * language still fans across `tasksPerLang` writers. */
+    * language still fans across `tasksPerLang` writers.
+    *
+    * Cluster contract: `outRoot` must be a SHARED filesystem path (s3a://,
+    * hdfs://) on a real cluster — executors write the shards, so a
+    * driver-local temp dir would scatter them across executor-local disks
+    * and the read-back would see a fraction. The default resolves from
+    * `spark.graft.jsonl.root` (session conf) and only falls back to a
+    * driver-local temp dir under local[*], where driver and executors
+    * share one filesystem (the in-sandbox test harness). Same convention
+    * as [[writeShards]]: the materialization root is caller-supplied. */
   def jsonlRoundTrip(s: SparkSession, dir: String,
                      maxRecordsPerFile: Int = 100000,
-                     tasksPerLang: Int = 8): DataFrame = {
+                     tasksPerLang: Int = 8,
+                     outRoot: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types._
-    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val out = outRoot
+      .orElse(s.conf.getOption("spark.graft.jsonl.root"))
+      .getOrElse {
+        require(s.sparkContext.isLocal,
+          "jsonlRoundTrip on a cluster needs a shared outRoot " +
+            "(param or spark.graft.jsonl.root): a driver-local temp dir " +
+            "is not visible to executors")
+        java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      }
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))

@@ -182,6 +182,7 @@ object Multimodal {
     * position bump; over a real file stream it is a seek. */
   private[graft] def sampledFramePayloads(payload: Array[Byte],
                                           stride: Int): Iterator[(Int, Array[Byte])] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val dis = new java.io.DataInputStream(new ByteArrayInputStream(payload))
     val magic = new Array[Byte](4)
     dis.readFully(magic)

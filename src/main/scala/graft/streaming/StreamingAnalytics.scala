@@ -271,9 +271,11 @@ object StreamingAnalytics {
     * so an in-JVM test can pin the RocksDB path (env is immutable from
     * Scala; StreamingAnalyticsSpec's rocksdb test uses it). */
   private[graft] def stateStoreProvider: Option[String] =
-    sys.props.get("graft.stateStore")
-      .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE"))
-      .filter(_.nonEmpty) // `VAR=` (empty) means unset, not provider ""
+    sys.props.get("graft.stateStore").filter(_.nonEmpty)
+      // Each source filters its OWN empty value: an empty sys prop
+      // (`-Dgraft.stateStore=`) means "unset", so it must fall through to
+      // the env var rather than mask it (a post-orElse filter masked it).
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE").filter(_.nonEmpty))
       .map {
         case "rocksdb" =>
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

@@ -36,7 +36,11 @@ object ExplainPipeline {
     // exchange census, and the identity of the final hash exchange —
     // the three properties the capstone's scaladoc claims.
     val cap = DocPipeline.exportTraining(spark, dir)
-    cap.write.format("noop").mode("overwrite").save()
+    // Execute THIS QueryExecution (a noop write would run under its own,
+    // leaving this one's AQE plan un-adapted — the audit would print the
+    // initial plan, not the final one): executing the AdaptiveSparkPlanExec
+    // root directly materializes its final physical plan.
+    cap.queryExecution.executedPlan.execute().count()
     val plan = cap.queryExecution.executedPlan.toString
     val rdds = plan.linesIterator.filter(_.contains("ExistingRDD")).toSeq
     println(s"[explain] export_training ExistingRDD leaves: ${rdds.length} " +
