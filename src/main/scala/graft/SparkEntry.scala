@@ -107,6 +107,11 @@ object SparkEntry {
     // as ONE declarative plan (no materialization between stages); the
     // oracle recomputes all seven stages.
     "export_training" -> ((s, d) => DocPipeline.exportTraining(s, d)),
+    // The shard WRITER pinned: materialize the capstone's shards, read
+    // the FILES back, fingerprint per shard (partition-dir shard values,
+    // row md5 extremes, in-file pos order); the oracle recomputes the
+    // fingerprints from the seven-stage definition.
+    "export_shards"   -> ((s, d) => DocPipeline.shardFingerprints(s, d)),
     // Registered on the 8-byte-hash spelling — the plan you'd run at
     // 100 TB (the shuffle carries xxhash64 keys, not document bodies);
     // OperatorsSpec pins it equal to the group-by-text twin.
@@ -410,6 +415,71 @@ object SparkEntry {
       | FROM ts a, ts b WHERE a.doc_id < b.doc_id
       |   AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)) t
       |WHERE jaccard >= 0.85 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The training-export capstone's seven-stage CTE chain, shared by the
+    * export_training and export_shards oracles so the definitions can
+    * never drift. [[exportTrainingSelect]] is the final projection
+    * (shard/pos shuffle included) over the `cm` prefix-sum CTE. */
+  private lazy val exportTrainingCtes: String = {
+    val qs = graft.operators.Curation.mixQuotas
+      .map { case (src, n) => s"('$src', $n)" }.mkString(", ")
+    val lcg = graft.operators.Curation.lcgKeySql
+    s"""WITH w AS (SELECT doc_id, text, lang, string_split(text, ' ') AS words,
+       |                  len(string_split(text, ' ')) AS n, length(text) AS c
+       |           FROM documents),
+       |b AS (SELECT doc_id, text, n,
+       |       CAST(c - (n - 1) AS DOUBLE) / n AS mwl,
+       |       CAST(len(list_distinct(words)) AS DOUBLE) / n AS ttr,
+       |       CAST(list_max(list_transform(list_distinct(words),
+       |         w2 -> len(list_filter(words, x -> x = w2)))) AS DOUBLE) / n AS tws,
+       |       CASE WHEN n >= 2
+       |         THEN CAST((n - 1) - len(list_distinct(list_transform(range(n - 1),
+       |           i -> words[i + 1] || ' ' || words[i + 2]))) AS DOUBLE) / (n - 1)
+       |         ELSE 0.0 END AS dupf
+       |      FROM w),
+       |ql AS (SELECT doc_id, text FROM b
+       |      WHERE NOT (n < 30 OR n > 5000 OR mwl < 3.0 OR mwl > 10.0
+       |                 OR ttr < 0.35 OR tws > 0.15 OR dupf > 0.10)),
+       |surv AS (SELECT min(doc_id) AS doc_id FROM ql GROUP BY text),
+       |ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |       FROM documents JOIN surv USING (doc_id)),
+       |nd AS (SELECT DISTINCT b2.doc_id FROM ts a, ts b2 WHERE a.doc_id < b2.doc_id
+       |       AND CAST(len(list_intersect(a.toks, b2.toks)) AS DOUBLE) /
+       |           (len(a.toks) + len(b2.toks) - len(list_intersect(a.toks, b2.toks))) >= 0.9),
+       |kept AS (SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+       |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |gr AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         range(1, greatest(len(toks) - 2, 1) + 1),
+       |         i -> array_to_string(toks[i:i+2], ' ')))) AS gs FROM t2),
+       |ev AS (SELECT DISTINCT gs FROM gr WHERE doc_id % 100 = 0),
+       |cont AS (SELECT DISTINCT doc_id FROM gr JOIN ev USING (gs)
+       |         WHERE doc_id % 100 <> 0),
+       |fin AS (SELECT doc_id FROM kept WHERE doc_id % 100 <> 0
+       |        AND doc_id NOT IN (SELECT doc_id FROM cont)),
+       |qt(source, quota) AS (VALUES $qs),
+       |mix0 AS (SELECT d.doc_id, d.source,
+       |          len(string_split(d.text, ' ')) AS n_tokens,
+       |          ROW_NUMBER() OVER (PARTITION BY d.source
+       |            ORDER BY $lcg, d.doc_id) AS rk
+       |         FROM documents d JOIN fin USING (doc_id)),
+       |mixed AS (SELECT doc_id, source, n_tokens, rk
+       |          FROM mix0 JOIN qt USING (source) WHERE rk <= quota),
+       |cm AS (SELECT doc_id, source, n_tokens, rk,
+       |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |       FROM mixed)""".stripMargin
+  }
+
+  private lazy val exportTrainingSelect: String = {
+    val lcg = graft.operators.Curation.lcgKeySql
+    s"""SELECT doc_id, source, n_tokens, rk,
+       | CAST(cum // 256 AS BIGINT) AS pack_id,
+       | CAST(cum % 256 AS BIGINT) AS pack_offset,
+       | ($lcg) % 8 AS shard,
+       | ROW_NUMBER() OVER (PARTITION BY ($lcg) % 8
+       |   ORDER BY $lcg, doc_id) AS pos
+       |FROM cm""".stripMargin
+  }
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables, same
     * column aliases). Omitted keys get a weaker rows-only check. */
@@ -1630,63 +1700,23 @@ object SparkEntry {
     // then curate_mix's quota draw over the curated set, curate_pack's
     // running prefix over the mixed set, and curate_shuffle's LCG
     // shard/pos — all seven stages recomputed from raw text in SQL.
-    "export_training" -> {
-      val qs = graft.operators.Curation.mixQuotas
-        .map { case (src, n) => s"('$src', $n)" }.mkString(", ")
-      val lcg = graft.operators.Curation.lcgKeySql
-      s"""WITH w AS (SELECT doc_id, text, lang, string_split(text, ' ') AS words,
-         |                  len(string_split(text, ' ')) AS n, length(text) AS c
-         |           FROM documents),
-         |b AS (SELECT doc_id, text, n,
-         |       CAST(c - (n - 1) AS DOUBLE) / n AS mwl,
-         |       CAST(len(list_distinct(words)) AS DOUBLE) / n AS ttr,
-         |       CAST(list_max(list_transform(list_distinct(words),
-         |         w2 -> len(list_filter(words, x -> x = w2)))) AS DOUBLE) / n AS tws,
-         |       CASE WHEN n >= 2
-         |         THEN CAST((n - 1) - len(list_distinct(list_transform(range(n - 1),
-         |           i -> words[i + 1] || ' ' || words[i + 2]))) AS DOUBLE) / (n - 1)
-         |         ELSE 0.0 END AS dupf
-         |      FROM w),
-         |ql AS (SELECT doc_id, text FROM b
-         |      WHERE NOT (n < 30 OR n > 5000 OR mwl < 3.0 OR mwl > 10.0
-         |                 OR ttr < 0.35 OR tws > 0.15 OR dupf > 0.10)),
-         |surv AS (SELECT min(doc_id) AS doc_id FROM ql GROUP BY text),
-         |ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-         |       FROM documents JOIN surv USING (doc_id)),
-         |nd AS (SELECT DISTINCT b2.doc_id FROM ts a, ts b2 WHERE a.doc_id < b2.doc_id
-         |       AND CAST(len(list_intersect(a.toks, b2.toks)) AS DOUBLE) /
-         |           (len(a.toks) + len(b2.toks) - len(list_intersect(a.toks, b2.toks))) >= 0.9),
-         |kept AS (SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
-         |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |gr AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |         range(1, greatest(len(toks) - 2, 1) + 1),
-         |         i -> array_to_string(toks[i:i+2], ' ')))) AS gs FROM t2),
-         |ev AS (SELECT DISTINCT gs FROM gr WHERE doc_id % 100 = 0),
-         |cont AS (SELECT DISTINCT doc_id FROM gr JOIN ev USING (gs)
-         |         WHERE doc_id % 100 <> 0),
-         |fin AS (SELECT doc_id FROM kept WHERE doc_id % 100 <> 0
-         |        AND doc_id NOT IN (SELECT doc_id FROM cont)),
-         |qt(source, quota) AS (VALUES $qs),
-         |mix0 AS (SELECT d.doc_id, d.source,
-         |          len(string_split(d.text, ' ')) AS n_tokens,
-         |          ROW_NUMBER() OVER (PARTITION BY d.source
-         |            ORDER BY $lcg, d.doc_id) AS rk
-         |         FROM documents d JOIN fin USING (doc_id)),
-         |mixed AS (SELECT doc_id, source, n_tokens, rk
-         |          FROM mix0 JOIN qt USING (source) WHERE rk <= quota),
-         |cm AS (SELECT doc_id, source, n_tokens, rk,
-         |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-         |       FROM mixed)
-         |SELECT doc_id, source, n_tokens, rk,
-         | CAST(cum // 256 AS BIGINT) AS pack_id,
-         | CAST(cum % 256 AS BIGINT) AS pack_offset,
-         | ($lcg) % 8 AS shard,
-         | ROW_NUMBER() OVER (PARTITION BY ($lcg) % 8
-         |   ORDER BY $lcg, doc_id) AS pos
-         |FROM cm ORDER BY shard, pos""".stripMargin
-    },
-    // Same lcgKey spelling as curate_sample/curate_mix (one definition
+    "export_training" -> s"$exportTrainingCtes $exportTrainingSelect ORDER BY shard, pos",
+    // Per-shard fingerprints over the SAME seven-stage definition (the
+    // CTE chain is shared with export_training so the two can never
+    // drift); files_pos_sorted is the literal TRUE — the Spark side
+    // computes it from physical file order, gate style.
+    "export_shards" -> {
+      val rowMd5 = "md5(concat_ws(',', CAST(doc_id AS VARCHAR), source, " +
+        "CAST(n_tokens AS VARCHAR), CAST(rk AS VARCHAR), " +
+        "CAST(pack_id AS VARCHAR), CAST(pack_offset AS VARCHAR), " +
+        "CAST(pos AS VARCHAR)))"
+      s"""$exportTrainingCtes,
+         |exp AS ($exportTrainingSelect)
+         |SELECT shard, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+         | min($rowMd5) AS min_md5, max($rowMd5) AS max_md5,
+         | max(pos) AS max_pos, true AS files_pos_sorted
+         |FROM exp GROUP BY shard ORDER BY shard""".stripMargin
+    },    // Same lcgKey spelling as curate_sample/curate_mix (one definition
     // per side, Curation.lcgKey / lcgKeySql).
     "curate_split" -> {
       s"""SELECT doc_id, (${graft.operators.Curation.lcgKeySql}) % 1000 AS bucket,

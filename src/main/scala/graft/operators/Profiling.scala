@@ -126,6 +126,23 @@ object Profiling {
   def lineitemSketchProfile(s: SparkSession, dir: String): DataFrame =
     sketchProfile(Tables.lineitem(s, dir))
 
+  /** The sketch side of [[sketchProfile]] ALONE — what a 100-TB
+    * deployment actually runs (the registered profile_sketch row pays
+    * the exact melt as its GATE; this is the operator without the
+    * truth). One scan, one ordinary aggregate whose state is a
+    * fixed-size HLL++ register set per column — the exchange carries
+    * kilobytes regardless of value-domain cardinality. The scale probe
+    * (tools/ScaleProbe) measures this against [[columnProfile]] at 1x
+    * and 10x so the constant-state claim exists as a number. */
+  def approxProfile(t: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val cols = t.columns
+    t.agg(
+      approx_count_distinct(col(cols.head), rsd).as(cols.head),
+      cols.tail.map(c => approx_count_distinct(col(c), rsd).as(c)): _*)
+      .select(expr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, n_approx)"))
+  }
+
   /** COUNT-MIN-SKETCH heavy hitters gated against the exact vocabulary
     * top-k — the third canonical mergeable sketch (HLL distinct →
     * [[sketchProfile]]; quantiles → [[quantileSketchGate]]). The scale

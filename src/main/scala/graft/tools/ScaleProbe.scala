@@ -1,0 +1,157 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** First above-sf0.1 scale probe (round-11): build a deterministic 10x
+  * corpus from the sf0.1 parquet and measure the heaviest operators at
+  * both scales, reporting the empirical scaling exponent
+  * log10(t10/t1) — ~1.0 = linear, the 100-TB design claim.
+  *
+  * 10x construction (seed-free, deterministic, one-time, cached under
+  * `target/scale10`):
+  *   - documents: 10 copies, doc_id shifted by k*(max+1); text mapped
+  *     through a per-copy Caesar `translate` over [a-zA-Z]. Every
+  *     WITHIN-document quality signal (n_words, word lengths, TTR,
+  *     top-word share, dup-2gram fraction, n_chars) is preserved
+  *     EXACTLY — translate is a character bijection — while copy
+  *     vocabularies become (near-)disjoint, so cross-doc structure
+  *     (duplicate pairs, shared grams, boilerplate df counts) scales
+  *     exactly 10x instead of quadratically within copy groups. The
+  *     probe corpus is 10 structurally-identical, content-disjoint
+  *     sub-corpora — the honest model of "10x more data of the same
+  *     shape".
+  *   - embeddings: 10 copies, vec_id shifted; each copy's vectors
+  *     coordinate-ROTATED by k positions — an orthogonal map, so all
+  *     within-copy dot products / norms / kNN structure are preserved
+  *     exactly and cross-copy similarities are scrambled.
+  *   - lineitem: 10 copies, l_orderkey shifted (column-profile
+  *     cardinalities grow on keys, stay flat on low-card columns —
+  *     the realistic mix).
+  *   - remaining tables copied verbatim (no probed operator reads them).
+  */
+object ScaleProbe {
+
+  private def caesar(k: Int): Column => Column = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val from = lower + upper
+    val to = lower.drop(k % 26) + lower.take(k % 26) +
+      upper.drop(k % 26) + upper.take(k % 26)
+    c => translate(c, from, to)
+  }
+
+  /** Rotate a 64-dim float array left by k positions (orthogonal map). */
+  private def rotate(c: Column, k: Int, dims: Int): Column =
+    if (k % dims == 0) c
+    else concat(slice(c, k % dims + 1, dims - k % dims), slice(c, 1, k % dims))
+
+  def buildScaled(s: SparkSession, base: String, out: String,
+                  copies: Int = 10): Unit = {
+    val outDir = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(outDir.resolve("documents.parquet"))) return
+    java.nio.file.Files.createDirectories(outDir)
+
+    val docs = graft.operators.Tables.documents(s, base)
+    val docShift = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until copies).map { k =>
+      docs.select((col("doc_id") + lit(k * docShift)).as("doc_id"),
+        caesar(k)(col("text")).as("text"), col("lang"), col("source"),
+        col("n_chars"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = graft.operators.Tables.embeddings(s, base)
+    val vecShift = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    (0 until copies).map { k =>
+      emb.select((col("vec_id") + lit(k * vecShift)).as("vec_id"),
+        rotate(col("embedding"), k, dims).as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val li = graft.operators.Tables.lineitem(s, base)
+    val liShift = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val rest = li.columns.filter(_ != "l_orderkey").map(col).toSeq
+    (0 until copies).map { k =>
+      li.select((col("l_orderkey") + lit(k * liShift)).as("l_orderkey") +: rest: _*)
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "events")
+      .foreach { t =>
+        s.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out10 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, base, out10)
+
+    // The 10 heaviest registered rows (judge's list) + the sketch side
+    // alone, so profile_sketch's constant-state claim is measured without
+    // its exact gate riding along.
+    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dedup_jaccard", "dedup_minhash", "dedup_cluster", "export_training",
+      "ann_artifact", "graph_artifact", "text_boilerplate",
+      "profile_columns", "profile_sketch", "curate_substr")
+      .map(n => n -> graft.SparkEntry.queries(n)) ++ Seq[
+      (String, (SparkSession, String) => DataFrame)](
+      // The sketch side without its exact-gate leg, and the artifact
+      // SERVE paths without their build-the-truth gates — the costs a
+      // deployment pays, so the table separates "the gate is O(N^2) by
+      // construction" from "the operator scales".
+      "profile_sketch_only" -> ((s: SparkSession, d: String) =>
+        graft.operators.Profiling.approxProfile(
+          graft.operators.Tables.lineitem(s, d))),
+      "ann_serve" -> ((s: SparkSession, d: String) =>
+        graft.operators.Similarity.ivfPqTopKFromArtifact(s, d)),
+      "graph_serve" -> ((s: SparkSession, d: String) =>
+        graft.operators.Graph.triangleCountsFromArtifact(s, d)))
+
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    def run(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median3(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      run(fn, dir); dropCheckpoints() // warm-up, untimed
+      val ts = Seq.fill(3) { val t = run(fn, dir); dropCheckpoints(); t }
+      ts.sorted.apply(1)
+    }
+
+    val rows = probes.map { case (name, fn) =>
+      val t1 = median3(fn, base)
+      val t10 = median3(fn, out10)
+      val exp = math.log10(t10 / t1)
+      System.err.println(f"[scale] $name%-22s 1x ${t1}%7.2f s   10x ${t10}%7.2f s   exp ${exp}%5.2f")
+      (name, t1, t10, exp)
+    }
+
+    def ms(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val json = rows.map { case (n, t1, t10, e) =>
+      s""""$n":[${ms(t1)},${ms(t10)},${ms(e)}]""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","copies":10,"rows":$json,"base":"$base"}""")
+    println("| operator | 1x (s) | 10x (s) | exponent |")
+    println("|---|---|---|---|")
+    rows.foreach { case (n, t1, t10, e) =>
+      println(f"| $n | ${t1}%.2f | ${t10}%.2f | ${e}%.2f |") }
+    spark.stop()
+  }
+}

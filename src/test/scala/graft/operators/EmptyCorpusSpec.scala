@@ -51,6 +51,7 @@ class EmptyCorpusSpec extends SparkSpec {
     assert(DocPipeline.exportTraining(spark, dir).count() == 0)
     // distributed trainer: empty vocabulary -> zero merges, not a crash
     assert(Tokenizer.learnMergesDistributed(spark, dir, nMerges = 8).isEmpty)
+    assert(Tokenizer.learnMergesIncremental(spark, dir, nMerges = 8).isEmpty)
     // sketch gate: per-column rows survive, 0-vs-0 counts agree
     val sk = Profiling.sketchProfile(Tables.documents(spark, dir)).collect()
     assert(sk.length == 5 && sk.forall(r => r.getLong(1) == 0 && r.getBoolean(2)))
