@@ -330,6 +330,11 @@ object SparkEntry {
     // Persisted IVF-PQ index: recall bound + bit-identity with the fresh
     // build (the settled-corpus ANN path, sibling of dedup_incr_artifact).
     "ann_artifact"  -> (Gates.annArtifactGate _),
+    // Partial-probe IVF on the CLUSTERED generated fixture: nprobe=4 of
+    // nlist=16 (25% coverage) holds recall >= 0.95 where the uniform
+    // corpus would sit near coverage — the partition-pruning win as a
+    // gated number (recall sweep in BASELINE.md).
+    "ann_clustered" -> (Gates.annClusteredGate _),
     // Incrementally-maintained ANN index: increment appended under frozen
     // quantizers must equal the one-pass rebuild bit-for-bit + recall.
     "ann_incr_artifact" -> (Gates.annIncrArtifactGate _),
@@ -1871,6 +1876,22 @@ object SparkEntry {
         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
         | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5)""".stripMargin,
+    // The clustered fixture is GENERATED from the same small-integer
+    // formula on both sides (exact double arithmetic -> bit-identical
+    // vectors), so the oracle recomputes n_exact from its own brute
+    // top-k over vectors it generates itself; recall_ok is the gate
+    // literal. 2000 vectors, 64 dims, 32 clusters, 50 queries, k=5.
+    "ann_clustered" ->
+      """WITH v AS (SELECT i AS vec_id, list_transform(range(64), d ->
+        |  CAST(((i % 32) * 37 + d * 101) % 97 - 48
+        |     + ((i * 131 + d * 17) % 13 - 6) AS DOUBLE)) AS emb
+        | FROM range(2000) t(i))
+        |SELECT count(*) AS n_exact, true AS recall_ok,
+        | CAST(16 AS BIGINT) AS nlist, CAST(4 AS BIGINT) AS nprobe FROM (
+        | SELECT q.vec_id FROM v q, v e
+        | WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
+        | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) <= 5)""".stripMargin,
     "q20_approx_distinct" ->
       """SELECT event_type, true AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -50,8 +50,12 @@ object Similarity {
                       nClusters: Int = 32): DataFrame =
     s.range(n).select(col("id").as("vec_id"))
       .select(col("vec_id"), transform(sequence(lit(0), lit(dims - 1)), d =>
+        // float, matching the embeddings-table element type the kernels
+        // and codebook samplers expect; every component is a small
+        // integer (|x| <= 54), exactly representable, so Spark's float
+        // pipeline and the oracle's double pipeline see the same values
         (((col("vec_id") % nClusters) * 37 + d * 101) % 97 - 48 +
-          ((col("vec_id") * 131 + d * 17) % 13 - 6)).cast("double")).as("v"))
+          ((col("vec_id") * 131 + d * 17) % 13 - 6)).cast("float")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
   /** Brute-force cosine top-k for the first `nQueries` vectors. Output

@@ -326,7 +326,13 @@ object Tokenizer {
                 m.update(p, m.getOrElse(p, 0L) + k) })
               Iterator(m.toSeq)
             }.collect().flatten
-            bc.destroy()
+            // unpersist, NOT destroy: the merged pair stays captured in
+            // `updated`'s closure, which later generations re-serialize
+            // until a localCheckpoint truncates the lineage — a destroyed
+            // broadcast fails that serialization. unpersist drops the
+            // executor copies; the ContextCleaner reaps the husks once
+            // truncation drops the references.
+            bc.unpersist(blocking = false)
             deltas.foreach { case (p, k) =>
               if (p != best) {
                 val nc = global.getOrElse(p, 0L) + k
@@ -370,6 +376,15 @@ object Tokenizer {
   def bpeStatsDistributed(s: SparkSession, dir: String,
                           nMerges: Int = 256): DataFrame =
     statsUnder(s, dir, learnMergesDistributed(s, dir, nMerges))
+
+  /** [[bpeStats]] under the INCREMENTAL-DELTA trainer's table — the
+    * production-depth trainer; merge sequence spec-pinned equal to the
+    * re-segmenting trainers, so the stats are identical and the row
+    * just gets the faster trainer (BASELINE.md r11: 2.7 s vs 5.0 s at
+    * the corpus-exhaustion depth). */
+  def bpeStatsIncremental(s: SparkSession, dir: String,
+                          nMerges: Int = 256): DataFrame =
+    statsUnder(s, dir, learnMergesIncremental(s, dir, nMerges))
 
   private def statsUnder(s: SparkSession, dir: String,
                          merges: Seq[(String, String)]): DataFrame = {

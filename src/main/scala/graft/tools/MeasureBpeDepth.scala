@@ -45,6 +45,59 @@ object MeasureBpeDepth {
       f"(${seqDeep.length} learned, ${tDeep / seqDeep.length * 1000}%.1f ms/merge)")
     println(s"[bpe] deep sequence extends the 256-merge prefix: ${
       seqDeep.take(256) == seqIncr}")
+
+    // The driver testdata has a 31-word vocabulary (138 chars), so BPE
+    // EXHAUSTS at ~89 merges on any sf — production depth needs a rich
+    // vocabulary. Deterministic synthetic corpus: 20k distinct 4-char
+    // base-26 words (sum 80k chars -> tens of thousands of merges
+    // available), 2k docs x 100 words, word draw an LCG of the global
+    // position. Seed-free; built once under target/bpecorpus.
+    val rich = "target/bpecorpus"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$rich/documents.parquet"))) {
+      import spark.implicits._
+      def word(r: Long): String = {
+        var v = 17576L + (r * 7919L + 13L) % 439400L // 4-char base-26 range
+        val sb = new StringBuilder
+        while (v > 0) { sb += ('a' + (v % 26).toInt).toChar; v /= 26 }
+        sb.result()
+      }
+      spark.range(2000).map { d =>
+        val text = (0 until 100).map { j =>
+          word((d * 100 + j) * 48271L % 20000L) }.mkString(" ")
+        (d, text, "en", "syn", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$rich/documents.parquet")
+    }
+    val (seqRich256, tRich256) = time(
+      graft.operators.Tokenizer.learnMergesIncremental(spark, rich, nMerges = 256))
+    val (seqRichDist, tRichDist) = time(
+      graft.operators.Tokenizer.learnMergesDistributed(spark, rich, nMerges = 256))
+    println(f"[bpe] RICH corpus, incremental 256:  $tRich256%.1f s; " +
+      f"re-segmenting 256: $tRichDist%.1f s; equal: ${seqRich256 == seqRichDist}")
+    // SPARK_GRAFT_BPE_GROWTH=1: measure per-merge cost GROWTH instead of
+    // the full-depth run — the re-segmenting trainer's ms/merge rises
+    // with depth (applyMerges re-applies the whole table each pass)
+    // while the incremental trainer's stays flat.
+    if (sys.env.get("SPARK_GRAFT_BPE_GROWTH").contains("1")) {
+      for (d <- Seq(1024)) {
+        val (m1, t1) = time(
+          graft.operators.Tokenizer.learnMergesDistributed(spark, rich, nMerges = d))
+        println(f"[bpe] RICH growth, re-segmenting $d merges: $t1%.1f s " +
+          f"(${t1 / math.max(1, m1.length) * 1000}%.1f ms/merge)")
+        val (m2, t2) = time(
+          graft.operators.Tokenizer.learnMergesIncremental(spark, rich, nMerges = d))
+        println(f"[bpe] RICH growth, incremental   $d merges: $t2%.1f s " +
+          f"(${t2 / math.max(1, m2.length) * 1000}%.1f ms/merge); equal: ${m1 == m2}")
+      }
+      spark.stop(); return
+    }
+    val (seqRichDeep, tRichDeep) = time(
+      graft.operators.Tokenizer.learnMergesIncremental(spark, rich, nMerges = deep))
+    println(f"[bpe] RICH corpus, incremental $deep merges: $tRichDeep%.1f s " +
+      f"(${seqRichDeep.length} learned, ${
+        tRichDeep / math.max(1, seqRichDeep.length) * 1000}%.1f ms/merge); " +
+      s"prefix-consistent: ${seqRichDeep.take(256) == seqRich256}")
     spark.stop()
   }
 }
