@@ -400,6 +400,40 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Two-phase ANNEAL schedule — the data side of the late-training
+    * "anneal" recipe (train on the full filtered mix, then spend the
+    * final fraction of the token budget on an upweighted high-quality
+    * subset; the practice published for MiniCPM and Llama-3-style
+    * runs). The anneal set is selected by an ABSOLUTE quality bar, not
+    * a global rank: a rank needs a corpus-wide sort/window at 100 TB,
+    * while a threshold (in production, a quality-classifier score
+    * cutoff; here, the Gopher TTR signal the filter chain already
+    * computes) keeps this a zero-exchange projection AND keeps
+    * membership stable as the corpus grows — adding documents never
+    * evicts existing ones from the anneal set, the same stability
+    * argument as [[splitAssignments]].
+    *
+    * Per doc: `epochs` = 0 (dropped by the phase-1 quality gate),
+    * 1 (trained in phase 1 only), or 1 + `annealExtra` (also upsampled
+    * in phase 2). Phase-2 membership requires passing the phase-1 gate
+    * — the anneal set is a subset of the training set by construction.
+    * TTR doubles are small-integer ratios, bit-identical in both
+    * engines (the curate_filter convention), so the threshold compare
+    * is oracle-exact. */
+  def annealSchedule(s: SparkSession, dir: String,
+                     minAnnealTtr: Double = 0.5,
+                     annealExtra: Int = 3): DataFrame = {
+    val reason = qualityReason()
+    TextAnalysis.gopherSignals(s, dir)
+      .select(col("doc_id"), col("ttr"), (reason === "ok").as("kept"),
+        (reason === "ok" && col("ttr") >= minAnnealTtr).as("in_anneal"))
+      .withColumn("epochs",
+        when(!col("kept"), 0)
+          .when(col("in_anneal"), 1 + annealExtra)
+          .otherwise(1).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring span removal (the APPLY step behind
     * [[TextAnalysis.dupGramStats]]'s signal; Lee et al. 2022's dedup at
     * span rather than document granularity): every token covered by a

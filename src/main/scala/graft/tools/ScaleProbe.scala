@@ -87,7 +87,13 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out10 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
+    // Scale points beyond 1x, as copy counts. The default single 10x point
+    // is the judge-prescribed probe; SPARK_GRAFT_SCALE_POINTS="10,30" adds
+    // a third point so the exponent can be fitted on the 10x->30x leg,
+    // where the fixed costs that flatter the 1x->10x exponent (session
+    // setup, codegen, 32-task floors) have already amortized.
+    val points = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "10")
+      .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,15 +104,28 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    buildScaled(spark, base, out10)
+    val dirs: Seq[(Int, String)] = points.map { k =>
+      val out = if (k == 10)
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
+      else s"target/scale$k"
+      buildScaled(spark, base, out, k)
+      k -> out
+    }
 
     // The 10 heaviest registered rows (judge's list) + the sketch side
     // alone, so profile_sketch's constant-state claim is measured without
-    // its exact gate riding along.
+    // its exact gate riding along. The two GATE rows (brute-truth
+    // rebuilds, linear by construction and already adjudicated at 10x)
+    // are probed only at the default point — SPARK_GRAFT_SCALE_GATES=1
+    // forces them everywhere.
+    val gateRows = Set("ann_artifact", "graph_artifact")
+    val skipGates = points != Seq(10) &&
+      !sys.env.get("SPARK_GRAFT_SCALE_GATES").exists(_.nonEmpty)
     val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_jaccard", "dedup_minhash", "dedup_cluster", "export_training",
       "ann_artifact", "graph_artifact", "text_boilerplate",
       "profile_columns", "profile_sketch", "curate_substr")
+      .filterNot(n => skipGates && gateRows(n))
       .map(n => n -> graft.SparkEntry.queries(n)) ++ Seq[
       (String, (SparkSession, String) => DataFrame)](
       // The sketch side without its exact-gate leg, and the artifact
@@ -135,23 +154,34 @@ object ScaleProbe {
       ts.sorted.apply(1)
     }
 
+    // Per-op: median-of-3 at 1x and at each scale point; exponent per
+    // LEG fitted as log(t_b/t_a)/log(b/a), so with points=10,30 the last
+    // column is the asymptotic 10x->30x exponent.
+    val scales: Seq[(Int, String)] = (1, base) +: dirs
     val rows = probes.map { case (name, fn) =>
-      val t1 = median3(fn, base)
-      val t10 = median3(fn, out10)
-      val exp = math.log10(t10 / t1)
-      System.err.println(f"[scale] $name%-22s 1x ${t1}%7.2f s   10x ${t10}%7.2f s   exp ${exp}%5.2f")
-      (name, t1, t10, exp)
+      val ts = scales.map { case (k, dir) => k -> median3(fn, dir) }
+      val legs = ts.sliding(2).collect { case Seq((ka, ta), (kb, tb)) =>
+        math.log(tb / ta) / math.log(kb.toDouble / ka)
+      }.toSeq
+      System.err.println(f"[scale] $name%-22s " +
+        ts.map { case (k, t) => f"${k}x ${t}%7.2f s" }.mkString("  ") +
+        "   exp " + legs.map(e => f"$e%5.2f").mkString(" -> "))
+      (name, ts, legs)
     }
 
     def ms(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val json = rows.map { case (n, t1, t10, e) =>
-      s""""$n":[${ms(t1)},${ms(t10)},${ms(e)}]""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","copies":10,"rows":$json,"base":"$base"}""")
-    println("| operator | 1x (s) | 10x (s) | exponent |")
-    println("|---|---|---|---|")
-    rows.foreach { case (n, t1, t10, e) =>
-      println(f"| $n | ${t1}%.2f | ${t10}%.2f | ${e}%.2f |") }
+    val json = rows.map { case (n, ts, legs) =>
+      s""""$n":{"sec":[${ts.map(t => ms(t._2)).mkString(",")}],""" +
+        s""""exp":[${legs.map(ms).mkString(",")}]}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","points":[${scales.map(_._1).mkString(",")}],"rows":$json,"base":"$base"}""")
+    println("| operator | " + scales.map(s => s"${s._1}x (s)").mkString(" | ") +
+      " | " + scales.sliding(2).map { case Seq(a, b) => s"exp ${a._1}->${b._1}" }
+        .mkString(" | ") + " |")
+    println("|---" * (scales.size * 2) + "|")
+    rows.foreach { case (n, ts, legs) =>
+      println(s"| $n | " + ts.map(t => f"${t._2}%.2f").mkString(" | ") +
+        " | " + legs.map(e => f"$e%.2f").mkString(" | ") + " |") }
     spark.stop()
   }
 }
