@@ -3,7 +3,9 @@
 # (Bench's own protocol: warm-up + 3 timed reps, median), quiet box.
 # Usage: standalone_bench.sh <outfile> <query1> [query2 ...]
 set -u
-OUT="$1"; shift
+# realpath: the per-query `cd /tmp` below would otherwise retarget a
+# relative $OUT mid-run — truncated in the launch cwd, appended in /tmp
+OUT="$(realpath "$1")"; shift
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 : > "$OUT"

@@ -296,6 +296,13 @@ object Tokenizer {
       val merges = scala.collection.mutable.ArrayBuffer.empty[Pair]
       var it = 0
       var done = false
+      // SPARK_GRAFT_BPE_PROGRESS=N: stderr heartbeat every N merges with
+      // the windowed ms/merge — the flat-vs-rising curve IS the claim the
+      // depth runs exist to measure, and a multi-hour 32k run without a
+      // curve can only report its endpoint.
+      val progressEvery = sys.env.getOrElse("SPARK_GRAFT_BPE_PROGRESS", "0").toInt
+      val tLoop0 = System.nanoTime()
+      var tWin = tLoop0
       while (it < nMerges && !done) {
         popBest() match {
           case None => done = true
@@ -347,6 +354,13 @@ object Tokenizer {
             backing = updated
             view = updated.map(_._1)
             it += 1
+            if (progressEvery > 0 && it % progressEvery == 0) {
+              val now = System.nanoTime()
+              System.err.println(f"[bpe-incr] $it%6d merges  " +
+                f"${(now - tLoop0) / 1e9}%8.1f s total  " +
+                f"${(now - tWin) / 1e6 / progressEvery}%7.1f ms/merge (window)")
+              tWin = now
+            }
             if (it % 128 == 0) {
               // truncate the narrow lineage chain before task
               // serialization cost compounds (localCheckpoint persists
