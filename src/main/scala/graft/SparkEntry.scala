@@ -112,6 +112,11 @@ object SparkEntry {
     // row md5 extremes, in-file pos order); the oracle recomputes the
     // fingerprints from the seven-stage definition.
     "export_shards"   -> ((s, d) => DocPipeline.shardFingerprints(s, d)),
+    // Snapshot-to-snapshot corpus diff (added/removed/changed/unchanged
+    // per source, digest-compared so the exchange carries 16-byte md5s,
+    // never bodies); the v1/v2 snapshots are deterministic functions of
+    // doc_id so the oracle rebuilds both sides exactly.
+    "version_diff"    -> ((s, d) => Versioning.snapshotDiff(s, d)),
     // Registered on the 8-byte-hash spelling — the plan you'd run at
     // 100 TB (the shuffle carries xxhash64 keys, not document bodies);
     // OperatorsSpec pins it equal to the group-by-text twin.
@@ -170,6 +175,10 @@ object SparkEntry {
     "curate_pii"      -> (Curation.piiDemo _),
     "curate_spans"    -> ((s, d) => Curation.removeSharedSpans(s, d)),
     "curate_split"    -> ((s, d) => Curation.splitAssignments(s, d)),
+    // Two-phase anneal schedule: per-doc epoch counts from an ABSOLUTE
+    // quality bar (threshold, not rank — zero-exchange projection,
+    // growth-stable membership; see Curation.annealSchedule scaladoc).
+    "curate_anneal"   -> ((s, d) => Curation.annealSchedule(s, d)),
     // Exact-integer percentile winsorization via the bounded-domain
     // value-histogram trick (no global sort, no per-group value map).
     "curate_winsorize" -> ((s, d) => Curation.winsorize(s, d)),
@@ -1808,6 +1817,59 @@ object SparkEntry {
         | tws AS top_word_share, dupf AS dup_2gram_frac, drop_reason,
         | drop_reason = 'ok' AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
+    // Same signal CTEs as curate_filter's oracle; the anneal set is the
+    // quality-pass docs with ttr >= 0.5 (threshold literal on both
+    // sides; ttr divides the same integers in both engines). epochs:
+    // 0 dropped / 1 phase-1 only / 1+3 also in the phase-2 anneal mix.
+    "curate_anneal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+        |                  len(string_split(text, ' ')) AS n, length(text) AS c
+        |           FROM documents),
+        |b AS (SELECT doc_id, n,
+        |       CAST(c - (n - 1) AS DOUBLE) / n AS mwl,
+        |       CAST(len(list_distinct(words)) AS DOUBLE) / n AS ttr,
+        |       CAST(list_max(list_transform(list_distinct(words),
+        |         w2 -> len(list_filter(words, x -> x = w2)))) AS DOUBLE) / n AS tws,
+        |       CASE WHEN n >= 2
+        |         THEN CAST((n - 1) - len(list_distinct(list_transform(range(n - 1),
+        |           i -> words[i + 1] || ' ' || words[i + 2]))) AS DOUBLE) / (n - 1)
+        |         ELSE 0.0 END AS dupf
+        |      FROM w),
+        |r AS (SELECT doc_id, ttr,
+        |       CASE WHEN n < 30 THEN 'too_short'
+        |            WHEN n > 5000 THEN 'too_long'
+        |            WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_shape'
+        |            WHEN ttr < 0.35 THEN 'repetitive_types'
+        |            WHEN tws > 0.15 THEN 'top_word_dominates'
+        |            WHEN dupf > 0.10 THEN 'duplicate_bigrams'
+        |            ELSE 'ok' END AS drop_reason
+        |      FROM b)
+        |SELECT doc_id, ttr, drop_reason = 'ok' AS kept,
+        | (drop_reason = 'ok' AND ttr >= 0.5) AS in_anneal,
+        | CAST(CASE WHEN drop_reason <> 'ok' THEN 0
+        |           WHEN ttr >= 0.5 THEN 4 ELSE 1 END AS BIGINT) AS epochs
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // The v1/v2 snapshots are deterministic predicates/edits over
+    // documents (object doc of Versioning); digest compare stands in for
+    // text compare on both sides, so statuses match exactly. sum(doc_id)
+    // cast back to BIGINT (DuckDB widens sum to HUGEINT).
+    "version_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS h
+        |            FROM documents WHERE doc_id % 7 <> 3),
+        |v2 AS (SELECT doc_id, source,
+        |        md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+        |                 ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 5 <> 2),
+        |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |             COALESCE(v2.source, v1.source) AS source,
+        |             CASE WHEN v1.h IS NULL THEN 'added'
+        |                  WHEN v2.h IS NULL THEN 'removed'
+        |                  WHEN v1.h <> v2.h THEN 'changed'
+        |                  ELSE 'unchanged' END AS status
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM j GROUP BY status, source ORDER BY status, source""".stripMargin,
     "text_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |             FROM documents),

@@ -1374,4 +1374,46 @@ class OperatorsSpec extends SparkSpec {
     assert(got == brute,
       s"served minus brute: ${(got -- brute).take(5)}; brute minus served: ${(brute -- got).take(5)}")
   }
+
+  test("version_diff: statuses partition the snapshot union, per-source rollup consistent") {
+    val sf = "/root/testdata/sf0.001"
+    val (v1, v2) = Versioning.snapshots(spark, sf)
+    val n1 = v1.count(); val n2 = v2.count()
+    val union = v1.select("doc_id").union(v2.select("doc_id")).distinct().count()
+    val rows = Versioning.snapshotDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byStatus = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // added/removed/changed/unchanged partition the id union exactly
+    assert(byStatus.keySet == Set("added", "removed", "changed", "unchanged"))
+    assert(byStatus.values.sum == union)
+    // removed = v1-only ids, added = v2-only ids
+    assert(byStatus("removed") == union - n2)
+    assert(byStatus("added") == union - n1)
+    // changed docs are exactly the %11==0 edits present in BOTH snapshots
+    val changed = v1.filter(col("doc_id") % 11 === 0)
+      .join(v2.filter(col("doc_id") % 11 === 0), "doc_id").count()
+    assert(byStatus("changed") == changed)
+    // deterministic: a second run returns the identical rollup
+    val again = Versioning.snapshotDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("anneal schedule: epochs from the quality gate + ttr bar, anneal subset of kept") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Curation.annealSchedule(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val kept = Curation.qualityFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(6))).toMap
+    rows.foreach { case (id, ttr, k, inAnneal, epochs) =>
+      assert(k == kept(id))                      // same gate as curate_filter
+      assert(!inAnneal || k)                     // anneal set subset of kept
+      assert(inAnneal == (k && ttr >= 0.5))
+      val expect = if (!k) 0L else if (inAnneal) 4L else 1L
+      assert(epochs == expect)
+    }
+    // the bar discriminates on this corpus: all three epoch levels occur
+    assert(rows.map(_._5).distinct.sorted.toSeq == Seq(0L, 1L, 4L))
+  }
 }
