@@ -121,6 +121,10 @@ object SparkEntry {
     // 100 TB (the shuffle carries xxhash64 keys, not document bodies);
     // OperatorsSpec pins it equal to the group-by-text twin.
     "dedup_exact"     -> (Dedup.exactByHash _),
+    // The SAME dedup over the 10x Caesar-scaled corpus built inline
+    // (ScaleProbe's construction as a declarative plan) — correctness
+    // pinned above sf0.1, with text_md5 pinning the translated bytes.
+    "dedup_exact_10x" -> ((s, d) => Dedup.exactByHash10x(s, d)),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalPairs(s, d)),
     // Same semantics against the PERSISTED settled-corpus artifacts
@@ -1406,6 +1410,26 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dupes
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // The 10x corpus rebuilt in SQL from the SAME per-copy alphabets
+    // (Dedup.caesarTo generates both sides); grouping by the translated
+    // TEXT vs Spark's xxhash64-of-text is the dedup_exact convention,
+    // and min(md5(text)) pins the translated bytes across engines.
+    "dedup_exact_10x" -> {
+      val values = (0 until 10)
+        .map(k => s"($k, '${graft.operators.Dedup.caesarTo(k)}')")
+        .mkString(", ")
+      s"""WITH shift AS (SELECT max(doc_id) + 1 AS s FROM documents),
+         |scaled AS (
+         |  SELECT d.doc_id + ks.k * shift.s AS doc_id,
+         |         translate(d.text, '${graft.operators.Dedup.caesarFrom}',
+         |                   ks.to_s) AS text
+         |  FROM documents d
+         |  CROSS JOIN (VALUES $values) ks(k, to_s)
+         |  CROSS JOIN shift)
+         |SELECT min(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dupes,
+         | min(md5(text)) AS text_md5
+         |FROM scaled GROUP BY text ORDER BY doc_id""".stripMargin
+    },
     // Character-level duplicated-substring spans (L = 40). The oracle
     // re-derives duplicated L-grams from the raw text (the Spark side
     // carries only xxhash64 anchors — a hash collision cannot hash-match

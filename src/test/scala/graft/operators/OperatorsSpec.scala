@@ -1416,4 +1416,21 @@ class OperatorsSpec extends SparkSpec {
     // the bar discriminates on this corpus: all three epoch levels occur
     assert(rows.map(_._5).distinct.sorted.toSeq == Seq(0L, 1L, 4L))
   }
+
+  test("10x scaled exact dedup = base dedup replicated with shifted ids, disjoint copies") {
+    val sf = "/root/testdata/sf0.001"
+    val base = Dedup.exactByHash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shift = Tables.documents(spark, sf).agg(max("doc_id")).head().getLong(0) + 1
+    val scaled = Dedup.exactByHash10x(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // translate is a bijection, so each copy reproduces the base group
+    // structure exactly, ids shifted by k*(max+1); copies are disjoint
+    val expected = (0 until 10).flatMap(k =>
+      base.map { case (id, n) => (id + k * shift, n) }).sorted
+    assert(scaled.sorted.toSeq == expected)
+    // the broadcast construction: no shuffle on the copy/shift joins
+    val plan = Dedup.exactByHash10x(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
 }
