@@ -117,6 +117,10 @@ object SparkEntry {
     // never bodies); the v1/v2 snapshots are deterministic functions of
     // doc_id so the oracle rebuilds both sides exactly.
     "version_diff"    -> ((s, d) => Versioning.snapshotDiff(s, d)),
+    // The diff's consumer: only added/changed docs enter dedup, hashed
+    // against the settled v1 corpus — the release-to-release
+    // maintenance step (delta-only exchange, 8-byte keys).
+    "version_incr"    -> ((s, d) => Versioning.incrementalIngest(s, d)),
     // Registered on the 8-byte-hash spelling — the plan you'd run at
     // 100 TB (the shuffle carries xxhash64 keys, not document bodies);
     // OperatorsSpec pins it equal to the group-by-text twin.
@@ -1894,6 +1898,25 @@ object SparkEntry {
         |SELECT status, source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM j GROUP BY status, source ORDER BY status, source""".stripMargin,
+    // Delta docs (added/changed in v2) checked against the settled v1
+    // TEXT set — the oracle compares texts where Spark compares
+    // xxhash64s, so a hash collision cannot silently pass.
+    "version_incr" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+        |v2 AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+        |             ELSE text END AS text
+        |       FROM documents WHERE doc_id % 5 <> 2),
+        |delta AS (
+        |  SELECT v2.doc_id,
+        |         CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |              ELSE 'changed' END AS status,
+        |         v2.text
+        |  FROM v2 LEFT JOIN v1 ON v2.doc_id = v1.doc_id
+        |  WHERE v1.doc_id IS NULL OR v1.text <> v2.text)
+        |SELECT d.doc_id, d.status,
+        | EXISTS (SELECT 1 FROM v1 WHERE v1.text = d.text) AS dup_of_settled
+        |FROM delta d ORDER BY d.doc_id""".stripMargin,
     "text_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |             FROM documents),

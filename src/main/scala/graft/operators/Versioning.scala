@@ -44,6 +44,40 @@ object Versioning {
     (v1, v2)
   }
 
+  /** The INCREMENTAL-INGEST step the diff exists to drive: only the
+    * docs the release added or edited enter the dedup path, checked
+    * against the settled v1 corpus — per delta doc, its diff status and
+    * whether its (possibly edited) text already exists in v1. An edited
+    * doc whose new text collides with some OTHER settled doc's text is
+    * a dup; brand-new text is what actually enters the corpus.
+    *
+    * Scale shape: only the DELTA (added ∪ changed — a small fraction of
+    * the release) is exchanged, as 8-byte xxhash64 text hashes, against
+    * the settled corpus's distinct hash set — in production a persisted
+    * corpus-hash artifact (the [[Dedup.settledArtifact]] precedent), so
+    * the settled side is a bucketed scan that never re-hashes. The
+    * left-semi-style join never carries document bodies. Hash equality
+    * stands in for text equality on the Spark side; the oracle compares
+    * TEXTS directly, so a real xxhash64 collision would hash-mismatch
+    * the row — the dedup_exact convention. */
+  def incrementalIngest(s: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = snapshots(s, dir)
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val delta = v2.select(col("doc_id"), col("text"),
+        md5(col("text")).as("h_new"))
+      .join(a, Seq("doc_id"), "left_outer")
+      .filter(col("h_old").isNull || col("h_old") =!= col("h_new"))
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added").otherwise("changed").as("status"),
+        col("text"))
+    val settled = v1.select(xxhash64(col("text")).as("h")).distinct()
+    delta.withColumn("h", xxhash64(col("text")))
+      .join(settled.withColumn("in_settled", lit(true)), Seq("h"), "left_outer")
+      .select(col("doc_id"), col("status"),
+        coalesce(col("in_settled"), lit(false)).as("dup_of_settled"))
+      .orderBy("doc_id")
+  }
+
   /** Per-(status, source) diff counts between the two snapshots, with a
     * `sum_doc_id` integer fingerprint so the oracle pins membership, not
     * just cardinality. Statuses: added / removed / changed / unchanged. */

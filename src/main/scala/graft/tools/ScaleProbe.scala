@@ -183,5 +183,22 @@ object ScaleProbe {
       println(s"| $n | " + ts.map(t => f"${t._2}%.2f").mkString(" | ") +
         " | " + legs.map(e => f"$e%.2f").mkString(" | ") + " |") }
     spark.stop()
+
+    // CI gate (judge r11 Next #8): SPARK_GRAFT_SCALE_MAX_EXP=<float>
+    // turns the probe into a pass/fail check — any operator whose LAST
+    // leg exponent exceeds the bound (super-linear creep) fails the run
+    // with exit 2, so exponent regressions are caught by the round's own
+    // close instead of a judge round-trip. Gate rows (brute-truth
+    // rebuilds, ~linear BY CONSTRUCTION) are exempt.
+    sys.env.get("SPARK_GRAFT_SCALE_MAX_EXP").map(_.toDouble).foreach { bound =>
+      val bad = rows.filterNot { case (n, _, _) => gateRows(n) }
+        .filter { case (_, _, legs) => legs.nonEmpty && legs.last > bound }
+      if (bad.nonEmpty) {
+        bad.foreach { case (n, _, legs) =>
+          System.err.println(f"[scale] FAIL $n: exponent ${legs.last}%.2f > $bound%.2f") }
+        sys.exit(2)
+      }
+      System.err.println(f"[scale] PASS: all ${rows.size} non-gate exponents <= $bound%.2f")
+    }
   }
 }

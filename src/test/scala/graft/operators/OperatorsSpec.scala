@@ -1433,4 +1433,31 @@ class OperatorsSpec extends SparkSpec {
     val plan = Dedup.exactByHash10x(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("version_incr: delta = added+changed only, dup flag equals brute text lookup") {
+    val sf = "/root/testdata/sf0.001"
+    val (v1, v2) = Versioning.snapshots(spark, sf)
+    val rows = Versioning.incrementalIngest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val v1Ids = v1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val v2Ids = v2.select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { case (id, status, _) =>
+      assert(v2Ids(id))                          // delta comes from v2
+      status match {
+        case "added"   => assert(!v1Ids(id))
+        case "changed" => assert(v1Ids(id) && id % 11 == 0)
+        case other     => fail(s"unexpected status $other")
+      }
+    }
+    // delta covers EXACTLY v2-minus-v1 plus the surviving edited docs
+    assert(rows.map(_._1).toSet ==
+      (v2Ids -- v1Ids) ++ v2Ids.filter(id => v1Ids(id) && id % 11 == 0))
+    // dup flag == brute text membership in the settled corpus
+    val v1Texts = v1.select("text").collect().map(_.getString(0)).toSet
+    val v2Text = v2.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, _, dup) =>
+      assert(dup == v1Texts(v2Text(id)), s"doc $id dup flag") }
+  }
 }
