@@ -5,6 +5,11 @@
 # operator leg sat at 0.02-0.48, so 0.85 catches super-linear creep with
 # ample noise margin while still failing an O(N^2) regression, which
 # reads ~2.0 on the 1x->10x leg)
+# For MULTI-point runs (SPARK_GRAFT_SCALE_POINTS=10,20) also export
+# SPARK_GRAFT_SCALE_STANDALONE=1: the r12 three-point close measured the
+# in-process mode inflating late cells 3-9x (text_boilerplate 22.0 s vs
+# 5.6 s fresh-JVM at 20x — exponent 3.15 vs true 0.79), so asymptotic
+# legs are only honest when each (operator, scale) cell gets its own JVM.
 set -u
 MAX_EXP="${1:-0.85}"
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"

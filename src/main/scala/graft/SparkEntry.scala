@@ -227,6 +227,15 @@ object SparkEntry {
     // TopKPerKey) — the plan you'd run at 100 TB; the brute Q×N leg is
     // the gate truth, pinned equal in OperatorsSpec.
     "mine_hardnegatives" -> ((s, d) => Similarity.hardNegativesFromIndex(s, d)),
+    // Int8 scalar quantization of the embedding corpus: per-dim scale +
+    // code moments + integer-exact reconstruction error (the 4x
+    // compression step ahead of the ANN ladder).
+    "embed_quantize"  -> ((s, d) => Similarity.quantizeStats(s, d)),
+    // PCA gate: integer-exact covariance moments (floor(x*1000) fixed
+    // point), driver 64x64 Jacobi eigensolve (control plane), projected
+    // variance per component verified against its eigenvalue in-plan;
+    // the oracle recomputes the engine-exact integer trace anchor.
+    "embed_pca"       -> ((s, d) => Similarity.pcaGate(s, d)),
     // Filtered vector search (pre-filter semantics): top-k among
     // candidates with label != the query's label; exact truth leg,
     // IVF scale path pinned equal at full probe in SimilaritySpec.
@@ -2456,6 +2465,41 @@ object SparkEntry {
         |FROM pos p JOIN negs n USING (query_id)
         |WHERE n.neg_rank <= 3
         |ORDER BY query_id, neg_rank""".stripMargin,
+    // The eigensolve is not SQL-expressible; the oracle recomputes the
+    // engine-exact integer anchors (n and trace_num over floor(x*1000)
+    // fixed-point values) and the booleans are Spark-side gate results
+    // (ann_clustered precedent).
+    "embed_pca" ->
+      """WITH e AS (SELECT CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS dim,
+        |                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS xi
+        |           FROM embeddings),
+        |a AS (SELECT dim, sum(xi * xi) AS s2, sum(xi) AS s1, count(*) AS n
+        |      FROM e GROUP BY dim),
+        |t AS (SELECT CAST(sum(n * s2 - s1 * s1) AS BIGINT) AS trace_num,
+        |             CAST(max(n) AS BIGINT) AS n FROM a),
+        |c AS (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS comp)
+        |SELECT comp, n, trace_num, true AS eig_sum_ok, true AS ortho_ok,
+        |       true AS monotone_ok, true AS var_match_ok
+        |FROM c, t ORDER BY comp""".stripMargin,
+    // Same association order as the Spark side everywhere a double op
+    // appears (x*127/amax + 0.5; q*amax/127; |x-deq|*1e9), floor(v+0.5)
+    // pinning round-half-up in both engines; all sums integer.
+    "embed_quantize" ->
+      """WITH e AS (SELECT CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS dim,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings),
+        |a AS (SELECT dim, max(abs(x)) AS amax FROM e GROUP BY dim),
+        |q AS (SELECT e.dim, a.amax, e.x,
+        |       CASE WHEN a.amax > 0 THEN CAST(greatest(-127.0, least(127.0,
+        |         floor(e.x * 127.0 / a.amax + 0.5))) AS BIGINT)
+        |       ELSE 0 END AS q
+        |      FROM e JOIN a USING (dim))
+        |SELECT dim, amax, count(*) AS n,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  CAST(sum(q * q) AS BIGINT) AS sum_q2,
+        |  CAST(sum(CAST(floor(abs(x - CAST(q AS DOUBLE) * amax / 127.0) * 1e9) AS BIGINT)) AS BIGINT) AS err_nano_sum,
+        |  CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
+        |FROM q GROUP BY dim, amax ORDER BY dim""".stripMargin,
     // Image/audio rows: n_bytes/sha/width are of the DECODED content
     // (raster in row-major (y, x) order / PCM frames in sample order),
     // which the oracle rebuilds as a byte string with chr()/string_agg

@@ -1007,4 +1007,187 @@ object Similarity {
       .filter(col("rank") === 1)
       .select("query_id", "match_id")
   }
+
+  /** Symmetric per-dimension int8 scalar quantization of the embedding
+    * corpus, with integer-exact reconstruction-error accounting — the
+    * compression step a 100-TB vector store runs before anything else
+    * (4 B float -> 1 B code = 4x memory/IO on every downstream scan; the
+    * IVF-PQ ladder above is the *sub*-byte continuation of the same
+    * idea). Per dimension d: `amax = max(|x_d|)` over the corpus,
+    * `q = clamp(floor(x·127/amax + 0.5), ±127)`, dequant `q·amax/127`.
+    *
+    * Output (one row per dimension, the shape a quantization report
+    * feeds into a codec header): n vectors, amax (the scale), sum_q /
+    * sum_q2 (code moments — mean/variance of the code distribution,
+    * the utilization diagnostic), err_nano_sum (Σ floor(|x − deq|·1e9),
+    * integer-exact so engines agree bit-for-bit), n_sat (codes at ±127
+    * — clipping count).
+    *
+    * Scale shape: posexplode -> per-dim amax (64-key groupBy with
+    * map-side partial aggregation, so the exchange is 64 rows per input
+    * partition regardless of corpus size) -> broadcast the 64-row scale
+    * table back -> one more 64-key aggregate. Two corpus scans, zero
+    * vector shuffles, constant-size state — the canonical mergeable
+    * profile. Every double op (`x·127/amax + 0.5`, `q·amax/127`,
+    * `|x−deq|·1e9`) is written with the same association order as the
+    * DuckDB oracle, and floor(v + 0.5) pins round-half-up in both
+    * engines, so the error sums are IEEE-identical. */
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — ~40 lines,
+    * deterministic (fixed sweep order, fixed convergence bound), driver-
+    * side only: the input is the 64x64 covariance CONTROL-PLANE summary
+    * of the corpus, never data-scale. Returns (eigenvalues desc,
+    * eigenvectors as rows, sign-fixed so the first nonzero component is
+    * positive). */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off2(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    val frob2 = { var s = 0.0; for (i <- 0 until n; j <- 0 until n) s += a(i)(j) * a(i)(j); s }
+    var sweep = 0
+    while (off2() > 1e-26 * math.max(frob2, 1e-300) && sweep < 64) {
+      for (p <- 0 until n; q <- p + 1 until n) if (a(p)(q) != 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+                else 1.0 / (theta - math.sqrt(theta * theta + 1))
+        val c = 1.0 / math.sqrt(t * t + 1)
+        val sn = t * c
+        for (i <- 0 until n) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - sn * aiq
+          a(i)(q) = sn * aip + c * aiq
+        }
+        for (i <- 0 until n) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - sn * aqi
+          a(q)(i) = sn * api + c * aqi
+        }
+        for (i <- 0 until n) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - sn * viq
+          v(i)(q) = sn * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    val pairs = (0 until n).map { i =>
+      val vec = Array.tabulate(n)(r => v(r)(i))
+      val firstNz = vec.indexWhere(x => math.abs(x) > 1e-12)
+      val sgn = if (firstNz >= 0 && vec(firstNz) < 0) -1.0 else 1.0
+      (a(i)(i), vec.map(_ * sgn))
+    }.sortBy(-_._1)
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  /** PCA over the embedding corpus, delivered as a GATE row (the
+    * eigensolve is not SQL-expressible, so — the ann_clustered /
+    * embed_cluster precedent — the oracle recomputes the engine-exact
+    * integer anchors and the Spark side proves the decomposition in-plan):
+    *
+    *   - Fixed-point input: `xi = floor(x·1000)` per element — exact and
+    *     identical in both engines (float→double exact, one IEEE
+    *     multiply, floor toward −inf), so every moment below is an
+    *     INTEGER both engines agree on bit-for-bit.
+    *   - Moments: one pass for Σxi per dim, one for the upper-triangle
+    *     Σxi·xj (2080 keys; both aggregations map-side combine to
+    *     constant state per partition — the mergeable-profile shape; at
+    *     100 TB the 4096-per-row pair expansion stays pipeline-local,
+    *     never shuffled).
+    *   - trace_num = Σ_d (n·S_dd − S_d²) — a pure integer, the oracle's
+    *     anchor (total corpus variance, scaled by n²·10⁶).
+    *   - Driver (control plane): covariance C = num/n², [[jacobiEigen]],
+    *     then the gates: Σλ matches trace (eig_sum_ok), V orthonormal
+    *     (ortho_ok), λ descending ≥ 0 (monotone_ok).
+    *   - SECOND data pass (the actual transform): project every vector
+    *     onto each of the top-k eigenvectors (broadcast literal, one
+    *     zip_with dot per component) and verify the projected variance
+    *     equals λ_c (var_match_ok) — PCA's defining property, measured
+    *     on the data, not asserted from the solver. */
+  def pcaGate(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val xs = Tables.embeddings(s, dir)
+      .select(transform(col("embedding"),
+        e => floor(e.cast("double") * lit(1000.0)).cast("long")).as("xi"))
+      .localCheckpoint() // consumed by 3 aggregates; ~n x 64 longs
+    val dims = xs.select(size(col("xi"))).head().getInt(0)
+    val firsts = xs.select(posexplode(col("xi")).as(Seq("d", "xv")))
+      .groupBy("d").agg(sum("xv").as("s1"), count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = firsts(0)._2
+    val s1 = Array.tabulate(dims)(d => firsts(d)._1)
+    // Upper-triangle second moments: per row 2080 (p, v) pairs, exploded
+    // into a 2080-key aggregate — partial aggregation collapses each
+    // partition to 2080 rows before the exchange.
+    val iSeq = sequence(lit(0), lit(dims - 1))
+    val pairCol = flatten(transform(iSeq, i =>
+      transform(sequence(i, lit(dims - 1)), j =>
+        struct((i * lit(dims) + j).as("p"),
+          (element_at(col("xi"), i + 1) * element_at(col("xi"), j + 1)).as("v")))))
+    val s2 = xs.select(explode(pairCol).as("pv"))
+      .select(col("pv.p").as("p"), col("pv.v").as("v"))
+      .groupBy("p").agg(sum("v").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def s2At(i: Int, j: Int): Long = if (i <= j) s2(i * dims + j) else s2(j * dims + i)
+    val traceNum = (0 until dims).map(d => BigInt(n) * s2At(d, d) - BigInt(s1(d)) * s1(d)).sum
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      (BigInt(n) * s2At(i, j) - BigInt(s1(i)) * s1(j)).toDouble / (n.toDouble * n)
+    }
+    val (eig, vecs) = jacobiEigen(cov)
+    val eigSumOk = math.abs(eig.sum - traceNum.toDouble / (n.toDouble * n)) <=
+      1e-9 * math.max(traceNum.toDouble / (n.toDouble * n), 1.0)
+    val orthoOk = (0 until dims).forall(i => (i until dims).forall { j =>
+      val d = (0 until dims).map(r => vecs(i)(r) * vecs(j)(r)).sum
+      math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9
+    })
+    val monotoneOk = eig.take(k).forall(_ >= -1e-9) &&
+      eig.take(k).sliding(2).forall(w => w.length < 2 || w(0) >= w(1) - 1e-12)
+    // The transform pass: per-component projected variance == lambda.
+    import org.apache.spark.sql.functions.{typedlit => tl}
+    val projCols = (0 until k).map { c =>
+      aggregate(zip_with(col("xi"), tl(vecs(c).toSeq),
+        (x, w) => x.cast("double") * w), lit(0.0), (acc, e) => acc + e)
+        .as(s"p$c")
+    }
+    val aggs = (0 until k).flatMap(c =>
+      Seq(sum(col(s"p$c")).as(s"sp$c"), sum(col(s"p$c") * col(s"p$c")).as(s"sq$c")))
+    val prow = xs.select(projCols: _*).agg(aggs.head, aggs.tail: _*).head()
+    val varMatch = (0 until k).map { c =>
+      val sp = prow.getDouble(prow.fieldIndex(s"sp$c"))
+      val sq = prow.getDouble(prow.fieldIndex(s"sq$c"))
+      val pv = (sq - sp * sp / n) / n
+      math.abs(pv - eig(c)) <= 1e-6 * math.max(eig(0), 1.0)
+    }
+    import s.implicits._
+    (0 until k).map(c => (c + 1L, n, traceNum.toLong, eigSumOk, orthoOk,
+        monotoneOk, varMatch(c)))
+      .toDF("comp", "n", "trace_num", "eig_sum_ok", "ortho_ok",
+        "monotone_ok", "var_match_ok")
+  }
+
+  def quantizeStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select((col("p") + 1).cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+    val amax = e.groupBy("dim").agg(max(abs(col("x"))).as("amax"))
+    val q0 = floor(col("x") * lit(127.0) / col("amax") + lit(0.5))
+    val qExpr = when(col("amax") > 0,
+      greatest(lit(-127.0), least(lit(127.0), q0))).otherwise(lit(0.0))
+    e.join(broadcast(amax), "dim")
+      .withColumn("q", qExpr.cast("long"))
+      .withColumn("err_nano",
+        floor(abs(col("x") - col("q").cast("double") * col("amax") / lit(127.0))
+          * lit(1e9)).cast("long"))
+      .groupBy("dim", "amax") // amax is functionally dependent on dim
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+        sum(col("q") * col("q")).as("sum_q2"),
+        sum("err_nano").as("err_nano_sum"),
+        sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"))
+      .orderBy("dim")
+  }
 }

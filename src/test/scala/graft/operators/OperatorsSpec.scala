@@ -1460,4 +1460,77 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach { case (id, _, dup) =>
       assert(dup == v1Texts(v2Text(id)), s"doc $id dup flag") }
   }
+
+  test("jacobi eigensolver: known 2x2 and 3x3 spectra, orthonormal vectors") {
+    // [[2,1],[1,2]] -> eigenvalues 3, 1; vectors (1,1)/sqrt2, (1,-1)/sqrt2.
+    val (e2, v2) = Similarity.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(e2(0) - 3.0) < 1e-12 && math.abs(e2(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2)
+    assert(v2(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(v2(1).zip(Array(r, -r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // diag(5, 2, 7) with zero off-diagonals -> sorted eigenvalues 7, 5, 2.
+    val (e3, v3) = Similarity.jacobiEigen(
+      Array(Array(5.0, 0, 0), Array(0, 2.0, 0), Array(0, 0, 7.0)))
+    assert(e3.zip(Array(7.0, 5.0, 2.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // A*v = lambda*v for a non-trivial symmetric 3x3.
+    val m = Array(Array(4.0, 1.0, -2.0), Array(1.0, 3.0, 0.5), Array(-2.0, 0.5, 1.0))
+    val (ev, vv) = Similarity.jacobiEigen(m)
+    for (c <- 0 until 3; i <- 0 until 3) {
+      val av = (0 until 3).map(j => m(i)(j) * vv(c)(j)).sum
+      assert(math.abs(av - ev(c) * vv(c)(i)) < 1e-9, s"A*v=lv comp $c row $i")
+    }
+  }
+
+  test("pca gate: all gates pass and trace anchor matches an integer recompute (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Similarity.pcaGate(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("eig_sum_ok")), "eig_sum_ok")
+      assert(r.getBoolean(r.fieldIndex("ortho_ok")), "ortho_ok")
+      assert(r.getBoolean(r.fieldIndex("monotone_ok")), "monotone_ok")
+      assert(r.getBoolean(r.fieldIndex("var_match_ok")), "var_match_ok")
+    }
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val n = vecs.length.toLong
+    val dims = vecs.head.length
+    val trace = (0 until dims).map { d =>
+      val xi = vecs.map(v => math.floor(v(d).toDouble * 1000.0).toLong)
+      BigInt(n) * xi.map(x => x * x).sum - BigInt(xi.sum) * xi.sum
+    }.sum
+    assert(rows.head.getLong(rows.head.fieldIndex("trace_num")) == trace.toLong)
+    assert(rows.head.getLong(rows.head.fieldIndex("n")) == n)
+  }
+
+  test("int8 quantization stats match an independent in-memory recomputation (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Similarity.quantizeStats(spark, sf).collect()
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    assert(rows.length == dims)
+    val byDim = rows.map(r => r.getLong(r.fieldIndex("dim")) -> r).toMap
+    for (d <- 0 until dims) {
+      val xs = vecs.map(v => v(d).toDouble)
+      val amax = xs.map(math.abs).max
+      // Same IEEE op order as the operator AND the DuckDB oracle:
+      // x*127/amax + 0.5 (floor), q*amax/127, |x-deq|*1e9 (floor).
+      val qs = xs.map { x =>
+        if (amax > 0)
+          math.max(-127.0, math.min(127.0,
+            math.floor(x * 127.0 / amax + 0.5))).toLong
+        else 0L
+      }
+      val err = xs.zip(qs).map { case (x, q) =>
+        math.floor(math.abs(x - q.toDouble * amax / 127.0) * 1e9).toLong }.sum
+      val r = byDim(d + 1L)
+      assert(r.getDouble(r.fieldIndex("amax")) == amax, s"dim ${d + 1} amax")
+      assert(r.getLong(r.fieldIndex("n")) == xs.length)
+      assert(r.getLong(r.fieldIndex("sum_q")) == qs.sum, s"dim ${d + 1} sum_q")
+      assert(r.getLong(r.fieldIndex("sum_q2")) == qs.map(q => q * q).sum)
+      assert(r.getLong(r.fieldIndex("err_nano_sum")) == err, s"dim ${d + 1} err")
+      assert(r.getLong(r.fieldIndex("n_sat")) == qs.count(q => math.abs(q) == 127))
+    }
+  }
 }
