@@ -111,17 +111,22 @@ object Dedup {
     * Under any single global token order, if J(A,B) >= t then
     * |A∩B| >= ceil(t·|A|) and >= ceil(t·|B|), so A and B must share a
     * token among each one's first `|x| - ceil(t·|x|) + 1` tokens. Indexing
-    * only those prefix tokens (ordered rarest-first, which minimizes
-    * candidates) turns pair generation into an equi-join on prefix token
-    * with GUARANTEED recall 1.0 — the exact verify step then reproduces
-    * the all-pairs answer bit-for-bit, with no O(N²) enumeration and no
-    * full-corpus broadcast anywhere in the plan. Candidate volume scales
-    * with Σ df_prefix(token)², i.e. with true near-dup density, not N².
+    * only those prefix tokens turns pair generation into an equi-join on
+    * prefix token with GUARANTEED recall 1.0 — the exact verify step then
+    * reproduces the all-pairs answer bit-for-bit, with no O(N²)
+    * enumeration and no full-corpus broadcast anywhere in the plan.
+    * Candidate volume scales with Σ df_prefix(token)², i.e. with true
+    * near-dup density, not N².
     *
-    * Physical plan: one doc scan → (df count shuffle) → (per-doc rarest
-    * sort shuffle) → prefix equi-join (shuffled hash join on token) →
-    * pair dedup → two key joins back to the token arrays → codegen merge
-    * walk. Every exchange is keyed; AQE handles skewed prefix tokens.
+    * Prefix order is the GLOBAL HASH order (PPJoin-positional — see
+    * [[jaccardPairsUnsorted]]): prefixes are head slices of the sorted
+    * hash arrays, so no df-count shuffle and no per-doc re-sort exist in
+    * the plan, and the WWW'08 positional overlap bound prunes candidates
+    * in O(1) arithmetic before the merge walk.
+    *
+    * Physical plan: one doc scan → prefix equi-join (shuffled hash join
+    * on token) → positional prune + codegen merge walk. Every exchange
+    * is keyed; AQE handles skewed prefix tokens.
     *
     * The old broadcast all-pairs strategy survives as
     * [[jaccardPairsBrute]] (a test pin; right only when candidates ≈ all
@@ -139,9 +144,30 @@ object Dedup {
   /** The pair SET without the presentation sort (and without its
     * checkpoint): gates and pipeline stages join/aggregate the result, so
     * ordering — and the materialization that makes the sort affordable —
-    * would be pure overhead there. */
+    * would be pure overhead there.
+    *
+    * Spelling: PPJoin-positional — hash-order prefixes (zero extra
+    * exchanges: no df-count shuffle, no per-doc rarest re-sort) + the
+    * positional overlap bound (Xiao et al. WWW'08) pruning candidates in
+    * O(1) before the merge walk. Identical output to the rarest-first
+    * spelling ([[jaccardPairsRarestFirstUnsorted]], both exact and
+    * spec-pinned equal to brute); head-to-head in
+    * [[graft.tools.ProfileJaccardPos]]: positional wins or ties at EVERY
+    * scale across two runs — 2.07x at sf0.01, 1.01x at sf0.1, 1.25x at
+    * 10x, 2.55x at 20x (BASELINE.md r12) — rarest-first's candidate
+    * reduction never repays its two extra keyed shuffles on these
+    * corpora. */
   private[graft] def jaccardPairsUnsorted(s: SparkSession, dir: String,
                                           threshold: Double): DataFrame =
+    jaccardPairsFromSets(hashedTokenSets(s, dir), threshold,
+      rarestFirst = false, positional = true)
+
+  /** The rarest-first (df-ordered-prefix) spelling — dedup_jaccard's
+    * registered plan from r4 to r12, kept as the measured twin: minimal
+    * candidate volume, but pays a df-count shuffle and a per-doc prefix
+    * rebuild that the hash-order spelling avoids. */
+  private[graft] def jaccardPairsRarestFirstUnsorted(
+      s: SparkSession, dir: String, threshold: Double): DataFrame =
     jaccardPairsFromSets(hashedTokenSets(s, dir), threshold)
 
   /** The prefix-filtered jaccard self-join over ANY element-hashed set
@@ -192,13 +218,32 @@ object Dedup {
       sets.select((col("doc_id") +: col("sz") +: extras) ++ Seq(col("toks"),
         slice(col("toks"), lit(1), prefLen).as("pref")): _*)
     })
+      // posexplode: `pp` is the 0-based index of ptok within `pref`. In
+      // the hash-order branch pref is a HEAD SLICE of the sorted `toks`,
+      // so pp is also ptok's index in the full array — the position the
+      // PPJoin positional filter needs. In the df-order branch pref was
+      // re-sorted numerically, so pp is NOT a global-order position;
+      // callers must not use it there (jaccardPairsFromSets guards).
       .select((col("doc_id") +: col("sz") +: extras) ++ Seq(col("toks"), col("pref"),
-        explode(col("pref")).as("ptok")): _*)
+        posexplode(col("pref")).as(Seq("pp", "ptok"))): _*)
       .localCheckpoint()
   }
 
+  /** PPJoin positional filter (Xiao et al. WWW'08), valid ONLY with
+    * hash-order prefixes: the retained meeting token is the numeric-MIN
+    * shared prefix token t (firstShared), and under hash order any
+    * common token u < t would sit before t in BOTH sorted arrays and
+    * hence inside both prefixes — contradicting t's minimality. So no
+    * common token precedes t, and overlap <= 1 + min(szA-qa-1, szB-qb-1)
+    * where q* are t's 0-based indices (== prefix positions, the prefix
+    * being a head slice). J >= t requires overlap >= t/(1+t)(szA+szB);
+    * pairs whose bound can't reach it die on an O(1) arithmetic check
+    * BEFORE the merge walk. `positional` requires rarestFirst = false. */
   private[graft] def jaccardPairsFromSets(sets: DataFrame, threshold: Double,
-                                          rarestFirst: Boolean = true): DataFrame = {
+                                          rarestFirst: Boolean = true,
+                                          positional: Boolean = false): DataFrame = {
+    require(!positional || !rarestFirst,
+      "positional filter needs hash-order prefixes (positions in the global order)")
     val prefix = prefixTable(sets, threshold, rarestFirst)
     // Size prefilter inside the join condition: J >= t forces
     // min(|A|,|B|)/max(|A|,|B|) >= t. Expressed as a division so boundary
@@ -225,10 +270,29 @@ object Dedup {
     // bit-identical (same operands, same IEEE division).
     val jaccardExpr = graft.functions.ArrayOps.sortedJaccard(
       col("a.toks"), col("b.toks"), threshold)
+    // Positional bound at the retained (numeric-min shared) token: O(1)
+    // arithmetic, evaluated BEFORE the merge walk in the conjunction.
+    // Valid only at the firstShared meeting — which is the only meeting
+    // that can emit the pair, so ANDing it is exact. Spelled as the SAME
+    // IEEE division as the jaccard verify (sizeOk precedent): overlap
+    // o <= bound and x/(s-x) weakly monotone under correct rounding give
+    // J(pair) <= J(bound), so a passing pair can never be rejected. The
+    // cross-multiplied spelling bound*(1+t) >= t*(szA+szB) is NOT safe:
+    // this corpus plants near-dups at exactly J = t (o=27, sz 27/30,
+    // t=0.9 -> 19*bound == 9*(szA+szB) == 513), and (1.0+0.9) rounding
+    // below exact 1.9 dropped 1,840 of 9,020 boundary pairs.
+    val baseCond = col("a.ptok") === col("b.ptok") &&
+      col("a.doc_id") < col("b.doc_id") && sizeOk && firstShared
+    val cond = if (positional) {
+      val bound = lit(1) +
+        least(col("a.sz") - col("a.pp") - 1, col("b.sz") - col("b.pp") - 1)
+      // denominator >= max(szA,szB) > 0: bound <= min(szA,szB)
+      val posOk = bound.cast("double") /
+        (col("a.sz") + col("b.sz") - bound) >= threshold
+      baseCond && posOk && jaccardExpr >= threshold
+    } else baseCond && jaccardExpr >= threshold
     // Output side: the walk runs once more per SURVIVING pair only.
-    prefix.as("a").join(prefix.as("b"),
-        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
-          && sizeOk && firstShared && jaccardExpr >= threshold)
+    prefix.as("a").join(prefix.as("b"), cond)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         jaccardExpr.as("jaccard"))
   }
@@ -362,7 +426,12 @@ object Dedup {
       s: SparkSession, dir: String, threshold: Double = 0.85,
       mod: Int = 10): DataFrame = {
     val (prefixTbl, dfTbl) = settledArtifact(s, dir, threshold, mod)
-    val corpusPrefix = s.table(prefixTbl).withColumn("is_new", lit(false))
+    // drop("pp"): the artifact carries prefixTable's positional column,
+    // but this df-order path may not use it (see prefixTable's posexplode
+    // note) and the hand-built increment side below doesn't have it — the
+    // unionByName needs matching schemas.
+    val corpusPrefix = s.table(prefixTbl).drop("pp")
+      .withColumn("is_new", lit(false))
     val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
     val incPrefix = hashedTokenSets(s, dir)
       .filter(col("doc_id") % mod === 0)
@@ -416,7 +485,9 @@ object Dedup {
   private[graft] def shinglePairsUnsorted(s: SparkSession, dir: String,
                                           threshold: Double = 0.9): DataFrame =
     jaccardPairsFromSets(TextAnalysis.gramSets(s, dir), threshold,
-      rarestFirst = false) // high-entropy shingles: hash order ≈ df order
+      // high-entropy shingles: hash order ≈ df order, and hash order
+      // makes the O(1) positional prune valid (free on this path)
+      rarestFirst = false, positional = true)
 
   /** The round-1 all-pairs strategy: broadcast nested-loop self-join with
     * a size prefilter and the codegen merge-walk kernel. Kept as a

@@ -325,6 +325,44 @@ class OperatorsSpec extends SparkSpec {
     assert(pf.nonEmpty) // the synthetic corpus plants near-dups; empty would mask a broken join
   }
 
+  test("rarest-first jaccard twin equals brute all-pairs on real data (sf0.001)") {
+    // Both prefix-order spellings stay pinned: the registered positional
+    // spelling via the jaccardPairs==brute pin above, the rarest-first
+    // twin here — same pair set AND bit-identical jaccard values.
+    val sf = "/root/testdata/sf0.001"
+    val rf = Dedup.jaccardPairsRarestFirstUnsorted(spark, sf, threshold = 0.85)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val br = Dedup.jaccardPairsBrute(spark, sf, threshold = 0.85).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rf == br)
+    assert(rf.nonEmpty)
+  }
+
+  test("positional filter keeps exact-boundary pairs (sf0.01, J == threshold)") {
+    // sf0.01 plants 1,840 near-dup pairs at EXACTLY J = 0.9 (o=27 over
+    // sizes 27/30) where the positional bound is exactly tight — the
+    // case a cross-multiplied double spelling mis-rounds (it dropped all
+    // 1,840; caught by the DuckDB oracle, invisible at sf0.001). Pin the
+    // positional pair set against the plain prefix join at the boundary
+    // threshold.
+    val sets = Dedup.hashedTokenSets(spark, "/root/testdata/sf0.01")
+    val plain = Dedup.jaccardPairsFromSets(sets, 0.9,
+      rarestFirst = false, positional = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pos = Dedup.jaccardPairsFromSets(sets, 0.9,
+      rarestFirst = false, positional = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pos == plain)
+    assert(plain.exists { case ((_, _), j) => j == 0.9 }) // boundary pairs present
+  }
+
+  test("positional filter requires hash-order prefixes") {
+    val sets = Dedup.hashedTokenSets(spark, "/root/testdata/sf0.001")
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsFromSets(sets, 0.85, rarestFirst = true, positional = true)
+    }
+  }
+
   test("deletion-variant edit pairs equal brute all-pairs on real data (sf0.01)") {
     // sf0.01: small enough for the broadcast all-pairs reference, large
     // enough that the planted one-token edits actually occur (24 pairs).
