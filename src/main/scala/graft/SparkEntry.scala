@@ -89,7 +89,7 @@ object SparkEntry {
     // ((nation, segment) equi-join bounds the quadratic), thresholded-
     // Levenshtein match kernel, then large/small-star transitive closure
     // into total entity assignments.
-    "link_pairs"      -> (Linkage.blockedPairs _),
+    "link_pairs"      -> (Linkage.blockedPairsDeletion _),
     "link_clusters"   -> (Linkage.entityClusters _),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "range_join"      -> ((s, d) => RangeJoin.eventBands(s, d)),

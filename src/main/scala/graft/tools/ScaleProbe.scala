@@ -85,6 +85,47 @@ object ScaleProbe {
       }
   }
 
+  /** Scaled `customer` for the linkage probe, added to an ALREADY-built
+    * scale dir (marker-guarded — buildScaled's exists-check would skip
+    * it). Same content-disjoint model as documents: c_custkey shifted by
+    * k·(max+1); c_name mapped through a per-copy DIGIT rotation (period
+    * 10) composed with the letter Caesar (period 26) — both bijections,
+    * so within-copy edit distances (and hence the match structure every
+    * copy contributes) are preserved EXACTLY, while the composite period
+    * lcm(10,26)=130 keeps all copies' names ≥ 8 substitutions apart up
+    * to 130 copies — no cross-copy matches. Nation/segment domains stay
+    * FIXED: 10x customers over the same 125 block keys is precisely the
+    * regime that separates |block|²-bounded from data-bounded candidate
+    * generation. */
+  def ensureScaledCustomer(s: SparkSession, base: String, out: String,
+                           copies: Int): Unit = {
+    val marker = java.nio.file.Paths.get(out, "_customer_scaled")
+    if (java.nio.file.Files.exists(marker)) return
+    val digits = "0123456789"
+    val c = s.read.parquet(s"$base/customer.parquet")
+    val shift = c.agg(max("c_custkey")).head().getLong(0) + 1
+    val rest = c.columns.filter(x => x != "c_custkey" && x != "c_name")
+      .map(col).toSeq
+    (0 until copies).map { k =>
+      val d = k % 10
+      val digTo = digits.drop(d) + digits.take(d)
+      c.select((col("c_custkey") + lit(k * shift)).as("c_custkey") +:
+        translate(caesar(k)(col("c_name")), digits, digTo).as("c_name") +:
+        rest: _*)
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet.scaled")
+    // Swap atomically-ish: the verbatim copy is replaced only once the
+    // scaled build fully succeeded.
+    val tgt = java.nio.file.Paths.get(out, "customer.parquet")
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    del(tgt.toFile)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(out, "customer.parquet.scaled"), tgt)
+    java.nio.file.Files.createFile(marker): Unit
+  }
+
   /** The probe relation: name -> query. Gate rows (brute-truth rebuilds,
     * ~linear by construction) are filtered per the caller's policy. */
   private[graft] def probesFor(skipGates: Boolean)
@@ -103,7 +144,14 @@ object ScaleProbe {
       "ann_serve" -> ((s: SparkSession, d: String) =>
         graft.operators.Similarity.ivfPqTopKFromArtifact(s, d)),
       "graph_serve" -> ((s: SparkSession, d: String) =>
-        graft.operators.Graph.triangleCountsFromArtifact(s, d)))
+        graft.operators.Graph.triangleCountsFromArtifact(s, d)),
+      // The linkage pair: fixed-block-domain candidate generation vs the
+      // deletion-variant join (identical output, spec-pinned) — requires
+      // [[ensureScaledCustomer]] on the scale dirs.
+      "link_pairs_blocked" -> ((s: SparkSession, d: String) =>
+        graft.operators.Linkage.blockedPairs(s, d)),
+      "link_pairs_del" -> ((s: SparkSession, d: String) =>
+        graft.operators.Linkage.blockedPairsDeletion(s, d)))
   }
 
   /** Run one (operator, dir) cell in a FRESH child JVM (same classpath +
@@ -205,6 +253,7 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
       else s"target/scale$k"
       buildScaled(spark, base, out, k)
+      ensureScaledCustomer(spark, base, out, k)
       k -> out
     }
 
@@ -219,7 +268,12 @@ object ScaleProbe {
       !sys.env.get("SPARK_GRAFT_SCALE_GATES").exists(_.nonEmpty)
     // The 10 heaviest registered rows (judge's list) + the sketch-only /
     // serve paths — see [[probesFor]] (cell mode needs the same relation).
+    // SPARK_GRAFT_SCALE_OPS=<csv> restricts the run to named probes (e.g.
+    // a two-operator A/B doesn't pay for the other 13 cells).
+    val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     val probes = probesFor(skipGates)
+      .filter { case (n, _) => onlyOps.forall(_.contains(n)) }
 
     def dropCheckpoints(): Unit =
       spark.sparkContext.getPersistentRDDs.valuesIterator

@@ -39,6 +39,19 @@ class LinkageSpec extends SparkSpec {
     assert(got.nonEmpty) // the corpus must actually exercise the matcher
   }
 
+  test("deletion-variant linkage equals the blocked pair relation (sf0.001 + sf0.01)") {
+    // The scale spelling must be EXACTLY the blocked relation — pair set
+    // and distances — on the full-DP reference and on a bigger corpus.
+    val got = Linkage.blockedPairsDeletion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expectedPairs)
+    val sf1 = "/root/testdata/sf0.01"
+    val a = Linkage.blockedPairs(spark, sf1).collect().map(_.toSeq).toSeq
+    val b = Linkage.blockedPairsDeletion(spark, sf1).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("link_clusters: assignment is the transitive closure of the pairs") {
     // union-find over the expected pairs
     val parent = scala.collection.mutable.Map[Long, Long]()
