@@ -108,12 +108,74 @@ object StreamScaleProbe {
     out
   }
 
+  /** Run one (op, mult, dir) cell in a FRESH child JVM and return its
+    * per-chunk samples, or Nil on timeout/failure. Same rationale as
+    * [[ScaleProbe]]'s spawnCell: the r12 in-process three-point probe
+    * read false super-linear legs from same-JVM pressure; exponents are
+    * only honest when every cell pays identical fixed costs. Streaming
+    * cells are single-execution (wall already sums 5 chunked feeds),
+    * matching the in-process mode's sampling. */
+  private def spawnStreamCell(op: String, mult: Int, dir: String,
+                              timeoutSec: Long = 1800): Seq[Sample] = try {
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("-Xmx") ||
+        a.startsWith("-XX") || a.startsWith("-D"))
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val cmd = (Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"),
+        "graft.tools.StreamScaleProbe")).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.directory(new java.io.File(sys.props("user.dir")))
+    pb.environment().put("SPARK_GRAFT_SSCALE_CELL", s"$op:$mult:$dir")
+    pb.environment().remove("SPARK_GRAFT_SCALE_STANDALONE")
+    val proc = pb.start()
+    val lines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val outDrain = new Thread(() => try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var l = r.readLine()
+      while (l != null) { lines.add(l); l = r.readLine() }
+    } catch { case _: Throwable => })
+    val errDrain = new Thread(() => try {
+      val es = proc.getErrorStream
+      val buf = new Array[Byte](8192)
+      while (es.read(buf) >= 0) {}
+    } catch { case _: Throwable => })
+    outDrain.setDaemon(true); outDrain.start()
+    errDrain.setDaemon(true); errDrain.start()
+    val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) { proc.destroyForcibly(); Nil }
+    else {
+      outDrain.join(5000)
+      lines.asScala.find(_.contains("\"sscale_cell\"")).map { line =>
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+        root.path("samples").elements().asScala.map { s =>
+          Sample(s.path("chunk").asInt(), s.path("fed").asLong(),
+            s.path("stateRows").asLong(), s.path("stateMB").asDouble(),
+            s.path("wallS").asDouble())
+        }.toSeq
+      }.getOrElse(Nil)
+    }
+  } catch { case _: Throwable => Nil }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaled = sys.env.getOrElse("SPARK_GRAFT_SCALE_STREAM_DIR",
       "target/scale10stream")
+    // Copy counts beyond 1x; "10,20" adds the asymptotic leg where the
+    // fixed costs that flatter 1x->10x have amortized (same rationale as
+    // ScaleProbe's three-point mode).
+    val points = sys.env.getOrElse("SPARK_GRAFT_SCALE_STREAM_POINTS", "10")
+      .split(",").map(_.trim.toInt).toSeq
     val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "5").toInt
     val lateness = "10 minutes" // production horizon: eviction is LIVE
+    // Child-cell protocol: "<op>:<mult>:<dir>" — run exactly one cell,
+    // print one JSON line, exit (see [[spawnStreamCell]]).
+    val cell = sys.env.get("SPARK_GRAFT_SSCALE_CELL")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -124,7 +186,12 @@ object StreamScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.expressions.Window
 
-    buildScaledStream(spark, base, scaled)
+    val scaleDirs: Seq[(Int, String)] = if (cell.nonEmpty) Nil else
+      points.map { k =>
+        val out = if (k == 10) scaled else s"target/scale${k}stream"
+        buildScaledStream(spark, base, out, k)
+        k -> out
+      }
 
     val evSchema = StructType(Seq(
       StructField("ts", LongType), StructField("user_id", LongType)))
@@ -179,41 +246,65 @@ object StreamScaleProbe {
 
     def ms(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    cell.foreach { spec =>
+      val Array(op, multS, dir) = spec.split(":", 3)
+      val samples = ops.toMap.apply(op)(dir, multS.toInt)
+      val sJson = samples.map(x =>
+        s"""{"chunk":${x.chunk},"fed":${x.fed},"stateRows":${x.stateRows},""" +
+          s""""stateMB":${ms(x.stateMB)},"wallS":${ms(x.wallS)}}""").mkString(",")
+      println(s"""{"sscale_cell":"$op","mult":$multS,"samples":[$sJson]}""")
+      spark.stop()
+      return
+    }
+
+    val standalone =
+      sys.env.get("SPARK_GRAFT_SCALE_STANDALONE").exists(_.nonEmpty)
+    val allScales: Seq[(Int, String)] = (1, base) +: scaleDirs
+    // (op, per-scale samples, per-leg exponents)
     val results = ops.map { case (opName, run) =>
-      val s1 = run(base, 1)
-      val s10 = run(scaled, 10)
-      val (w1, w10) = (s1.map(_.wallS).sum, s10.map(_.wallS).sum)
-      val exp = math.log(w10 / w1) / math.log(10.0)
-      System.err.println(f"[sscale] $opName%-16s 1x ${w1}%7.2f s  10x ${w10}%7.2f s" +
-        f"  exp $exp%5.2f  evicted-state rows final ${s1.last.stateRows}%,d -> " +
-        f"${s10.last.stateRows}%,d")
-      (opName, s1, s10, exp)
+      val perScale = allScales.map { case (k, dir) =>
+        k -> (if (standalone) spawnStreamCell(opName, k, dir) else run(dir, k)) }
+      val legs = perScale.sliding(2).collect { case Seq((ka, sa), (kb, sb)) =>
+        math.log(sb.map(_.wallS).sum / sa.map(_.wallS).sum) /
+          math.log(kb.toDouble / ka)
+      }.toSeq
+      System.err.println(f"[sscale] $opName%-16s " +
+        perScale.map { case (k, ss) => f"${k}x ${ss.map(_.wallS).sum}%7.2f s" }
+          .mkString("  ") +
+        "  exp " + legs.map(e => f"$e%5.2f").mkString(" -> ") +
+        s"  evicted-state rows final " +
+        perScale.map(_._2.last.stateRows).mkString(" -> "))
+      (opName, perScale, legs)
     }
 
     println("## per-chunk state under eviction (lateness 10 minutes)")
     println("| op | scale | " + (1 to chunks).map(k => s"c$k rows").mkString(" | ") +
       " | " + (1 to chunks).map(k => s"c$k MB").mkString(" | ") + " |")
     println("|---" * (2 + 2 * chunks) + "|")
-    results.foreach { case (n, s1, s10, _) =>
-      Seq(("1x", s1), ("10x", s10)).foreach { case (sc, ss) =>
-        println(s"| $n | $sc | " + ss.map(_.stateRows).mkString(" | ") +
+    results.foreach { case (n, perScale, _) =>
+      perScale.foreach { case (k, ss) =>
+        println(s"| $n | ${k}x | " + ss.map(_.stateRows).mkString(" | ") +
           " | " + ss.map(x => f"${x.stateMB}%.2f").mkString(" | ") + " |")
       }
     }
     println("## wall (stream processing only, chunked feed)")
-    println("| op | 1x (s) | 10x (s) | exp |")
-    println("|---|---|---|---|")
-    results.foreach { case (n, s1, s10, e) =>
-      println(f"| $n | ${s1.map(_.wallS).sum}%.2f | ${s10.map(_.wallS).sum}%.2f | $e%.2f |")
+    println("| op | " + allScales.map(s => s"${s._1}x (s)").mkString(" | ") +
+      " | " + allScales.sliding(2).map { case Seq(a, b) =>
+        s"exp ${a._1}->${b._1}" }.mkString(" | ") + " |")
+    println("|---" * (allScales.size * 2) + "|")
+    results.foreach { case (n, perScale, legs) =>
+      println(s"| $n | " + perScale.map(p => f"${p._2.map(_.wallS).sum}%.2f")
+        .mkString(" | ") + " | " + legs.map(e => f"$e%.2f").mkString(" | ") + " |")
     }
-    val json = results.map { case (n, s1, s10, e) =>
-      s""""$n":{"wall_1x":${ms(s1.map(_.wallS).sum)},"wall_10x":${ms(s10.map(_.wallS).sum)},""" +
-        s""""exp":${ms(e)},"state_rows_1x":[${s1.map(_.stateRows).mkString(",")}],""" +
-        s""""state_rows_10x":[${s10.map(_.stateRows).mkString(",")}],""" +
-        s""""state_mb_1x":[${s1.map(x => ms(x.stateMB)).mkString(",")}],""" +
-        s""""state_mb_10x":[${s10.map(x => ms(x.stateMB)).mkString(",")}]}"""
+    val json = results.map { case (n, perScale, legs) =>
+      s""""$n":{""" + perScale.map { case (k, ss) =>
+        s""""wall_${k}x":${ms(ss.map(_.wallS).sum)},""" +
+          s""""state_rows_${k}x":[${ss.map(_.stateRows).mkString(",")}],""" +
+          s""""state_mb_${k}x":[${ss.map(x => ms(x.stateMB)).mkString(",")}]"""
+      }.mkString(",") + s""","exp":[${legs.map(ms).mkString(",")}]}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"stream_scale_probe","chunks":$chunks,"lateness":"$lateness","rows":$json}""")
+    println(s"""{"metric":"stream_scale_probe","chunks":$chunks,"lateness":"$lateness","points":[${allScales.map(_._1).mkString(",")}],"rows":$json}""")
     spark.stop()
   }
 }
