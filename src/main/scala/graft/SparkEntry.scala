@@ -121,6 +121,11 @@ object SparkEntry {
     // against the settled v1 corpus — the release-to-release
     // maintenance step (delta-only exchange, 8-byte keys).
     "version_incr"    -> ((s, d) => Versioning.incrementalIngest(s, d)),
+    // Retention sweep over the copy-on-write file layout: which v1 files
+    // the latest snapshot still references and which are GC-eligible —
+    // computed from snapshot metadata (a digest join + a bucket-domain
+    // rollup), never an object-store LIST.
+    "version_gc"      -> ((s, d) => Versioning.snapshotGc(s, d)),
     // Registered on the 8-byte-hash spelling — the plan you'd run at
     // 100 TB (the shuffle carries xxhash64 keys, not document bodies);
     // OperatorsSpec pins it equal to the group-by-text twin.
@@ -1926,6 +1931,39 @@ object SparkEntry {
         |SELECT d.doc_id, d.status,
         | EXISTS (SELECT 1 FROM v1 WHERE v1.text = d.text) AS dup_of_settled
         |FROM delta d ORDER BY d.doc_id""".stripMargin,
+    // File-granularity GC: same v1/v2 rebuild, rolled up to the
+    // (source, doc_id % 16) bucket domain; a bucket's v1 file dies when
+    // v2 rewrote it (any add/edit/remove inside) or abandoned it.
+    "version_gc" ->
+      """WITH v1 AS (SELECT doc_id, source, doc_id % 16 AS bucket,
+        |                   md5(text) AS h
+        |            FROM documents WHERE doc_id % 7 <> 3),
+        |v2 AS (SELECT doc_id, source, doc_id % 16 AS bucket,
+        |        md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+        |                 ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 5 <> 2),
+        |j AS (SELECT COALESCE(v2.source, v1.source) AS source,
+        |             COALESCE(v2.bucket, v1.bucket) AS bucket,
+        |             v1.h IS NOT NULL AS in_v1,
+        |             v2.h IS NOT NULL AS in_v2,
+        |             (v1.h IS NULL OR v2.h IS NULL OR v1.h <> v2.h) AS touched
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+        |f AS (SELECT source, bucket,
+        |             bool_or(in_v1) AS f_v1,
+        |             bool_or(in_v2) AS f_v2,
+        |             bool_or(in_v2 AND touched) AS rewritten
+        |      FROM j GROUP BY source, bucket)
+        |SELECT source,
+        | CAST(sum(CASE WHEN f_v1 THEN 1 ELSE 0 END) AS BIGINT) AS files_v1,
+        | CAST(sum(CASE WHEN rewritten THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS files_rewritten,
+        | CAST(sum(CASE WHEN f_v1 AND f_v2 AND NOT rewritten THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS files_live_v1,
+        | CAST(sum(CASE WHEN f_v1 AND (rewritten OR NOT f_v2) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS files_orphaned,
+        | CAST(sum(CASE WHEN f_v1 AND (rewritten OR NOT f_v2) THEN bucket
+        |              ELSE 0 END) AS BIGINT) AS sum_orphan_bucket
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "text_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |             FROM documents),

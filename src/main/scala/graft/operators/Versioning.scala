@@ -78,6 +78,69 @@ object Versioning {
       .orderBy("doc_id")
   }
 
+  /** Snapshot RETENTION sweep (garbage collection) — the storage-side
+    * companion to [[snapshotDiff]]: after a release supersedes the old
+    * snapshot, which data files does the store still need and which are
+    * orphaned? Models the copy-on-write layout every table format uses
+    * (a snapshot references immutable files; a release rewrites only the
+    * files it touches): file granularity = (source, doc_id % 16) bucket.
+    *
+    *   - v1 wrote one file per (source, bucket) it has docs in;
+    *   - v2 REWRITES a bucket iff any doc in it was added or edited
+    *     (h_new with no h_old, or h_new != h_old); otherwise v2 keeps
+    *     referencing the v1 file (pure carry-over, even if some docs
+    *     were removed — a removal alone marks the bucket rewritten too,
+    *     since copy-on-write must materialize the survivor set);
+    *   - retention policy "keep latest only": live = files v2 references;
+    *     orphaned = v1 files of rewritten buckets + v1 files of buckets
+    *     v2 no longer has docs in.
+    *
+    * Scale shape: both sides project to (source, bucket, 16-byte digest)
+    * in the scan; the per-doc full-outer join keys on doc_id (the
+    * [[snapshotDiff]] exchange, digests only); the file-level rollup is
+    * a map-side-combined aggregate over the (source × 16)-key bucket
+    * domain — constant exchange regardless of corpus size. The sweep
+    * never lists the object store: the live/orphan sets come from the
+    * snapshot metadata join, which is how production GC avoids
+    * O(files-in-store) LIST calls at 100 TB.
+    *
+    * Output per source: v1/rewritten/live/orphaned file counts and an
+    * orphaned-bucket-id sum so the oracle pins WHICH files die, not just
+    * how many. */
+  def snapshotGc(s: SparkSession, dir: String, nBuckets: Int = 16): DataFrame = {
+    val (v1, v2) = snapshots(s, dir)
+    val a = v1.select(col("doc_id"), col("source").as("source_old"),
+      (col("doc_id") % nBuckets).as("bucket_old"), md5(col("text")).as("h_old"))
+    val b = v2.select(col("doc_id"), col("source").as("source_new"),
+      (col("doc_id") % nBuckets).as("bucket_new"), md5(col("text")).as("h_new"))
+    val perDoc = a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source_new"), col("source_old")).as("source"),
+        coalesce(col("bucket_new"), col("bucket_old")).as("bucket"),
+        col("h_old").isNotNull.as("in_v1"),
+        col("h_new").isNotNull.as("in_v2"),
+        // added, changed, or removed — any of these forces a rewrite of
+        // the bucket's file in v2 (copy-on-write at file granularity)
+        (col("h_old").isNull || col("h_new").isNull ||
+          col("h_old") =!= col("h_new")).as("touched"))
+    perDoc.groupBy("source", "bucket")
+      .agg(bool_or(col("in_v1")).as("f_v1"),
+        bool_or(col("in_v2")).as("f_v2"),
+        bool_or(col("in_v2") && col("touched")).as("rewritten"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("f_v1"), 1L).otherwise(0L)).as("files_v1"),
+        sum(when(col("rewritten"), 1L).otherwise(0L)).as("files_rewritten"),
+        // live v1 file: v2 still has docs in the bucket and none touched
+        sum(when(col("f_v1") && col("f_v2") && !col("rewritten"), 1L)
+          .otherwise(0L)).as("files_live_v1"),
+        sum(when(col("f_v1") && (col("rewritten") || !col("f_v2")), 1L)
+          .otherwise(0L)).as("files_orphaned"),
+        sum(when(col("f_v1") && (col("rewritten") || !col("f_v2")),
+          col("bucket")).otherwise(0L)).as("sum_orphan_bucket"))
+      .orderBy("source")
+  }
+
   /** Per-(status, source) diff counts between the two snapshots, with a
     * `sum_doc_id` integer fingerprint so the oracle pins membership, not
     * just cardinality. Statuses: added / removed / changed / unchanged. */

@@ -1499,6 +1499,44 @@ class OperatorsSpec extends SparkSpec {
       assert(dup == v1Texts(v2Text(id)), s"doc $id dup flag") }
   }
 
+  test("version_gc: live/orphan file sets equal a brute per-bucket recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val (v1, v2) = Versioning.snapshots(spark, sf)
+    // brute model: per (source, bucket) the three flags straight from the
+    // per-doc join semantics
+    val a = v1.select("doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val b = v2.select("doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    case class F(v1f: Boolean, v2f: Boolean, rew: Boolean)
+    val flags = scala.collection.mutable.Map.empty[(String, Long), F]
+    (a.keySet ++ b.keySet).foreach { id =>
+      val src = b.get(id).map(_._1).getOrElse(a(id)._1)
+      val bucket = id % 16
+      val touched = a.get(id).map(_._2) != b.get(id).map(_._2)
+      val f = flags.getOrElse((src, bucket), F(false, false, false))
+      flags((src, bucket)) = F(f.v1f || a.contains(id), f.v2f || b.contains(id),
+        f.rew || (b.contains(id) && touched))
+    }
+    val expect = flags.toSeq.groupBy(_._1._1).map { case (src, fs) =>
+      val v = fs.map(_._2)
+      (src, v.count(_.v1f).toLong, v.count(_.rew).toLong,
+        v.count(f => f.v1f && f.v2f && !f.rew).toLong,
+        v.count(f => f.v1f && (f.rew || !f.v2f)).toLong,
+        fs.filter { case (_, f) => f.v1f && (f.rew || !f.v2f) }
+          .map(_._1._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = Versioning.snapshotGc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    // the policy discriminates on this corpus: live, orphaned and
+    // rewritten are all non-trivial
+    assert(got.map(_._4).sum > 0 && got.map(_._5).sum > 0)
+    // conservation per source: every v1 file is live or orphaned
+    got.foreach { case (_, fv1, _, live, orph, _) => assert(live + orph == fv1) }
+  }
+
   test("jacobi eigensolver: known 2x2 and 3x3 spectra, orthonormal vectors") {
     // [[2,1],[1,2]] -> eigenvalues 3, 1; vectors (1,1)/sqrt2, (1,-1)/sqrt2.
     val (e2, v2) = Similarity.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
