@@ -221,6 +221,11 @@ object SparkEntry {
     // Spark aggregate (Tokenizer.learnMergesDistributed); same
     // invariants gate as text_bpe.
     "text_bpe_dist"   -> ((s, d) => Gates.bpeDistGate(s, d)),
+    // WordPiece trainer (likelihood-scored merges, exact BigInt ratio
+    // argmax) + greedy longest-match apply kernel; same invariant gate
+    // shape as text_bpe. The BERT-family vocabulary recipe next to the
+    // GPT-family one.
+    "text_wordpiece"  -> ((s, d) => Gates.wordPieceGate(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -1979,6 +1984,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "text_bpe_dist" ->
       """SELECT count(*) AS n_docs, CAST(256 AS BIGINT) AS n_merges,
+        | true AS bounds_ok, true AS compressed
+        |FROM documents""".stripMargin,
+    "text_wordpiece" ->
+      """SELECT count(*) AS n_docs, CAST(48 AS BIGINT) AS n_merges,
         | true AS bounds_ok, true AS compressed
         |FROM documents""".stripMargin,
     // PMI rank = rank of the exact-integer ratio c_ab/(c_a*c_b) — both

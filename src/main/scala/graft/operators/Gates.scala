@@ -227,6 +227,23 @@ object Gates {
       .select(col("n_docs"), lit(nMerges).cast("long").as("n_merges"),
         col("bounds_ok"), col("compressed"))
 
+  /** WordPiece induction gate — [[bpeGate]]'s invariants over the
+    * LIKELIHOOD-scored trainer + greedy longest-match apply
+    * ([[graft.operators.Tokenizer.learnWordPiece]]): every document's
+    * MaxMatch token count lies in [n_words, n_symbols] (an [UNK] word is
+    * one token; a piece never crosses a word boundary) and the corpus
+    * genuinely compressed. The score-vs-count argmax difference is
+    * spec-pinned separately (TokenizerSpec: a corpus where the two
+    * trainers provably diverge on merge 1). */
+  def wordPieceGate(s: SparkSession, dir: String, nMerges: Int = 48): DataFrame =
+    graft.operators.Tokenizer.wordPieceStats(s, dir, nMerges)
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(when(col("n_wp_tokens").between(col("n_words"), col("n_symbols")), 0)
+          .otherwise(1)) === 0).as("bounds_ok"),
+        (sum("n_wp_tokens") < sum("n_symbols")).as("compressed"))
+      .select(col("n_docs"), lit(nMerges).cast("long").as("n_merges"),
+        col("bounds_ok"), col("compressed"))
+
   /** IVF-PQ (IVFADC) recall gate — coarse-list pruning + ADC scoring +
     * exact re-rank. Measured 0.96 at sf0.01 (nprobe=12, rerank=64):
     * exactly the IVF probe recall, i.e. the PQ stage loses nothing the

@@ -377,6 +377,133 @@ object Tokenizer {
     } finally { backing.unpersist(blocking = false); () }
   }
 
+  /** WordPiece merge induction (Wu et al. 2016; the BERT vocabulary
+    * recipe): same greedy loop as BPE but the selected pair maximizes
+    * the LIKELIHOOD gain score c(ab) / (c(a)·c(b)) instead of the raw
+    * count c(ab) — merging a pair whose parts rarely occur apart beats
+    * merging the most frequent pair. Position-unaware variant (no "##"
+    * continuation marking): symbols are plain strings, matching the BPE
+    * trainer's symbol model, so the two trainers differ ONLY in the
+    * argmax — which is the semantic difference the operator exists to
+    * carry.
+    *
+    * Determinism: scores are compared EXACTLY by cross-multiplying the
+    * integer counts in BigInt (never a double division), ties break by
+    * higher c(ab), then pair asc — a total order. Same control-plane
+    * shape as [[learnMerges]]: one distributed word-count shuffle, a
+    * bounded top-`vocabCap` collect, then the driver loop; per merge the
+    * segmented vocabulary is rewritten by ONE left-to-right sweep (the
+    * [[learnMergesIncremental]] sweep — a sweep cannot recreate the
+    * merged pair). At 100 TB the word-count shuffle is the only
+    * data-scale pass, identical to BPE's. */
+  def learnWordPiece(s: SparkSession, dir: String, nMerges: Int = 48,
+                     vocabCap: Int = 4096): Seq[(String, String)] = {
+    val vocab: Array[(Array[String], Long)] = documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word"))
+      .limit(vocabCap)
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+
+    var words = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var it = 0
+    var done = false
+    while (it < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val symCounts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length) {
+          symCounts.update(syms(i), symCounts.getOrElse(syms(i), 0L) + c)
+          if (i < syms.length - 1) {
+            val p = (syms(i), syms(i + 1))
+            pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          }
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // argmax of c_ab/(c_a*c_b) by exact cross-multiplication;
+        // ties -> larger c_ab, then pair asc
+        var best: ((String, String), Long, BigInt) = null
+        pairCounts.foreach { case (p @ (a, b), cab) =>
+          val denom = BigInt(symCounts(a)) * BigInt(symCounts(b))
+          val challenger = (p, cab, denom)
+          if (best == null) best = challenger
+          else {
+            // score(ch) > score(best) <=> cab_ch * denom_best > cab_best * denom_ch
+            val l = BigInt(cab) * best._3
+            val r = BigInt(best._2) * denom
+            val better = l > r || (l == r &&
+              (cab > best._2 || (cab == best._2 &&
+                (a < best._1._1 || (a == best._1._1 && b < best._1._2)))))
+            if (better) best = challenger
+          }
+        }
+        val (a, b) = best._1
+        merges += ((a, b))
+        // one sweep per merge — the incremental trainer's rewrite
+        words = words.map { case (syms, c) =>
+          var i = 0
+          var has = false
+          while (i < syms.length - 1 && !has) {
+            if (syms(i) == a && syms(i + 1) == b) has = true
+            i += 1
+          }
+          if (!has) (syms, c)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+        it += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The WordPiece APPLY vocabulary: base characters of the trainer's
+    * word table plus the merge products, in learned order. */
+  def wordPieceVocab(s: SparkSession, dir: String, nMerges: Int = 48,
+                     vocabCap: Int = 4096): Seq[String] = {
+    val merges = learnWordPiece(s, dir, nMerges, vocabCap)
+    // base chars come from the FULL corpus, not the capped trainer vocab:
+    // coverage is an apply-side property (the char domain is tiny — a
+    // bounded distinct collect, the codebook pattern)
+    val allChars = documents(s, dir)
+      .select(explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= " " && length(col("ch")) > 0)
+      .distinct().collect().map(_.getString(0))
+    (allChars.toSeq ++ merges.map { case (a, b) => a + b }).distinct
+  }
+
+  /** Per-document WordPiece stats under the learned vocabulary:
+    * character symbol count, greedy longest-match token count,
+    * whitespace word count. The apply is one kernel expression
+    * ([[graft.functions.WordPieceTokenCount]]) in the scan. */
+  def wordPieceStats(s: SparkSession, dir: String, nMerges: Int = 48,
+                     vocabCap: Int = 4096): DataFrame = {
+    val vocab = wordPieceVocab(s, dir, nMerges, vocabCap)
+    val toks = split(col("text"), " ")
+    documents(s, dir).select(
+      col("doc_id"),
+      (length(col("text")) - (size(toks) - 1)).cast("long").as("n_symbols"),
+      graft.functions.WordPieceOps.wordPieceTokenCount(col("text"), vocab)
+        .cast("long").as("n_wp_tokens"),
+      size(filter(toks, t => length(t) > 0)).cast("long").as("n_words"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document BPE stats under the learned table: pre-merge symbol
     * count (characters excluding separators), post-merge token count,
     * whitespace word count. The apply is one kernel expression in the

@@ -1111,6 +1111,40 @@ class OperatorsSpec extends SparkSpec {
     assert(incr.distinct.length == incr.length, "duplicate merge learned")
   }
 
+  test("wordpiece: likelihood argmax diverges from BPE count argmax; MaxMatch kernel") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-wp").toString
+    // c(ab-pair)=10 with c(a)=c(b)=40 -> score 10/1600; c(xy-pair)=9 with
+    // c(x)=c(y)=9 -> score 9/81. BPE's count argmax picks (a,b);
+    // WordPiece's likelihood argmax must pick (x,y) first.
+    val abWords = Seq.fill(10)("ab") ++ Seq.fill(30)("a") ++ Seq.fill(30)("b")
+    val xyWords = Seq.fill(9)("xy")
+    Seq((0L, (abWords ++ xyWords).mkString(" "), "en", "s", 120L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val wp = Tokenizer.learnWordPiece(spark, d2, nMerges = 2)
+    assert(wp == Seq(("x", "y"), ("a", "b")), s"got $wp")
+    val bpe = Tokenizer.learnMerges(spark, d2, nMerges = 1)
+    assert(bpe.head == ("a", "b")) // the count argmax — provably different
+    // MaxMatch kernel: longest-match-first, [UNK] word = 1 token
+    val vocab = graft.functions.WordPieceOps.vocabSetOf(
+      Seq("a", "b", "c", "ab", "abc"))
+    assert(graft.functions.WordPieceOps.maxMatchWord("abcab", vocab, 3) == 2)
+    assert(graft.functions.WordPieceOps.maxMatchWord("ba", vocab, 3) == 2)
+    assert(graft.functions.WordPieceOps.maxMatchWord("aqb", vocab, 3) == -1)
+    assert(graft.functions.WordPieceOps.countTokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcab aqb ba"),
+      vocab, 3) == 2 + 1 + 2)
+    // stats + gate over the tiny corpus: every word segmentable, bounds hold
+    val st = Tokenizer.wordPieceStats(spark, d2, nMerges = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    st.foreach { case (sym, t, words) => assert(words <= t && t <= sym) }
+    // after both merges every word is exactly one piece
+    assert(st.head._2 == st.head._3)
+    val g = Gates.wordPieceGate(spark, "/root/testdata/sf0.001").head()
+    assert(g.getBoolean(2) && g.getBoolean(3), s"gate row $g")
+  }
+
   test("vocab top-k: tf/df totals, deterministic rank, k respected") {
     val v = TextAnalysis.vocabTopK(spark, dir, k = 3).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
