@@ -184,6 +184,9 @@ object SparkEntry {
     // one keyed window shows the dedup-key collapse).
     "curate_urlnorm"  -> ((s, d) => Curation.urlNormDemo(s, d)),
     "curate_mix"      -> ((s, d) => Curation.mixSources(s, d)),
+    // Temperature-scaled (alpha = 1/2) source weights in exact integers:
+    // isqrt counts, micro-unit share + repetition boost per source.
+    "curate_temperature" -> ((s, d) => Curation.temperatureMix(s, d)),
     "curate_pack"     -> ((s, d) => Curation.packSequences(s, d)),
     "curate_pii"      -> (Curation.piiDemo _),
     "curate_spans"    -> ((s, d) => Curation.removeSharedSpans(s, d)),
@@ -226,6 +229,11 @@ object SparkEntry {
     // shape as text_bpe. The BERT-family vocabulary recipe next to the
     // GPT-family one.
     "text_wordpiece"  -> ((s, d) => Gates.wordPieceGate(s, d)),
+    // Unigram-LM trainer (SentencePiece recipe: over-complete substring
+    // seed, log-space EM over the segmentation lattice, probability-
+    // ranked prune-down) + Viterbi apply kernel — completes the
+    // big-three subword trio next to BPE and WordPiece.
+    "text_unigram"    -> ((s, d) => Gates.unigramGate(s, d)),
     "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "text_fingerprint" -> (Gates.fingerprintGate(_, _)),
     "ann_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -347,6 +355,10 @@ object SparkEntry {
     // gated on the exact vocabulary top-k; GK quantile sketch gated on
     // integer-arithmetic exact discrete percentiles.
     "profile_hh"      -> ((s, d) => Profiling.cmsHeavyHitters(s, d)),
+    // Theta/KMV sketch set-operation gate: bottom-k hash samples per
+    // group, direct intersection estimate (the question HLL can't
+    // answer), gated on the exact pair join.
+    "profile_theta"   -> ((s, d) => Profiling.thetaIntersection(s, d)),
     "profile_qsketch" -> ((s, d) => Profiling.quantileSketchGate(s, d)),
     // Cross-column correlation sufficient statistics (integer-exact
     // moments, one Aggregate pass over one scan).
@@ -690,6 +702,16 @@ object SparkEntry {
                      | count(DISTINCT $c) AS n_distinct,
                      | true AS sketch_ok FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // Theta gate: exact pairwise intersection of distinct (flag, key)
+    // sets; the KMV estimate never leaves the plan, only its bound
+    // boolean (true at k=4096 / tol=0.15 by the RSE margin).
+    "profile_theta" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag AS grp, l_orderkey AS key
+        |           FROM lineitem)
+        |SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_exact,
+        |       true AS theta_ok
+        |FROM d a JOIN d b ON a.key = b.key AND a.grp < b.grp
+        |GROUP BY a.grp, b.grp ORDER BY grp_a, grp_b""".stripMargin,
     // CMS gate: exact top-k spelled as in text_vocab; the sketch's
     // estimates never leave the plan, only the bound booleans.
     "profile_hh" ->
@@ -1704,6 +1726,21 @@ object SparkEntry {
          |SELECT doc_id, source, rk FROM r JOIN q USING (source)
          |WHERE rk <= quota ORDER BY source, rk""".stripMargin
     },
+    // Same expression tree as Curation.temperatureMix: isqrt via
+    // correctly-rounded double sqrt (exact for n < 2^52), two exact-
+    // integer double divisions — hash-matches with no tolerance.
+    "curate_temperature" ->
+      """WITH per_src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_docs) AS tot_docs, sum(w) AS tot_w FROM per_src)
+        |SELECT source, n_docs, w,
+        |  CAST(floor(CAST(w * 1000000 AS DOUBLE) / tot_w) AS BIGINT)
+        |    AS share_micro,
+        |  CAST(floor(CAST(w * tot_docs * 1000000 AS DOUBLE) / (n_docs * tot_w))
+        |    AS BIGINT) AS boost_micro
+        |FROM per_src, tot ORDER BY source""".stripMargin,
     "curate_pack" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |           FROM documents),
@@ -1988,6 +2025,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "text_wordpiece" ->
       """SELECT count(*) AS n_docs, CAST(48 AS BIGINT) AS n_merges,
+        | true AS bounds_ok, true AS compressed
+        |FROM documents""".stripMargin,
+    "text_unigram" ->
+      """SELECT count(*) AS n_docs, CAST(512 AS BIGINT) AS n_pieces,
         | true AS bounds_ok, true AS compressed
         |FROM documents""".stripMargin,
     // PMI rank = rank of the exact-integer ratio c_ab/(c_a*c_b) — both

@@ -606,4 +606,37 @@ object Curation {
       .withColumn("n_kept", length(col("text_clean")).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** Temperature-scaled source mixing weights (the multilingual /
+    * multi-source LLM recipe: sample source s with probability
+    * ∝ n_s^α, α = 1/2 — up-weights small sources, down-weights the
+    * crawl-heavy head; α=1 is natural sampling, α=0 is uniform).
+    * Output per source: its document count, its temperature weight
+    * w = ⌊√n_s⌋, its resulting corpus share in micro-units
+    * ⌊10⁶·w_s / Σw⌋, and its repetition boost over natural sampling
+    * ⌊10⁶·(w_s/Σw)/(n_s/Σn)⌋ — the per-source epoch multiplier a
+    * sampler feeds from (boost > 10⁶ means the source is repeated,
+    * < 10⁶ means it is subsampled).
+    *
+    * Exactness: ⌊√n⌋ via IEEE double sqrt is the exact integer square
+    * root for every n < 2⁵², and the two ratios are single correctly-
+    * rounded double divisions of exact integers — both engines evaluate
+    * the identical expression tree, so the row hashes match without any
+    * float tolerance. Plan: one count aggregate (5 rows at any corpus
+    * size — sources are a bounded domain), a 1-row totals broadcast; no
+    * data-scale exchange beyond the count. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val perSource = documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val totals = perSource.agg(sum("n_docs").as("tot_docs"), sum("w").as("tot_w"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("w"),
+        floor((col("w") * lit(1000000L)).cast("double") / col("tot_w"))
+          .cast("long").as("share_micro"),
+        floor((col("w") * col("tot_docs") * lit(1000000L)).cast("double") /
+            (col("n_docs") * col("tot_w")))
+          .cast("long").as("boost_micro"))
+      .orderBy("source")
+  }
 }

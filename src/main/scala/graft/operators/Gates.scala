@@ -244,6 +244,24 @@ object Gates {
       .select(col("n_docs"), lit(nMerges).cast("long").as("n_merges"),
         col("bounds_ok"), col("compressed"))
 
+  /** Unigram-LM induction gate — the [[bpeGate]] invariants over the
+    * EM-trained, prune-down trainer
+    * ([[graft.operators.Tokenizer.learnUnigram]]) with Viterbi apply:
+    * every document's max-likelihood token count lies in
+    * [n_words, n_symbols] (pieces never cross a word boundary; an
+    * [UNK] word is one token) and the corpus genuinely compressed.
+    * The model-level behavior (EM posterior mass shifting to whole-word
+    * pieces, probability-ranked pruning keeping characters) is
+    * spec-pinned separately in OperatorsSpec. */
+  def unigramGate(s: SparkSession, dir: String, targetVocab: Int = 512): DataFrame =
+    graft.operators.Tokenizer.unigramStats(s, dir, targetVocab)
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(when(col("n_uni_tokens").between(col("n_words"), col("n_symbols")), 0)
+          .otherwise(1)) === 0).as("bounds_ok"),
+        (sum("n_uni_tokens") < sum("n_symbols")).as("compressed"))
+      .select(col("n_docs"), lit(targetVocab).cast("long").as("n_pieces"),
+        col("bounds_ok"), col("compressed"))
+
   /** IVF-PQ (IVFADC) recall gate — coarse-list pruning + ADC scoring +
     * exact re-rank. Measured 0.96 at sf0.01 (nprobe=12, rerank=64):
     * exactly the IVF probe recall, i.e. the PQ stage loses nothing the

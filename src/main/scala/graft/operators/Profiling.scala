@@ -183,6 +183,77 @@ object Profiling {
     checks.orderBy("rk")
   }
 
+  /** THETA (KMV) sketch set-operation gate — the fourth mergeable
+    * sketch, and the one that answers a question HLL structurally
+    * cannot: approximate INTERSECTION cardinality between key sets
+    * ("how many orders appear in both return-status slices" /
+    * "how many doc ids landed in both crawls"). An HLL union is exact
+    * sketch algebra, but HLL intersection via inclusion-exclusion
+    * explodes in relative error when the intersection is small; a theta
+    * sketch keeps a uniform SAMPLE (the k minimum hash values), so
+    * intersection is estimated directly on the sample:
+    * θ = min(θ_A, θ_B), est = |{h ∈ A_k ∩ B_k : u(h) < θ}| / θ.
+    *
+    * Scale shape: one distinct aggregate on (group, key) — the only
+    * data-scale exchange, map-side combined — then a per-group bottom-k
+    * window (WindowGroupLimit prunes map-side, so each partition
+    * forwards at most k hashes per group: the sketch property, k·groups
+    * rows through the exchange regardless of key cardinality). The
+    * k-hash sketches are control-plane (3 groups × 4096 longs — the
+    * CMS-blob/codebook collect pattern); pair estimates are driver
+    * arithmetic. The EXACT intersection join is this row's truth gate,
+    * same stance as profile_sketch paying the exact melt: a 100-TB
+    * deployment runs only the sketch pass and unions sketches across
+    * shards by keeping the k smallest of the merged sample — mergeable
+    * by construction.
+    *
+    * Output: per group pair, the exact BIGINT intersection (DuckDB
+    * recomputes it from raw keys) and `theta_ok` — relative error
+    * within tol (RSE at k=4096 is ~1.6%; tol=0.15 cannot flap).
+    * Determinism: xxhash64 is fixed-seed, bottom-k and the estimate
+    * are order-independent functions of the key set. */
+  def thetaIntersection(s: SparkSession, dir: String, k: Int = 4096,
+                        tol: Double = 0.15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"), col("l_orderkey").as("key"))
+      .distinct()
+    // bottom-k of xxhash64(key) per group: the KMV sample. Hash the KEY
+    // alone so identical keys collide across groups (that is what makes
+    // sample-set intersection meaningful).
+    val w = Window.partitionBy("grp").orderBy("h")
+    val sketchRows = pairs
+      .select(col("grp"), xxhash64(col("key")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy("grp").agg(sort_array(collect_list("h")).as("ks"),
+        count(lit(1)).as("n_in"))
+      .collect()
+    val sketches: Map[String, Array[Long]] = sketchRows.map(r =>
+      r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    def u(h: Long): Double = // rank-preserving map of a signed-compared
+      (h.toDouble - Long.MinValue.toDouble) / math.pow(2, 64) // hash to (0,1)
+    def theta(a: Array[Long]): Double = if (a.length < k) 1.0 else u(a.last)
+    // truth gate: exact intersection per unordered group pair
+    val exact = pairs.as("a").join(pairs.as("b"),
+        col("a.key") === col("b.key") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_exact"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    exact.toSeq.map { case (ga, gb, nExact) =>
+      val (sa, sb) = (sketches(ga), sketches(gb))
+      val th = math.min(theta(sa), theta(sb))
+      val inA = sa.iterator.filter(u(_) < th).toSet
+      val common = sb.iterator.filter(h => u(h) < th && inA(h)).length
+      val est = common / th
+      val ok = math.abs(est - nExact) <= math.max(tol * nExact, 8.0)
+      (ga, gb, nExact, ok)
+    }.toDF("grp_a", "grp_b", "n_exact", "theta_ok")
+      .orderBy("grp_a", "grp_b")
+  }
+
   /** Approximate-QUANTILE sketch gate (Greenwald-Khanna via
     * `approx_percentile`) against EXACT integer-arithmetic discrete
     * percentiles — per-group p50/p90 of l_extendedprice in cents. The

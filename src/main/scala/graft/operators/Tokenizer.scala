@@ -542,4 +542,170 @@ object Tokenizer {
       size(filter(toks, t => length(t) > 0)).cast("long").as("n_words"))
       .orderBy("doc_id")
   }
+
+  /** Unigram-LM tokenizer induction (Kudo 2018; the SentencePiece /
+    * T5 / LLaMA vocabulary recipe) — the third of the big-three
+    * subword trainers next to [[learnMerges]] (BPE, count argmax) and
+    * [[learnWordPiece]] (likelihood-ratio argmax). Where BPE/WordPiece
+    * GROW a vocabulary bottom-up one merge at a time, Unigram starts
+    * from an over-complete SEED (the frequent substrings) and PRUNES it
+    * down under an explicit probabilistic model: each piece carries a
+    * probability, a word's likelihood sums over every segmentation
+    * (forward-backward over the segmentation lattice), EM re-estimates
+    * piece probabilities from their expected counts, and the
+    * lowest-probability pieces are dropped until `targetVocab` remains
+    * (single characters are never dropped — coverage). Pruning by piece
+    * probability is the standard simplification of SentencePiece's
+    * exact per-piece likelihood-loss ranking; the model and E-step are
+    * the real thing.
+    *
+    * Control-plane shape, identical to the other two trainers: ONE
+    * distributed word-count shuffle, a bounded top-`vocabCap` collect,
+    * then driver EM over the word-frequency table (SentencePiece itself
+    * trains from the word/sentence frequency table, not raw text). All
+    * float work (log-space forward-backward) happens on the driver in a
+    * fixed iteration order, so the learned table is deterministic; the
+    * corpus-scale APPLY is the Viterbi kernel expression
+    * ([[graft.functions.UnigramTokenCount]]) — zero-exchange, codegen,
+    * same contract as the BPE/WordPiece kernels.
+    *
+    * Returns the final vocabulary as (piece, logProb), piece-ascending. */
+  def learnUnigram(s: SparkSession, dir: String, targetVocab: Int = 512,
+                   maxPieceLen: Int = 8, seedSize: Int = 2048,
+                   emIters: Int = 2, pruneFrac: Double = 0.25,
+                   vocabCap: Int = 4096): Seq[(String, Double)] = {
+    val words: Array[(String, Long)] = documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word"))
+      .limit(vocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    // ---- seed: all substrings up to maxPieceLen, occurrence-weighted
+    val seedW = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var j = i + 1
+        while (j <= math.min(w.length, i + maxPieceLen)) {
+          val p = w.substring(i, j)
+          seedW.update(p, seedW.getOrElse(p, 0L) + c)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val chars = seedW.keysIterator.filter(_.length == 1).toArray.sorted
+    val multi = seedW.iterator.filter(_._1.length > 1).toArray
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, seedSize - chars.length)).map(_._1).sorted
+    var pieces: Array[String] = (chars ++ multi).sorted
+    // init log-probs proportional to seed weights
+    var logp: scala.collection.mutable.HashMap[String, Double] = {
+      val tot = pieces.iterator.map(seedW(_).toDouble).sum
+      val m = scala.collection.mutable.HashMap.empty[String, Double]
+      pieces.foreach(p => m.update(p, math.log(seedW(p) / tot)))
+      m
+    }
+
+    def logsumexp(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+
+    // one EM pass: expected piece counts via log-space forward-backward
+    // over each word's segmentation lattice, then re-normalize
+    def emStep(): Unit = {
+      val expect = scala.collection.mutable.HashMap.empty[String, Double]
+      words.foreach { case (w, c) =>
+        val n = w.length
+        val la = Array.fill(n + 1)(Double.NegativeInfinity)
+        val lb = Array.fill(n + 1)(Double.NegativeInfinity)
+        la(0) = 0.0; lb(n) = 0.0
+        var i = 1
+        while (i <= n) {
+          var l = 1
+          while (l <= math.min(maxPieceLen, i)) {
+            val lp = logp.getOrElse(w.substring(i - l, i), Double.NegativeInfinity)
+            if (lp != Double.NegativeInfinity && la(i - l) != Double.NegativeInfinity)
+              la(i) = logsumexp(la(i), la(i - l) + lp)
+            l += 1
+          }
+          i += 1
+        }
+        if (la(n) != Double.NegativeInfinity) { // skip unsegmentable words
+          i = n - 1
+          while (i >= 0) {
+            var l = 1
+            while (l <= math.min(maxPieceLen, n - i)) {
+              val lp = logp.getOrElse(w.substring(i, i + l), Double.NegativeInfinity)
+              if (lp != Double.NegativeInfinity && lb(i + l) != Double.NegativeInfinity)
+                lb(i) = logsumexp(lb(i), lp + lb(i + l))
+              l += 1
+            }
+            i -= 1
+          }
+          // occurrence (j, j+l) posterior = exp(la(j) + lp + lb(j+l) - la(n))
+          var j = 0
+          while (j < n) {
+            var l = 1
+            while (l <= math.min(maxPieceLen, n - j)) {
+              val p = w.substring(j, j + l)
+              val lp = logp.getOrElse(p, Double.NegativeInfinity)
+              if (lp != Double.NegativeInfinity) {
+                val post = math.exp(la(j) + lp + lb(j + l) - la(n))
+                if (post > 0.0) expect.update(p, expect.getOrElse(p, 0.0) + c * post)
+              }
+              l += 1
+            }
+            j += 1
+          }
+        }
+      }
+      // M-step over the CURRENT piece set, fixed summation order
+      val tot = pieces.iterator.map(p => expect.getOrElse(p, 0.0)).sum
+      val floor = 1e-12 * tot // keep zero-expectation pieces finite; they
+      pieces.foreach { p =>   // rank last and fall to the next prune
+        logp.update(p, math.log(math.max(expect.getOrElse(p, 0.0), floor) / tot))
+      }
+    }
+
+    var guard = 0
+    while (pieces.length > targetVocab && guard < 64) {
+      (0 until emIters).foreach(_ => emStep())
+      val multiNow = pieces.filter(_.length > 1)
+      val nDrop = math.min(
+        math.max(1, math.ceil(pruneFrac * pieces.length).toInt),
+        math.min(multiNow.length, pieces.length - targetVocab))
+      if (nDrop <= 0) guard = 64
+      else {
+        val drop = multiNow.sortBy(p => (logp(p), p)).take(nDrop).toSet
+        pieces = pieces.filterNot(drop)
+        drop.foreach(logp.remove)
+        guard += 1
+      }
+    }
+    (0 until emIters).foreach(_ => emStep())
+    pieces.iterator.map(p => (p, logp(p))).toSeq
+  }
+
+  /** Per-document Unigram stats under the learned vocabulary: character
+    * symbol count, Viterbi (max-likelihood segmentation) token count,
+    * whitespace word count — the [[bpeStats]] /[[wordPieceStats]] shape
+    * for the gate. The apply is one codegen kernel expression in the
+    * scan. */
+  def unigramStats(s: SparkSession, dir: String, targetVocab: Int = 512,
+                   vocabCap: Int = 4096): DataFrame = {
+    val vocab = learnUnigram(s, dir, targetVocab, vocabCap = vocabCap)
+    val toks = split(col("text"), " ")
+    documents(s, dir).select(
+      col("doc_id"),
+      (length(col("text")) - (size(toks) - 1)).cast("long").as("n_symbols"),
+      graft.functions.UnigramOps.unigramTokenCount(col("text"), vocab)
+        .cast("long").as("n_uni_tokens"),
+      size(filter(toks, t => length(t) > 0)).cast("long").as("n_words"))
+      .orderBy("doc_id")
+  }
 }
