@@ -152,6 +152,9 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => Graph.triangleCounts(s, d)),
     "graph_clustering" -> ((s, d) => Graph.clusteringCoefficients(s, d)),
     "graph_components" -> ((s, d) => Graph.componentAssignments(s, d)),
+    // Deterministic synchronous label-propagation communities (fixed
+    // rounds, min-label ties) on the artifact edge list.
+    "graph_lpa"       -> ((s, d) => Graph.labelPropagation(s, d)),
     // Exact-integer PageRank centrality on the same mutual-kNN graph
     // (fixed power steps, micro-unit arithmetic — see Graph.pageRank).
     "graph_pagerank"  -> ((s, d) => Graph.pageRank(s, d)),
@@ -2441,6 +2444,36 @@ object SparkEntry {
         |       FROM c GROUP BY component_id)
         |SELECT c.vec_id, c.component_id, sz.n_members
         |FROM c JOIN sz USING (component_id) ORDER BY c.vec_id""".stripMargin,
+    // Same mutual-kNN edge CTEs, then the three synchronous LPA rounds
+    // UNROLLED (one join + per-node most-frequent-neighbor-label argmax
+    // per round, ties to the smallest label — exactly the Spark loop).
+    "graph_lpa" ->
+      """WITH p AS (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS (SELECT src, dst FROM p WHERE rk <= 5),
+        |m AS (SELECT d1.src AS u, d1.dst AS v
+        |      FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |      WHERE d1.src < d1.dst),
+        |b AS (SELECT u, v FROM m UNION ALL SELECT v AS u, u AS v FROM m),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM b),
+        |l1 AS (SELECT node, lab FROM (
+        |  SELECT e.u AS node, l.lab, count(*) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY count(*) DESC, l.lab) AS rk
+        |  FROM b e JOIN l0 l ON l.node = e.v GROUP BY e.u, l.lab) WHERE rk = 1),
+        |l2 AS (SELECT node, lab FROM (
+        |  SELECT e.u AS node, l.lab, count(*) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY count(*) DESC, l.lab) AS rk
+        |  FROM b e JOIN l1 l ON l.node = e.v GROUP BY e.u, l.lab) WHERE rk = 1),
+        |l3 AS (SELECT node, lab FROM (
+        |  SELECT e.u AS node, l.lab, count(*) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY count(*) DESC, l.lab) AS rk
+        |  FROM b e JOIN l2 l ON l.node = e.v GROUP BY e.u, l.lab) WHERE rk = 1),
+        |sz AS (SELECT lab, count(*) AS n_members FROM l3 GROUP BY lab)
+        |SELECT l3.node AS vec_id, l3.lab AS community, sz.n_members
+        |FROM l3 JOIN sz USING (lab) ORDER BY vec_id""".stripMargin,
     // Same mutual-kNN edge construction as graph_components, then the
     // identical per-level-DISTINCT recursive BFS the Spark side runs
     // (UNION-dedup is unsupported in Spark's recursive CTEs, so both

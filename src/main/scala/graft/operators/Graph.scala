@@ -583,4 +583,54 @@ object Graph {
       .select("vec_id", "component_id", "n_members")
       .orderBy("vec_id")
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * on the mutual-kNN graph — the cheap community detector between
+    * [[componentAssignments]] (pure connectivity: one label per
+    * component) and modularity methods: after `iters` rounds each node
+    * carries the label most frequent among its NEIGHBORS, which splits
+    * a connected component into its dense regions. Deterministic
+    * variant — oracle-checkable where classic async LPA is not: all
+    * nodes update simultaneously from the previous round's labels,
+    * initial label = own id, argmax ties break toward the SMALLEST
+    * label, and the round count is fixed rather than run-to-convergence
+    * (sync LPA famously oscillates on bipartite structures; a fixed
+    * budget is the standard remedy and makes the output a pure function
+    * of the edge set).
+    *
+    * Scale shape: per round one node-keyed equi-join of the label
+    * relation against the artifact edge list (O(E) rows, degree ≤ k by
+    * construction) → map-side-combined (node, label) counts → per-node
+    * argmax via WindowGroupLimit-pruned rank. No broadcast of any
+    * O(N) set; `iters` is a small constant, and each round's result is
+    * localCheckpointed so the lineage stays flat (the pageRank loop
+    * precedent). Output: (vec_id, community, n_members) for every
+    * non-isolated node. */
+  def labelPropagation(s: SparkSession, dir: String, k: Int = 5,
+                       iters: Int = 3): DataFrame =
+    lpaFromEdges(artifactEdges(s, dir, k), iters)
+
+  /** The LPA loop over an explicit u<v edge list — split out so the
+    * spec can pin the round-by-round semantics on a hand-built graph. */
+  private[graft] def lpaFromEdges(m: DataFrame, iters: Int): DataFrame = {
+    val b = m.union(m.select(col("v"), col("u"))).toDF("u", "v")
+    val w = Window.partitionBy("node").orderBy(col("c").desc, col("lab"))
+    var labels = b.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    (1 to iters).foreach { _ =>
+      labels = b
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("node", "lab")
+        .localCheckpoint(false)
+    }
+    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "lab")
+      .select(col("node").as("vec_id"), col("lab").as("community"),
+        col("n_members"))
+      .orderBy("vec_id")
+  }
 }

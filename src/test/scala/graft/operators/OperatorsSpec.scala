@@ -617,6 +617,23 @@ class OperatorsSpec extends SparkSpec {
     assert(Curation.mixSources(spark, dir, quotas = Seq.empty).isEmpty) // no crash
   }
 
+  test("lpa: bridge between two triangles splits into two communities") {
+    import spark.implicits._
+    // two triangles 1-2-3 and 4-5-6 joined by bridge 3-4; hand-traced
+    // sync rounds with min-label ties converge to communities 1 and 3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val out = Graph.lpaFromEdges(edges, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)), out.mkString(","))
+    // one round only: every node still carries a neighbor's id (the
+    // hand-traced intermediate state) — pins the SYNCHRONOUS update
+    val r1 = Graph.lpaFromEdges(edges, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+  }
+
   test("temperature mix: isqrt weights, shares sum <= 1e6, boost direction") {
     import spark.implicits._
     val d2 = Files.createTempDirectory("graft-temp").toString
