@@ -176,6 +176,9 @@ object SparkEntry {
     "curate_domaincap" -> ((s, d) => Curation.domainCap(s, d)),
     "curate_dsir"     -> ((s, d) => Curation.dsirAffinity(s, d)),
     "multimodal_dupframes" -> ((s, d) => Multimodal.dupFrames(s, d)),
+    // Perceptual (average-hash) image near-dup: decoded-raster 8x8
+    // aHash, banded Hamming candidate join, per-image near-dup degree.
+    "multimodal_phash" -> ((s, d) => Multimodal.perceptualDupImages(s, d)),
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -2272,6 +2275,39 @@ object SparkEntry {
         |                   '' ORDER BY y, x)) AS frame_sha
         |FROM px GROUP BY asset_id, f
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    // aHash rebuilt from the pixel-generation formula (the dupframes
+    // stance: decode fidelity is pinned by multimodal_summary's content
+    // hashes; here the formula is the oracle's raster), then ALL-PAIRS
+    // Hamming <= 3 — the oracle may brute-force what the Spark side
+    // reaches through the banded join.
+    "multimodal_phash" ->
+      """WITH img AS (SELECT doc_id AS id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        |                    CAST(3 + doc_id % 7 AS BIGINT) AS h
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |gi AS (SELECT id, w, h, unnest(range(0, 8)) AS i FROM img),
+        |gj AS (SELECT id, w, h, i, unnest(range(0, 8)) AS j FROM gi),
+        |px AS (SELECT id, i, j,
+        |        32 + ((i * w) // 8 + (j * h) // 8 + id) % 64 AS g FROM gj),
+        |tot AS (SELECT id, sum(g) AS s FROM px GROUP BY id),
+        |bits AS (SELECT p.id,
+        |    sum(CASE WHEN 64 * p.g >= t.s AND p.j * 8 + p.i < 32
+        |        THEN (CAST(1 AS BIGINT) << CAST(p.j * 8 + p.i AS INTEGER))
+        |        ELSE 0 END) AS lo,
+        |    sum(CASE WHEN 64 * p.g >= t.s AND p.j * 8 + p.i >= 32
+        |        THEN (CAST(1 AS BIGINT) << CAST(p.j * 8 + p.i - 32 AS INTEGER))
+        |        ELSE 0 END) AS hi
+        |  FROM px p JOIN tot t USING (id) GROUP BY p.id),
+        |pd AS (SELECT a.id AS ia, b.id AS ib
+        |       FROM bits a JOIN bits b ON a.id < b.id
+        |       WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+        |cnt AS (SELECT id, count(*) AS n FROM
+        |         (SELECT ia AS id FROM pd UNION ALL SELECT ib AS id FROM pd)
+        |        GROUP BY id)
+        |SELECT b.id AS asset_id, CAST(b.lo AS BIGINT) AS ahash_lo,
+        |       CAST(b.hi AS BIGINT) AS ahash_hi,
+        |       COALESCE(c.n, 0) AS n_neardup
+        |FROM bits b LEFT JOIN cnt c ON c.id = b.id
+        |ORDER BY asset_id""".stripMargin,
     "multimodal_dupframes" ->
       """WITH v AS (SELECT doc_id AS asset_id,
         |            unnest(range(0, 4 + doc_id % 9, 4)) AS f

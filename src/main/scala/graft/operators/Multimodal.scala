@@ -461,4 +461,97 @@ object Multimodal {
         count(lit(1)).as("n_frames"))
       .filter(col("n_assets") >= 2)
       .orderBy("frame_sha")
+
+  final case class AHash(asset_id: Long, ahash_lo: Long, ahash_hi: Long)
+
+  /** Average-hash (aHash) of every image asset from its DECODED raster:
+    * nearest-neighbor resample to the canonical 8×8 grid (sample at
+    * (i·w/8, j·h/8) — integer floor, the [[resizeImages]] rule), then
+    * one bit per cell set iff the cell is at least the 64-cell mean,
+    * compared exactly as 64·g ≥ Σg (no float mean). The 64 bits ride as
+    * two BIGINT halves (bits 0-31 / 32-63) so both engines stay inside
+    * signed-64 arithmetic. Everything after the PNG decode is exact
+    * integer math, so the oracle rebuilds identical hashes from the
+    * pixel-generation formula. */
+  private[graft] def imageAHashes(s: SparkSession, dir: String): Dataset[AHash] = {
+    import s.implicits._
+    assets(s, dir).filter(col("modality") === "image")
+      .mapPartitions(_.map { a =>
+        disableImageIoFileCache()
+        val img = ImageIO.read(new ByteArrayInputStream(a.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val g = new Array[Int](64)
+        var sum = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val v = raster.getSample(i * w / 8, j * h / 8, 0)
+            g(j * 8 + i) = v; sum += v; i += 1
+          }
+          j += 1
+        }
+        var lo = 0L
+        var hi = 0L
+        var b = 0
+        while (b < 64) {
+          if (64L * g(b) >= sum) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        AHash(a.asset_id, lo, hi)
+      })
+  }
+
+  /** PERCEPTUAL image near-dup — the cross-format/cross-resolution
+    * complement of [[dupFrames]]' exact content hashing: two images
+    * that decode to similar-looking rasters (re-encodes, rescales,
+    * slight edits) land within a small Hamming distance of each other's
+    * [[imageAHashes]], long after their bytes and exact hashes diverge.
+    * Output per image: its hash halves and how many other images sit
+    * within `maxDist` bits (64-bit Hamming) — the per-asset near-dup
+    * degree a curation pass thresholds on.
+    *
+    * Scale shape — the SimHash banding argument, on images: candidates
+    * come from a 4×16-bit band equi-join (pigeonhole: any pair within
+    * Hamming 3 of 64 bits agrees exactly on ≥ 1 of 4 bands), so the
+    * exchange is keyed by (band_idx, band_value) and pair enumeration
+    * is bounded by band-bucket occupancy — never all-pairs. The exact
+    * `bit_count(xor)` filter then prunes candidates to true near-dups.
+    * Structured corpora can pile into few band buckets (these synthetic
+    * gradients do); at 100 TB the standard remedies are more/narrower
+    * bands and a bucket-size cap, same as dedup_simhash documents. The
+    * hash relation is localCheckpointed once (~16 B/image) and feeds
+    * all four legs; only the initial decode touches payload bytes. */
+  def perceptualDupImages(s: SparkSession, dir: String,
+                          maxDist: Int = 3): DataFrame = {
+    val hashes = imageAHashes(s, dir).toDF().localCheckpoint()
+    def band16(c: org.apache.spark.sql.Column, sh: Int) =
+      shiftright(c, sh).bitwiseAND(lit(0xFFFFL))
+    val bands = hashes.select(col("asset_id"), posexplode(array(
+      band16(col("ahash_lo"), 0), band16(col("ahash_lo"), 16),
+      band16(col("ahash_hi"), 0), band16(col("ahash_hi"), 16)))
+      .as(Seq("band_idx", "band_val")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("ia"), col("y.asset_id").as("ib"))
+      .distinct()
+    val pairs = cand
+      .join(hashes.as("a"), col("ia") === col("a.asset_id"))
+      .join(hashes.as("b"), col("ib") === col("b.asset_id"))
+      .filter(bit_count(col("a.ahash_lo").bitwiseXOR(col("b.ahash_lo"))) +
+        bit_count(col("a.ahash_hi").bitwiseXOR(col("b.ahash_hi"))) <= maxDist)
+      .select("ia", "ib")
+    val cnt = pairs.select(col("ia").as("asset_id"))
+      .union(pairs.select(col("ib").as("asset_id")))
+      .groupBy("asset_id").agg(count(lit(1)).as("n_neardup"))
+    hashes.join(cnt, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("ahash_lo"), col("ahash_hi"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+      .orderBy("asset_id")
+  }
 }

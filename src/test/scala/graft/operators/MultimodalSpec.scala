@@ -228,4 +228,39 @@ class MultimodalSpec extends SparkSpec {
         sha -> fs.map(_.getLong(0)).distinct.length }
     real.foreach(r => assert(frames(r.getString(0)) == r.getLong(1) && r.getLong(1) >= 2))
   }
+
+  test("phash: decoded aHash equals formula reference; banded join equals brute force") {
+    // independent reference: hashes straight from the generation formula
+    // (no decode), then all-pairs Hamming — the banded operator must
+    // reproduce both exactly
+    def refHash(id: Long): (Long, Long) = {
+      val (w, h) = Multimodal.imageDims(id)
+      val g = for (j <- 0 until 8; i <- 0 until 8)
+        yield Multimodal.pixel(id, i * w / 8, j * h / 8)
+      val s = g.map(_.toLong).sum
+      var lo = 0L; var hi = 0L
+      for (b <- 0 until 64 if 64L * g(b) >= s)
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      (lo, hi)
+    }
+    val hashes = Multimodal.imageAHashes(spark, dir).collect()
+      .map(a => a.asset_id -> (a.ahash_lo, a.ahash_hi)).toMap
+    assert(hashes.nonEmpty)
+    hashes.foreach { case (id, hl) => assert(hl == refHash(id), s"id $id") }
+    // brute-force near-dup degree
+    val ids = hashes.keys.toSeq.sorted
+    def dist(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val brute = ids.map(i =>
+      i -> ids.count(j => j != i && dist(hashes(i), hashes(j)) <= 3).toLong).toMap
+    val out = Multimodal.perceptualDupImages(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == ids, "every image present exactly once")
+    out.foreach { case (id, lo, hi, n) =>
+      assert((lo, hi) == hashes(id))
+      assert(n == brute(id), s"id $id: banded $n vs brute ${brute(id)}")
+    }
+    // the fixture genuinely exercises the near-dup path
+    assert(out.exists(_._4 > 0), "no near-dup pair at sf0.001 — fixture dead")
+  }
 }
