@@ -255,6 +255,9 @@ object SparkEntry {
     // code moments + integer-exact reconstruction error (the 4x
     // compression step ahead of the ANN ladder).
     "embed_quantize"  -> ((s, d) => Similarity.quantizeStats(s, d)),
+    // Greedy farthest-point k-center coreset: diversity selection over
+    // the embedding corpus, k driver-bounded rounds of one scan each.
+    "embed_coreset"   -> ((s, d) => Similarity.coresetSelect(s, d)),
     // PCA gate: integer-exact covariance moments (floor(x*1000) fixed
     // point), driver 64x64 Jacobi eigensolve (control plane), projected
     // variance per component verified against its eigenvalue in-plan;
@@ -2657,6 +2660,27 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(abs(x - CAST(q AS DOUBLE) * amax / 127.0) * 1e9) AS BIGINT)) AS BIGINT) AS err_nano_sum,
         |  CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
         |FROM q GROUP BY dim, amax ORDER BY dim""".stripMargin,
+    // The identical greedy loop replayed sequentially: a recursive CTE
+    // carries the selected-id list, each level appends the argmin of
+    // max-cosine-to-selected (ties -> smallest vec_id), seeded at
+    // min(vec_id) — the sequential dependence SQL can only express
+    // recursively, which is exactly what pins the Spark driver loop.
+    "embed_coreset" ->
+      """WITH RECURSIVE sel(step, ids) AS (
+        |  SELECT 1, [(SELECT min(vec_id) FROM embeddings)]
+        |  UNION ALL
+        |  SELECT step + 1, list_append(ids, (
+        |    SELECT e.vec_id FROM embeddings e
+        |    WHERE NOT list_contains(sel.ids, e.vec_id)
+        |    ORDER BY (SELECT max(list_cosine_similarity(e.embedding, s.embedding))
+        |              FROM embeddings s WHERE list_contains(sel.ids, s.vec_id)) ASC,
+        |             e.vec_id
+        |    LIMIT 1))
+        |  FROM sel WHERE step < 16),
+        |f AS (SELECT ids FROM sel WHERE step = 16),
+        |u AS (SELECT unnest(ids) AS vec_id, generate_subscripts(ids, 1) AS rk
+        |      FROM f)
+        |SELECT CAST(rk AS BIGINT) AS rk, vec_id FROM u ORDER BY rk""".stripMargin,
     // Image/audio rows: n_bytes/sha/width are of the DECODED content
     // (raster in row-major (y, x) order / PCM frames in sample order),
     // which the oracle rebuilds as a byte string with chr()/string_agg

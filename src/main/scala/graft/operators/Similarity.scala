@@ -1190,4 +1190,54 @@ object Similarity {
         sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"))
       .orderBy("dim")
   }
+
+  /** Greedy farthest-point (k-center, Gonzalez 1985) CORESET selection
+    * over the embedding corpus — the diversity-sampling step of a
+    * training-data pipeline: where [[Dedup.embeddingPairs]] REMOVES the
+    * redundant, this SELECTS the k vectors that jointly cover the
+    * corpus (each round adds the point farthest from everything chosen
+    * so far — the 2-approximation to the optimal k-center cover), the
+    * standard seed for "diverse subset" fine-tuning mixes and for
+    * picking exemplar documents per region of embedding space.
+    *
+    * Determinism: seed = min vec_id; each round picks the point with
+    * the SMALLEST max-cosine to the selected set (cosine is the corpus
+    * metric here, so farthest = least similar), ties → smallest vec_id
+    * — a pure function of the corpus, which is what lets the DuckDB
+    * oracle replay the identical greedy loop as a recursive CTE.
+    *
+    * Scale shape: the selected set stays on the driver (k vectors, k·64
+    * floats — control-plane by construction) and rides into the plan as
+    * literal arrays; each round is ONE corpus scan computing
+    * max-of-k codegen'd dots followed by a TakeOrdered(1) — no shuffle,
+    * no N×N pair enumeration, no per-round growth in exchanged bytes.
+    * The k sequential passes are the textbook greedy's cost; the
+    * at-scale variant batches rounds k-means||-style (oversample each
+    * pass, prune on the driver), which this signature admits without
+    * changing the contract. */
+  def coresetSelect(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import s.implicits._
+    val emb = corpus(s, dir).localCheckpoint()
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float], Double)]
+    emb.orderBy("vec_id").take(1).foreach(r =>
+      sel += ((r.getLong(0), r.getSeq[Float](1), r.getDouble(2))))
+    var exhausted = sel.isEmpty
+    while (sel.length < k && !exhausted) {
+      val legs = sel.map { case (_, v, n) =>
+        graft.functions.VectorFunctions.dot(col("v"), typedlit(v)) /
+          (col("nrm") * lit(n)) }.toSeq
+      val maxCos = if (legs.size == 1) legs.head else greatest(legs: _*)
+      val next = emb.filter(!col("vec_id").isin(sel.map(_._1).toSeq: _*))
+        .select(col("vec_id"), col("v"), col("nrm"), maxCos.as("mc"))
+        .orderBy(col("mc").asc, col("vec_id").asc)
+        .take(1)
+      if (next.isEmpty) exhausted = true
+      else next.foreach(r =>
+        sel += ((r.getLong(0), r.getSeq[Float](1), r.getDouble(2))))
+    }
+    sel.toSeq.zipWithIndex
+      .map { case ((id, _, _), i) => (i + 1L, id) }
+      .toDF("rk", "vec_id")
+      .orderBy("rk")
+  }
 }

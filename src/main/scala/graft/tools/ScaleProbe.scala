@@ -134,7 +134,10 @@ object ScaleProbe {
     Seq(
       "dedup_jaccard", "dedup_minhash", "dedup_cluster", "export_training",
       "ann_artifact", "graph_artifact", "text_boilerplate",
-      "profile_columns", "profile_sketch", "curate_substr")
+      "profile_columns", "profile_sketch", "curate_substr",
+      // r12 additions: iterative label joins, banded Hamming join,
+      // KMV sketch + exact gate, EM trainer + Viterbi apply scan
+      "graph_lpa", "multimodal_phash", "profile_theta", "text_unigram")
       .filterNot(n => skipGates && gateRows(n))
       .map(n => n -> graft.SparkEntry.queries(n)) ++ Seq[
       (String, (SparkSession, String) => DataFrame)](

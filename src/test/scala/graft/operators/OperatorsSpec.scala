@@ -617,6 +617,46 @@ class OperatorsSpec extends SparkSpec {
     assert(Curation.mixSources(spark, dir, quotas = Seq.empty).isEmpty) // no crash
   }
 
+  test("coreset: hand-traced greedy order; matches an independent driver replay") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-core").toString
+    def vec(xs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0f); xs.foreach { case (i, v) => a(i) = v }; a.toSeq
+    }
+    // v0 east, v1 ~east, v2 north, v3 northeast: greedy from v0 picks the
+    // orthogonal v2, then v3 (max-cos 0.7 beats v1's ~1.0), then v1
+    Seq(0L -> vec(0 -> 1f), 1L -> vec(0 -> 0.999f, 1 -> 0.045f),
+        2L -> vec(1 -> 1f), 3L -> vec(0 -> 0.7f, 1 -> 0.7f))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val order = Similarity.coresetSelect(spark, d2, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(order.toSeq == Seq((1L, 0L), (2L, 2L), (3L, 3L), (4L, 1L)),
+      order.mkString(","))
+    // k > N: selection exhausts without error
+    assert(Similarity.coresetSelect(spark, d2, k = 9).count() == 4)
+    // independent replay on the real sf0.001 corpus
+    val sf = "/root/testdata/sf0.001"
+    val all = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(all.head._1)
+    while (chosen.length < 16) {
+      val next = all.filterNot(p => chosen.contains(p._1))
+        .map { case (id, v) =>
+          (chosen.map(c => cos(all.find(_._1 == c).get._2, v)).max, id) }
+        .minBy { case (mc, id) => (mc, id) }._2
+      chosen += next
+    }
+    val got = Similarity.coresetSelect(spark, sf, k = 16).collect().map(_.getLong(1))
+    assert(got.toSeq == chosen.toSeq, s"got ${got.toSeq} want ${chosen.toSeq}")
+  }
+
   test("lpa: bridge between two triangles splits into two communities") {
     import spark.implicits._
     // two triangles 1-2-3 and 4-5-6 joined by bridge 3-4; hand-traced
