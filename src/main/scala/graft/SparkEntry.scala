@@ -218,6 +218,9 @@ object SparkEntry {
     "text_tokens"     -> (TextAnalysis.tokenCounts _),
     "text_subtokens"  -> (TextAnalysis.regexpTokenCounts _),
     "text_quality"    -> (TextAnalysis.qualityScores _),
+    // Flesch reading-ease in exact integer micro-units: one
+    // zero-exchange higher-order-lambda projection, no Generate.
+    "text_readability" -> (TextAnalysis.readability _),
     "text_langid"     -> (TextAnalysis.languageId _),
     "text_keyterms"   -> ((s, d) => TextAnalysis.keyTerms(s, d)),
     "text_gopher"     -> (TextAnalysis.gopherSignals _),
@@ -2139,6 +2142,25 @@ object SparkEntry {
     // Counts recomputed from word/bigram STRINGS (the Spark side uses
     // injective token/gram hashes — every checked quantity is invariant);
     // ratio columns divide the same integers in both engines.
+    // Same regex heuristics + floor divisions, list lambdas for the
+    // per-word vowel-run floor — BIGINT end-to-end, hash-exact.
+    "text_readability" ->
+      """WITH b AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |  greatest(1, len(regexp_extract_all(t, '[.!?]+'))) AS n_sentences,
+        |  len(list_filter(string_split(t, ' '), w -> len(w) > 0)) AS n_words,
+        |  list_sum(list_transform(list_filter(string_split(t, ' '),
+        |      w -> len(w) > 0),
+        |    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+        |    AS n_syllables
+        | FROM b)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CAST(206835000 - (1015000 * n_words) // n_sentences
+        |       - (84600000 * n_syllables) // n_words AS BIGINT) AS fre_micro
+        |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     "text_gopher" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
         |                  len(string_split(text, ' ')) AS n,

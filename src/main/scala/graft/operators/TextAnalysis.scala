@@ -415,4 +415,42 @@ object TextAnalysis {
     documents(s, dir)
       .select(col("doc_id"), sort_array(array_distinct(gramsExpr)).as("toks"))
       .withColumn("sz", size(col("toks")))
+
+  /** Flesch reading-ease per document, in EXACT integer micro-units —
+    * the classic readability axis of a quality-scoring pass
+    * ([[qualityScores]] measures repetition/shape; this measures
+    * sentence and word complexity). Heuristics, spelled identically in
+    * both engines: sentences = maximal [.!?]+ runs (min 1), words =
+    * non-empty whitespace tokens, syllables = maximal [aeiouy]+ vowel
+    * runs per lowercased word (min 1 — "xyz" is one syllable, the
+    * standard floor). Score = the Flesch formula with its constants in
+    * micro-units and both ratios as FLOOR integer divisions, so the row
+    * is BIGINT end-to-end — no libm, no float accumulation, hash-exact
+    * across engines (the BM25/PMI rule).
+    *
+    * Plan: ONE zero-exchange projection — word filtering, per-word
+    * vowel-run counting and the two ratios all run inside
+    * `filter`/`transform`/`aggregate` higher-order lambdas over the
+    * split array, so nothing explodes into a row-multiplying Generate
+    * and nothing shuffles; the scan dominates at any scale. Wordless
+    * documents are dropped (their ratios are undefined; both engines
+    * filter identically). */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(lower(col("text")), " "), w => length(w) > 0)
+    documents(s, dir)
+      .select(col("doc_id"),
+        greatest(lit(1L), size(regexp_extract_all(lower(col("text")),
+          lit("[.!?]+"), lit(0))).cast("long")).as("n_sentences"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(
+          transform(ws, w => greatest(lit(1), size(regexp_extract_all(w,
+            lit("[aeiouy]+"), lit(0)))).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"),
+        (lit(206835000L) - expr("(1015000 * n_words) div n_sentences")
+          - expr("(84600000 * n_syllables) div n_words")).as("fre_micro"))
+      .orderBy("doc_id")
+  }
 }

@@ -617,6 +617,23 @@ class OperatorsSpec extends SparkSpec {
     assert(Curation.mixSources(spark, dir, quotas = Seq.empty).isEmpty) // no crash
   }
 
+  test("readability: hand-computed FRE micro-units; floors and drops hold") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-read").toString
+    Seq((0L, "Hello world. How are you?", "en", "s", 25L),
+        (1L, "xyz", "en", "s", 3L),  // no vowels, no terminator -> both floor to 1
+        (2L, " ", "en", "s", 1L))    // wordless -> dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val rows = TextAnalysis.readability(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 0: 2 sentences, 5 words, syllables 2+1+1+2+1 = 7;
+    // fre = 206835000 - 5075000//2 - 592200000//5
+    assert(rows.toSeq == Seq(
+      (0L, 2L, 5L, 7L, 206835000L - 2537500L - 118440000L),
+      (1L, 1L, 1L, 1L, 206835000L - 1015000L - 84600000L)), rows.mkString(","))
+  }
+
   test("coreset: hand-traced greedy order; matches an independent driver replay") {
     import spark.implicits._
     val d2 = Files.createTempDirectory("graft-core").toString
