@@ -272,6 +272,9 @@ object SparkEntry {
     "ann_filtered"    -> ((s, d) => Similarity.filteredTopK(s, d)),
     "embed_cluster"   -> (Gates.embedClusterGate(_, _)),
     "ann_lsh"         -> (Gates.annLshGate _),
+    // Graph-based ANN (NSW-family multi-entry beam search over the
+    // directed-kNN artifact + deterministic express overlay).
+    "ann_graph"       -> (Gates.annGraphGate _),
     "ann_ivf"         -> (Gates.annIvfGate _),
     "ann_pq"          -> (Gates.annPqGate _),
     "ann_ivfpq"       -> (Gates.annIvfPqGate _),
@@ -2070,6 +2073,12 @@ object SparkEntry {
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9)""".stripMargin,
     "dedup_simhash" ->
       "SELECT true AS has_pairs, true AS banded_equals_brute",
+    "ann_graph" ->
+      """SELECT count(*) AS n_exact, true AS recall_ok FROM (
+        | SELECT q.vec_id FROM embeddings q, embeddings e
+        | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+        | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5)""".stripMargin,
     "ann_lsh" ->
       """SELECT count(*) AS n_exact, true AS recall_ok FROM (
         | SELECT q.vec_id FROM embeddings q, embeddings e

@@ -179,6 +179,18 @@ object Gates {
     annGate(s, dir, Similarity.lshTopK(s, dir),
       recallBound = envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
 
+  /** GRAPH-ANN (NSW-family beam search) recall gate — multi-entry
+    * navigation over the directed-kNN artifact + express overlay.
+    * Measured 1.0 at sf0.01 (beam=16, rounds=4, 8 entries) and 1.0 /
+    * 0.996 on the clustered fixture (tools/MeasureRecall sweep;
+    * single-entry without the express overlay reads 0.14 there — the
+    * navigability story BASELINE.md r12 records). The gate starts far
+    * from every query by construction, so it prices navigation, not
+    * the trivial own-node shortcut. */
+  def annGraphGate(s: SparkSession, dir: String): DataFrame =
+    annGate(s, dir, Similarity.graphTopK(s, dir, beam = 16, rounds = 4),
+      recallBound = envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
+
   /** IVF ANN recall gate — trained codebook, measured 0.96 at sf0.01
     * (nlist=16, nprobe=12; recall-vs-nprobe curve in Similarity.ivfTopK). */
   def annIvfGate(s: SparkSession, dir: String): DataFrame =

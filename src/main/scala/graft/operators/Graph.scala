@@ -367,6 +367,26 @@ object Graph {
                                    k: Int): DataFrame =
     s.table(edgeArtifact(s, dir, k))
 
+  /** The DIRECTED exact-kNN edge list (src, dst — each node's true
+    * top-k by cosine) persisted as a catalog artifact, the
+    * [[edgeArtifact]] sibling for consumers that need NAVIGABILITY
+    * rather than mutuality: the mutual INTERSECTION graph is the right
+    * substrate for triangles/communities (degree ≤ k by construction)
+    * but drops every asymmetric edge, which on tight clusters leaves
+    * degree ~1-2 and fragments beam search; the directed graph keeps
+    * degree exactly k outgoing (the NSW serving substrate —
+    * [[Similarity.graphTopK]] navigates its undirected closure). Built
+    * once by the same branch-and-bound kNN build, then a parquet scan. */
+  private[graft] def directedEdgeArtifact(s: SparkSession, dir: String,
+                                          k: Int): DataFrame = {
+    val name = s"graft_knn_directed_${Artifacts.key(s"$dir|$k")}"
+    Artifacts.ensure(s, Seq(name)) {
+      knnDirected(s, dir, k).write.mode("overwrite")
+        .option("path", s"$edgeRoot/$name").saveAsTable(name)
+    }
+    s.table(name)
+  }
+
   /** Triangle counts served from the persisted edge artifact — alias of
     * [[triangleCounts]] kept for the bench's raw-serve row. */
   def triangleCountsFromArtifact(s: SparkSession, dir: String,

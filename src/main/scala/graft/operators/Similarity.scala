@@ -1191,6 +1191,118 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** GRAPH-based ANN (the NSW / HNSW / NSG family, flat variant): beam
+    * search over the undirected closure of the persisted DIRECTED
+    * exact-kNN edge artifact ([[Graph.directedEdgeArtifact]] — the
+    * navigable substrate; the mutual-intersection graph the analytics
+    * rows use drops asymmetric edges and fragments on tight clusters) —
+    * the modern serving default next to the partition/quantization
+    * ladder (LSH → IVF → PQ → IVF-PQ) already in the registry. Every
+    * query starts from `nEntries` FIXED entry nodes (deterministic
+    * multiplicative-hash spread over the id space — the multi-seed NSW
+    * discipline; starting at the query's own node would make recall
+    * 1.0 by construction, since its outgoing edges ARE the true
+    * top-k), repeatedly expands the current frontier's graph
+    * neighbors, scores them by true cosine against the query, and
+    * keeps the best `beam` candidates per query; after `rounds` hops
+    * the top-k of the beam is the answer — so the gate measures
+    * NAVIGATION, the property graph ANN actually sells. Deterministic:
+    * fixed rounds, cosine-then-id ordering everywhere.
+    *
+    * Navigability: plain kNN edges on a clustered corpus have no
+    * cross-cluster links (a tight cluster's top-k are all in-cluster),
+    * so a single-entry search could never leave the entry's cluster.
+    * The classic remedies are HNSW's upper layers or NSW's
+    * insertion-order long links; the deterministic stand-in here is a
+    * Kleinberg-style EXPRESS overlay: each node adds `expressDeg`
+    * pseudo-random long-range edges (vec_id · {2654435761, 40503}
+    * mod (maxId+1) — fixed multiplicative-hash targets, no RNG), which
+    * keeps the diameter logarithmic and every region reachable. Edges
+    * to id gaps simply never join — degree loss, not an error.
+    *
+    * Scale shape: per round ONE node-keyed equi-join of the frontier
+    * (≤ beam rows/query) against the edge relation (degree ≤ knn by
+    * construction) and one broadcast-query scoring pass over ≤
+    * beam·knn·nQueries rows — no corpus scan after the seed, no
+    * all-pairs anything; every intermediate is localCheckpointed so the
+    * loop's lineage stays flat. This is why graph ANN wins at serve
+    * time: the index IS the edge artifact (maintained incrementally —
+    * graph_incr_artifact), and a query touches O(beam·degree·rounds)
+    * vectors total. Recall on the worst-case-uniform test corpus is
+    * measured by the gate ([[Gates.annGraphGate]]); clustered corpora
+    * (the real regime) sit far above it. */
+  def graphTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+                beam: Int = 8, rounds: Int = 4, knn: Int = 5,
+                nEntries: Int = 8): DataFrame =
+    graphTopKOn(corpus(s, dir),
+      Graph.directedEdgeArtifact(s, dir, knn), nQueries, k, beam, rounds,
+      nEntries)
+
+  /** [[graphTopK]] over explicit corpus and directed-edge relations —
+    * split out so the recall tools can probe alternate fixtures. */
+  private[graft] def graphTopKOn(corpusDf: DataFrame, directed: DataFrame,
+                                 nQueries: Int, k: Int, beam: Int,
+                                 rounds: Int, nEntries: Int): DataFrame = {
+    val all = corpusDf.localCheckpoint()
+    val queries = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val m = directed
+    val idSpan = all.agg(max("vec_id")).head().getLong(0) + 1
+    val express = Seq(2654435761L, 40503L).map(mult =>
+      all.select(col("vec_id").as("src"),
+        (col("vec_id") * mult % idSpan).as("dst"))
+        .filter(col("src") =!= col("dst")))
+      .reduce(_ unionAll _)
+    val edges = m.unionAll(express)
+      .unionAll(m.unionAll(express).select(col("dst"), col("src")))
+      .toDF("node", "nbr").distinct().localCheckpoint()
+    // deterministic multiplicative-spread entry points, decorrelated
+    // from id residue classes (a modular stride could alias with a
+    // fixture's cluster = id % c layout); ids that do not exist in the
+    // corpus drop in the semi-join
+    val ids = all.select(col("vec_id"))
+    val entries = ids.filter(col("vec_id").isin(
+        (1 to nEntries).map(j => (j * 2654435761L) % idSpan): _*))
+      .select(col("vec_id").as("node"))
+    def score(nodes: DataFrame): DataFrame =
+      nodes.join(all.withColumnRenamed("vec_id", "node"), "node")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("node"),
+          (graft.functions.VectorFunctions.dot(col("v"), col("qv")) /
+            (col("nrm") * col("qnrm"))).as("cosine"))
+    val wBeam = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("node"))
+    var visited = queries.select(col("query_id"))
+      .crossJoin(broadcast(entries)) // nQueries x nEntries seed rows
+      .localCheckpoint()
+    var frontier = visited
+    var best = score(visited).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val nbrs = frontier.join(edges, "node")
+        .select(col("query_id"), col("nbr").as("node")).distinct()
+        .join(visited, Seq("query_id", "node"), "left_anti")
+        .localCheckpoint()
+      val joint = best.union(score(nbrs))
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= beam)
+        .select("query_id", "node", "cosine")
+        .localCheckpoint()
+      // next frontier: only nodes NEWLY admitted to the beam expand
+      frontier = joint.join(best.select("query_id", "node"),
+          Seq("query_id", "node"), "left_anti")
+        .select("query_id", "node").localCheckpoint()
+      visited = visited.union(nbrs).localCheckpoint()
+      best = joint
+    }
+    best.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Greedy farthest-point (k-center, Gonzalez 1985) CORESET selection
     * over the embedding corpus — the diversity-sampling step of a
     * training-data pipeline: where [[Dedup.embeddingPairs]] REMOVES the

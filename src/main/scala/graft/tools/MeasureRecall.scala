@@ -41,6 +41,16 @@ object MeasureRecall {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[recall] ivfPqTopK nprobe=$nprobe rerank=$rerank recall=${(exact & got).size.toDouble / exact.size}")
     }
+    // Graph-ANN beam search over the mutual-kNN artifact: recall vs
+    // beam/rounds for the annGraphGate bound (uniform corpus = worst
+    // case; each query starts at its own node).
+    for (beam <- Seq(8, 16, 32); rounds <- Seq(2, 4, 6)) {
+      val got = Similarity.graphTopK(s, dir, beam = beam, rounds = rounds)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[recall] graphTopK beam=$beam rounds=$rounds " +
+        s"recall=${(exact & got).size.toDouble / exact.size}")
+    }
     // Raw vs RESIDUAL encoding (VERDICT r6 stretch): residual should pull
     // ahead as nlist grows and cells tighten; equal-coverage probes
     // (nprobe scaled with nlist) keep the comparison honest.
@@ -94,6 +104,14 @@ object MeasureRecall {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         println(s"[recall] CLUSTERED ivfPqTopK nq=$nq nlist=16 nprobe=4 rerank=$rerank " +
           s"residual=$res recall=${(cexact & got).size.toDouble / cexact.size}")
+      }
+      for (beam <- Seq(8, 16); rounds <- Seq(2, 4)) {
+        val got = Similarity.graphTopK(s, tmp, nQueries = nq,
+            beam = beam, rounds = rounds)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"[recall] CLUSTERED graphTopK nq=$nq beam=$beam rounds=$rounds " +
+          s"recall=${(cexact & got).size.toDouble / cexact.size}")
       }
     }
     // IVF list balance + quantization quality (embed_cluster gate bounds)

@@ -906,6 +906,22 @@ class OperatorsSpec extends SparkSpec {
     assert(first.exists(r => r.getLong(1) == 1L))
   }
 
+  test("graph ANN navigates from far entries to the planted neighbor; gate holds") {
+    // full recall vs brute force at sf0.001 under the registered params
+    val sf = "/root/testdata/sf0.001"
+    val exact = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.graphTopK(spark, sf, beam = 16, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => (t._1, t._2)).toSet == exact,
+      s"graph ANN must reach full recall at sf0.001")
+    // ranks are contiguous 1..5 per query, cosine-ordered by construction
+    got.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to 5L)))
+    val gate = Gates.annGraphGate(spark, sf).head()
+    assert(gate.getLong(0) == exact.size && gate.getBoolean(1))
+  }
+
   test("IVF-PQ ANN ranks the planted neighbor first (probe covers its list)") {
     val top = Similarity.ivfPqTopK(spark, dir, nQueries = 1, k = 2,
       nlist = 2, nprobe = 2, rerank = 3).collect()
