@@ -74,6 +74,9 @@ object SparkEntry {
     // each (EventAnalytics scaladoc).
     "events_funnel"      -> ((s, d) => EventAnalytics.funnel(s, d)),
     "events_retention"   -> (EventAnalytics.retention _),
+    // Top-k length-3 behavioral paths (two stacked leads over the
+    // one-exchange per-user sort, tiny-domain count, rank over top-k).
+    "events_paths"    -> ((s, d) => EventAnalytics.topPaths(s, d)),
     "events_transitions" -> (EventAnalytics.transitions _),
     // Batch gaps-and-islands sessionization — stream_sessions' batch
     // twin, same oracle SQL.
@@ -1264,6 +1267,21 @@ object SparkEntry {
         |FROM documents, cuts ORDER BY doc_id""".stripMargin,
     // Transitions: lead() over the identical (tus, event_id) per-user
     // order, exact-integer counts.
+    "events_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |           FROM events),
+        |t AS (SELECT event_type AS step1,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY tus, event_id) AS step2,
+        |        lead(event_type, 2) OVER (PARTITION BY user_id
+        |          ORDER BY tus, event_id) AS step3
+        |      FROM e),
+        |c AS (SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+        |      FROM t WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |      GROUP BY 1, 2, 3)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, step1, step2, step3)
+        |         AS BIGINT) AS rk, step1, step2, step3, n
+        |FROM c ORDER BY n DESC, step1, step2, step3 LIMIT 25""".stripMargin,
     "events_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
         |           FROM events),

@@ -259,4 +259,35 @@ object EventAnalytics {
         col("tus").as("valid_from_us"), col("valid_to_us"), col("value"))
       .orderBy("user_id", "version_no")
   }
+
+  /** Top-k behavioral PATHS: the most common length-3 consecutive
+    * event-type sequences across all users — the sequence-mining step
+    * past [[transitions]]' single-hop Markov counts (a funnel tells you
+    * whether users reach purchase; the path table tells you HOW they
+    * get there and which detours dominate). Consecutive means adjacent
+    * in the user's exact (tus, event_id) order — the same ordering
+    * contract as every operator in this file.
+    *
+    * Plan: the same one-exchange shape as [[transitions]] — two
+    * stacked `lead`s over one partition-by-user sort, a
+    * map-side-combined count on the (s1, s2, s3) triple (bounded by
+    * |event_type|³, a tiny domain), TakeOrderedAndProject for the
+    * top-k and a rank window over the k survivors only. */
+  def topPaths(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val wr = Window.orderBy(col("n").desc, col("step1"), col("step2"),
+      col("step3"))
+    base(s, dir)
+      .withColumn("s2", lead(col("event_type"), 1).over(w))
+      .withColumn("s3", lead(col("event_type"), 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("s2").as("step2"),
+        col("s3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .select("rk", "step1", "step2", "step3", "n")
+      .orderBy("rk")
+  }
 }

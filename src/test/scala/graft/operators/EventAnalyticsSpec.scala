@@ -122,4 +122,21 @@ class EventAnalyticsSpec extends SparkSpec {
     val totalExpected = evs.groupBy(_._1).map { case (_, r) => r.size - 1 }.sum
     assert(got.map(_._2).sum == totalExpected)
   }
+
+  test("paths: top-k trigram counts and ranks match an independent fold") {
+    val trigrams = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(e => (e._4, e._2)).map(_._3)
+      ordered.sliding(3).filter(_.size == 3).map(w => (w(0), w(1), w(2))).toSeq
+    }.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val expected = trigrams.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(25)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1L, p._1, p._2, p._3, n) }
+    val got = EventAnalytics.topPaths(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    assert(got.toSeq == expected, s"got ${got.take(3).toSeq}")
+    // conservation: trigrams per user = events per user - 2 (when >= 2)
+    assert(trigrams.values.sum ==
+      evs.groupBy(_._1).map { case (_, r) => math.max(0, r.size - 2) }.sum)
+  }
 }
