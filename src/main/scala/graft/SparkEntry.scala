@@ -182,6 +182,9 @@ object SparkEntry {
     // Perceptual (average-hash) image near-dup: decoded-raster 8x8
     // aHash, banded Hamming candidate join, per-image near-dup degree.
     "multimodal_phash" -> ((s, d) => Multimodal.perceptualDupImages(s, d)),
+    // Audio fingerprinting: sliding-window hashes over decoded PCM,
+    // cross-asset window collisions (dupFrames for audio).
+    "multimodal_audiofp" -> ((s, d) => Multimodal.dupAudio(s, d)),
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -196,6 +199,9 @@ object SparkEntry {
     // Temperature-scaled (alpha = 1/2) source weights in exact integers:
     // isqrt counts, micro-unit share + repetition boost per source.
     "curate_temperature" -> ((s, d) => Curation.temperatureMix(s, d)),
+    // Greedy token-budget selection via the score-histogram spelling
+    // (no global row sort; winsorize-trick running offsets).
+    "curate_tokenbudget" -> ((s, d) => Curation.tokenBudgetSelect(s, d)),
     "curate_pack"     -> ((s, d) => Curation.packSequences(s, d)),
     "curate_pii"      -> (Curation.piiDemo _),
     "curate_spans"    -> ((s, d) => Curation.removeSharedSpans(s, d)),
@@ -392,6 +398,9 @@ object SparkEntry {
     "search_phrase" -> ((s, d) => Search.phraseSearch(s, d)),
     // Retrieve-then-rerank: BM25 top-50 candidates re-ranked by embedding
     // cosine vs the top lexical hit's vector (rank-only, hash-exact).
+    // Reciprocal-rank fusion of the BM25 and cosine orderings over the
+    // same candidate set (exact-integer 1e9 div (60+rank) votes).
+    "search_rrf"    -> ((s, d) => Search.rrfSearch(s, d)),
     "search_hybrid" -> ((s, d) => Search.hybridSearch(s, d)),
     // Persisted IVF-PQ index: recall bound + bit-identity with the fresh
     // build (the settled-corpus ANN path, sibling of dedup_incr_artifact).
@@ -849,6 +858,43 @@ object SparkEntry {
     // then cosine re-rank vs the top hit's embedding. Rank-only output
     // (plus the BIGINT lexical score) — the bruteForceTopK precedent for
     // hash-stable cross-engine float ordering.
+    "search_rrf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |l AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_len FROM l),
+        |u AS (SELECT DISTINCT doc_id, term FROM t),
+        |d AS (SELECT term, count(*) AS df FROM u GROUP BY term),
+        |q AS (SELECT term,
+        |        ((2 * st.n_docs - 2 * df + 1) * 1000000) // (2 * df + 1) AS idf_micro,
+        |        st.s_len, st.n_docs
+        |      FROM d, st ORDER BY df ASC, term ASC LIMIT 3),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |c AS (SELECT tf.doc_id,
+        |        (q.idf_micro * ((1000000 * 36 * tf.tf * q.s_len) //
+        |          (16 * tf.tf * q.s_len + 5 * q.s_len + 15 * l.dl * q.n_docs)))
+        |         // 1000000 AS contrib
+        |      FROM tf JOIN q USING (term) JOIN l ON tf.doc_id = l.doc_id),
+        |sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+        |       FROM c GROUP BY doc_id),
+        |cand AS (SELECT doc_id, score,
+        |          row_number() OVER (ORDER BY score DESC, doc_id) AS brank
+        |         FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+        |qv AS (SELECT cand.doc_id AS q_doc, e.embedding AS qe
+        |       FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id
+        |       WHERE cand.brank = 1),
+        |cr AS (SELECT cand.doc_id, cand.brank,
+        |        CAST(row_number() OVER (ORDER BY
+        |          list_cosine_similarity(e.embedding, qv.qe) DESC,
+        |          cand.doc_id) AS BIGINT) AS crank
+        |       FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id, qv
+        |       WHERE cand.doc_id <> qv.q_doc),
+        |f AS (SELECT doc_id, brank, crank,
+        |        (1000000000 // (60 + brank)) + (1000000000 // (60 + crank)) AS rrf_nano
+        |      FROM cr)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(brank AS BIGINT) AS bm25_rank,
+        |  crank AS cos_rank, CAST(rrf_nano AS BIGINT) AS rrf_nano,
+        |  CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rank
+        |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
     "search_hybrid" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |l AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
@@ -1759,6 +1805,33 @@ object SparkEntry {
          |SELECT doc_id, source, rk FROM r JOIN q USING (source)
          |WHERE rk <= quota ORDER BY source, rk""".stripMargin
     },
+    // Same histogram spelling: per-score bucket sums, bounded-domain
+    // running offset, doc_id-keyed in-bucket cumsum — BIGINT throughout.
+    "curate_tokenbudget" ->
+      """WITH d AS (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+        |      FROM documents),
+        |m AS (SELECT doc_id, len(ws) AS n_tokens,
+        |       (len(list_distinct(ws)) * 1000000) // len(ws) AS ttr_micro
+        |      FROM d WHERE len(ws) > 0),
+        |h AS (SELECT ttr_micro, sum(n_tokens) AS bucket_tokens
+        |      FROM m GROUP BY ttr_micro),
+        |o AS (SELECT ttr_micro, coalesce(sum(bucket_tokens) OVER (
+        |        ORDER BY ttr_micro DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS cum_before FROM h),
+        |c AS (SELECT m.doc_id, m.n_tokens, m.ttr_micro,
+        |        o.cum_before + sum(m.n_tokens) OVER (PARTITION BY m.ttr_micro
+        |          ORDER BY m.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_tokens
+        |      FROM m JOIN o USING (ttr_micro))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(ttr_micro AS BIGINT) AS ttr_micro,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 2048
+        |ORDER BY ttr_micro DESC, doc_id""".stripMargin,
     // Same expression tree as Curation.temperatureMix: isqrt via
     // correctly-rounded double sqrt (exact for n < 2^52), two exact-
     // integer double divisions — hash-matches with no tolerance.
@@ -2332,6 +2405,21 @@ object SparkEntry {
     // hashes; here the formula is the oracle's raster), then ALL-PAIRS
     // Hamming <= 3 — the oracle may brute-force what the Spark side
     // reaches through the banded join.
+    // Window hashes rebuilt from the sample formula (the dupframes /
+    // phash stance); sha over the same 8-byte window byte strings.
+    "multimodal_audiofp" ->
+      """WITH a AS (SELECT doc_id AS id, CAST(32 + doc_id % 41 AS BIGINT) AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |off AS (SELECT id, unnest(range(0, n - 7)) AS o FROM a),
+        |j AS (SELECT id, o, unnest(range(0, 8)) AS jj FROM off),
+        |w AS (SELECT id, o,
+        |        sha256(string_agg(chr(CAST(32 + (7 * (o + jj) + id) % 64
+        |          AS INTEGER)), '' ORDER BY jj)) AS fp
+        |      FROM j GROUP BY id, o)
+        |SELECT fp AS fp_sha, count(DISTINCT id) AS n_assets,
+        |       CAST(count(*) AS BIGINT) AS n_windows
+        |FROM w GROUP BY fp HAVING count(DISTINCT id) >= 2
+        |ORDER BY fp_sha""".stripMargin,
     "multimodal_phash" ->
       """WITH img AS (SELECT doc_id AS id, CAST(4 + doc_id % 13 AS BIGINT) AS w,
         |                    CAST(3 + doc_id % 7 AS BIGINT) AS h

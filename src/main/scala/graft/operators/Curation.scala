@@ -607,6 +607,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Greedy TOKEN-BUDGET selection: keep the highest-quality documents
+    * whose cumulative token count fits `budget` — the "we can afford N
+    * tokens of pretraining data, which documents?" step. Quality here
+    * is the exact-integer type-token ratio (distinct words ·10⁶ div
+    * words — the curate_anneal signal); greedy order is (ttr desc,
+    * doc_id), and a document is kept iff the running total THROUGH it
+    * stays within budget.
+    *
+    * Spelled WITHOUT a global row sort (the winsorize histogram trick,
+    * applied to budgeted selection): (1) per-doc score/tokens — one
+    * projection; (2) per-SCORE bucket token sums — an exchange bounded
+    * by the score domain (≤ 10⁶+1 values), with the cross-bucket
+    * running offset a window over that bounded domain, not over rows;
+    * (3) the within-bucket cumulative sum a doc_id-keyed window
+    * PARTITIONED by score. At 100 TB the only row-scale exchanges are
+    * the score groupBy and the per-bucket window — no single-partition
+    * global sort anywhere. Output: kept docs with their running total,
+    * (ttr desc, doc_id) order. */
+  def tokenBudgetSelect(s: SparkSession, dir: String,
+                        budget: Long = 2048L): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val m = documents(s, dir)
+      .select(col("doc_id"), size(ws).cast("long").as("n_tokens"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(n_distinct * 1000000) div n_tokens").as("ttr_micro"))
+    val wScore = Window.orderBy(col("ttr_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = m.groupBy("ttr_micro")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum("bucket_tokens").over(wScore), lit(0L)))
+      .select("ttr_micro", "cum_before")
+    val wDoc = Window.partitionBy("ttr_micro").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.join(offsets, "ttr_micro")
+      .withColumn("cum_tokens", col("cum_before") + sum("n_tokens").over(wDoc))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("ttr_micro"),
+        col("cum_tokens"))
+      .orderBy(col("ttr_micro").desc, col("doc_id"))
+  }
+
   /** Temperature-scaled source mixing weights (the multilingual /
     * multi-source LLM recipe: sample source s with probability
     * ∝ n_s^α, α = 1/2 — up-weights small sources, down-weights the

@@ -462,6 +462,59 @@ object Multimodal {
       .filter(col("n_assets") >= 2)
       .orderBy("frame_sha")
 
+  final case class AudioWindow(asset_id: Long, off: Long, fp_sha: String)
+
+  /** AUDIO fingerprinting — [[dupFrames]]' analogue for the audio
+    * modality (Shazam-style constellation hashing, reduced to its core:
+    * hash every length-`win` sliding window of the DECODED PCM sample
+    * stream, then find window hashes shared across assets — re-uploads,
+    * trims and concatenations collide on their overlapping windows long
+    * before whole-file hashes agree). The decode is the real WAV parse
+    * ([[decodeAssets]]' audio leg); only (asset_id, window-hash) rows
+    * leave the partition — sample bytes never move, and the one
+    * exchange is the groupBy on the 32-byte hash, bounded by window
+    * count. */
+  private[graft] def audioFingerprints(s: SparkSession, dir: String,
+                                       win: Int = 8): Dataset[AudioWindow] = {
+    import s.implicits._
+    assets(s, dir).filter(col("modality") === "audio")
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.flatMap { a =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(a.payload))
+          val n = ais.getFrameLength.toInt
+          val bytes = new Array[Byte](n)
+          var offr = 0
+          while (offr < n) {
+            val r = ais.read(bytes, offr, n - offr)
+            if (r < 0) throw new IllegalStateException(
+              s"WAV stream of asset ${a.asset_id} ended at $offr of $n")
+            offr += r
+          }
+          (0 to n - win).map { o =>
+            md.reset()
+            AudioWindow(a.asset_id, o.toLong,
+              md.digest(java.util.Arrays.copyOfRange(bytes, o, o + win))
+                .map(b => f"$b%02x").mkString)
+          }.toVector
+        }
+      }
+  }
+
+  /** Cross-asset duplicate audio windows: every window hash present in
+    * ≥ 2 distinct assets, with the asset and window counts — the audio
+    * near-dup primitive. Same shape and oracle stance as [[dupFrames]]:
+    * the generation formula stands in as the oracle's sample stream,
+    * decode fidelity itself is pinned by multimodal_summary. */
+  def dupAudio(s: SparkSession, dir: String, win: Int = 8): DataFrame =
+    audioFingerprints(s, dir, win)
+      .groupBy("fp_sha")
+      .agg(countDistinct(col("asset_id")).as("n_assets"),
+        count(lit(1)).as("n_windows"))
+      .filter(col("n_assets") >= 2)
+      .orderBy("fp_sha")
+
   final case class AHash(asset_id: Long, ahash_lo: Long, ahash_hi: Long)
 
   /** Average-hash (aHash) of every image asset from its DECODED raster:

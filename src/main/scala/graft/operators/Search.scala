@@ -300,6 +300,45 @@ object Search {
       .orderBy("rank")
   }
 
+  /** RECIPROCAL-RANK-FUSION search (Cormack et al. 2009) — the standard
+    * way production retrieval merges heterogeneous rankers without
+    * score calibration: each ranker contributes 1/(kRrf + rank), so
+    * only RANKS matter and incomparable score scales (BM25 integers vs
+    * cosine doubles) fuse cleanly. [[hybridSearch]] is the
+    * rerank-cascade spelling (cosine REPLACES the BM25 order); this is
+    * the fusion spelling (both orders VOTE) — both ship because real
+    * stacks use both. Contributions are exact integers
+    * (10⁹ div (kRrf + rank)), so the fused scores and ranks hash-match
+    * the oracle with no float anywhere.
+    *
+    * Plan: same control-plane shape as hybrid — the nCand BM25
+    * candidates are localCheckpointed once, the cosine leg reranks
+    * those candidates only (broadcast 1-row query vector), and both
+    * rank windows run over nCand survivors, never the corpus. */
+  def rrfSearch(s: SparkSession, dir: String, nTerms: Int = 3,
+                nCand: Int = 50, topK: Int = 10, kRrf: Int = 60): DataFrame = {
+    val cands = bm25TopK(s, dir, nTerms, nCand).localCheckpoint()
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+    val qv = cands.filter(col("rank") === 1)
+      .join(vecs, col("vec_id") === col("doc_id"))
+      .select(col("doc_id").as("q_doc"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val wc = Window.orderBy(col("cosine").desc, col("doc_id").asc)
+    val wf = Window.orderBy(col("rrf_nano").desc, col("doc_id").asc)
+    cands.join(vecs, col("vec_id") === col("doc_id"))
+      .join(broadcast(qv), col("doc_id") =!= col("q_doc"))
+      .select(col("doc_id"), col("rank").as("bm25_rank"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("cos_rank", row_number().over(wc).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        (expr(s"1000000000 div ($kRrf + bm25_rank)") +
+          expr(s"1000000000 div ($kRrf + cos_rank)")).as("rrf_nano"))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= topK)
+      .orderBy("rank")
+  }
+
   /** JVM-scoped root for the settled search-index artifact, removed on
     * exit (same lifecycle as Dedup.artifactRoot / Bucketing's session
     * warehouse). */

@@ -229,6 +229,33 @@ class MultimodalSpec extends SparkSpec {
     real.foreach(r => assert(frames(r.getString(0)) == r.getLong(1) && r.getLong(1) >= 2))
   }
 
+  test("audiofp: decoded window hashes equal the formula; dup rows span >= 2 assets") {
+    // reference: windows straight from the generation formula, no decode
+    def refWins(id: Long): Seq[String] = {
+      val samples = Multimodal.audioSamples(id)
+      samples.sliding(8).filter(_.length == 8).map { w =>
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(w).map(b => f"$b%02x").mkString
+      }.toSeq
+    }
+    val got = Multimodal.audioFingerprints(spark, dir).collect()
+      .groupBy(_.asset_id)
+    assert(got.nonEmpty)
+    got.foreach { case (id, rows) =>
+      assert(rows.sortBy(_.off).map(_.fp_sha).toSeq == refWins(id), s"id $id")
+    }
+    // dup report: every row really spans >= 2 distinct assets, counts match
+    val byFp = got.values.flatten.groupBy(_.fp_sha)
+      .map { case (fp, rs) => fp -> (rs.map(_.asset_id).toSet.size.toLong,
+        rs.size.toLong) }
+    val dup = Multimodal.dupAudio(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(dup.nonEmpty)
+    dup.foreach { case (fp, na, nw) =>
+      assert(na >= 2 && byFp(fp) == ((na, nw)), s"$fp") }
+    assert(byFp.count(_._2._1 >= 2) == dup.length)
+  }
+
   test("phash: decoded aHash equals formula reference; banded join equals brute force") {
     // independent reference: hashes straight from the generation formula
     // (no decode), then all-pairs Hamming — the banded operator must

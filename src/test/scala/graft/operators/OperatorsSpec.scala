@@ -617,6 +617,25 @@ class OperatorsSpec extends SparkSpec {
     assert(Curation.mixSources(spark, dir, quotas = Seq.empty).isEmpty) // no crash
   }
 
+  test("token budget: prefix-greedy by ttr then doc_id; boundary bucket exact") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-budget").toString
+    Seq((0L, "a b c d", 4L), (1L, "a a a a a a", 6L),
+        (2L, "x y z x y z", 6L), (3L, "p q", 2L))
+      .map { case (id, t, n) => (id, t, "en", "s", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    def run(b: Long) = Curation.tokenBudgetSelect(spark, d2, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // budget 11: ttr-1e6 bucket docs 0 (cum 4) and 3 (cum 6); doc 2
+    // (ttr 5e5) lands at cum 12 > 11 -> PREFIX greedy cuts there, and
+    // lower buckets stay cut even though doc 1 alone would fit
+    assert(run(11).toSeq == Seq((0L, 4L, 1000000L, 4L), (3L, 2L, 1000000L, 6L)))
+    // budget 12 admits the boundary doc exactly
+    assert(run(12).toSeq == Seq((0L, 4L, 1000000L, 4L), (3L, 2L, 1000000L, 6L),
+      (2L, 6L, 500000L, 12L)))
+  }
+
   test("readability: hand-computed FRE micro-units; floors and drops hold") {
     import spark.implicits._
     val d2 = Files.createTempDirectory("graft-read").toString

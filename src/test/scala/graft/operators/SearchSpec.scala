@@ -139,6 +139,34 @@ class SearchSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq == expected)
   }
 
+  test("RRF: fused ranks match an independent integer recomputation") {
+    val got = Search.rrfSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._5).toSeq == (1L to got.length.toLong) && got.length == 10)
+    val cands = Search.bm25TopK(spark, sf, topK = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc -> bm25 rank
+    val qDoc = cands.collectFirst { case (id, 1L) => id }.get
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qv = vecs(qDoc)
+    val cosRank = (cands.keySet - qDoc).toSeq
+      .map(id => id -> cos(vecs(id), qv))
+      .sortBy { case (id, c) => (-c, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expected = cosRank.keys.toSeq
+      .map { id =>
+        val f = 1000000000L / (60 + cands(id)) + 1000000000L / (60 + cosRank(id))
+        (id, cands(id), cosRank(id), f)
+      }
+      .sortBy { case (id, _, _, f) => (-f, id) }.take(10)
+      .zipWithIndex.map { case ((id, b, c, f), i) => (id, b, c, f, i + 1L) }
+    assert(got.toSeq == expected, s"got ${got.take(3).toSeq}")
+  }
+
   test("MMR: selection matches an independent recomputation of the greedy") {
     val sf = "/root/testdata/sf0.001"
     val got = Search.mmrTopK(spark, sf).collect()
