@@ -419,6 +419,9 @@ object SparkEntry {
     // the oracle's raw-table scan proves layout never changes results —
     // it only changes what the scan skips (tools/MeasureZOrder).
     "layout_zorder" -> ((s, d) => Layout.zorderQuery(s, d)),
+    // Hilbert-curve layout twin: same write-then-band shape, better
+    // row-group locality (the pruning delta is measured, not oracled).
+    "layout_hilbert" -> ((s, d) => Layout.hilbertQuery(s, d)),
     // Nearest-centroid (Rocchio) domain classifier in exact-integer
     // arithmetic — the curation-routing step before curate_mix.
     "text_classify" -> ((s, d) => Classify.centroidClassify(s, d)),
@@ -970,6 +973,17 @@ object SparkEntry {
     // The oracle aggregates the RAW table with the same integer-derived
     // band bounds; the Spark side answers over its z-ordered copy — the
     // hash match is the proof that layout changes nothing but the scan.
+    // Identical to layout_zorder's oracle: the band aggregate is
+    // layout-independent BY DESIGN (that is the pin).
+    "layout_hilbert" ->
+      """WITH m AS (SELECT max(l_partkey) AS pm, max(l_suppkey) AS sm
+        |           FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, m
+        |WHERE l_partkey BETWEEN pm * 45 // 100 AND pm * 55 // 100
+        |  AND l_suppkey BETWEEN sm * 45 // 100 AND sm * 55 // 100""".stripMargin,
     "layout_zorder" ->
       """WITH m AS (SELECT max(l_partkey) AS pm, max(l_suppkey) AS sm
         |           FROM lineitem)

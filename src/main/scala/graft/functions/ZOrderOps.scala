@@ -88,8 +88,94 @@ object ZOrderOps {
     * `b` (even positions). */
   def interleave(a: Long, b: Long): Long = (spread(a) << 1) | spread(b)
 
+  /** Hilbert distance of cell (x, y) on the 2^order x 2^order grid —
+    * the classic iterative quadrant-rotation walk (public-domain
+    * construction; cf. the Wikipedia "Hilbert curve" xy2d routine). */
+  def hilbertD(order: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** Column-API entry point. */
   def zvalue(a: Column, b: Column): Column =
     ColumnBridge.column(
       ZValue(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** HILBERT curve value for two integer keys — [[ZValue]]'s
+  * better-locality sibling ([[graft.operators.Layout]] writes both).
+  * The Morton curve's bit interleave is cheap but takes long diagonal
+  * jumps at power-of-two boundaries, so a curve segment (= a row group)
+  * can cover two far-apart half-squares; the Hilbert curve visits
+  * every cell of each quadrant before leaving it (consecutive d values
+  * are ALWAYS grid neighbors — pinned in LayoutSpec), which tightens
+  * per-row-group min/max boxes and prunes more groups for the same 2-D
+  * band (measured: tools/MeasureZOrder). Classic iterative xy→d with
+  * quadrant rotations, `order` fixed levels, emitted as a plain loop by
+  * `doGenCode` so layout writes stay in WholeStageCodegen. */
+case class HilbertValue(left: Expression, right: Expression, order: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case LongType | IntegerType => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hilbert_value expects integral keys, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = LongType
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int  => i.toLong
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ZOrderOps.hilbertD(order, asLong(l), asLong(r))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("hx"); val y = ctx.freshName("hy")
+      val d = ctx.freshName("hd"); val sVar = ctx.freshName("hs")
+      val rx = ctx.freshName("hrx"); val ry = ctx.freshName("hry")
+      val t = ctx.freshName("ht")
+      s"""
+         |long $x = $a; long $y = $b; long $d = 0L;
+         |for (long $sVar = 1L << ${order - 1}; $sVar > 0; $sVar >>= 1) {
+         |  long $rx = (($x & $sVar) > 0) ? 1L : 0L;
+         |  long $ry = (($y & $sVar) > 0) ? 1L : 0L;
+         |  $d += $sVar * $sVar * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0) {
+         |    if ($rx == 1) { $x = $sVar - 1 - $x; $y = $sVar - 1 - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object HilbertOps {
+  /** Column-API entry point; keys must lie in [0, 2^order). */
+  def hvalue(a: Column, b: Column, order: Int = 16): Column =
+    ColumnBridge.column(
+      HilbertValue(ColumnBridge.expression(a), ColumnBridge.expression(b), order))
 }

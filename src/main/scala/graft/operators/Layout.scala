@@ -94,6 +94,37 @@ object Layout {
       .parquet(out)
   }
 
+  /** Write `lineitem` clustered by hilbert(l_partkey, l_suppkey) — the
+    * same affine 16-bit scaling and range-exchange shape as
+    * [[writeZOrdered]], with the Morton interleave swapped for the
+    * Hilbert walk ([[graft.functions.HilbertValue]]). The Hilbert curve
+    * never takes the Morton curve's power-of-two diagonal jumps, so
+    * equal-length curve segments cover tighter (x, y) boxes → tighter
+    * per-row-group min/max stats → more groups pruned for the same
+    * band (tools/MeasureZOrder prints both side by side). */
+  def writeHilbert(s: SparkSession, dir: String, out: String,
+                   nFiles: Int = 8): Unit = {
+    val r = Tables.lineitem(s, dir)
+      .agg(min(col("l_partkey")), max(col("l_partkey")),
+           min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (pMin, pMax, sMin, sMax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def scaled(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else (c - lit(lo)) * lit(65535L) / lit(hi - lo)
+    val hv = graft.functions.HilbertOps.hvalue(
+      scaled(col("l_partkey"), pMin, pMax).cast("long"),
+      scaled(col("l_suppkey"), sMin, sMax).cast("long"))
+    Tables.lineitem(s, dir)
+      .withColumn("hv", hv)
+      .repartitionByRange(nFiles, col("hv"))
+      .sortWithinPartitions("hv")
+      .drop("hv")
+      .write.mode("overwrite")
+      .option("parquet.block.size", RowGroupBytes.toLong)
+      .parquet(out)
+  }
+
   /** Comparison layout: same row-group size, clustered by l_partkey
     * alone — what a single-key sort gives the second dimension (nothing).
     * Used by tools/MeasureZOrder, not by the registered query. */
@@ -127,6 +158,21 @@ object Layout {
   def zorderQuery(s: SparkSession, dir: String): DataFrame = {
     val out = s"$sessionLayoutDir/lineitem_z"
     writeZOrdered(s, dir, out)
+    bandAggregate(s, dir, out)
+  }
+
+  /** The registered Hilbert query — same write-then-band shape and the
+    * SAME oracle SQL as [[zorderQuery]] (layout independence is the
+    * pin; the pruning DIFFERENCE between the curves is measured, not
+    * oracled — tools/MeasureZOrder, BASELINE.md r12). */
+  def hilbertQuery(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$sessionLayoutDir/lineitem_h"
+    writeHilbert(s, dir, out)
+    bandAggregate(s, dir, out)
+  }
+
+  private def bandAggregate(s: SparkSession, dir: String,
+                            out: String): DataFrame = {
     val (pLo, pHi, sLo, sHi) = bandBounds(s, dir)
     s.read.parquet(out)
       .filter(col("l_partkey").between(pLo, pHi) &&

@@ -56,6 +56,7 @@ object MeasureZOrder {
     s.sparkContext.setLogLevel("ERROR")
     val tmp = java.nio.file.Files.createTempDirectory("graft-zmeasure").toString
     Layout.writeZOrdered(s, dir, s"$tmp/z")
+    Layout.writeHilbert(s, dir, s"$tmp/h")
     Layout.writeSingleSorted(s, dir, s"$tmp/single")
     val (pLo, pHi, sLo, sHi) = Layout.bandBounds(s, dir)
     println(s"[zorder] band l_partkey in [$pLo,$pHi], l_suppkey in [$sLo,$sHi]")
@@ -66,7 +67,8 @@ object MeasureZOrder {
       ("band-2d",      pLo, pHi, sLo, sHi),
       ("partkey-only", pLo, pHi, Long.MinValue, Long.MaxValue),
       ("suppkey-only", Long.MinValue, Long.MaxValue, sLo, sHi))
-    for ((name, path) <- Seq("zorder" -> s"$tmp/z", "single-sort" -> s"$tmp/single");
+    for ((name, path) <- Seq("zorder" -> s"$tmp/z", "hilbert" -> s"$tmp/h",
+           "single-sort" -> s"$tmp/single");
          (pname, a, b, c, d) <- preds) {
       val (total, read, totalRows, readRows) = overlapping(path, a, b, c, d)
       println(f"[zorder] layout=$name%-11s pred=$pname%-12s rowgroups=$read/$total " +

@@ -52,6 +52,46 @@ class LayoutSpec extends SparkSpec {
     assert(got.getDouble(2) == want.getDouble(2))
   }
 
+  test("hilbert: bijective on the grid, unit-step adjacency, codegen = eval") {
+    import graft.functions.{HilbertOps, ZOrderOps => Z}
+    val order = 3
+    val n = 1 << order
+    val cells = for (x <- 0L until n; y <- 0L until n) yield (x, y)
+    val ds = cells.map { case (x, y) => (x, y) -> Z.hilbertD(order, x, y) }
+    // bijection onto [0, n^2)
+    assert(ds.map(_._2).sorted.toSeq == (0L until n.toLong * n).toSeq)
+    // THE Hilbert property Morton lacks: consecutive d are grid
+    // neighbors (|dx| + |dy| = 1) — no diagonal jumps, ever
+    val byD = ds.map { case ((x, y), d) => d -> (x, y) }.toMap
+    (0L until n.toLong * n - 1).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // Morton, for contrast, does jump (the documented difference)
+    val mByD = cells.map(c => Z.interleave(c._1, c._2) -> c).toMap
+    assert((0L until n.toLong * n - 1).exists { d =>
+      val (x1, y1) = mByD(d); val (x2, y2) = mByD(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    })
+    // codegen'd expression equals the Scala kernel (16-bit order too)
+    import spark.implicits._
+    val rows = (0L until 16L).flatMap(a => (0L until 16L).map(b => (a, b)))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), HilbertOps.hvalue(col("a"), col("b"), 4).as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(2) == Z.hilbertD(4, r.getLong(0), r.getLong(1))))
+  }
+
+  test("hilbert copy answers the band aggregate identically to the raw table") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Layout.hilbertQuery(spark, dir).collect()(0)
+    val want = Layout.zorderQuery(spark, dir).collect()(0)
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(0) > 0)
+    assert(got.getDouble(1) == want.getDouble(1))
+    assert(got.getDouble(2) == want.getDouble(2))
+  }
+
   test("band predicate reaches the parquet scan as pushed filters") {
     val dir = "/root/testdata/sf0.001"
     val q = Layout.zorderQuery(spark, dir)
