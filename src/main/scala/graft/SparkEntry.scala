@@ -424,6 +424,9 @@ object SparkEntry {
     "layout_hilbert" -> ((s, d) => Layout.hilbertQuery(s, d)),
     // Nearest-centroid (Rocchio) domain classifier in exact-integer
     // arithmetic — the curation-routing step before curate_mix.
+    // kNN majority-vote label propagation from the labeled seed slice
+    // (broadcast seeds, WindowGroupLimit top-k, per-target argmax).
+    "embed_knnlabel"  -> ((s, d) => Classify.knnLabelPropagation(s, d)),
     "text_classify" -> ((s, d) => Classify.centroidClassify(s, d)),
     // Streaming CDC compaction (last-wins upsert per key) — what a sink
     // does with Singer key_properties; real watermarked execution over
@@ -995,6 +998,25 @@ object SparkEntry {
         |  AND l_suppkey BETWEEN sm * 45 // 100 AND sm * 55 // 100""".stripMargin,
     // Rocchio centroid classification: micro-unit integer weights and
     // BIGINT scores make the prediction engine-exact (see Classify).
+    // Full kNN-vote replay: rank seeds per target by cosine, count the
+    // top-5 labels, argmax with (count desc, label) ties.
+    "embed_knnlabel" ->
+      """WITH e AS (SELECT e.vec_id, e.embedding, d.lang
+        |           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |seed AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+        |tgt AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        |nn AS (SELECT t.vec_id, s.lang,
+        |        ROW_NUMBER() OVER (PARTITION BY t.vec_id
+        |          ORDER BY list_cosine_similarity(t.embedding, s.embedding)
+        |            DESC, s.vec_id) AS rk
+        |       FROM tgt t, seed s),
+        |v AS (SELECT vec_id, lang, count(*) AS n FROM nn WHERE rk <= 5
+        |      GROUP BY vec_id, lang),
+        |p AS (SELECT vec_id, lang AS pred_lang, CAST(n AS BIGINT) AS n_votes,
+        |       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY n DESC, lang)
+        |         AS pr FROM v)
+        |SELECT vec_id, pred_lang, n_votes FROM p WHERE pr = 1
+        |ORDER BY vec_id""".stripMargin,
     "text_classify" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |           FROM documents),

@@ -65,4 +65,55 @@ object Classify {
         (col("pred") === col("source")).as("is_correct"))
       .orderBy("doc_id")
   }
+
+  /** kNN LABEL PROPAGATION — the semi-supervised labeling step of a
+    * training-data pipeline: a small labeled SEED slice (here
+    * vec_id % 5 == 0 with `lang` as the label; in production a
+    * human-labeled sample) labels the rest of the corpus by
+    * majority vote among each unlabeled vector's k nearest seed
+    * embeddings (cosine; vote ties → smallest label, neighbor ties →
+    * smallest id — total order, oracle-replayable). The instance-based
+    * complement of [[centroidClassify]]'s parametric centroids: kNN
+    * voting follows non-convex class boundaries centroids cannot.
+    *
+    * Plan: targets × seeds is a broadcast-seed scoring pass (the seed
+    * slice is the SMALL side by construction — 20% here, a labeled
+    * sample in production), top-k per target via WindowGroupLimit, a
+    * map-side-combined (target, label) vote count and a per-target
+    * argmax window. At 100 TB the candidate pass swaps brute scoring
+    * for the IVF-pruned probe (ann_filtered's shape) without touching
+    * the vote semantics. On THIS corpus the embeddings are synthetic
+    * uniform directions uncorrelated with `lang`, so accuracy is
+    * chance — the operator's contract is the vote arithmetic; the
+    * label signal is a property of real embeddings. */
+  def knnLabelPropagation(s: SparkSession, dir: String, k: Int = 5,
+                          mod: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm}
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("embedding").as("v"),
+        norm(col("embedding")).as("nrm"), col("lang"))
+    val seeds = e.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("sid"), col("v").as("sv"),
+        col("nrm").as("snrm"), col("lang").as("slang"))
+    val wNn = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("sid"))
+    val wVote = Window.partitionBy("vec_id")
+      .orderBy(col("n_votes").desc, col("pred_lang"))
+    e.filter(col("vec_id") % mod =!= 0)
+      .join(broadcast(seeds), lit(true))
+      .select(col("vec_id"), col("slang"),
+        (dot(col("v"), col("sv")) / (col("nrm") * col("snrm"))).as("cosine"),
+        col("sid"))
+      .withColumn("rk", row_number().over(wNn))
+      .filter(col("rk") <= k)
+      .groupBy(col("vec_id"), col("slang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("pr", row_number().over(wVote))
+      .filter(col("pr") === 1)
+      .select(col("vec_id"), col("pred_lang"), col("n_votes"))
+      .orderBy("vec_id")
+  }
 }
