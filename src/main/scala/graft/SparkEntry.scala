@@ -124,6 +124,9 @@ object SparkEntry {
     // against the settled v1 corpus — the release-to-release
     // maintenance step (delta-only exchange, 8-byte keys).
     "version_incr"    -> ((s, d) => Versioning.incrementalIngest(s, d)),
+    // Time-travel restore: rebuild v1 from v2 + the reverse delta,
+    // prove the reconstruction exact (pinned boolean + counts).
+    "version_restore" -> ((s, d) => Versioning.snapshotRestore(s, d)),
     // Retention sweep over the copy-on-write file layout: which v1 files
     // the latest snapshot still references and which are GC-eligible —
     // computed from snapshot metadata (a digest join + a bucket-domain
@@ -383,6 +386,9 @@ object SparkEntry {
     // group, direct intersection estimate (the question HLL can't
     // answer), gated on the exact pair join.
     "profile_theta"   -> ((s, d) => Profiling.thetaIntersection(s, d)),
+    // Exact-integer Gini impurity per column (the log-free entropy
+    // twin): columnProfile's melt, (n, sum c^2) second aggregate.
+    "profile_gini"    -> (Profiling.lineitemGiniProfile _),
     "profile_qsketch" -> ((s, d) => Profiling.quantileSketchGate(s, d)),
     // Cross-column correlation sufficient statistics (integer-exact
     // moments, one Aggregate pass over one scan).
@@ -738,6 +744,20 @@ object SparkEntry {
     // Theta gate: exact pairwise intersection of distinct (flag, key)
     // sets; the KMV estimate never leaves the plan, only its bound
     // boolean (true at k=4096 / tol=0.15 by the RSE margin).
+    // Counts grouped by raw value equal Spark's hash-grouped counts
+    // (injective rendering, collision stance as columnProfile).
+    "profile_gini" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+        .map(c => s"""SELECT '$c' AS col_name,
+                     | CAST(sum(c) AS BIGINT) AS n,
+                     | CAST(sum(c * c) AS BIGINT) AS sum_c2,
+                     | CAST(((sum(c) * sum(c) - sum(c * c)) * 1000000)
+                     |   // (sum(c) * sum(c)) AS BIGINT) AS gini_micro
+                     |FROM (SELECT count(*) AS c FROM lineitem
+                     |      WHERE $c IS NOT NULL GROUP BY $c)""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "profile_theta" ->
       """WITH d AS (SELECT DISTINCT l_returnflag AS grp, l_orderkey AS key
         |           FROM lineitem)
@@ -2099,6 +2119,25 @@ object SparkEntry {
     // Delta docs (added/changed in v2) checked against the settled v1
     // TEXT set — the oracle compares texts where Spark compares
     // xxhash64s, so a hash collision cannot silently pass.
+    // Reverse-delta categories recomputed from the same deterministic
+    // v1/v2 constructions; restore_exact is a pin (both deterministic).
+    "version_restore" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END
+        |           AS text
+        |       FROM documents WHERE doc_id % 5 <> 2)
+        |SELECT
+        | CAST((SELECT count(*) FROM v2
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM v1)) AS BIGINT)
+        |   AS n_dropped,
+        | CAST((SELECT count(*) FROM v1
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM v2)) AS BIGINT)
+        |   AS n_readded,
+        | CAST((SELECT count(*) FROM v1 a JOIN v2 b USING (doc_id)
+        |       WHERE a.text <> b.text) AS BIGINT) AS n_reverted,
+        | CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_v1,
+        | true AS restore_exact""".stripMargin,
     "version_incr" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
         |v2 AS (SELECT doc_id,

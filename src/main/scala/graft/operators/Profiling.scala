@@ -183,6 +183,46 @@ object Profiling {
     checks.orderBy("rk")
   }
 
+  /** Per-column GINI IMPURITY in exact integer micro-units — the
+    * concentration axis of the profile: n_distinct says how many
+    * values a column has, Gini (1 − Σ(cᵢ/n)²) says how evenly the mass
+    * spreads over them. A column whose impurity collapses between
+    * drops signals an upstream default-value bug long before the
+    * distinct count moves; entropy is the usual spelling but needs
+    * logs — Gini is the log-free twin, exactly computable as
+    * ((n² − Σcᵢ²)·10⁶) div n², BIGINT end-to-end so the row
+    * hash-matches the oracle. Nulls are excluded (the columnProfile
+    * convention; n_nulls already counts them).
+    *
+    * Plan: the [[columnProfile]] melt reused verbatim — one scan, one
+    * (col_name, value-hash) partial aggregate — then a per-column
+    * second aggregate of (n, Σc²). Counts grouped by the 8-byte hash
+    * equal counts grouped by the value (same collision stance as
+    * columnProfile documents), so Σc² is engine-exact. BIGINT bound:
+    * n² < 2⁶³ up to ~3·10⁹ rows per column; past that the moments lift
+    * to decimal(38,0) — the q24 HUGEINT-twin precedent. */
+  def giniProfile(t: DataFrame): DataFrame = {
+    val cols = t.columns
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', cast($c as string)").mkString(", ") +
+      ") as (col_name, value)"
+    val vhash = when(col("value").isNotNull,
+      xxhash64(col("col_name"), col("value")))
+    t.repartition(t.sparkSession.sparkContext.defaultParallelism)
+      .select(expr(stackExpr))
+      .select(col("col_name"), vhash.as("vh"))
+      .filter(col("vh").isNotNull)
+      .groupBy("col_name", "vh").agg(count(lit(1)).as("c"))
+      .groupBy("col_name")
+      .agg(sum("c").as("n"), sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("col_name"), col("n"), col("sum_c2"),
+        expr("((n * n - sum_c2) * 1000000) div (n * n)").as("gini_micro"))
+      .orderBy("col_name")
+  }
+
+  def lineitemGiniProfile(s: SparkSession, dir: String): DataFrame =
+    giniProfile(Tables.lineitem(s, dir))
+
   /** THETA (KMV) sketch set-operation gate — the fourth mergeable
     * sketch, and the one that answers a question HLL structurally
     * cannot: approximate INTERSECTION cardinality between key sets

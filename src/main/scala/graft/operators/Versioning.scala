@@ -161,4 +161,55 @@ object Versioning {
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
       .orderBy("status", "source")
   }
+
+  /** TIME-TRAVEL RESTORE — the consumer of [[snapshotDiff]]'s
+    * categories: reconstruct v1 FROM v2 plus a REVERSE DELTA, then
+    * prove the reconstruction exact. The reverse delta is what a
+    * versioned store persists per release (Delta/Iceberg keep it as
+    * previous file versions): the OLD payload of every changed or
+    * removed row, plus the id set the release added. Restore = v2
+    * minus the additions, with changed rows' texts reverted from the
+    * delta payload and removed rows re-added from it.
+    *
+    * Scale shape: the delta is small by construction (the release's
+    * churn, not the corpus), every join is doc_id-keyed (anti-join for
+    * drops, outer join + coalesce for reverts, anti-join union for
+    * re-adds) and the equality proof is one full-outer join aggregated
+    * to a single boolean — no collect, no broadcast of anything
+    * corpus-sized. Output one row: the three reverse-delta category
+    * counts, |v1|, and the exactness pin (both sides deterministic, so
+    * the oracle pins `true` and recomputes every count — the
+    * maintained-equals-full precedent). */
+  def snapshotRestore(s: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = snapshots(s, dir)
+    val a = v1.select(col("doc_id").as("id1"), col("text").as("t1"))
+    val b = v2.select(col("doc_id").as("id2"), col("text").as("t2"))
+    val j = a.join(b, col("id1") === col("id2"), "full_outer").localCheckpoint()
+    val stats = j.agg(
+      sum(when(col("id1").isNull, 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(col("id2").isNull, 1L).otherwise(0L)).as("n_readded"),
+      sum(when(col("id1").isNotNull && col("id2").isNotNull &&
+        col("t1") =!= col("t2"), 1L).otherwise(0L)).as("n_reverted"),
+      sum(when(col("id1").isNotNull, 1L).otherwise(0L)).as("n_v1"))
+    // the reverse delta: old payloads of changed + removed rows
+    val delta = j.filter(col("id2").isNull ||
+        (col("id1").isNotNull && col("t1") =!= col("t2")))
+      .select(col("id1").as("doc_id"), col("t1").as("old_text"))
+    val addedIds = j.filter(col("id1").isNull)
+      .select(col("id2").as("doc_id"))
+    val restored = v2.select(col("doc_id"), col("text"))
+      .join(addedIds, Seq("doc_id"), "left_anti")
+      .join(delta, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("old_text"), col("text")).as("text"))
+      .unionByName(delta
+        .join(v2.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("old_text").as("text")))
+    val eq = restored.select(col("doc_id"), col("text").as("rt"))
+      .join(a.select(col("id1").as("doc_id"), col("t1")), Seq("doc_id"),
+        "full_outer")
+      .agg((coalesce(sum(when(col("rt").isNull || col("t1").isNull ||
+        col("rt") =!= col("t1"), 1L).otherwise(0L)), lit(0L)) === 0L)
+        .as("restore_exact"))
+    stats.crossJoin(eq) // 1 x 1 rows
+  }
 }

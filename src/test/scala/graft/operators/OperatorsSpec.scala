@@ -1331,6 +1331,37 @@ class OperatorsSpec extends SparkSpec {
     assert(sk.nonEmpty && sk.forall(_.getBoolean(2)))
   }
 
+  test("version restore: categories partition correctly; reconstruction exact") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Versioning.snapshotRestore(spark, sf).head()
+    val (nDrop, nReadd, nRevert, nV1) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(r.getBoolean(4), "reconstruction must be exact")
+    // independent arithmetic over the %-constructions
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    assert(nDrop == ids.count(i => i % 7 == 3 && i % 5 != 2))
+    assert(nReadd == ids.count(i => i % 7 != 3 && i % 5 == 2))
+    assert(nRevert == ids.count(i => i % 7 != 3 && i % 5 != 2 && i % 11 == 0))
+    assert(nV1 == ids.count(_ % 7 != 3))
+    assert(nDrop > 0 && nReadd > 0 && nRevert > 0)
+  }
+
+  test("gini profile: hand-computed impurity, nulls excluded, uniform vs constant") {
+    import spark.implicits._
+    val t = Seq(("a", Some("x"), 1), ("a", Some("x"), 2), ("b", None, 3))
+      .toDF("c1", "c2", "c3")
+    val rows = Profiling.giniProfile(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // c1 = [a,a,b]: n=3, sum c^2 = 5, gini = 4e6 div 9 = 444444
+    assert(rows("c1") == ((3L, 5L, 444444L)), rows("c1").toString)
+    // c2 = [x,x,<null>]: null excluded -> constant column, impurity 0
+    assert(rows("c2") == ((2L, 4L, 0L)))
+    // c3 = all distinct: maximal impurity (n^2-n)e6 div n^2 = 666666
+    assert(rows("c3") == ((3L, 3L, 666666L)))
+  }
+
   test("theta intersection: exact when sketches undersized, bound holds at k=64") {
     val sf = "/root/testdata/sf0.001"
     // k larger than any group's distinct-key count -> theta = 1.0 on
