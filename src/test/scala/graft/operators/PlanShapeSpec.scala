@@ -42,6 +42,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan) // the melt
   }
 
+  test("text_readability: higher-order lambdas, no Generate, single data exchange") {
+    val plan = planOf(TextAnalysis.readability(spark, sf))
+    // the scaladoc claim: no explode anywhere — syllable counting runs
+    // inside array lambdas, so the plan has zero Generate nodes
+    assert(!plan.contains("Generate"), plan)
+    // and the only exchange is the presentation sort
+    val ex = "Exchange ".r.findAllIn(plan).size
+    assert(ex <= 1, s"expected only the presentation sort, got $ex:\n$plan")
+  }
+
+  test("events_paths: both leads share ONE user_id sort; rank window is post-limit") {
+    val plan = planOf(EventAnalytics.topPaths(spark, sf))
+    // two stacked leads must not cost two user-keyed exchanges
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userEx == 1, s"expected one user_id exchange, got $userEx:\n$plan")
+    // the top-k is TakeOrdered, not a global sort of all triples
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("curate_tokenbudget: no unpartitioned row-scale window; offsets on the score domain") {
+    val plan = planOf(Curation.tokenBudgetSelect(spark, sf))
+    // the in-bucket cumsum is PARTITIONED (keyed window); the only
+    // single-partition window runs over the aggregated score domain —
+    // its input must be the bucket aggregate, never the doc relation
+    val singleIdx = plan.indexOf("Exchange SinglePartition")
+    assert(singleIdx >= 0, plan)
+    val below = plan.substring(singleIdx)
+    assert(below.contains("HashAggregate"),
+      s"single-partition window must sit above the score aggregate:\n$plan")
+  }
+
   test("dedup_incr_bloom: bloom probe inside the plan, corpus side bucketed") {
     val plan = planOf(Dedup.incrementalExactBloom(spark, sf))
     assert(plan.contains("graft_settled_th_"), plan)
