@@ -124,54 +124,15 @@ object Bench {
   /** Re-run one query in a fresh JVM (same classpath + module opens as
     * this one, `SPARK_GRAFT_ONLY` pinned, recursion off) and return its
     * standalone median, or -1 on timeout/parse failure. */
-  private def standaloneRun(name: String, timeoutSec: Long = 600): Double = try {
-    import scala.jdk.CollectionConverters._
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("-Xmx") ||
-        a.startsWith("-XX") || a.startsWith("-D"))
-    val javaBin = java.nio.file.Paths.get(
-      sys.props("java.home"), "bin", "java").toString
-    val cmd = (Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
-    val pb = new ProcessBuilder(cmd)
-    pb.directory(java.nio.file.Files
-      .createTempDirectory("graft-adj").toFile)
-    pb.environment().put("SPARK_GRAFT_ONLY", name)
-    pb.environment().put("SPARK_GRAFT_ADJ", "0")
-    pb.redirectErrorStream(false)
-    val proc = pb.start()
-    // BOTH pipes drain on daemon threads: the r11 version read stdout to
-    // EOF on THIS thread before waitFor, so a hung child — exactly the
-    // pathology adjudication exists to probe — blocked readLine() forever
-    // and the 600 s timeout never fired (ADVICE r11).
-    val lines = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[String]())
-    val outDrain = new Thread(() => try {
-      val r = new java.io.BufferedReader(
-        new java.io.InputStreamReader(proc.getInputStream))
-      var l = r.readLine()
-      while (l != null) { lines.add(l); l = r.readLine() }
-    } catch { case _: Throwable => })
-    val errDrain = new Thread(() => try {
-      val es = proc.getErrorStream
-      val buf = new Array[Byte](8192)
-      while (es.read(buf) >= 0) {}
-    } catch { case _: Throwable => })
-    outDrain.setDaemon(true); outDrain.start()
-    errDrain.setDaemon(true); errDrain.start()
-    val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-    if (!finished) { proc.destroyForcibly(); -1.0 }
-    else {
-      outDrain.join(5000) // child exited; let the drain hit EOF
-      import scala.jdk.CollectionConverters._
-      lines.asScala.find(_.contains("\"metric\"")).flatMap { line =>
+  private def standaloneRun(name: String, timeoutSec: Long = 600): Double =
+    graft.tools.ChildJvm.runForLine("graft.Bench",
+      env = Map("SPARK_GRAFT_ONLY" -> name, "SPARK_GRAFT_ADJ" -> "0"),
+      dropEnv = Nil, marker = "\"metric\"", timeoutSec = timeoutSec)
+      .flatMap { line =>
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val node = mapper.readTree(line).path("queries").path(name)
         if (node.isMissingNode) None else Some(node.asDouble())
       }.getOrElse(-1.0)
-    }
-  } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

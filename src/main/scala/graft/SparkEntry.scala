@@ -132,6 +132,9 @@ object SparkEntry {
     // computed from snapshot metadata (a digest join + a bucket-domain
     // rollup), never an object-store LIST.
     "version_gc"      -> ((s, d) => Versioning.snapshotGc(s, d)),
+    // Small-file compaction planner over the v2 snapshot layout (greedy
+    // per-source running-offset packing; bounded-domain exchanges only).
+    "version_compact" -> ((s, d) => Versioning.compactionPlan(s, d)),
     // Registered on the 8-byte-hash spelling — the plan you'd run at
     // 100 TB (the shuffle carries xxhash64 keys, not document bodies);
     // OperatorsSpec pins it equal to the group-by-text twin.
@@ -161,6 +164,12 @@ object SparkEntry {
     // Deterministic synchronous label-propagation communities (fixed
     // rounds, min-label ties) on the artifact edge list.
     "graph_lpa"       -> ((s, d) => Graph.labelPropagation(s, d)),
+    // k-core membership via bounded synchronous peeling (4 rounds,
+    // oracle-unrollable; per-round survivor joins over the artifact).
+    "graph_kcore"     -> ((s, d) => Graph.kCore(s, d)),
+    // Per-node best 2-hop link prediction: common-neighbor argmax with
+    // exact-integer Jaccard tie-break over the mutual-kNN artifact.
+    "graph_linkpred"  -> ((s, d) => Graph.linkPrediction(s, d)),
     // Exact-integer PageRank centrality on the same mutual-kNN graph
     // (fixed power steps, micro-unit arithmetic — see Graph.pageRank).
     "graph_pagerank"  -> ((s, d) => Graph.pageRank(s, d)),
@@ -233,6 +242,9 @@ object SparkEntry {
     // Flesch reading-ease in exact integer micro-units: one
     // zero-exchange higher-order-lambda projection, no Generate.
     "text_readability" -> (TextAnalysis.readability _),
+    // Hashing-trick featurizer: engine-portable md5-prefix buckets,
+    // exact per-bucket token/distinct histogram (D=64 bounded domain).
+    "text_feathash"   -> ((s, d) => TextAnalysis.featureHash(s, d)),
     "text_langid"     -> (TextAnalysis.languageId _),
     "text_keyterms"   -> ((s, d) => TextAnalysis.keyTerms(s, d)),
     "text_gopher"     -> (TextAnalysis.gopherSignals _),
@@ -273,6 +285,9 @@ object SparkEntry {
     // Greedy farthest-point k-center coreset: diversity selection over
     // the embedding corpus, k driver-bounded rounds of one scan each.
     "embed_coreset"   -> ((s, d) => Similarity.coresetSelect(s, d)),
+    // Per-label embedding outliers: bottom-k cosine to the exact integer
+    // group sum-vector (micro-quantized; ranks + exact dot survive).
+    "embed_outlier"   -> ((s, d) => Similarity.embedOutliers(s, d)),
     // PCA gate: integer-exact covariance moments (floor(x*1000) fixed
     // point), driver 64x64 Jacobi eigensolve (control plane), projected
     // variance per component verified against its eigenvalue in-plan;
@@ -389,6 +404,9 @@ object SparkEntry {
     // Exact-integer Gini impurity per column (the log-free entropy
     // twin): columnProfile's melt, (n, sum c^2) second aggregate.
     "profile_gini"    -> (Profiling.lineitemGiniProfile _),
+    // φ² (mean-square contingency) category-mix drift across a ship-date
+    // split, exact decimal micro-units, zero cells included.
+    "profile_phi2"    -> ((s, d) => Profiling.phiSquaredDrift(s, d)),
     "profile_qsketch" -> ((s, d) => Profiling.quantileSketchGate(s, d)),
     // Cross-column correlation sufficient statistics (integer-exact
     // moments, one Aggregate pass over one scan).
@@ -746,6 +764,32 @@ object SparkEntry {
     // boolean (true at k=4096 / tol=0.15 by the RSE margin).
     // Counts grouped by raw value equal Spark's hash-grouped counts
     // (injective rendering, collision stance as columnProfile).
+    // φ² = χ²/N drift: zero cells included via the dims x slices cross;
+    // HUGEINT arithmetic mirrors the Spark side's decimal(38,0).
+    "profile_phi2" ->
+      """WITH base AS (SELECT l_returnflag AS cat,
+        |        CASE WHEN l_shipdate < TIMESTAMP '1998-06-01' THEN 0
+        |             ELSE 1 END AS slice
+        |      FROM lineitem),
+        |dims AS (SELECT DISTINCT cat FROM base),
+        |slices AS (SELECT 0 AS slice UNION ALL SELECT 1),
+        |o AS (SELECT d.cat, s.slice, count(b.cat) AS o
+        |      FROM dims d CROSS JOIN slices s
+        |      LEFT JOIN base b ON b.cat = d.cat AND b.slice = s.slice
+        |      GROUP BY d.cat, s.slice),
+        |r AS (SELECT cat, sum(o) AS r_tot FROM o GROUP BY 1),
+        |s AS (SELECT slice, sum(o) AS c_tot FROM o GROUP BY 1),
+        |n AS (SELECT sum(o) AS n_tot FROM o),
+        |cells AS (SELECT o.cat, o.slice, o.o,
+        |    (1000000 * (CAST(o.o AS HUGEINT) * n.n_tot - r.r_tot * s.c_tot)
+        |             * (CAST(o.o AS HUGEINT) * n.n_tot - r.r_tot * s.c_tot))
+        |      // (CAST(n.n_tot AS HUGEINT) * r.r_tot * s.c_tot * n.n_tot)
+        |      AS contrib
+        |  FROM o JOIN r USING (cat) JOIN s USING (slice) CROSS JOIN n)
+        |SELECT cat, CAST(sum(CASE WHEN slice = 0 THEN o END) AS BIGINT) AS n_old,
+        |       CAST(sum(CASE WHEN slice = 1 THEN o END) AS BIGINT) AS n_new,
+        |       CAST(sum(contrib) AS BIGINT) AS contrib_micro
+        |FROM cells GROUP BY cat ORDER BY cat""".stripMargin,
     "profile_gini" ->
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -1898,10 +1942,9 @@ object SparkEntry {
         |  FROM documents GROUP BY source),
         |tot AS (SELECT sum(n_docs) AS tot_docs, sum(w) AS tot_w FROM per_src)
         |SELECT source, n_docs, w,
-        |  CAST(floor(CAST(w * 1000000 AS DOUBLE) / tot_w) AS BIGINT)
-        |    AS share_micro,
-        |  CAST(floor(CAST(w * tot_docs * 1000000 AS DOUBLE) / (n_docs * tot_w))
-        |    AS BIGINT) AS boost_micro
+        |  CAST((w * 1000000) // tot_w AS BIGINT) AS share_micro,
+        |  CAST((CAST(w AS HUGEINT) * tot_docs * 1000000)
+        |    // (CAST(n_docs AS HUGEINT) * tot_w) AS BIGINT) AS boost_micro
         |FROM per_src, tot ORDER BY source""".stripMargin,
     "curate_pack" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
@@ -2157,6 +2200,25 @@ object SparkEntry {
     // File-granularity GC: same v1/v2 rebuild, rolled up to the
     // (source, doc_id % 16) bucket domain; a bucket's v1 file dies when
     // v2 rewrote it (any add/edit/remove inside) or abandoned it.
+    // Same v2 construction as version_gc; greedy running-offset packing
+    // replayed as a window cumsum (the curate_pack arithmetic).
+    "version_compact" ->
+      """WITH v2 AS (SELECT doc_id, source, doc_id % 16 AS bucket, n_chars
+        |            FROM documents WHERE doc_id % 5 <> 2),
+        |files AS (SELECT source, bucket, count(*) AS n_docs,
+        |                 sum(n_chars) AS chars
+        |          FROM v2 GROUP BY 1, 2),
+        |packed AS (SELECT source, bucket, n_docs, chars,
+        |    COALESCE(SUM(n_docs) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM files)
+        |SELECT source, CAST(cum_before // 12 AS BIGINT) AS grp,
+        |  count(*) AS n_files, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(bucket) AS BIGINT) AS first_bucket,
+        |  CAST(max(bucket) AS BIGINT) AS last_bucket
+        |FROM packed GROUP BY 1, 2 ORDER BY source, grp""".stripMargin,
     "version_gc" ->
       """WITH v1 AS (SELECT doc_id, source, doc_id % 16 AS bucket,
         |                   md5(text) AS h
@@ -2174,7 +2236,7 @@ object SparkEntry {
         |f AS (SELECT source, bucket,
         |             bool_or(in_v1) AS f_v1,
         |             bool_or(in_v2) AS f_v2,
-        |             bool_or(in_v2 AND touched) AS rewritten
+        |             (bool_or(in_v2) AND bool_or(touched)) AS rewritten
         |      FROM j GROUP BY source, bucket)
         |SELECT source,
         | CAST(sum(CASE WHEN f_v1 THEN 1 ELSE 0 END) AS BIGINT) AS files_v1,
@@ -2336,6 +2398,18 @@ object SparkEntry {
         |  CAST(206835000 - (1015000 * n_words) // n_sentences
         |       - (84600000 * n_syllables) // n_words AS BIGINT) AS fre_micro
         |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // Hashing trick: both engines parse the identical md5 hex prefix,
+    // so bucket ids match exactly (Spark conv(...,16,10) = ::UBIGINT).
+    "text_feathash" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |t2 AS (SELECT token,
+        |         CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 64
+        |              AS BIGINT) AS bucket
+        |       FROM tok WHERE len(token) > 0)
+        |SELECT bucket, count(*) AS n_tokens,
+        |       count(DISTINCT token) AS n_distinct
+        |FROM t2 GROUP BY bucket ORDER BY bucket""".stripMargin,
     "text_gopher" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
         |                  len(string_split(text, ' ')) AS n,
@@ -2698,6 +2772,74 @@ object SparkEntry {
     // Same mutual-kNN edge CTEs, then the three synchronous LPA rounds
     // UNROLLED (one join + per-node most-frequent-neighbor-label argmax
     // per round, ties to the smallest label — exactly the Spark loop).
+    // k-core: the four peels unrolled as chained survivor CTEs (the
+    // pageRank power-step precedent); peel_round from first missing set.
+    "graph_kcore" ->
+      """WITH p AS MATERIALIZED (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS (SELECT src, dst FROM p WHERE rk <= 5),
+        |m AS MATERIALIZED (SELECT d1.src AS u, d1.dst AS v
+        |      FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |      WHERE d1.src < d1.dst),
+        |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM m
+        |      UNION ALL SELECT v, u FROM m),
+        |s0 AS (SELECT DISTINCT src AS vec_id FROM adj),
+        |s1 AS (SELECT a.src AS vec_id FROM adj a JOIN s0 t ON a.dst = t.vec_id
+        |       WHERE a.src IN (SELECT vec_id FROM s0)
+        |       GROUP BY a.src HAVING count(*) >= 3),
+        |s2 AS (SELECT a.src AS vec_id FROM adj a JOIN s1 t ON a.dst = t.vec_id
+        |       WHERE a.src IN (SELECT vec_id FROM s1)
+        |       GROUP BY a.src HAVING count(*) >= 3),
+        |s3 AS (SELECT a.src AS vec_id FROM adj a JOIN s2 t ON a.dst = t.vec_id
+        |       WHERE a.src IN (SELECT vec_id FROM s2)
+        |       GROUP BY a.src HAVING count(*) >= 3),
+        |s4 AS (SELECT a.src AS vec_id FROM adj a JOIN s3 t ON a.dst = t.vec_id
+        |       WHERE a.src IN (SELECT vec_id FROM s3)
+        |       GROUP BY a.src HAVING count(*) >= 3)
+        |SELECT v.vec_id,
+        |  CAST(CASE WHEN v.vec_id IN (SELECT vec_id FROM s4) THEN 0
+        |       WHEN v.vec_id IN (SELECT vec_id FROM s3) THEN 4
+        |       WHEN v.vec_id IN (SELECT vec_id FROM s2) THEN 3
+        |       WHEN v.vec_id IN (SELECT vec_id FROM s1) THEN 2
+        |       ELSE 1 END AS BIGINT) AS peel_round,
+        |  v.vec_id IN (SELECT vec_id FROM s4) AS in_core
+        |FROM s0 v ORDER BY vec_id""".stripMargin,
+    // Link prediction: wedge join minus existing edges, per-node argmax
+    // by (common neighbors, exact-integer Jaccard, id).
+    "graph_linkpred" ->
+      """WITH p AS MATERIALIZED (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS (SELECT src, dst FROM p WHERE rk <= 5),
+        |m AS MATERIALIZED (SELECT d1.src AS u, d1.dst AS v
+        |      FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |      WHERE d1.src < d1.dst),
+        |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM m
+        |      UNION ALL SELECT v, u FROM m),
+        |dg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+        |cn AS (SELECT a1.src AS u, a2.dst AS w, count(*) AS n_common
+        |       FROM adj a1 JOIN adj a2 ON a1.dst = a2.src
+        |       WHERE a1.src <> a2.dst
+        |         AND NOT EXISTS (SELECT 1 FROM adj x
+        |                         WHERE x.src = a1.src AND x.dst = a2.dst)
+        |       GROUP BY a1.src, a2.dst),
+        |sc AS (SELECT cn.u, cn.w, cn.n_common,
+        |        (1000000 * cn.n_common) // (du.deg + dw.deg - cn.n_common)
+        |          AS jacc_micro,
+        |        ROW_NUMBER() OVER (PARTITION BY cn.u
+        |          ORDER BY cn.n_common DESC,
+        |            (1000000 * cn.n_common) // (du.deg + dw.deg - cn.n_common)
+        |              DESC, cn.w) AS rk
+        |       FROM cn JOIN dg du ON du.src = cn.u
+        |               JOIN dg dw ON dw.src = cn.w)
+        |SELECT u AS vec_id, w AS pred, CAST(n_common AS BIGINT) AS n_common,
+        |       CAST(jacc_micro AS BIGINT) AS jacc_micro
+        |FROM sc WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "graph_lpa" ->
       """WITH p AS (
         | SELECT q.vec_id AS src, e.vec_id AS dst,
@@ -2877,6 +3019,26 @@ object SparkEntry {
     // max-cosine-to-selected (ties -> smallest vec_id), seeded at
     // min(vec_id) — the sequential dependence SQL can only express
     // recursively, which is exactly what pins the Spark driver loop.
+    // Per-label outliers: exact integer sum-vector dots (the embed_pca
+    // micro-quantization), one correctly-rounded double ratio for rank.
+    "embed_outlier" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |        CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS idx,
+        |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0)
+        |             AS BIGINT) AS qi
+        |      FROM embeddings),
+        |sv AS (SELECT label, idx, sum(qi) AS sv FROM e GROUP BY label, idx),
+        |dots AS (SELECT e.vec_id, e.label, sum(e.qi * sv.sv) AS dot_num,
+        |                sum(e.qi * e.qi) AS norm2
+        |         FROM e JOIN sv ON sv.label = e.label AND sv.idx = e.idx
+        |         GROUP BY e.vec_id, e.label),
+        |rk AS (SELECT label, vec_id, dot_num,
+        |         ROW_NUMBER() OVER (PARTITION BY label
+        |           ORDER BY CAST(dot_num AS DOUBLE) /
+        |             sqrt(CAST(norm2 AS DOUBLE)) ASC, vec_id) AS rk
+        |       FROM dots)
+        |SELECT label, rk, vec_id, CAST(dot_num AS BIGINT) AS dot_num
+        |FROM rk WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
     "embed_coreset" ->
       """WITH RECURSIVE sel(step, ids) AS (
         |  SELECT 1, [(SELECT min(vec_id) FROM embeddings)]

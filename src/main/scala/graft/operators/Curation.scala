@@ -663,12 +663,14 @@ object Curation {
     * < 10⁶ means it is subsampled).
     *
     * Exactness: ⌊√n⌋ via IEEE double sqrt is the exact integer square
-    * root for every n < 2⁵², and the two ratios are single correctly-
-    * rounded double divisions of exact integers — both engines evaluate
-    * the identical expression tree, so the row hashes match without any
-    * float tolerance. Plan: one count aggregate (5 rows at any corpus
-    * size — sources are a bounded domain), a 1-row totals broadcast; no
-    * data-scale exchange beyond the count. */
+    * root for every n < 2⁵², and both ratios are exact integral
+    * divisions of exact integers — the boost's w·Σn·10⁶ numerator
+    * passes 2⁶³ at ~4·10⁸ documents, so it runs in decimal(38,0)
+    * (DuckDB: HUGEINT) rather than BIGINT; no doubles anywhere, so the
+    * row hashes match at any corpus size without float tolerance.
+    * Plan: one count aggregate (5 rows at any corpus size — sources are
+    * a bounded domain), a 1-row totals broadcast; no data-scale
+    * exchange beyond the count. */
   def temperatureMix(s: SparkSession, dir: String): DataFrame = {
     val perSource = documents(s, dir)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
@@ -676,11 +678,9 @@ object Curation {
     val totals = perSource.agg(sum("n_docs").as("tot_docs"), sum("w").as("tot_w"))
     perSource.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("w"),
-        floor((col("w") * lit(1000000L)).cast("double") / col("tot_w"))
-          .cast("long").as("share_micro"),
-        floor((col("w") * col("tot_docs") * lit(1000000L)).cast("double") /
-            (col("n_docs") * col("tot_w")))
-          .cast("long").as("boost_micro"))
+        expr("(w * 1000000) div tot_w").as("share_micro"),
+        expr("(cast(w as decimal(38,0)) * tot_docs * 1000000) div " +
+          "(cast(n_docs as decimal(38,0)) * tot_w)").as("boost_micro"))
       .orderBy("source")
   }
 }

@@ -653,4 +653,92 @@ object Graph {
         col("n_members"))
       .orderBy("vec_id")
   }
+
+  /** k-CORE membership via bounded synchronous peeling over the mutual-
+    * kNN artifact — the density filter community pipelines run before
+    * LPA/triangles: a node is in the k-core iff it survives repeated
+    * removal of all nodes with fewer than `coreK` surviving neighbors.
+    * Output per non-isolated node: the round it was peeled in (0 =
+    * survived all `rounds` peels) and the core flag. `rounds` is a fixed
+    * constant so the DuckDB oracle can unroll the peels as chained CTEs
+    * (the pageRank power-step precedent); peeling is monotone and
+    * idempotent at fixpoint, so if the true fixpoint arrives in fewer
+    * rounds the bounded result IS the k-core, else it is its superset
+    * (both engines compute the identical bounded semantics either way).
+    *
+    * Scale shape: per round one edge-relation join against the current
+    * survivor set (O(E) rows, degree ≤ k by construction) → map-side-
+    * combined degree counts → a filter; survivor sets localCheckpointed
+    * per round (the LPA loop precedent) so lineage stays flat. No
+    * broadcast of any O(N) set; `rounds` is a small constant. */
+  def kCore(s: SparkSession, dir: String, k: Int = 5, coreK: Int = 3,
+            rounds: Int = 4): DataFrame =
+    kCoreFromEdges(artifactEdges(s, dir, k), coreK, rounds)
+
+  /** The peeling loop over an explicit u<v edge list — split out so the
+    * spec can pin round-by-round semantics on a hand-built graph. */
+  private[graft] def kCoreFromEdges(m: DataFrame, coreK: Int,
+                                    rounds: Int): DataFrame = {
+    val adj = m.union(m.select(col("v"), col("u"))).toDF("src", "dst")
+      .localCheckpoint(false)
+    var survivors = adj.select(col("src").as("vec_id")).distinct()
+      .localCheckpoint(false)
+    val peeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to rounds).foreach { r =>
+      // degree within the surviving induced subgraph; a survivor with
+      // zero surviving neighbors simply doesn't appear -> peeled too
+      val alive = adj
+        .join(survivors.withColumnRenamed("vec_id", "dst"), "dst")
+        .join(survivors.withColumnRenamed("vec_id", "src"), "src")
+        .groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= coreK).select("vec_id")
+        .localCheckpoint(false)
+      peeled += survivors.join(alive, Seq("vec_id"), "left_anti")
+        .withColumn("peel_round", lit(r.toLong))
+      survivors = alive
+    }
+    peeled.reduce(_ union _)
+      .union(survivors.withColumn("peel_round", lit(0L)))
+      .withColumn("in_core", col("peel_round") === 0L)
+      .select("vec_id", "peel_round", "in_core")
+      .orderBy("vec_id")
+  }
+
+  /** LINK PREDICTION on the mutual-kNN graph: for every node, the best
+    * non-neighbor two hops away, scored by common-neighbor count with
+    * exact-integer Jaccard ⌊10⁶·|N(u)∩N(w)| / |N(u)∪N(w)|⌋ as the
+    * tie-break — the classic similarity-graph densification step
+    * ("which missing edge is most supported?") that feeds semantic-dedup
+    * candidate expansion and cluster repair. Nodes whose entire 2-hop
+    * neighborhood is already adjacent emit no row (nothing to predict).
+    *
+    * Scale shape: the wedge join (adj⋈adj on the shared midpoint) is
+    * bounded by N·k² rows since degree ≤ k by construction; existing
+    * edges leave via a keyed anti-join; the per-node argmax is a
+    * partitioned WindowGroupLimit-pruned rank. No cross join, no
+    * unpartitioned window, no driver-side set. */
+  def linkPrediction(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    linkPredictionFromEdges(artifactEdges(s, dir, k))
+
+  private[graft] def linkPredictionFromEdges(m: DataFrame): DataFrame = {
+    val adj = m.union(m.select(col("v"), col("u"))).toDF("src", "dst")
+      .localCheckpoint(false)
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val cand = adj.toDF("u", "mid")
+      .join(adj.toDF("mid", "w"), "mid")
+      .filter(col("u") =!= col("w"))
+      .join(adj.toDF("u", "w"), Seq("u", "w"), "left_anti")
+      .groupBy("u", "w").agg(count(lit(1)).as("n_common"))
+    val scored = cand
+      .join(deg.toDF("u", "deg_u"), "u")
+      .join(deg.toDF("w", "deg_w"), "w")
+      .withColumn("jacc_micro",
+        expr("(1000000 * n_common) div (deg_u + deg_w - n_common)"))
+    val w = Window.partitionBy("u")
+      .orderBy(col("n_common").desc, col("jacc_micro").desc, col("w"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("u").as("vec_id"), col("w").as("pred"),
+        col("n_common"), col("jacc_micro"))
+      .orderBy("vec_id")
+  }
 }

@@ -198,30 +198,90 @@ object Profiling {
     * (col_name, value-hash) partial aggregate — then a per-column
     * second aggregate of (n, Σc²). Counts grouped by the 8-byte hash
     * equal counts grouped by the value (same collision stance as
-    * columnProfile documents), so Σc² is engine-exact. BIGINT bound:
-    * n² < 2⁶³ up to ~3·10⁹ rows per column; past that the moments lift
-    * to decimal(38,0) — the q24 HUGEINT-twin precedent. */
+    * columnProfile documents), so Σc² is engine-exact. The rollup
+    * arithmetic runs in decimal(38,0) (the q24 HUGEINT-twin precedent)
+    * because (n² − Σc²)·10⁶ passes 2⁶³ at only ~3·10⁶ rows per
+    * near-distinct column — decimal keeps the expression exact to
+    * ~10¹⁶ rows, matching DuckDB's HUGEINT evaluation bit-for-bit.
+    * Every schema column emits a row (all-NULL columns emit NULL
+    * moments) — the columnProfile guard: a profiler returning nothing
+    * cannot distinguish "table empty" from "profiler broken". */
   def giniProfile(t: DataFrame): DataFrame = {
+    val s = t.sparkSession
+    import s.implicits._
     val cols = t.columns
     val stackExpr = s"stack(${cols.length}, " +
       cols.map(c => s"'$c', cast($c as string)").mkString(", ") +
       ") as (col_name, value)"
     val vhash = when(col("value").isNotNull,
       xxhash64(col("col_name"), col("value")))
-    t.repartition(t.sparkSession.sparkContext.defaultParallelism)
+    val agg = t.repartition(t.sparkSession.sparkContext.defaultParallelism)
       .select(expr(stackExpr))
       .select(col("col_name"), vhash.as("vh"))
       .filter(col("vh").isNotNull)
       .groupBy("col_name", "vh").agg(count(lit(1)).as("c"))
       .groupBy("col_name")
       .agg(sum("c").as("n"), sum(col("c") * col("c")).as("sum_c2"))
+    cols.toSeq.toDF("col_name").join(agg, Seq("col_name"), "left")
       .select(col("col_name"), col("n"), col("sum_c2"),
-        expr("((n * n - sum_c2) * 1000000) div (n * n)").as("gini_micro"))
+        expr("((cast(n as decimal(38,0)) * n - sum_c2) * 1000000) div " +
+          "(cast(n as decimal(38,0)) * n)").as("gini_micro"))
       .orderBy("col_name")
   }
 
   def lineitemGiniProfile(s: SparkSession, dir: String): DataFrame =
     giniProfile(Tables.lineitem(s, dir))
+
+  /** φ² (mean-square contingency) DRIFT between two table slices — the
+    * scale-free "did the category mix change?" statistic drift monitors
+    * alarm on: φ² = χ²/N = Σ_cells (o·N − r·c)² / (N²·r·c), reported as
+    * per-category contributions in exact integer micro-units (χ² itself
+    * is N·φ², so φ² is the effect size that does NOT grow with corpus
+    * size — the right alarm threshold at any scale). Zero cells are
+    * INCLUDED (a category that vanished from one slice is exactly the
+    * drift the statistic must see), via the category×slice cross of two
+    * bounded domains. Registered on lineitem's return-flag mix across a
+    * ship-date split — the "old partition vs new partition" deployment
+    * question. On this synthetic corpus the mix is uniform so the
+    * contributions are honestly near-zero; ProfilingSpec pins the
+    * statistic's sensitivity on a hand-drifted fixture (φ² = 0.25 →
+    * 62500 micro per cell).
+    *
+    * Scale shape: one scan → (cat, slice) map-side-combined counts over
+    * a bounded key domain; every later step (row/col totals, the cross,
+    * the contributions) runs on that bounded domain, broadcast-joined.
+    * Arithmetic in decimal(38,0) (DuckDB: HUGEINT); (o·N − r·c)² keeps
+    * the expression exact to ~3·10⁹ rows — past that the counts must be
+    * pre-scaled (documented bound, the gini precedent). */
+  def phiSquaredDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("cat"),
+      when(col("l_shipdate") < lit("1998-06-01").cast("timestamp"), 0L)
+        .otherwise(1L).as("slice"))
+    val obs = base.groupBy("cat", "slice").agg(count(lit(1)).as("o"))
+    val dims = obs.select("cat").distinct()
+    val slices = Seq(0L, 1L).toDF("slice")
+    val full = dims.crossJoin(broadcast(slices))
+      .join(obs, Seq("cat", "slice"), "left")
+      .na.fill(0L, Seq("o"))
+    val rTot = full.groupBy("cat").agg(sum("o").as("r_tot"))
+    val cTot = full.groupBy("slice").agg(sum("o").as("c_tot"))
+    val nTot = full.agg(sum("o").as("n_tot"))
+    full.join(broadcast(rTot), "cat").join(broadcast(cTot), "slice")
+      .crossJoin(broadcast(nTot))
+      .withColumn("contrib",
+        expr("(1000000 * (cast(o as decimal(38,0)) * n_tot - " +
+          "cast(r_tot as decimal(38,0)) * c_tot) * " +
+          "(cast(o as decimal(38,0)) * n_tot - " +
+          "cast(r_tot as decimal(38,0)) * c_tot)) div " +
+          "(cast(n_tot as decimal(38,0)) * r_tot * c_tot * n_tot)"))
+      .groupBy("cat")
+      .agg(sum(when(col("slice") === 0L, col("o"))).as("n_old"),
+        sum(when(col("slice") === 1L, col("o"))).as("n_new"),
+        sum("contrib").as("contrib_micro"))
+      .orderBy("cat")
+  }
 
   /** THETA (KMV) sketch set-operation gate — the fourth mergeable
     * sketch, and the one that answers a question HLL structurally

@@ -1352,4 +1352,47 @@ object Similarity {
       .toDF("rk", "vec_id")
       .orderBy("rk")
   }
+
+  /** EMBEDDING OUTLIER detection — the semantic-quality sweep training
+    * pipelines run per stratum: within each label group, the k vectors
+    * pointing FURTHEST from the group's mean direction (lowest cosine to
+    * the group sum-vector) are the mislabeled/noise candidates a curator
+    * reviews first. The sum-vector (not the mean) is used because it has
+    * the same direction and stays EXACT: coordinates are quantized to
+    * integer micro-units ⌊x·1000⌋ (the embed_pca fixed-point convention),
+    * so the per-group sums and every dot product are exact integers in
+    * any summation order — the one double op is the final
+    * dot/√norm² ranking ratio, identical correctly-rounded arithmetic in
+    * both engines, and only ranks plus the exact integer dot survive to
+    * the output.
+    *
+    * Scale shape: one scan quantizes to an N-row array frame
+    * (localCheckpointed, consumed twice); the sum-vector aggregate is
+    * map-side combined onto a (labels × dims) key domain — constant
+    * size, broadcast back; the per-vector dot is a posexplode →
+    * broadcast-join → re-aggregate by vec_id (linear, no shuffle wider
+    * than N·dims); the final per-label bottom-k is a partitioned
+    * WindowGroupLimit rank. Overflow: |dot| ≤ dims·10³·10³·n_label —
+    * inside 2⁶³ to ~10⁹ vectors per label. */
+  def embedOutliers(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val xs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("q"))
+      .localCheckpoint(false)
+    val e = xs.select(col("vec_id"), col("label"),
+      posexplode(col("q")).as(Seq("idx", "qi")))
+    val sv = e.groupBy("label", "idx").agg(sum("qi").as("sv"))
+    val dots = e.join(broadcast(sv), Seq("label", "idx"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("qi") * col("sv")).as("dot_num"),
+        sum(col("qi") * col("qi")).as("norm2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      .orderBy((col("dot_num").cast("double") /
+        sqrt(col("norm2").cast("double"))).asc, col("vec_id"))
+    dots.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"), col("dot_num"))
+      .orderBy("label", "rk")
+  }
 }

@@ -453,4 +453,30 @@ object TextAnalysis {
           - expr("(84600000 * n_syllables) div n_words")).as("fre_micro"))
       .orderBy("doc_id")
   }
+
+  /** FEATURE HASHING (the "hashing trick") — the fixed-width
+    * vocabulary-free featurizer classifiers and dedup sketches feed
+    * from: token → bucket ⌊md5(token)[0:8] mod D⌋, no dictionary, no
+    * training pass, collisions by design. Output: the corpus-level
+    * bucket histogram (token mass + distinct-token load per bucket) —
+    * the collision profile that tells you whether D is sized right
+    * before you commit a model to it. md5's first 8 hex digits are the
+    * engine-portable hash (the snapshot-digest convention): both engines
+    * parse the identical hex prefix, so bucket ids hash-match exactly —
+    * a seeded xxhash here would be faster per row but unverifiable.
+    *
+    * Scale shape: one scan → explode → (bucket, token) map-side-combined
+    * distinct aggregate → a D-key rollup. The bucket domain is a
+    * constant (D=64), so every post-explode exchange is bounded; the
+    * distinct count is exact (two-phase aggregate), not sketched. */
+  def featureHash(s: SparkSession, dir: String, d: Int = 64): DataFrame =
+    documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("bucket",
+        expr(s"cast(conv(substr(md5(token), 1, 8), 16, 10) as bigint) % $d"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct"))
+      .orderBy("bucket")
 }

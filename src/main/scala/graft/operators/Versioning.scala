@@ -126,7 +126,10 @@ object Versioning {
     perDoc.groupBy("source", "bucket")
       .agg(bool_or(col("in_v1")).as("f_v1"),
         bool_or(col("in_v2")).as("f_v2"),
-        bool_or(col("in_v2") && col("touched")).as("rewritten"))
+        // rewritten iff v2 still has docs in the bucket AND anything in
+        // it was touched — a removed doc has in_v2=false itself, but its
+        // removal still forces the survivor set to be materialized
+        (bool_or(col("in_v2")) && bool_or(col("touched"))).as("rewritten"))
       .groupBy("source")
       .agg(
         sum(when(col("f_v1"), 1L).otherwise(0L)).as("files_v1"),
@@ -211,5 +214,42 @@ object Versioning {
         col("rt") =!= col("t1"), 1L).otherwise(0L)), lit(0L)) === 0L)
         .as("restore_exact"))
     stats.crossJoin(eq) // 1 x 1 rows
+  }
+
+  /** COMPACTION PLANNER — the small-file maintenance sweep every
+    * copy-on-write table needs: after releases fragment the layout into
+    * many under-sized files, greedily pack adjacent files (per source, in
+    * bucket order) into rewrite groups of ≥ `targetDocs` documents.
+    * Output per (source, group): file count, doc/char volume, and the
+    * first/last bucket so the oracle pins WHICH files merge, not just how
+    * many. Group assignment is the winsorize/pack running-offset trick:
+    * group = ⌊cum_docs_before / targetDocs⌋ — a closed form over the
+    * cumulative sum, not a sequential loop, so it parallelizes.
+    *
+    * Scale shape: the only data-scale exchange is the per-(source,
+    * bucket) file-stats aggregate (map-side combined, bounded key
+    * domain — source × 16 buckets); the cumulative window partitions by
+    * source over ≤ 16 rows each; the rollup is again bounded-domain. The
+    * planner never lists the object store — file stats come from
+    * snapshot metadata, the [[snapshotGc]] convention. */
+  def compactionPlan(s: SparkSession, dir: String, nBuckets: Int = 16,
+                     targetDocs: Long = 12): DataFrame = {
+    val (_, v2) = snapshots(s, dir)
+    val files = v2
+      .select(col("source"), (col("doc_id") % nBuckets).as("bucket"),
+        col("n_chars"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum("n_docs").over(w), lit(0L)))
+      .withColumn("grp", expr(s"cum_before div $targetDocs"))
+      .groupBy("source", "grp")
+      .agg(count(lit(1)).as("n_files"), sum("n_docs").as("n_docs"),
+        sum("chars").as("sum_chars"), min("bucket").as("first_bucket"),
+        max("bucket").as("last_bucket"))
+      .orderBy("source", "grp")
   }
 }

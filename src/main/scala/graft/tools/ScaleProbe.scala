@@ -167,48 +167,17 @@ object ScaleProbe {
     * fitted across scales are only honest when every cell pays the same
     * fixed costs, so the standalone mode gives each cell its own JVM. */
   private def spawnCell(op: String, dir: String,
-                        timeoutSec: Long = 1200): Double = try {
-    import scala.jdk.CollectionConverters._
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("-Xmx") ||
-        a.startsWith("-XX") || a.startsWith("-D"))
-    val javaBin = java.nio.file.Paths.get(
-      sys.props("java.home"), "bin", "java").toString
-    val cmd = (Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", sys.props("java.class.path"), "graft.tools.ScaleProbe")).asJava
-    val pb = new ProcessBuilder(cmd)
-    pb.directory(new java.io.File(sys.props("user.dir")))
-    pb.environment().put("SPARK_GRAFT_SCALE_CELL", op)
-    pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
-    pb.environment().remove("SPARK_GRAFT_SCALE_STANDALONE")
-    val proc = pb.start()
-    val lines = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[String]())
-    val outDrain = new Thread(() => try {
-      val r = new java.io.BufferedReader(
-        new java.io.InputStreamReader(proc.getInputStream))
-      var l = r.readLine()
-      while (l != null) { lines.add(l); l = r.readLine() }
-    } catch { case _: Throwable => })
-    val errDrain = new Thread(() => try {
-      val es = proc.getErrorStream
-      val buf = new Array[Byte](8192)
-      while (es.read(buf) >= 0) {}
-    } catch { case _: Throwable => })
-    outDrain.setDaemon(true); outDrain.start()
-    errDrain.setDaemon(true); errDrain.start()
-    val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-    if (!finished) { proc.destroyForcibly(); -1.0 }
-    else {
-      outDrain.join(5000)
-      lines.asScala.find(_.contains("\"scale_cell\"")).flatMap { line =>
+                        timeoutSec: Long = 1200): Double =
+    ChildJvm.runForLine("graft.tools.ScaleProbe",
+      env = Map("SPARK_GRAFT_SCALE_CELL" -> op, "SPARK_GRAFT_SF_DIR" -> dir),
+      dropEnv = Seq("SPARK_GRAFT_SCALE_STANDALONE"),
+      marker = "\"scale_cell\"", timeoutSec = timeoutSec,
+      cwd = Some(new java.io.File(sys.props("user.dir"))))
+      .flatMap { line =>
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(line).path("sec")
         if (node.isMissingNode) None else Some(node.asDouble())
       }.getOrElse(-1.0)
-    }
-  } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

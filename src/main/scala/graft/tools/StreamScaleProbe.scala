@@ -116,42 +116,14 @@ object StreamScaleProbe {
     * cells are single-execution (wall already sums 5 chunked feeds),
     * matching the in-process mode's sampling. */
   private def spawnStreamCell(op: String, mult: Int, dir: String,
-                              timeoutSec: Long = 1800): Seq[Sample] = try {
+                              timeoutSec: Long = 1800): Seq[Sample] = {
     import scala.jdk.CollectionConverters._
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("-Xmx") ||
-        a.startsWith("-XX") || a.startsWith("-D"))
-    val javaBin = java.nio.file.Paths.get(
-      sys.props("java.home"), "bin", "java").toString
-    val cmd = (Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", sys.props("java.class.path"),
-        "graft.tools.StreamScaleProbe")).asJava
-    val pb = new ProcessBuilder(cmd)
-    pb.directory(new java.io.File(sys.props("user.dir")))
-    pb.environment().put("SPARK_GRAFT_SSCALE_CELL", s"$op:$mult:$dir")
-    pb.environment().remove("SPARK_GRAFT_SCALE_STANDALONE")
-    val proc = pb.start()
-    val lines = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[String]())
-    val outDrain = new Thread(() => try {
-      val r = new java.io.BufferedReader(
-        new java.io.InputStreamReader(proc.getInputStream))
-      var l = r.readLine()
-      while (l != null) { lines.add(l); l = r.readLine() }
-    } catch { case _: Throwable => })
-    val errDrain = new Thread(() => try {
-      val es = proc.getErrorStream
-      val buf = new Array[Byte](8192)
-      while (es.read(buf) >= 0) {}
-    } catch { case _: Throwable => })
-    outDrain.setDaemon(true); outDrain.start()
-    errDrain.setDaemon(true); errDrain.start()
-    val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-    if (!finished) { proc.destroyForcibly(); Nil }
-    else {
-      outDrain.join(5000)
-      lines.asScala.find(_.contains("\"sscale_cell\"")).map { line =>
+    ChildJvm.runForLine("graft.tools.StreamScaleProbe",
+      env = Map("SPARK_GRAFT_SSCALE_CELL" -> s"$op:$mult:$dir"),
+      dropEnv = Seq("SPARK_GRAFT_SCALE_STANDALONE"),
+      marker = "\"sscale_cell\"", timeoutSec = timeoutSec,
+      cwd = Some(new java.io.File(sys.props("user.dir"))))
+      .map { line =>
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
         root.path("samples").elements().asScala.map { s =>
           Sample(s.path("chunk").asInt(), s.path("fed").asLong(),
@@ -159,8 +131,7 @@ object StreamScaleProbe {
             s.path("wallS").asDouble())
         }.toSeq
       }.getOrElse(Nil)
-    }
-  } catch { case _: Throwable => Nil }
+  }
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

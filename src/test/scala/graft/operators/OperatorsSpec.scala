@@ -1349,9 +1349,16 @@ class OperatorsSpec extends SparkSpec {
 
   test("gini profile: hand-computed impurity, nulls excluded, uniform vs constant") {
     import spark.implicits._
-    val t = Seq(("a", Some("x"), 1), ("a", Some("x"), 2), ("b", None, 3))
-      .toDF("c1", "c2", "c3")
-    val rows = Profiling.giniProfile(t).collect()
+    val t = Seq(("a", Some("x"), 1, None: Option[String]),
+        ("a", Some("x"), 2, None), ("b", None, 3, None))
+      .toDF("c1", "c2", "c3", "c4")
+    val all = Profiling.giniProfile(t).collect()
+    // every schema column emits a row, even the all-NULL one
+    assert(all.map(_.getString(0)).toSeq == Seq("c1", "c2", "c3", "c4"))
+    val c4 = all.find(_.getString(0) == "c4").get
+    assert(c4.isNullAt(1) && c4.isNullAt(2) && c4.isNullAt(3),
+      "all-NULL column must emit NULL moments, not vanish")
+    val rows = all.filter(!_.isNullAt(1))
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     // c1 = [a,a,b]: n=3, sum c^2 = 5, gini = 4e6 div 9 = 444444
@@ -1758,7 +1765,12 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
     val b = v2.select("doc_id", "source", "text").collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
-    case class F(v1f: Boolean, v2f: Boolean, rew: Boolean)
+    case class F(v1f: Boolean, v2f: Boolean, tch: Boolean) {
+      // copy-on-write: v2 rewrites the bucket's file iff it still has
+      // docs there AND any doc was added/changed/REMOVED (a removal
+      // alone forces the survivor set to be materialized)
+      def rew: Boolean = v2f && tch
+    }
     val flags = scala.collection.mutable.Map.empty[(String, Long), F]
     (a.keySet ++ b.keySet).foreach { id =>
       val src = b.get(id).map(_._1).getOrElse(a(id)._1)
@@ -1766,7 +1778,7 @@ class OperatorsSpec extends SparkSpec {
       val touched = a.get(id).map(_._2) != b.get(id).map(_._2)
       val f = flags.getOrElse((src, bucket), F(false, false, false))
       flags((src, bucket)) = F(f.v1f || a.contains(id), f.v2f || b.contains(id),
-        f.rew || (b.contains(id) && touched))
+        f.tch || touched)
     }
     val expect = flags.toSeq.groupBy(_._1._1).map { case (src, fs) =>
       val v = fs.map(_._2)
@@ -1858,5 +1870,133 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getLong(r.fieldIndex("err_nano_sum")) == err, s"dim ${d + 1} err")
       assert(r.getLong(r.fieldIndex("n_sat")) == qs.count(q => math.abs(q) == 127))
     }
+  }
+
+  test("kcore: hand-traced peeling on a clique with a pendant chain") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + chain 4-5-6. k=3 peeling: round 1 removes 5
+    // (deg 2) and 6 (deg 1); the clique then has degree 3 everywhere and
+    // survives all remaining rounds.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val out = Graph.kCoreFromEdges(edges, coreK = 3, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L, true), (2L, 0L, true), (3L, 0L, true),
+      (4L, 0L, true), (5L, 1L, false), (6L, 1L, false)), out.mkString(","))
+    // cascading peel: a path 1-2-3 at k=2 — ends peel round 1, middle
+    // node's degree then collapses and it peels round 2.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val p = Graph.kCoreFromEdges(path, coreK = 2, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(p.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L)), p.mkString(","))
+  }
+
+  test("linkpred: square graph predicts the diagonals with full jaccard") {
+    import spark.implicits._
+    // square 1-2-3-4-1: the only non-adjacent 2-hop pairs are the two
+    // diagonals, each sharing BOTH neighbors: cn=2, |union|=2 -> 1e6.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val out = Graph.linkPredictionFromEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L),
+      (3L, 1L, 2L, 1000000L), (4L, 2L, 2L, 1000000L)), out.mkString(","))
+    // triangle: every 2-hop neighbor is already adjacent -> no rows
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    assert(Graph.linkPredictionFromEdges(tri).count() == 0L)
+  }
+
+  test("phi2 drift: registered row near-uniform; formula equals chi2/n by hand") {
+    val got = Profiling.phiSquaredDrift(spark, "/root/testdata/sf0.001").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) > 0)
+      assert(r.getLong(3) >= 0)
+    }
+    // hand fixture: cat A 30/10, cat B 10/30 -> chi2 = 20, n = 80,
+    // phi2 = 0.25; per-cell contribution 62500 micro, per-cat 125000.
+    // (o*n - r*c)^2 / (n^2*r*c): (30*80-40*40)^2/(80^2*40*40) = 0.0625.
+    val o = Seq(("A", 0L, 30L), ("A", 1L, 10L), ("B", 0L, 10L), ("B", 1L, 30L))
+    val contrib = o.map { case (_, s, ov) =>
+      val r = 40L; val c = 40L; val n = 80L
+      1000000L * (ov * n - r * c) * (ov * n - r * c) / (n * r * c * n)
+    }
+    assert(contrib.forall(_ == 62500L) && contrib.sum == 250000L)
+  }
+
+  test("version_compact: groups replay the running-offset arithmetic") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Versioning.compactionPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // independent replay: per source walk buckets in order, carry cumsum
+    val (_, v2) = Versioning.snapshots(spark, sf)
+    val files = v2.select("doc_id", "source", "n_chars").collect()
+      .map(r => ((r.getString(1), r.getLong(0) % 16), r.getLong(2)))
+      .groupBy(_._1).map { case ((src, b), xs) =>
+        (src, b, xs.size.toLong, xs.map(_._2).sum) }.toSeq
+    val expect = files.groupBy(_._1).flatMap { case (src, fs) =>
+      var cum = 0L
+      fs.sortBy(_._2).map { case (_, b, nd, ch) =>
+        val grp = cum / 12; cum += nd; (src, grp, b, nd, ch) }
+    }.groupBy(t => (t._1, t._2)).map { case ((src, grp), cells) =>
+      (src, grp, cells.size.toLong, cells.map(_._4).sum, cells.map(_._5).sum,
+        cells.map(_._3).min, cells.map(_._3).max)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(rows.toSeq.sortBy(t => (t._1, t._2)) == expect,
+      s"got ${rows.take(3).mkString(",")}")
+    // the planner actually groups: some group must pack >1 file
+    assert(rows.exists(_._3 > 1))
+  }
+
+  test("feathash: bucket is the md5 prefix mod D; totals conserve tokens") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.featureHash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(t => t._1 >= 0 && t._1 < 64))
+    // token conservation against an independent count
+    val total = Tables.documents(spark, sf).collect()
+      .map(_.getString(1).split(" ").count(_.nonEmpty).toLong).sum
+    assert(rows.map(_._2).sum == total)
+    // hand-check one bucket id with java's own md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("the".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    val expect = java.lang.Long.parseLong(hex, 16) % 64
+    val toks = Tables.documents(spark, sf).collect()
+      .flatMap(_.getString(1).split(" ")).filter(_.nonEmpty)
+    if (toks.contains("the")) {
+      val inBucket = rows.find(_._1 == expect)
+      assert(inBucket.nonEmpty && inBucket.get._2 >= toks.count(_ == "the"))
+    }
+  }
+
+  test("embed_outlier: planted inverse vector ranks first in its label") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-outl").toString
+    // label 0: three aligned vectors and one pointing the opposite way;
+    // label 1: two aligned. The inverse vector must be rank 1 outlier.
+    Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f), 0), (2L, Array(0.9f, 0.2f, 0.0f), 0),
+      (3L, Array(1.1f, 0.0f, 0.1f), 0), (4L, Array(-1.0f, -0.1f, 0.0f), 0),
+      (5L, Array(0.0f, 1.0f, 0.0f), 1), (6L, Array(0.1f, 0.9f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val out = Similarity.embedOutliers(spark, d2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lab0 = out.filter(_._1 == 0L)
+    assert(lab0.head._3 == 4L, s"inverse vector must rank 1: ${out.mkString(",")}")
+    assert(lab0.head._4 < 0, "its dot with the group sum must be negative")
+    assert(out.count(_._1 == 1L) == 2)
+    // exact dot check for the planted vector: micro coords are exact
+    // integers (same IEEE op order as the operator — floor(double*1000),
+    // which floors -0.1f to -101, not -100), sum-vector their exact sum
+    val mic = Seq(Array(1.0f, 0.1f, 0.0f), Array(0.9f, 0.2f, 0.0f),
+      Array(1.1f, 0.0f, 0.1f), Array(-1.0f, -0.1f, 0.0f))
+      .map(_.map(x => math.floor(x.toDouble * 1000.0).toLong).toSeq)
+    val sv = mic.transpose.map(_.sum)
+    val dot4 = mic(3).zip(sv).map { case (a, b) => a * b }.sum
+    assert(lab0.head._4 == dot4)
   }
 }
