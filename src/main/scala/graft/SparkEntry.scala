@@ -218,6 +218,9 @@ object SparkEntry {
     "curate_pii"      -> (Curation.piiDemo _),
     "curate_spans"    -> ((s, d) => Curation.removeSharedSpans(s, d)),
     "curate_split"    -> ((s, d) => Curation.splitAssignments(s, d)),
+    // Leakage-safe split: same LCG/thresholds keyed on the near-dup
+    // CLUSTER id, so no >=0.85-Jaccard pair straddles a boundary.
+    "curate_leaksplit" -> ((s, d) => Curation.leakSafeSplit(s, d)),
     // Two-phase anneal schedule: per-doc epoch counts from an ABSOLUTE
     // quality bar (threshold, not rank — zero-exchange projection,
     // growth-stable membership; see Curation.annealSchedule scaladoc).
@@ -288,6 +291,9 @@ object SparkEntry {
     // Per-label embedding outliers: bottom-k cosine to the exact integer
     // group sum-vector (micro-quantized; ranks + exact dot survive).
     "embed_outlier"   -> ((s, d) => Similarity.embedOutliers(s, d)),
+    // 1-bit (sign) quantization: packed 64-bit signatures, Hamming top-k
+    // flagged against the exact cosine top-k (recall as row data).
+    "embed_binary"    -> ((s, d) => Similarity.binaryQuantTopK(s, d)),
     // PCA gate: integer-exact covariance moments (floor(x*1000) fixed
     // point), driver 64x64 Jacobi eigensolve (control plane), projected
     // variance per component verified against its eigenvalue in-plan;
@@ -352,6 +358,10 @@ object SparkEntry {
     // integer-exact projection (counts; the double sum stays live-only).
     "stream_windowstats" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.windowStatsSpooled(s, d)),
+    // Volume-spike monitor: stream-maintained tumbling counts, exact
+    // integer trailing-3-window comparison over the finalized windows.
+    "stream_anomaly" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.anomalySpooled(s, d)),
     // The SAME aggregate executed through a mid-stream crash + restart
     // from one checkpoint into an exactly-once file sink — the
     // fault-tolerance contract as an oracle row (state recovery AND
@@ -407,6 +417,9 @@ object SparkEntry {
     // φ² (mean-square contingency) category-mix drift across a ship-date
     // split, exact decimal micro-units, zero cells included.
     "profile_phi2"    -> ((s, d) => Profiling.phiSquaredDrift(s, d)),
+    // Exact-integer Kolmogorov–Smirnov distance over the bounded value
+    // histogram (numeric-distribution drift; one-row result).
+    "profile_ks"      -> ((s, d) => Profiling.ksDrift(s, d)),
     "profile_qsketch" -> ((s, d) => Profiling.quantileSketchGate(s, d)),
     // Cross-column correlation sufficient statistics (integer-exact
     // moments, one Aggregate pass over one scan).
@@ -628,6 +641,23 @@ object SparkEntry {
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Batch replay of the spike monitor: tumbling counts + the exact
+    // integer trailing-3 comparison (first three windows cannot flag).
+    "stream_anomaly" ->
+      """WITH c AS (SELECT (epoch_ms(ts) // 3600000) * 3600000
+        |             AS window_start_ms, count(*) AS n_events
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT window_start_ms, n_events,
+        |        COALESCE(sum(n_events) OVER (ORDER BY window_start_ms
+        |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS trail_sum,
+        |        count(*) OVER (ORDER BY window_start_ms
+        |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n_trail
+        |      FROM c)
+        |SELECT window_start_ms, n_events,
+        |       CAST(trail_sum AS BIGINT) AS trail_sum,
+        |       CAST(n_trail AS BIGINT) AS n_trail,
+        |       (n_trail = 3 AND n_events * 3 > trail_sum * 2) AS is_spike
+        |FROM t ORDER BY window_start_ms""".stripMargin,
     // Crash-recovery twin: the restarted execution must land on the
     // very same batch truth as the uninterrupted one.
     "stream_recovery" ->
@@ -764,6 +794,33 @@ object SparkEntry {
     // boolean (true at k=4096 / tol=0.15 by the RSE margin).
     // Counts grouped by raw value equal Spark's hash-grouped counts
     // (injective rendering, collision stance as columnProfile).
+    // Exact KS over the value histogram; min(v) among maximizers is the
+    // deterministic argmax tie-break.
+    "profile_ks" ->
+      """WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |        CASE WHEN l_shipdate < TIMESTAMP '1998-06-01' THEN 0
+        |             ELSE 1 END AS slice
+        |      FROM lineitem),
+        |n AS (SELECT sum(CASE WHEN slice=0 THEN 1 ELSE 0 END) AS n_a,
+        |             sum(CASE WHEN slice=1 THEN 1 ELSE 0 END) AS n_b
+        |      FROM base),
+        |h AS (SELECT v, sum(CASE WHEN slice=0 THEN 1 ELSE 0 END) AS c_a,
+        |             sum(CASE WHEN slice=1 THEN 1 ELSE 0 END) AS c_b
+        |      FROM base GROUP BY v),
+        |c AS (SELECT v,
+        |        abs(CAST(sum(c_a) OVER (ORDER BY v) AS HUGEINT) * n.n_b
+        |          - CAST(sum(c_b) OVER (ORDER BY v) AS HUGEINT) * n.n_a)
+        |          AS diff,
+        |        n.n_a, n.n_b
+        |      FROM h CROSS JOIN n),
+        |mx AS (SELECT max(diff) AS mxd FROM c)
+        |SELECT CAST(mx.mxd AS BIGINT) AS ks_num,
+        |       CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+        |       CAST((1000000 * mx.mxd)
+        |         // (CAST(c.n_a AS HUGEINT) * c.n_b) AS BIGINT) AS ks_micro,
+        |       CAST(min(c.v) AS BIGINT) AS at_value
+        |FROM c JOIN mx ON c.diff = mx.mxd
+        |GROUP BY mx.mxd, c.n_a, c.n_b""".stripMargin,
     // φ² = χ²/N drift: zero cells included via the dims x slices cross;
     // HUGEINT arithmetic mirrors the Spark side's decimal(38,0).
     "profile_phi2" ->
@@ -2021,6 +2078,30 @@ object SparkEntry {
          |FROM exp GROUP BY shard ORDER BY shard""".stripMargin
     },    // Same lcgKey spelling as curate_sample/curate_mix (one definition
     // per side, Curation.lcgKey / lcgKeySql).
+    // Same recursive-closure cluster construction as dedup_cluster, then
+    // the curate_split LCG/thresholds keyed on cluster_id.
+    "curate_leaksplit" -> {
+      val lcgC = graft.operators.Curation.lcgKeySql
+        .replace("doc_id", "cluster_id")
+      s"""WITH RECURSIVE
+         |ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         |       FROM documents),
+         |e AS (
+         | SELECT a.doc_id AS src, b.doc_id AS dst FROM ts a, ts b
+         | WHERE a.doc_id <> b.doc_id
+         |   AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |       (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.85),
+         |reach(doc_id, r) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.doc_id),
+         |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+         |SELECT doc_id, cluster_id,
+         | CASE WHEN ($lcgC) % 1000 < 900 THEN 'train'
+         |      WHEN ($lcgC) % 1000 < 950 THEN 'valid'
+         |      ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin
+    },
     "curate_split" -> {
       s"""SELECT doc_id, (${graft.operators.Curation.lcgKeySql}) % 1000 AS bucket,
          | CASE WHEN (${graft.operators.Curation.lcgKeySql}) % 1000 < 900 THEN 'train'
@@ -3019,6 +3100,41 @@ object SparkEntry {
     // max-cosine-to-selected (ties -> smallest vec_id), seeded at
     // min(vec_id) — the sequential dependence SQL can only express
     // recursively, which is exactly what pins the Spark driver loop.
+    // Sign-bit signatures: the HUGEINT shifted sum wraps explicitly into
+    // the BIGINT two's-complement value Spark's shiftleft produces.
+    "embed_binary" ->
+      """WITH sigs AS (
+        |  SELECT vec_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808
+        |         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS sig
+        |  FROM (SELECT vec_id,
+        |          sum(CASE WHEN b THEN (1::HUGEINT << CAST(idx AS INTEGER))
+        |              ELSE 0 END) AS s
+        |        FROM (SELECT vec_id,
+        |                CAST(unnest(range(0, 64)) AS BIGINT) AS idx,
+        |                unnest(list_transform(embedding, x -> x >= 0)) AS b
+        |              FROM embeddings)
+        |        GROUP BY vec_id)),
+        |qs AS (SELECT vec_id AS query_id, sig AS qsig FROM sigs
+        |       WHERE vec_id % 53 = 0),
+        |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |       WHERE vec_id % 53 = 0),
+        |ham AS (SELECT q.query_id, s.vec_id,
+        |          bit_count(xor(q.qsig, s.sig)) AS hamm,
+        |          ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |            ORDER BY bit_count(xor(q.qsig, s.sig)), s.vec_id) AS rk
+        |        FROM qs q JOIN sigs s ON s.vec_id <> q.query_id),
+        |cos AS (SELECT q.query_id, e.vec_id,
+        |          ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+        |              e.vec_id) AS crk
+        |        FROM qv q JOIN embeddings e ON e.vec_id <> q.query_id)
+        |SELECT h.query_id, CAST(h.rk AS BIGINT) AS rk, h.vec_id,
+        |       CAST(h.hamm AS BIGINT) AS hamm,
+        |       (c.crk IS NOT NULL AND c.crk <= 5) AS cos_hit
+        |FROM ham h LEFT JOIN cos c
+        |  ON c.query_id = h.query_id AND c.vec_id = h.vec_id
+        |WHERE h.rk <= 5 ORDER BY h.query_id, h.rk""".stripMargin,
     // Per-label outliers: exact integer sum-vector dots (the embed_pca
     // micro-quantization), one correctly-rounded double ratio for rank.
     "embed_outlier" ->

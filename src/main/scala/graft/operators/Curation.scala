@@ -671,6 +671,30 @@ object Curation {
     * Plan: one count aggregate (5 rows at any corpus size — sources are
     * a bounded domain), a 1-row totals broadcast; no data-scale
     * exchange beyond the count. */
+  /** LEAKAGE-SAFE train/valid/test split — the correctness upgrade over
+    * [[splitAssignments]] every evaluation pipeline eventually needs:
+    * hashing doc_id sends near-duplicate documents to DIFFERENT splits,
+    * so test answers leak into training. Splitting by the near-dup
+    * CLUSTER id (the [[Dedup.clusterAssignments]] transitive closure,
+    * singletons = their own id) guarantees no ≥0.85-Jaccard pair ever
+    * straddles a split boundary — the whole cluster moves together.
+    * Same LCG permutation and 90/5/5 thresholds as curate_split, keyed
+    * on cluster_id instead of doc_id (one hash definition in one place).
+    *
+    * Scale shape: cluster assignment is the settled prefix-filtered pair
+    * artifact + iterated min-label propagation (dedup_cluster's audited
+    * plan); the split itself is a zero-exchange projection over it.
+    * OperatorsSpec pins the zero-straddle property pair-by-pair. */
+  def leakSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val lcgCluster = lcgKeySql.replace("doc_id", "cluster_id")
+    Dedup.clusterAssignments(s, dir)
+      .withColumn("bucket", expr(s"($lcgCluster) % 1000"))
+      .withColumn("split", when(col("bucket") < 900, "train")
+        .when(col("bucket") < 950, "valid").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   def temperatureMix(s: SparkSession, dir: String): DataFrame = {
     val perSource = documents(s, dir)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))

@@ -232,6 +232,46 @@ object Profiling {
   def lineitemGiniProfile(s: SparkSession, dir: String): DataFrame =
     giniProfile(Tables.lineitem(s, dir))
 
+  /** Kolmogorov–Smirnov DRIFT on a numeric column between two slices —
+    * the distribution-shape companion to [[phiSquaredDrift]]'s category
+    * mix: KS = max_v |F_a(v) − F_b(v)|, computed EXACTLY as integers by
+    * clearing denominators (max |cum_a·n_b − cum_b·n_a|, reported in
+    * micro-units over n_a·n_b) — no doubles, so the one-row result
+    * hash-matches at any scale. `at_value` is the smallest value
+    * achieving the max (deterministic tie-break). Registered on
+    * lineitem's quantity across the same ship-date split as φ².
+    *
+    * Scale shape: one scan → a VALUE-HISTOGRAM aggregate (map-side
+    * combined; the key domain is the column's distinct values — the
+    * winsorize bounded-domain convention, quantity has 50); the
+    * cumulative window and the argmax run over that bounded histogram,
+    * never over rows. decimal(38,0) keeps cum·n exact to ~10¹⁸ rows. */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("v"),
+      when(col("l_shipdate") < lit("1998-06-01").cast("timestamp"), 0L)
+        .otherwise(1L).as("slice"))
+    val h = base.groupBy("v").agg(
+      sum(when(col("slice") === 0L, 1L).otherwise(0L)).as("c_a"),
+      sum(when(col("slice") === 1L, 1L).otherwise(0L)).as("c_b"))
+    val n = h.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"))
+    val wv = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val c = h.withColumn("cum_a", sum("c_a").over(wv))
+      .withColumn("cum_b", sum("c_b").over(wv))
+      .crossJoin(broadcast(n))
+      .withColumn("diff", expr("abs(cast(cum_a as decimal(38,0)) * n_b - " +
+        "cast(cum_b as decimal(38,0)) * n_a)"))
+    val mx = c.agg(max("diff").as("mxd"))
+    c.crossJoin(broadcast(mx)).filter(col("diff") === col("mxd"))
+      .groupBy("mxd", "n_a", "n_b").agg(min("v").as("at_value"))
+      .select(col("mxd").cast("long").as("ks_num"), col("n_a"), col("n_b"),
+        expr("cast((1000000 * mxd) div (cast(n_a as decimal(38,0)) * n_b) " +
+          "as bigint)").as("ks_micro"),
+        col("at_value"))
+  }
+
   /** φ² (mean-square contingency) DRIFT between two table slices — the
     * scale-free "did the category mix change?" statistic drift monitors
     * alarm on: φ² = χ²/N = Σ_cells (o·N − r·c)² / (N²·r·c), reported as

@@ -1353,6 +1353,61 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** BINARY QUANTIZATION gate — the third compression point on the
+    * embed_quantize(int8) / ann_pq(product codes) ladder: each vector
+    * collapses to its 64 SIGN BITS packed into one long (64 dims → 8
+    * bytes, 32× smaller than float32), neighbor search becomes
+    * `bit_count(xor)` Hamming — the cheapest possible distance kernel.
+    * Output: per query, the Hamming top-k with each hit flagged against
+    * the exact-cosine top-k, so the recall cost of 1-bit quantization is
+    * DATA in the row, not a claim. On this uniform-sphere corpus sign
+    * bits retain little (measured ~16% recall@5 at sf0.01) — the honest
+    * worst case, same as ann_clustered's uniform leg; on clustered real
+    * embeddings sign agreement tracks cosine far more closely. Bit 63
+    * wraps into the long sign bit identically in both engines (two's
+    * complement; the oracle wraps its HUGEINT sum explicitly).
+    *
+    * Scale shape: signature build is one posexplode → 64-key shifted-sum
+    * aggregate per vector (map-side combined, linear); search is a
+    * BROADCAST of the fixed query set against the N-row signature table
+    * (10 B/row — the ann_serve scan shape) with a per-query
+    * WindowGroupLimit top-k; the cosine truth leg is the spec-pinned
+    * brute broadcast every ANN gate row pays. */
+  def binaryQuantTopK(s: SparkSession, dir: String, k: Int = 5,
+                      qmod: Int = 53): DataFrame = {
+    val sigs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .groupBy("vec_id")
+      .agg(sum(when(col("x") >= 0f, expr("shiftleft(1L, cast(idx as int))"))
+        .otherwise(0L)).as("sig"))
+      .localCheckpoint(false)
+    val qs = sigs.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("hamm"), col("vec_id"))
+    val hamTop = sigs.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id"),
+        expr("cast(bit_count(qsig ^ sig) as bigint)").as("hamm"))
+      .withColumn("rk", row_number().over(wH).cast("long"))
+      .filter(col("rk") <= k)
+    val all = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+    val qv = all.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val cosTop = all.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("crk", row_number().over(wC)).filter(col("crk") <= k)
+      .select(col("query_id"), col("vec_id"), lit(true).as("cos_hit"))
+    hamTop.join(cosTop, Seq("query_id", "vec_id"), "left")
+      .na.fill(false, Seq("cos_hit"))
+      .select("query_id", "rk", "vec_id", "hamm", "cos_hit")
+      .orderBy("query_id", "rk")
+  }
+
   /** EMBEDDING OUTLIER detection — the semantic-quality sweep training
     * pipelines run per stratum: within each label group, the k vectors
     * pointing FURTHEST from the group's mean direction (lowest cosine to

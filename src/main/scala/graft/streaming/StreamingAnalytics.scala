@@ -908,6 +908,77 @@ object StreamingAnalytics {
     out
   }
 
+  /** STREAMING VOLUME-SPIKE detection — the ops-side monitor every event
+    * pipeline runs on its own firehose: exact tumbling-window event
+    * counts maintained by the stream (append mode, watermark-finalized),
+    * then each closed window judged against its own trailing history —
+    * spike iff n·3 > trail₃·2, i.e. the window runs more than 1.5× its
+    * trailing-3-window mean, in exact integer arithmetic (no floats, no
+    * z-score estimate drift). The trailing comparison runs over the
+    * FINALIZED window table, which is already volume-collapsed: one row
+    * per (window, type) regardless of corpus size, so the unpartitioned
+    * trailing window is over the bounded time-span domain, not rows —
+    * the stream_trending post-table precedent.
+    *
+    * Output per closed window: count, trailing sum, how many trailing
+    * windows existed, and the spike flag (first three windows can never
+    * flag — n_trail < 3). */
+  def anomalySpooled(s: SparkSession, dir: String,
+                     windowLen: String = "1 hour",
+                     lateness: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-anomspool-$runId")
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("event_type"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val latenessMs = intervalMs(lateness)
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, "sentinel")).toDF("ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_anom_$runId"
+    withSpoolPartitions(s) {
+      val agg = stream.withWatermark("ts", lateness)
+        .groupBy(window(col("ts"), windowLen), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+        val t1 = maxTsNanos + step
+        sentinel(t1)
+        q.processAllAvailable()
+        sentinel(t1 + step)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val wTrail = org.apache.spark.sql.expressions.Window
+      .orderBy("window_start_ms").rowsBetween(-3, -1)
+    val out = s.table(name)
+      .filter(col("event_type") =!= "sentinel")
+      .groupBy(unix_millis(col("window_start")).as("window_start_ms"))
+      .agg(sum("n").as("n_events"))
+      .withColumn("trail_sum", coalesce(sum("n_events").over(wTrail), lit(0L)))
+      .withColumn("n_trail", count(lit(1)).over(wTrail))
+      .withColumn("is_spike",
+        col("n_trail") === 3L && col("n_events") * 3 > col("trail_sum") * 2)
+      .orderBy("window_start_ms")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
+
   /** Stream-static enrichment join — the canonical "join the firehose to
     * a dimension" deployment shape (clickstream × user table, log lines ×
     * service registry) that completes the streaming-join surface next to

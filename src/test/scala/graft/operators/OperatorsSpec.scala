@@ -1972,6 +1972,70 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("profile_ks: equals a brute CDF recompute on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Profiling.ksDrift(spark, sf).head()
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("ms"))
+      .collect()
+      // 1998-06-01T00:00Z = 896659200000 ms (session tz is UTC)
+      .map(x => (x.getDouble(0).toLong, x.getLong(1) < 896659200000L))
+    val a = rows.filter(_._2).map(_._1).sorted
+    val b = rows.filter(!_._2).map(_._1).sorted
+    val vals = (a ++ b).distinct.sorted
+    val diffs = vals.map { v =>
+      val ca = a.count(_ <= v).toLong; val cb = b.count(_ <= v).toLong
+      (v, (ca * b.length - cb * a.length).abs)
+    }
+    val mx = diffs.map(_._2).max
+    assert(r.getLong(0) == mx, s"ks_num ${r.getLong(0)} vs $mx")
+    assert(r.getLong(1) == a.length.toLong && r.getLong(2) == b.length.toLong)
+    assert(r.getLong(3) == 1000000L * mx / (a.length.toLong * b.length))
+    assert(r.getLong(4) == diffs.filter(_._2 == mx).map(_._1).min)
+  }
+
+  test("embed_binary: hand signatures, hamming order, identical-sign hamm 0") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-bin").toString
+    // query 0 signs (+,-,+) -> sig 0b101 = 5; vec 1 same signs -> hamm 0;
+    // vec 2 signs (-,+,-) -> sig 2, hamm(5^2=7) = 3; vec 3 (+,+,+) -> 7,
+    // hamm(5^7=2) = 1. Zero is non-negative -> bit set.
+    Seq((0L, Array(1.0f, -1.0f, 1.0f), 0),
+      (1L, Array(0.5f, -0.2f, 0.9f), 0),
+      (2L, Array(-1.0f, 1.0f, -1.0f), 0),
+      (3L, Array(0.9f, 0.1f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val out = Similarity.binaryQuantTopK(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.map(_._1).distinct.toSeq == Seq(0L)) // only vec 0 queries
+    assert(out.map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((1L, 1L, 0L), (2L, 3L, 1L), (3L, 2L, 3L)), out.mkString(","))
+    // k=5 over 3 candidates: the cosine top-k covers everything -> all hit
+    assert(out.forall(_._5))
+  }
+
+  test("leaksplit: clusters never straddle splits; keyed by cluster lcg") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Curation.leakSafeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    // zero straddle: within a cluster the split is constant
+    out.groupBy(_._2).foreach { case (c, docs) =>
+      assert(docs.map(_._3).distinct.length == 1, s"cluster $c straddles") }
+    // discriminates: at least one multi-doc cluster and >1 split present
+    assert(out.groupBy(_._2).exists(_._2.length > 1))
+    assert(out.map(_._3).distinct.length > 1)
+    // split is the documented pure function of cluster_id
+    out.foreach { case (_, c, s) =>
+      val b = ((c % 2147483648L) * 1103515245L + 12345L) % 2147483648L % 1000L
+      val want = if (b < 900) "train" else if (b < 950) "valid" else "test"
+      assert(s == want)
+    }
+  }
+
   test("embed_outlier: planted inverse vector ranks first in its label") {
     import spark.implicits._
     val d2 = java.nio.file.Files.createTempDirectory("graft-outl").toString

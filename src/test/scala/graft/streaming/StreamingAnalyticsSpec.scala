@@ -626,4 +626,29 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val straddle = got.find(_._1 == ts(5).getTime).get
     assert(straddle._2 == 5L) // minutes 5,6,7 (wave 1) + 8,9 (wave 2)
   }
+
+  test("harness: streaming spike monitor equals the batch trailing-window replay") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingAnalytics.anomalySpooled(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.nonEmpty)
+    // batch truth: hourly counts + trailing-3 comparison
+    val counts = graft.operators.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions
+        .expr("(unix_millis(ts) div 3600000) * 3600000").as("w"))
+      .collect().map(_.getLong(0))
+      .groupBy(w => w).map { case (w, xs) => (w, xs.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val expect = counts.zipWithIndex.map { case ((w, n), i) =>
+      val trail = counts.slice(math.max(0, i - 3), i).map(_._2)
+      (w, n, trail.sum, trail.length.toLong,
+        trail.length == 3 && n * 3 > trail.sum * 2)
+    }
+    assert(got.toSeq == expect,
+      s"first diff: ${got.toSeq.zip(expect).find(t => t._1 != t._2)}")
+    // the trailing guard is live: the first three windows never flag
+    assert(got.take(3).forall(!_._5))
+  }
 }
