@@ -194,6 +194,12 @@ object SparkEntry {
     // Perceptual (average-hash) image near-dup: decoded-raster 8x8
     // aHash, banded Hamming candidate join, per-image near-dup degree.
     "multimodal_phash" -> ((s, d) => Multimodal.perceptualDupImages(s, d)),
+    // Shot-boundary detection: consecutive decoded frames diffed on the
+    // canonical 8x8 grid, exact integer threshold.
+    "multimodal_scenes" -> ((s, d) => Multimodal.sceneCuts(s, d)),
+    // VAD-style quiet-segment sweep over decoded PCM: sliding amplitude
+    // range, exact membership sum + longest-run via the islands trick.
+    "multimodal_silence" -> ((s, d) => Multimodal.quietSegments(s, d)),
     // Audio fingerprinting: sliding-window hashes over decoded PCM,
     // cross-asset window collisions (dupFrames for audio).
     "multimodal_audiofp" -> ((s, d) => Multimodal.dupAudio(s, d)),
@@ -294,6 +300,9 @@ object SparkEntry {
     // 1-bit (sign) quantization: packed 64-bit signatures, Hamming top-k
     // flagged against the exact cosine top-k (recall as row data).
     "embed_binary"    -> ((s, d) => Similarity.binaryQuantTopK(s, d)),
+    // Maximum-inner-product top-k in exact integer dots, with each hit's
+    // plain-cosine rank carried so the norm bias is visible as data.
+    "ann_mips"        -> ((s, d) => Similarity.mipsTopK(s, d)),
     // PCA gate: integer-exact covariance moments (floor(x*1000) fixed
     // point), driver 64x64 Jacobi eigensolve (control plane), projected
     // variance per component verified against its eigenvalue in-plan;
@@ -2678,6 +2687,55 @@ object SparkEntry {
         |       COALESCE(c.n, 0) AS n_neardup
         |FROM bits b LEFT JOIN cnt c ON c.id = b.id
         |ORDER BY asset_id""".stripMargin,
+    // Frame-to-frame diff replayed from the generation formula on the
+    // canonical 8x8 grid (decode fidelity pinned by multimodal_summary).
+    "multimodal_scenes" ->
+      """WITH v AS (SELECT doc_id AS asset_id,
+        |            unnest(range(0, 4 + doc_id % 9)) AS f
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |s1 AS (SELECT asset_id, f, (asset_id + 17 * f) % 48 AS scn FROM v),
+        |gi AS (SELECT asset_id, f, scn, 4 + scn % 5 AS w, 3 + scn % 4 AS h,
+        |        unnest(range(0, 8)) AS i FROM s1),
+        |gj AS (SELECT asset_id, f, scn, w, h, i,
+        |        unnest(range(0, 8)) AS j FROM gi),
+        |px AS (SELECT asset_id, f, i, j,
+        |        32 + ((i * w) // 8 + 2 * ((j * h) // 8) + 5 * scn) % 64 AS g
+        |       FROM gj),
+        |d AS (SELECT a.asset_id, a.f, sum(abs(a.g - b.g)) AS diff_sum
+        |      FROM px a JOIN px b ON b.asset_id = a.asset_id
+        |                AND b.f = a.f - 1 AND b.i = a.i AND b.j = a.j
+        |      WHERE a.f >= 1 GROUP BY a.asset_id, a.f)
+        |SELECT asset_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(diff_sum AS BIGINT) AS diff_sum,
+        |       diff_sum >= 1200 AS is_cut
+        |FROM d ORDER BY asset_id, frame_idx""".stripMargin,
+    // Quiet windows replayed from the sample-generation formula; the
+    // islands trick (off - rank constant within a run) gives runs.
+    "multimodal_silence" ->
+      """WITH a AS (SELECT doc_id AS asset_id, 32 + doc_id % 41 AS n
+        |           FROM documents WHERE doc_id % 3 = 1),
+        |o AS (SELECT asset_id, unnest(range(0, n - 7)) AS off FROM a),
+        |w AS (SELECT asset_id, off, unnest(range(0, 8)) AS j FROM o),
+        |s AS (SELECT asset_id, off,
+        |        32 + (7 * (off + j) + asset_id) % 64 AS v FROM w),
+        |r AS (SELECT asset_id, off, max(v) - min(v) AS rng
+        |      FROM s GROUP BY 1, 2),
+        |q AS (SELECT asset_id, off,
+        |        off - ROW_NUMBER() OVER (PARTITION BY asset_id
+        |          ORDER BY off) AS grp
+        |      FROM r WHERE rng <= 52),
+        |runs AS (SELECT asset_id, max(cnt) AS longest FROM
+        |          (SELECT asset_id, grp, count(*) AS cnt FROM q
+        |           GROUP BY 1, 2) GROUP BY 1)
+        |SELECT r.asset_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN rng <= 52 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quiet,
+        |  CAST(sum(CASE WHEN rng <= 52 THEN off ELSE 0 END) AS BIGINT)
+        |    AS sum_quiet_off,
+        |  CAST(COALESCE(max(runs.longest), 0) AS BIGINT)
+        |    AS longest_quiet_run
+        |FROM r LEFT JOIN runs ON runs.asset_id = r.asset_id
+        |GROUP BY r.asset_id ORDER BY r.asset_id""".stripMargin,
     "multimodal_dupframes" ->
       """WITH v AS (SELECT doc_id AS asset_id,
         |            unnest(range(0, 4 + doc_id % 9, 4)) AS f
@@ -3100,6 +3158,30 @@ object SparkEntry {
     // max-cosine-to-selected (ties -> smallest vec_id), seeded at
     // min(vec_id) — the sequential dependence SQL can only express
     // recursively, which is exactly what pins the Spark driver loop.
+    // Exact integer dots over the micro-quantized coordinates; the
+    // cosine rank is the one correctly-rounded double ratio (rank-only).
+    "ann_mips" ->
+      """WITH e AS (SELECT vec_id,
+        |        CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS idx,
+        |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0)
+        |             AS BIGINT) AS qi
+        |      FROM embeddings),
+        |n2 AS (SELECT vec_id, sum(qi * qi) AS norm2 FROM e GROUP BY vec_id),
+        |qe AS (SELECT vec_id AS qid, idx, qi AS qv FROM e
+        |       WHERE vec_id % 53 = 0),
+        |d AS (SELECT qe.qid AS query_id, e.vec_id, sum(e.qi * qe.qv) AS dot_num
+        |      FROM e JOIN qe ON qe.idx = e.idx AND e.vec_id <> qe.qid
+        |      GROUP BY qe.qid, e.vec_id),
+        |r AS (SELECT d.query_id, d.vec_id, d.dot_num,
+        |       ROW_NUMBER() OVER (PARTITION BY d.query_id
+        |         ORDER BY d.dot_num DESC, d.vec_id) AS rk,
+        |       ROW_NUMBER() OVER (PARTITION BY d.query_id
+        |         ORDER BY CAST(d.dot_num AS DOUBLE) /
+        |           sqrt(CAST(n2.norm2 AS DOUBLE)) DESC, d.vec_id) AS cos_rk
+        |      FROM d JOIN n2 ON n2.vec_id = d.vec_id)
+        |SELECT query_id, rk, vec_id, CAST(dot_num AS BIGINT) AS dot_num,
+        |       cos_rk
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // Sign-bit signatures: the HUGEINT shifted sum wraps explicitly into
     // the BIGINT two's-complement value Spark's shiftleft produces.
     "embed_binary" ->

@@ -515,6 +515,111 @@ object Multimodal {
       .filter(col("n_assets") >= 2)
       .orderBy("fp_sha")
 
+  final case class SceneCut(asset_id: Long, frame_idx: Long, diff_sum: Long,
+                            is_cut: Boolean)
+
+  /** SCENE-CHANGE detection — the shot-boundary primitive every video
+    * curation pipeline runs before sampling ("keyframe per shot", "drop
+    * static segments"): consecutive decoded frames are compared on the
+    * canonical 8×8 nearest-neighbor grid (the [[imageAHashes]] resample
+    * rule, which makes frames of DIFFERENT dimensions comparable), and a
+    * boundary is a cut when the summed absolute gray difference reaches
+    * `tau`. All arithmetic after the PNG decode is exact integers, so
+    * the oracle rebuilds identical diffs from the pixel-generation
+    * formula (decode fidelity itself is pinned by multimodal_summary —
+    * the [[dupFrames]] stance). τ=1200 sits between this corpus's
+    * within-gradient diffs (min 1056) and its median 1704, so the flag
+    * genuinely discriminates (53 non-cuts / 1272 cuts at sf0.01).
+    *
+    * Scale shape: one pass over video payloads, each frame decoded once
+    * and held only as its 64-cell grid (the previous frame's grid is
+    * the only state); output rows are (asset, frame) pairs — payload
+    * bytes never leave the partition. */
+  def sceneCuts(s: SparkSession, dir: String, tau: Long = 1200L): DataFrame = {
+    import s.implicits._
+    assets(s, dir).filter(col("modality") === "video")
+      .mapPartitions { it =>
+        disableImageIoFileCache()
+        it.flatMap { a =>
+          val (_, frames) = readVideoPayloads(a.payload)
+          val grids = frames.map { png =>
+            val img = ImageIO.read(new ByteArrayInputStream(png))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val r = img.getRaster
+            Array.tabulate(64)(b => r.getSample((b % 8) * w / 8, (b / 8) * h / 8, 0))
+          }.toVector
+          grids.indices.drop(1).map { f =>
+            var d = 0L
+            var b = 0
+            while (b < 64) { d += math.abs(grids(f)(b) - grids(f - 1)(b)); b += 1 }
+            SceneCut(a.asset_id, f.toLong, d, d >= tau)
+          }
+        }
+      }.toDF().orderBy("asset_id", "frame_idx")
+  }
+
+  final case class QuietWindow(asset_id: Long, off: Long, rng: Long)
+
+  /** LOW-DYNAMIC-RANGE audio segmentation — the voice-activity-style
+    * sweep ("find and cut the quiet stretches") reduced to its exact
+    * core: every length-`win` sliding window of the DECODED PCM stream
+    * is scored by its amplitude range (max − min, exact integers), a
+    * window is quiet when the range is ≤ `tau`, and per asset the
+    * output reports window/quiet counts, the quiet-offset sum (so the
+    * oracle pins WHICH windows, not just how many) and the longest
+    * consecutive quiet run (the islands/gaps trick: off − rank is
+    * constant within a run — a per-asset window over bounded offsets).
+    * On this corpus the 7-step mod-64 sample walk makes the range
+    * bimodal (49 unwrapped / 57 wrapped), so τ=52 discriminates
+    * exactly; real audio gives a continuous range distribution, same
+    * plan. Decode is the real WAV parse ([[audioFingerprints]]' leg);
+    * sample bytes never leave the partition. */
+  def quietSegments(s: SparkSession, dir: String, win: Int = 8,
+                    tau: Long = 52L): DataFrame = {
+    import s.implicits._
+    val wins = assets(s, dir).filter(col("modality") === "audio")
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(a.payload))
+          val n = ais.getFrameLength.toInt
+          val bytes = new Array[Byte](n)
+          var offr = 0
+          while (offr < n) {
+            val r = ais.read(bytes, offr, n - offr)
+            if (r < 0) throw new IllegalStateException(
+              s"WAV stream of asset ${a.asset_id} ended at $offr of $n")
+            offr += r
+          }
+          (0 to n - win).map { o =>
+            var mn = 256; var mx = -1
+            var j = 0
+            while (j < win) {
+              val v = bytes(o + j) & 0xff
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              j += 1
+            }
+            QuietWindow(a.asset_id, o.toLong, (mx - mn).toLong)
+          }
+        }
+      }.toDF()
+    val quiet = wins.filter(col("rng") <= tau)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("off")
+    val runs = quiet
+      .withColumn("grp", col("off") - row_number().over(wRun))
+      .groupBy("asset_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("asset_id").agg(max("run").as("longest_quiet_run"))
+    wins.groupBy("asset_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("rng") <= tau, 1L).otherwise(0L)).as("n_quiet"),
+        sum(when(col("rng") <= tau, col("off")).otherwise(0L)).as("sum_quiet_off"))
+      .join(runs, Seq("asset_id"), "left")
+      .na.fill(0L, Seq("longest_quiet_run"))
+      .orderBy("asset_id")
+  }
+
   final case class AHash(asset_id: Long, ahash_lo: Long, ahash_hi: Long)
 
   /** Average-hash (aHash) of every image asset from its DECODED raster:

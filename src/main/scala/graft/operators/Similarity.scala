@@ -1353,6 +1353,56 @@ object Similarity {
       .orderBy("rk")
   }
 
+  /** MAXIMUM INNER PRODUCT search (MIPS) — the retrieval objective
+    * recommendation and reranking actually optimize (un-normalized
+    * score = ⟨q, x⟩, where popular/high-norm items legitimately win),
+    * distinct from cosine ANN: the corpus is NOT normalized, so the
+    * nearest-by-angle and highest-dot answers differ. Scores are exact
+    * integer dots of the micro-quantized coordinates (⌊x·1000⌋ — the
+    * embed_pca convention), so ranking needs no float tolerance at all.
+    * Each hit also carries its rank under PLAIN cosine (`cos_rk`), so
+    * the norm bias — the entire reason MIPS is its own problem — is
+    * visible as data: rows where cos_rk ≠ rk are exactly where an
+    * angle-only index would return the wrong answer.
+    *
+    * Scale shape: the fixed query set broadcasts against the corpus
+    * (the ann_topk brute/truth shape); per-query top-k prunes map-side
+    * (WindowGroupLimit). The production scale path is the classic
+    * MIPS→NNS reduction the scaladoc of [[ivfTopK]] family then serves:
+    * augment each vector with √(M²−|x|²) once at index-build, after
+    * which augmented-cosine order equals dot order and any registered
+    * cosine index (IVF/PQ/graph) answers MIPS unchanged. */
+  def mipsTopK(s: SparkSession, dir: String, k: Int = 5,
+               qmod: Int = 53): DataFrame = {
+    val mic = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("q"))
+      .withColumn("norm2", aggregate(col("q"), lit(0L),
+        (acc, x) => acc + x * x))
+      .localCheckpoint(false)
+    val qs = mic.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val scored = mic.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id"), col("norm2"),
+        aggregate(zip_with(col("q"), col("qv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot_num"))
+    val wD = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("dot_num").desc, col("vec_id"))
+    // plain-cosine rank of the same candidates: dot/|x| ordering (the
+    // query norm is constant per query) — one correctly-rounded double
+    // ratio of exact integers, the embed_outlier ranking convention
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy((col("dot_num").cast("double") /
+        sqrt(col("norm2").cast("double"))).desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(wD).cast("long"))
+      .withColumn("cos_rk", row_number().over(wC).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("dot_num"),
+        col("cos_rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** BINARY QUANTIZATION gate — the third compression point on the
     * embed_quantize(int8) / ann_pq(product codes) ladder: each vector
     * collapses to its 64 SIGN BITS packed into one long (64 dims → 8

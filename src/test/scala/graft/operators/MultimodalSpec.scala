@@ -290,4 +290,52 @@ class MultimodalSpec extends SparkSpec {
     // the fixture genuinely exercises the near-dup path
     assert(out.exists(_._4 > 0), "no near-dup pair at sf0.001 — fixture dead")
   }
+
+  test("scene cuts: decoded diffs equal the generation-formula replay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Multimodal.sceneCuts(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out.nonEmpty)
+    // independent replay: scene/dims/pixel formulas + the 8x8 NN grid
+    def grid(id: Long, f: Int): Array[Int] = {
+      val sc = Multimodal.videoScene(id, f)
+      val (w, h) = Multimodal.sceneDims(sc)
+      Array.tabulate(64)(b => Multimodal.scenePixel(sc, (b % 8) * w / 8, (b / 8) * h / 8))
+    }
+    val vids = out.keys.map(_._1).toSeq.distinct.sorted
+    vids.foreach { id =>
+      val n = Multimodal.videoNFrames(id)
+      (1 until n).foreach { f =>
+        val d = grid(id, f).zip(grid(id, f - 1)).map { case (a, b) => (a - b).abs.toLong }.sum
+        assert(out((id, f.toLong)) == ((d, d >= 1200L)), s"asset $id frame $f")
+      }
+    }
+    // threshold discriminates on this corpus
+    assert(out.values.exists(_._2) && out.values.exists(!_._2))
+  }
+
+  test("quiet segments: counts, membership sum and runs equal a brute replay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Multimodal.quietSegments(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.nonEmpty)
+    out.keys.toSeq.sorted.foreach { id =>
+      val samples = Multimodal.audioSamples(id).map(_ & 0xff)
+      val rngs = (0 to samples.length - 8)
+        .map(o => (o.toLong, samples.slice(o, o + 8).max - samples.slice(o, o + 8).min))
+      val quiet = rngs.filter(_._2 <= 52).map(_._1)
+      // longest consecutive-offset run
+      val longest = if (quiet.isEmpty) 0L else
+        quiet.foldLeft((0L, 0L, Long.MinValue)) { case ((best, cur, prev), o) =>
+          val c = if (o == prev + 1) cur + 1 else 1L
+          (math.max(best, c), c, o)
+        }._1
+      assert(out(id) == ((rngs.length.toLong, quiet.length.toLong, quiet.sum, longest)),
+        s"asset $id")
+    }
+    val vals = out.values
+    assert(vals.exists(_._2 > 0) && vals.exists(v => v._2 < v._1))
+  }
 }

@@ -1995,6 +1995,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(4) == diffs.filter(_._2 == mx).map(_._1).min)
   }
 
+  test("ann_mips: dot order beats cosine order exactly where norms differ") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-mips").toString
+    // query 0 = (1,0). MIPS order: a(10,0) dot 10e6, c(3,3) dot 3e6,
+    // b(.5,.05) dot 5e5. Cosine order: a (1.0), b (~.995), c (~.707) —
+    // c is rank 2 by dot but rank 3 by cosine: the norm bias as data.
+    Seq((0L, Array(1.0f, 0.0f), 0), (1L, Array(10.0f, 0.0f), 0),
+      (2L, Array(0.5f, 0.05f), 0), (3L, Array(3.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val out = Similarity.mipsTopK(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).distinct.toSeq == Seq(0L))
+    // exact micro dots: 10000*1000, 3000*1000, 500*1000 (+0*y terms)
+    assert(out.map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((1L, 1L, 10000000L), (2L, 3L, 3000000L), (3L, 2L, 500000L)),
+      out.mkString(","))
+    // the norm-bias witness: dot rank 2 (vec 3) is cosine rank 3
+    assert(out.find(_._3 == 3L).get._5 == 3L)
+    assert(out.find(_._3 == 1L).get._5 == 1L)
+  }
+
   test("embed_binary: hand signatures, hamming order, identical-sign hamm 0") {
     import spark.implicits._
     val d2 = java.nio.file.Files.createTempDirectory("graft-bin").toString
