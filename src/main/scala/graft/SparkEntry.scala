@@ -144,6 +144,10 @@ object SparkEntry {
     // pinned above sf0.1, with text_md5 pinning the translated bytes.
     "dedup_exact_10x" -> ((s, d) => Dedup.exactByHash10x(s, d)),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    // Asymmetric containment |A∩B|/|A| — the partial-copy / quote
+    // detector jaccard cannot be; directed small→big, prefix filter on
+    // the contained side only, full postings on the container side.
+    "dedup_contain"   -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalPairs(s, d)),
     // Same semantics against the PERSISTED settled-corpus artifacts
     // (write-once bucketed prefix + df tables; built lazily on first
@@ -203,6 +207,9 @@ object SparkEntry {
     // Audio fingerprinting: sliding-window hashes over decoded PCM,
     // cross-asset window collisions (dupFrames for audio).
     "multimodal_audiofp" -> ((s, d) => Multimodal.dupAudio(s, d)),
+    // Keyframe-per-shot: frames segment at the scene-cut boundaries,
+    // each shot keeps its brightest frame (grid-sum argmax, ties early).
+    "multimodal_keyframes" -> ((s, d) => Multimodal.keyframes(s, d)),
     "curate_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
     "curate_chunks"   -> ((s, d) => Curation.docChunks(s, d)),
     "curate_sample"   -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -227,6 +234,9 @@ object SparkEntry {
     // Leakage-safe split: same LCG/thresholds keyed on the near-dup
     // CLUSTER id, so no >=0.85-Jaccard pair straddles a boundary.
     "curate_leaksplit" -> ((s, d) => Curation.leakSafeSplit(s, d)),
+    // Soft dedup: weight 1/|near-dup cluster| per doc — duplicate groups
+    // contribute one doc's expected mass, nothing is discarded.
+    "curate_softdedup" -> ((s, d) => Curation.softDedupWeights(s, d)),
     // Two-phase anneal schedule: per-doc epoch counts from an ABSOLUTE
     // quality bar (threshold, not rank — zero-exchange projection,
     // growth-stable membership; see Curation.annealSchedule scaladoc).
@@ -1777,6 +1787,21 @@ object SparkEntry {
         |  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
         | FROM ts a, ts b WHERE a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.85 ORDER BY doc_a, doc_b""".stripMargin,
+    // All-pairs containment over distinct token sets, directed small→big
+    // (ties by id); same division spelling as the Spark verify.
+    "dedup_contain" ->
+      """WITH ts AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+        |                   len(list_distinct(string_split(text,' '))) AS sz
+        |            FROM documents)
+        |SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+        |       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS ov,
+        |       CAST(a.sz AS BIGINT) AS sz_small,
+        |       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/a.sz
+        |         AS containment
+        |FROM ts a JOIN ts b
+        |  ON (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/a.sz >= 0.95
+        |ORDER BY doc_small, doc_big""".stripMargin,
     // All-pairs with a length prefilter (500 docs at sf0.01); the Spark
     // side's deletion-variant join + prefix/suffix verify must reproduce
     // the same ed<=1 pair set. DuckDB list lambdas are 1-indexed and
@@ -2110,6 +2135,28 @@ object SparkEntry {
          |      WHEN ($lcgC) % 1000 < 950 THEN 'valid'
          |      ELSE 'test' END AS split
          |FROM cl ORDER BY doc_id""".stripMargin
+    },
+    // Soft-dedup weights: clusters via the dedup_cluster closure, weight
+    // the one correctly-rounded double 1/n both engines compute.
+    "curate_softdedup" -> {
+      """WITH RECURSIVE
+        |ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |       FROM documents),
+        |e AS (
+        | SELECT a.doc_id AS src, b.doc_id AS dst FROM ts a, ts b
+        | WHERE a.doc_id <> b.doc_id
+        |   AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |       (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.85),
+        |reach(doc_id, r) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.doc_id),
+        |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |sz AS (SELECT cluster_id, count(*) AS n_members FROM cl
+        |       GROUP BY cluster_id)
+        |SELECT cl.doc_id, cl.cluster_id, sz.n_members,
+        |       CAST(1.0 AS DOUBLE) / sz.n_members AS weight
+        |FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id""".stripMargin
     },
     "curate_split" -> {
       s"""SELECT doc_id, (${graft.operators.Curation.lcgKeySql}) % 1000 AS bucket,
@@ -2709,6 +2756,43 @@ object SparkEntry {
         |       CAST(diff_sum AS BIGINT) AS diff_sum,
         |       diff_sum >= 1200 AS is_cut
         |FROM d ORDER BY asset_id, frame_idx""".stripMargin,
+    // Shots from the cumulative cut count, keyframe = grid-sum argmax
+    // (ties earliest) — all replayed from the generation formula.
+    "multimodal_keyframes" ->
+      """WITH v AS (SELECT doc_id AS asset_id,
+        |            unnest(range(0, 4 + doc_id % 9)) AS f
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |s1 AS (SELECT asset_id, f, (asset_id + 17 * f) % 48 AS scn FROM v),
+        |gi AS (SELECT asset_id, f, scn, 4 + scn % 5 AS w, 3 + scn % 4 AS h,
+        |        unnest(range(0, 8)) AS i FROM s1),
+        |gj AS (SELECT asset_id, f, scn, w, h, i,
+        |        unnest(range(0, 8)) AS j FROM gi),
+        |px AS (SELECT asset_id, f, i, j,
+        |        32 + ((i * w) // 8 + 2 * ((j * h) // 8) + 5 * scn) % 64 AS g
+        |       FROM gj),
+        |fs AS (SELECT asset_id, f, sum(g) AS fsum FROM px GROUP BY 1, 2),
+        |d AS (SELECT a.asset_id, a.f, sum(abs(a.g - b.g)) AS diff_sum
+        |      FROM px a JOIN px b ON b.asset_id = a.asset_id
+        |                AND b.f = a.f - 1 AND b.i = a.i AND b.j = a.j
+        |      WHERE a.f >= 1 GROUP BY a.asset_id, a.f),
+        |sh AS (SELECT fs.asset_id, fs.f, fs.fsum,
+        |        SUM(CASE WHEN d.diff_sum >= 1200 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY fs.asset_id ORDER BY fs.f) AS shot
+        |       FROM fs LEFT JOIN d ON d.asset_id = fs.asset_id AND d.f = fs.f),
+        |rk AS (SELECT asset_id, shot, f, fsum,
+        |        ROW_NUMBER() OVER (PARTITION BY asset_id, shot
+        |          ORDER BY fsum DESC, f) AS r
+        |       FROM sh)
+        |SELECT s.asset_id, CAST(s.shot AS BIGINT) AS shot_idx,
+        |       CAST(min(s.f) AS BIGINT) AS start_frame,
+        |       count(*) AS n_frames,
+        |       CAST(max(CASE WHEN rk.r = 1 THEN rk.f END) AS BIGINT)
+        |         AS key_frame,
+        |       CAST(max(CASE WHEN rk.r = 1 THEN rk.fsum END) AS BIGINT)
+        |         AS key_sum
+        |FROM sh s JOIN rk ON rk.asset_id = s.asset_id AND rk.shot = s.shot
+        |            AND rk.f = s.f
+        |GROUP BY s.asset_id, s.shot ORDER BY s.asset_id, shot_idx""".stripMargin,
     // Quiet windows replayed from the sample-generation formula; the
     // islands trick (off - rank constant within a run) gives runs.
     "multimodal_silence" ->

@@ -695,6 +695,29 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** SOFT DEDUPLICATION — reweight instead of remove: every document
+    * keeps a training sampling weight of 1/|its near-dup cluster|, so
+    * each duplicate GROUP contributes one document's worth of expected
+    * training mass while no individual copy (with its unique surrounding
+    * context) is discarded — the alternative to hard dedup that recent
+    * data-mixing work prefers when duplicates carry signal. Clusters are
+    * [[Dedup.clusterAssignments]]' audited relation (prefix-filtered
+    * jaccard pairs → min-label connected components; singletons weight
+    * 1.0). `weight` is the one correctly-rounded double 1.0/n both
+    * engines compute identically from the exact integer `n_members`.
+    *
+    * Scale shape: the settled pair artifact + label propagation
+    * (dedup_cluster's plan) plus ONE narrow cluster-keyed count and a
+    * broadcast-back join — no new corpus-scale exchange. */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val assign = Dedup.clusterAssignments(s, dir)
+    val sizes = assign.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    assign.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (lit(1.0) / col("n_members")).as("weight"))
+      .orderBy("doc_id")
+  }
+
   def temperatureMix(s: SparkSession, dir: String): DataFrame = {
     val perSource = documents(s, dir)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))

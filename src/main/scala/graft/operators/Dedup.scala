@@ -1222,4 +1222,55 @@ object Dedup {
           .as("dup_frac"))
       .orderBy("doc_id")
   }
+
+  /** ASYMMETRIC CONTAINMENT near-dup — the partial-copy / quote detector
+    * jaccard structurally cannot be: C(A,B) = |A∩B| / |A| scores how much
+    * of the SMALLER doc lives inside the larger one, so a short document
+    * pasted into a long page scores ~1.0 while its jaccard is tiny
+    * (|A∩B|/|A∪B| is dragged down by the big doc's extra tokens). The
+    * relation is directed small→big: pairs with sz_a < sz_b (ties broken
+    * doc_a < doc_b) and C ≥ `threshold`.
+    *
+    * Candidate scheme — the prefix filter adapted to the asymmetric
+    * bound: C ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so A must share a token among
+    * its first |A| − ⌈t·|A|⌉ + 1 hash-ordered tokens ([[jaccardPairs]]'
+    * argument, but only A's side shortens — B contributes its FULL
+    * postings, the inverted-index side, because containment puts no
+    * floor on B's share of the overlap). Each candidate pair survives
+    * exactly once (join token == numeric-min common token of A's prefix
+    * and B's set — the firstShared retention), then dies in O(1) on the
+    * positional bound overlap ≤ 1 + min(szA−qa−1, szB−qb−1) spelled as
+    * the SAME IEEE division as the verify (the r12 boundary-pair rule:
+    * a passing pair can never be rejected by the prune), and the exact
+    * sorted-merge intersect decides. Candidate volume is
+    * Σ_tok df_prefA(tok)·df(tok) — bounded by token frequencies, never
+    * N²; every exchange is keyed (AQE absorbs skewed postings). */
+  def containmentPairs(s: SparkSession, dir: String,
+                       threshold: Double = 0.95): DataFrame = {
+    import graft.functions.ArrayOps.{sortedFirstCommon, sortedIntersectCount}
+    val sets = hashedTokenSets(s, dir)
+    val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val small = sets.select(col("doc_id").as("id_a"), col("toks").as("ta"),
+        col("sz").as("sa"), slice(col("toks"), lit(1), prefLen).as("pref"))
+      .select(col("id_a"), col("ta"), col("sa"), col("pref"),
+        posexplode(col("pref")).as(Seq("qa", "ptok")))
+    val big = sets.select(col("doc_id").as("id_b"), col("toks").as("tb"),
+        col("sz").as("sb"), posexplode(col("toks")).as(Seq("qb", "tok")))
+    val dirOk = col("sa") < col("sb") ||
+      (col("sa") === col("sb") && col("id_a") < col("id_b"))
+    val bound = lit(1) + least(col("sa") - col("qa") - 1,
+      col("sb") - col("qb") - 1)
+    small.join(big, col("ptok") === col("tok") && dirOk)
+      .filter(col("ptok") === sortedFirstCommon(col("pref"), col("tb")))
+      .filter(bound.cast("double") / col("sa") >= threshold)
+      .select(col("id_a").as("doc_small"), col("id_b").as("doc_big"),
+        sortedIntersectCount(col("ta"), col("tb")).as("ov"),
+        col("sa").as("sz_small"))
+      .filter(col("ov").cast("double") / col("sz_small") >= threshold)
+      .select(col("doc_small"), col("doc_big"), col("ov").cast("long").as("ov"),
+        col("sz_small").cast("long").as("sz_small"),
+        (col("ov").cast("double") / col("sz_small")).as("containment"))
+      .localCheckpoint()
+      .orderBy("doc_small", "doc_big")
+  }
 }

@@ -620,6 +620,60 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
+  final case class Keyframe(asset_id: Long, shot_idx: Long, start_frame: Long,
+                            n_frames: Long, key_frame: Long, key_sum: Long)
+
+  /** KEYFRAME-PER-SHOT selection — the step video curation runs right
+    * after shot-boundary detection ("one representative frame per shot,
+    * drop the rest"): frames segment into shots at the [[sceneCuts]]
+    * boundaries (diff ≥ τ on the canonical 8×8 grid starts a new shot),
+    * and each shot's keyframe is its brightest frame — argmax of the
+    * summed 8×8 grid, ties to the EARLIEST frame (a deterministic,
+    * decode-exact stand-in for the sharpness/entropy scorers production
+    * uses; the plumbing — decode, grid, segment, per-shot argmax — is
+    * identical). All post-decode arithmetic is exact integers, so the
+    * oracle replays shots and argmaxes from the pixel-generation formula
+    * (decode fidelity pinned by multimodal_summary).
+    *
+    * Scale shape: one pass over video payloads, one frame decoded at a
+    * time, state = previous grid + current-shot accumulator (O(1) per
+    * asset); output is one row per shot. Payload bytes never leave the
+    * partition — the downstream image pipeline receives (asset, frame)
+    * pointers, the frame-sampler re-decode pattern. */
+  def keyframes(s: SparkSession, dir: String, tau: Long = 1200L): DataFrame = {
+    import s.implicits._
+    assets(s, dir).filter(col("modality") === "video")
+      .mapPartitions { it =>
+        disableImageIoFileCache()
+        it.flatMap { a =>
+          val (_, frames) = readVideoPayloads(a.payload)
+          val grids = frames.map { png =>
+            val img = ImageIO.read(new ByteArrayInputStream(png))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val r = img.getRaster
+            Array.tabulate(64)(b => r.getSample((b % 8) * w / 8, (b / 8) * h / 8, 0))
+          }.toVector
+          val sums = grids.map(_.map(_.toLong).sum)
+          // shot index per frame: cumulative count of cut boundaries
+          val shotOf = new Array[Int](grids.length)
+          var f = 1
+          while (f < grids.length) {
+            var d = 0L
+            var b = 0
+            while (b < 64) { d += math.abs(grids(f)(b) - grids(f - 1)(b)); b += 1 }
+            shotOf(f) = shotOf(f - 1) + (if (d >= tau) 1 else 0)
+            f += 1
+          }
+          grids.indices.groupBy(shotOf).toSeq.sortBy(_._1).map {
+            case (shot, fs) =>
+              val key = fs.maxBy(i => (sums(i), -i))
+              Keyframe(a.asset_id, shot.toLong, fs.min.toLong, fs.size.toLong,
+                key.toLong, sums(key))
+          }
+        }
+      }.toDF().orderBy("asset_id", "shot_idx")
+  }
+
   final case class AHash(asset_id: Long, ahash_lo: Long, ahash_hi: Long)
 
   /** Average-hash (aHash) of every image asset from its DECODED raster:

@@ -315,6 +315,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out.values.exists(_._2) && out.values.exists(!_._2))
   }
 
+  test("keyframes: shots and per-shot argmax equal the generation-formula replay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Multimodal.keyframes(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.nonEmpty)
+    def grid(id: Long, f: Int): Array[Int] = {
+      val sc = Multimodal.videoScene(id, f)
+      val (w, h) = Multimodal.sceneDims(sc)
+      Array.tabulate(64)(b => Multimodal.scenePixel(sc, (b % 8) * w / 8, (b / 8) * h / 8))
+    }
+    val vids = out.keys.map(_._1).toSeq.distinct.sorted
+    var sawMultiFrameShot = false
+    vids.foreach { id =>
+      val n = Multimodal.videoNFrames(id)
+      val grids = (0 until n).map(f => grid(id, f))
+      val sums = grids.map(_.map(_.toLong).sum)
+      val shotOf = new Array[Int](n)
+      (1 until n).foreach { f =>
+        val d = grids(f).zip(grids(f - 1)).map { case (a, b) => (a - b).abs.toLong }.sum
+        shotOf(f) = shotOf(f - 1) + (if (d >= 1200L) 1 else 0)
+      }
+      (0 until n).groupBy(shotOf).foreach { case (shot, fs) =>
+        val key = fs.maxBy(i => (sums(i), -i))
+        if (fs.size > 1) sawMultiFrameShot = true
+        assert(out((id, shot.toLong)) ==
+          ((fs.min.toLong, fs.size.toLong, key.toLong, sums(key))),
+          s"asset $id shot $shot")
+      }
+      assert(out.keys.count(_._1 == id) == shotOf(n - 1) + 1)
+    }
+    assert(sawMultiFrameShot) // the argmax genuinely chooses among frames
+  }
+
   test("quiet segments: counts, membership sum and runs equal a brute replay") {
     val dir = "/root/testdata/sf0.001"
     val out = Multimodal.quietSegments(spark, dir).collect()

@@ -44,6 +44,51 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("containment: directed small->big pairs; sf0.001 equals the all-pairs brute") {
+    // fixture: docs 0/1 identical (5 tokens), doc 2 = 0 + "red" (6):
+    // 0-in-1 (tie by id), 0-in-2 and 1-in-2 all at containment 1.0
+    val out = Dedup.containmentPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out == Map(
+      (0L, 1L) -> ((5L, 5L, 1.0)), (0L, 2L) -> ((5L, 5L, 1.0)),
+      (1L, 2L) -> ((5L, 5L, 1.0))))
+    // independent all-pairs replay on real data
+    val d001 = "/root/testdata/sf0.001"
+    val sets = Tables.documents(spark, d001).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").distinct.toSet).toMap
+    val brute = (for {
+      (ia, ta) <- sets.toSeq; (ib, tb) <- sets.toSeq
+      if ta.size < tb.size || (ta.size == tb.size && ia < ib)
+      ov = (ta & tb).size
+      if ov.toDouble / ta.size >= 0.95
+    } yield (ia, ib) -> ((ov.toLong, ta.size.toLong, ov.toDouble / ta.size))).toMap
+    val op = Dedup.containmentPairs(spark, d001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(op == brute, s"op=${op.size} brute=${brute.size}")
+    assert(brute.nonEmpty) // the corpus genuinely exercises the path
+  }
+
+  test("soft dedup: cluster mass sums to one doc, singletons weight 1.0") {
+    // t=0.85 pairs on the fixture: only (0,1) — jaccard(0,2)=5/6 < 0.85
+    val rows = Curation.softDedupWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows == Map(
+      0L -> ((0L, 2L, 0.5)), 1L -> ((0L, 2L, 0.5)),
+      2L -> ((2L, 1L, 1.0)), 3L -> ((3L, 1L, 1.0)), 4L -> ((4L, 1L, 1.0))))
+    // invariant on real data: every cluster's total weight is exactly its
+    // one doc of expected mass (n * 1/n), and membership counts agree
+    val real = Curation.softDedupWeights(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    real.groupBy(_._2).foreach { case (_, ms) =>
+      assert(ms.forall(_._3 == ms.length.toLong))
+      assert(ms.forall(m => m._4 == 1.0 / m._3))
+    }
+    assert(real.exists(_._3 > 1) && real.exists(_._3 == 1))
+  }
+
   test("incremental dedup: equals full pairs restricted to the increment; corpus pairs absent") {
     // mod=5 -> increment {0}; full pairs at t=0.5 are (0,1),(0,2),(1,2)
     val inc = Dedup.incrementalPairs(spark, dir, threshold = 0.5, mod = 5).collect()
