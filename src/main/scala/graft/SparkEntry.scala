@@ -310,6 +310,9 @@ object SparkEntry {
     // 1-bit (sign) quantization: packed 64-bit signatures, Hamming top-k
     // flagged against the exact cosine top-k (recall as row data).
     "embed_binary"    -> ((s, d) => Similarity.binaryQuantTopK(s, d)),
+    // Matryoshka prefix-dimension retrieval (64->16): exact integer
+    // prefix dots, full-dim cosine top-k membership as row data.
+    "embed_matryoshka" -> ((s, d) => Similarity.matryoshkaTopK(s, d)),
     // Maximum-inner-product top-k in exact integer dots, with each hit's
     // plain-cosine rank carried so the norm bias is visible as data.
     "ann_mips"        -> ((s, d) => Similarity.mipsTopK(s, d)),
@@ -440,6 +443,12 @@ object SparkEntry {
     // histogram (numeric-distribution drift; one-row result).
     "profile_ks"      -> ((s, d) => Profiling.ksDrift(s, d)),
     "profile_qsketch" -> ((s, d) => Profiling.quantileSketchGate(s, d)),
+    // Incremental profile maintenance: settled per-column HLL sketch
+    // artifact + delta-only sketch, hll_union merge gated on exact.
+    "profile_incr"    -> ((s, d) => Profiling.incrementalProfile(s, d)),
+    // Declarative data expectations (release contract): fixed rule
+    // table, one-scan conditional aggregation, per-rule pass bits.
+    "profile_expect"  -> ((s, d) => Profiling.expectations(s, d)),
     // Cross-column correlation sufficient statistics (integer-exact
     // moments, one Aggregate pass over one scan).
     "profile_corr"    -> (Profiling.correlationProfile _),
@@ -913,6 +922,45 @@ object SparkEntry {
         | true AS p50_ok, true AS p90_ok
         |FROM cu JOIN t USING (l_returnflag)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Sketch-merge gate: exact full-corpus distincts; the merged HLL
+    // estimate never leaves the plan, only its tolerance boolean.
+    "profile_incr" ->
+      """SELECT 'doc_id' AS col_name, count(DISTINCT doc_id) AS n_exact,
+        |       true AS merged_ok FROM documents
+        |UNION ALL SELECT 'lang', count(DISTINCT lang), true FROM documents
+        |UNION ALL SELECT 'n_chars', count(DISTINCT n_chars), true FROM documents
+        |UNION ALL SELECT 'source', count(DISTINCT source), true FROM documents
+        |UNION ALL SELECT 'text', count(DISTINCT text), true FROM documents
+        |ORDER BY col_name""".stripMargin,
+    // The rule table recomputed as direct SQL counts; pass bits must
+    // agree exactly (all-true on this corpus; the spec plants violations).
+    "profile_expect" ->
+      """WITH v AS (SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v1,
+        |  count(doc_id) - count(DISTINCT doc_id) AS v2,
+        |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v3,
+        |  sum(CASE WHEN n_chars IS NULL OR text IS NULL
+        |           OR n_chars <> length(text) THEN 1 ELSE 0 END) AS v4,
+        |  sum(CASE WHEN NOT regexp_matches(coalesce(lang,''),
+        |           '^[a-z]{2}$') THEN 1 ELSE 0 END) AS v5,
+        |  sum(CASE WHEN NOT regexp_matches(coalesce(source,''),
+        |           '^src[0-9]+$') THEN 1 ELSE 0 END) AS v6,
+        |  sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+        |           OR n_chars > 1000000 THEN 1 ELSE 0 END) AS v7
+        | FROM documents)
+        |SELECT CAST(rule_id AS BIGINT) AS rule_id, col_name, rule,
+        |       CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(nv AS BIGINT) AS n_violations, nv = 0 AS pass
+        |FROM (
+        | SELECT 1 AS rule_id, 'doc_id' AS col_name, 'not_null' AS rule,
+        |        n_rows, v1 AS nv FROM v
+        | UNION ALL SELECT 2, 'doc_id', 'unique', n_rows, v2 FROM v
+        | UNION ALL SELECT 3, 'text', 'not_null', n_rows, v3 FROM v
+        | UNION ALL SELECT 4, 'n_chars', 'eq_length_text', n_rows, v4 FROM v
+        | UNION ALL SELECT 5, 'lang', 'regex_iso639', n_rows, v5 FROM v
+        | UNION ALL SELECT 6, 'source', 'regex_src_domain', n_rows, v6 FROM v
+        | UNION ALL SELECT 7, 'n_chars', 'range_1_1000000', n_rows, v7 FROM v)
+        |ORDER BY rule_id""".stripMargin,
     // Integer-exact correlation moments: the decimal detour (q31's
     // cents rule) renders both engines' double->integer conversion
     // identically; every sum is cast to BIGINT (DuckDB sums BIGINT into
@@ -3301,6 +3349,38 @@ object SparkEntry {
         |FROM ham h LEFT JOIN cos c
         |  ON c.query_id = h.query_id AND c.vec_id = h.vec_id
         |WHERE h.rk <= 5 ORDER BY h.query_id, h.rk""".stripMargin,
+    // Prefix-16 integer dots rank (the one correctly-rounded double
+    // ratio); full-dim cosine membership via list_cosine_similarity.
+    "embed_matryoshka" ->
+      """WITH e AS (SELECT vec_id,
+        |        CAST(unnest(range(1, 17)) AS BIGINT) AS idx,
+        |        CAST(floor(CAST(unnest(embedding[1:16]) AS DOUBLE) * 1000.0)
+        |             AS BIGINT) AS qi
+        |      FROM embeddings),
+        |n2 AS (SELECT vec_id, sum(qi * qi) AS norm16 FROM e GROUP BY vec_id),
+        |qe AS (SELECT vec_id AS qid, idx, qi AS qv FROM e
+        |       WHERE vec_id % 53 = 0),
+        |d AS (SELECT qe.qid AS query_id, e.vec_id, sum(e.qi * qe.qv) AS dot16
+        |      FROM e JOIN qe ON qe.idx = e.idx AND e.vec_id <> qe.qid
+        |      GROUP BY qe.qid, e.vec_id),
+        |r AS (SELECT d.query_id, d.vec_id, d.dot16,
+        |       ROW_NUMBER() OVER (PARTITION BY d.query_id
+        |         ORDER BY CAST(d.dot16 AS DOUBLE) /
+        |           sqrt(CAST(n2.norm16 AS DOUBLE)) DESC, d.vec_id) AS rk
+        |      FROM d JOIN n2 ON n2.vec_id = d.vec_id),
+        |qv AS (SELECT vec_id AS query_id, embedding AS qe2 FROM embeddings
+        |       WHERE vec_id % 53 = 0),
+        |cos AS (SELECT q.query_id, x.vec_id,
+        |          ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |            ORDER BY list_cosine_similarity(q.qe2, x.embedding) DESC,
+        |              x.vec_id) AS crk
+        |        FROM qv q JOIN embeddings x ON x.vec_id <> q.query_id)
+        |SELECT r.query_id, CAST(r.rk AS BIGINT) AS rk, r.vec_id,
+        |       CAST(r.dot16 AS BIGINT) AS dot16,
+        |       (c.crk IS NOT NULL AND c.crk <= 5) AS cos_hit
+        |FROM r LEFT JOIN cos c
+        |  ON c.query_id = r.query_id AND c.vec_id = r.vec_id
+        |WHERE r.rk <= 5 ORDER BY r.query_id, r.rk""".stripMargin,
     // Per-label outliers: exact integer sum-vector dots (the embed_pca
     // micro-quantization), one correctly-rounded double ratio for rank.
     "embed_outlier" ->

@@ -511,4 +511,96 @@ object Profiling {
       .withColumn("rk", row_number().over(w).cast("long"))
       .orderBy("rk")
   }
+
+  /** INCREMENTAL profile maintenance — the reason the sketch family
+    * exists at all, exercised end-to-end: the settled corpus's
+    * per-column Datasketches-HLL state is built ONCE and persisted as a
+    * catalog artifact (one ~KB blob per column — the nightly profile's
+    * stored form); each arriving delta sketches ONLY its own rows and
+    * `hll_union`s into the settled blobs. The settled corpus is never
+    * rescanned — per-release profiling cost is delta-scale, the property
+    * that makes corpus-wide cardinality tracking affordable at 100 TB
+    * (the dedup_incr_artifact maintenance stance, applied to profiling).
+    * Gate row: the merged estimate must sit within `tol` of the exact
+    * full-corpus distinct count (the exact leg is the GATE's cost, not
+    * the operator's — production serves the estimate). Union is
+    * bucket-wise max, so the estimate is insensitive to partitioning and
+    * merge order — deterministic on the item set. */
+  def incrementalProfile(s: SparkSession, dir: String, mod: Int = 10,
+                         tol: Double = 0.15): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cols = docs.columns
+    def sketchRows(d: DataFrame, out: String): DataFrame = d
+      .agg(hll_sketch_agg(col(cols.head)).as(cols.head),
+        cols.tail.map(c => hll_sketch_agg(col(c)).as(c)): _*)
+      .select(expr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', $c").mkString(", ") + s") as (col_name, $out)"))
+    val name = s"graft_profile_hll_${Artifacts.key(s"$dir|$mod")}"
+    Artifacts.ensure(s, Seq(name)) {
+      val root = java.nio.file.Files.createTempDirectory("graft-hll").toString
+      sketchRows(docs.filter(col("doc_id") % mod =!= 0), "settled_sketch")
+        .write.mode("overwrite")
+        .option("path", s"$root/$name").saveAsTable(name)
+    }
+    val delta = sketchRows(docs.filter(col("doc_id") % mod === 0), "delta_sketch")
+    val merged = s.table(name).join(delta, "col_name")
+      .select(col("col_name"), hll_sketch_estimate(
+        hll_union(col("settled_sketch"), col("delta_sketch"))).as("n_est"))
+    val exact = docs.agg(count_distinct(col(cols.head)).as(cols.head),
+        cols.tail.map(c => count_distinct(col(c)).as(c)): _*)
+      .select(expr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', $c").mkString(", ") + ") as (col_name, n_exact)"))
+    merged.join(exact, "col_name")
+      .select(col("col_name"), col("n_exact"),
+        (abs(col("n_est") - col("n_exact")).cast("double") <=
+          greatest(col("n_exact") * tol, lit(2.0))).as("merged_ok"))
+      .orderBy("col_name")
+  }
+
+  final case class Expectation(rule_id: Long, col_name: String, rule: String,
+                               violates: org.apache.spark.sql.Column)
+
+  /** DECLARATIVE data expectations — the Great-Expectations-style
+    * contract check a pipeline runs before promoting a corpus release:
+    * a fixed rule table (not-null, uniqueness, cross-field consistency,
+    * regex domain, range) evaluated in ONE corpus scan via conditional
+    * aggregation; `unique` adds the one count-distinct the scan already
+    * pays in [[columnProfile]]. Output is one row per rule with the
+    * violation count and the pass bit — the shape a release gate
+    * consumes. Zero joins, zero shuffles beyond the single aggregate;
+    * rules are data (extend the Seq), not plan shape. */
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val rules = Seq(
+      Expectation(1L, "doc_id", "not_null", col("doc_id").isNull),
+      Expectation(3L, "text", "not_null", col("text").isNull),
+      Expectation(4L, "n_chars", "eq_length_text",
+        col("n_chars").isNull || col("text").isNull ||
+          col("n_chars") =!= length(col("text"))),
+      Expectation(5L, "lang", "regex_iso639",
+        !coalesce(col("lang"), lit("")).rlike("^[a-z]{2}$")),
+      Expectation(6L, "source", "regex_src_domain",
+        !coalesce(col("source"), lit("")).rlike("^src[0-9]+$")),
+      Expectation(7L, "n_chars", "range_1_1000000",
+        col("n_chars").isNull || col("n_chars") < 1 ||
+          col("n_chars") > 1000000))
+    val aggs = rules.map(r =>
+      sum(when(r.violates, 1L).otherwise(0L)).as(s"v${r.rule_id}")) ++ Seq(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("doc_id")).as("n_ids"),
+      count(col("doc_id")).as("n_nonnull_ids"))
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    import s.implicits._
+    val ruleRows = (rules.map(r => (r.rule_id, r.col_name, r.rule)) :+
+      ((2L, "doc_id", "unique")))
+      .toDF("rule_id", "col_name", "rule")
+    ruleRows.crossJoin(broadcast(one)) // 1-row stats
+      .select(col("rule_id"), col("col_name"), col("rule"), col("n_rows"),
+        when(col("rule") === "unique", col("n_nonnull_ids") - col("n_ids"))
+          .otherwise(coalesce(rules.map(r =>
+            when(col("rule_id") === r.rule_id, col(s"v${r.rule_id}"))): _*))
+          .as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("rule_id")
+  }
 }

@@ -1403,6 +1403,63 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** MATRYOSHKA (prefix-dimension) retrieval — the fourth compression
+    * point on the embed_quantize(int8) / ann_pq(product codes) /
+    * embed_binary(sign bits) ladder, and the one MRL-trained embedding
+    * stacks actually deploy: rank on the FIRST `dims` coordinates only
+    * (64→16 = 4× less memory bandwidth and index footprint, the coarse
+    * pass of a coarse-to-fine cascade), then flag each hit against the
+    * exact full-dimension cosine top-k so truncation recall is row data
+    * — on non-MRL-trained uniform embeddings it is honestly low, the
+    * same stance as embed_binary's ~16%. Prefix ranking is the one
+    * correctly-rounded double dot16/√norm16 of EXACT integer
+    * micro-coordinates (the ann_mips convention; the query norm is
+    * constant per query), so both engines order identically with no
+    * float tolerance.
+    *
+    * Scale shape: fixed query set broadcasts against the corpus, prefix
+    * dots touch 16 of 64 coordinates per candidate, per-query top-k
+    * prunes map-side (WindowGroupLimit); the full-dim leg exists only to
+    * GATE (production serves the cascade: prefix scan → full rerank of
+    * the survivors). */
+  def matryoshkaTopK(s: SparkSession, dir: String, k: Int = 5,
+                     dims: Int = 16, qmod: Int = 53): DataFrame = {
+    val mic = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(slice(col("embedding"), 1, dims),
+        x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("q16"))
+      .withColumn("n16", aggregate(col("q16"), lit(0L),
+        (acc, x) => acc + x * x))
+      .localCheckpoint(false)
+    val qs = mic.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), col("q16").as("qv"))
+    val wP = Window.partitionBy("query_id")
+      .orderBy((col("dot16").cast("double") /
+        sqrt(col("n16").cast("double"))).desc, col("vec_id"))
+    val preTop = mic.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id"), col("n16"),
+        aggregate(zip_with(col("q16"), col("qv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot16"))
+      .withColumn("rk", row_number().over(wP).cast("long"))
+      .filter(col("rk") <= k)
+    val all = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+    val qv = all.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val wC = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val cosTop = all.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .withColumn("crk", row_number().over(wC)).filter(col("crk") <= k)
+      .select(col("query_id"), col("vec_id"), lit(true).as("cos_hit"))
+    preTop.join(cosTop, Seq("query_id", "vec_id"), "left")
+      .na.fill(false, Seq("cos_hit"))
+      .select(col("query_id"), col("rk"), col("vec_id"), col("dot16"),
+        col("cos_hit"))
+      .orderBy("query_id", "rk")
+  }
+
   /** BINARY QUANTIZATION gate — the third compression point on the
     * embed_quantize(int8) / ann_pq(product codes) ladder: each vector
     * collapses to its 64 SIGN BITS packed into one long (64 dims → 8

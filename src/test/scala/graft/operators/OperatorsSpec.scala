@@ -2040,6 +2040,90 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(4) == diffs.filter(_._2 == mx).map(_._1).min)
   }
 
+  test("profile_incr: merged sketch estimates pass the gate at exact fixture counts") {
+    val rows = Profiling.incrementalProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // exact distincts on the 5-doc fixture: text has one exact dup,
+    // n_chars {22,26,48,59}, lang {en,de}, source {s}
+    assert(rows == Map(
+      "doc_id" -> ((5L, true)), "text" -> ((4L, true)),
+      "lang" -> ((2L, true)), "source" -> ((1L, true)),
+      "n_chars" -> ((4L, true))))
+    // second call reuses the settled artifact (build-once) and agrees
+    val again = Profiling.incrementalProfile(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(again == rows)
+  }
+
+  test("profile_expect: planted violations counted per rule, clean rules pass") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-expect").toString
+    Seq(
+      (10L, Some("ok text"), "en", "src1", 7L),     // clean
+      (10L, Some("dup id"), "en", "src2", 6L),      // duplicate doc_id
+      (11L, None, "english", "bad", 5L),            // null text, bad lang+source
+      (12L, Some("abc"), "fr", "src3", 99L),        // n_chars mismatch
+      (13L, Some("xyz"), "de", "src4", 0L))         // out-of-range (and mismatch)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val out = Profiling.expectations(spark, d2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == (("doc_id", "not_null", 5L, 0L, true)))
+    assert(out(2L) == (("doc_id", "unique", 5L, 1L, false)))
+    assert(out(3L) == (("text", "not_null", 5L, 1L, false)))
+    // mismatches: null-text row, 99-vs-3, 0-vs-3
+    assert(out(4L) == (("n_chars", "eq_length_text", 5L, 3L, false)))
+    assert(out(5L) == (("lang", "regex_iso639", 5L, 1L, false)))
+    assert(out(6L) == (("source", "regex_src_domain", 5L, 1L, false)))
+    assert(out(7L) == (("n_chars", "range_1_1000000", 5L, 1L, false)))
+    // all-pass on the real (clean) corpus
+    assert(Profiling.expectations(spark, "/root/testdata/sf0.001").collect()
+      .forall(_.getBoolean(5)))
+  }
+
+  test("embed_matryoshka: prefix ranking diverges from full-dim cosine as data") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-matr").toString
+    // 64-dim: prefix signal in dims 0-1, suffix signal in dim 16. The
+    // query q=(1,0 | 1). Candidate a matches the prefix exactly but
+    // OPPOSES the suffix (full cos 0); b..f degrade in prefix alignment
+    // but share the suffix (full cos (x+1)-monotone); g opposes both.
+    def vec(x: Float, y: Float, sfx: Float): Array[Float] = {
+      val v = Array.fill(64)(0.0f); v(0) = x; v(1) = y; v(16) = sfx; v
+    }
+    val vs = Seq(
+      0L -> vec(1.0f, 0.0f, 1.0f),   // query (0 % 53 == 0)
+      1L -> vec(1.0f, 0.0f, -1.0f),  // a: prefix-perfect, cosine 0
+      2L -> vec(0.9f, 0.3f, 1.0f),   // b
+      3L -> vec(0.8f, 0.4f, 1.0f),   // c
+      4L -> vec(0.7f, 0.5f, 1.0f),   // d
+      5L -> vec(0.6f, 0.6f, 1.0f),   // e
+      6L -> vec(0.5f, 0.7f, 1.0f),   // f: cos top-5, prefix rank 6
+      7L -> vec(-1.0f, 0.0f, 1.0f))  // g: prefix-last
+    vs.map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val out = Similarity.matryoshkaTopK(spark, d2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // independent replay of the prefix micro-dot ranking
+    def micro(v: Array[Float]): Array[Long] =
+      v.take(16).map(x => math.floor(x.toDouble * 1000.0).toLong)
+    val q16 = micro(vs.head._2)
+    val pre = vs.tail.map { case (id, v) =>
+      val m = micro(v)
+      val dot = m.zip(q16).map { case (p, q) => p * q }.sum
+      val n = math.sqrt(m.map(x => x * x).sum.toDouble)
+      (id, dot, dot.toDouble / n)
+    }.sortBy(t => (-t._3, t._1)).take(5)
+    assert(out.map(t => (t._2, t._3)).toSeq == pre.map(t => (t._1, t._2)))
+    // vec 1 tops the prefix ranking yet is NOT a full-cosine top-5 hit;
+    // vecs 2..5 are; vec 6 (a genuine cosine hit) missed the prefix cut
+    assert(out.head == ((1L, 1L, 1000000L, false)))
+    assert(out.filter(_._4).map(_._2).toSet == Set(2L, 3L, 4L, 5L))
+    assert(!out.map(_._2).contains(6L))
+  }
+
   test("ann_mips: dot order beats cosine order exactly where norms differ") {
     import spark.implicits._
     val d2 = java.nio.file.Files.createTempDirectory("graft-mips").toString
