@@ -228,6 +228,9 @@ object SparkEntry {
     // (no global row sort; winsorize-trick running offsets).
     "curate_tokenbudget" -> ((s, d) => Curation.tokenBudgetSelect(s, d)),
     "curate_pack"     -> ((s, d) => Curation.packSequences(s, d)),
+    // In-context pack ordering: greedy integer-dot similarity chain
+    // within each pack (keyed per-group traversal, bounded by budget).
+    "curate_ctxpack"  -> ((s, d) => Curation.contextPackOrder(s, d)),
     "curate_pii"      -> (Curation.piiDemo _),
     "curate_spans"    -> ((s, d) => Curation.removeSharedSpans(s, d)),
     "curate_split"    -> ((s, d) => Curation.splitAssignments(s, d)),
@@ -2096,6 +2099,45 @@ object SparkEntry {
         | CAST(cum // 256 AS BIGINT) AS pack_id,
         | CAST(cum % 256 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Every pack's greedy chain replayed as ONE recursive CTE advancing
+    // all packs a step per round (embed_coreset's argmax pattern);
+    // integer micro-dots, ties to the smallest doc_id.
+    "curate_ctxpack" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |      FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM t),
+        |pk AS (SELECT doc_id, CAST(cum // 256 AS BIGINT) AS pack_id FROM c),
+        |mic AS (SELECT vec_id AS doc_id,
+        |         list_transform(embedding, x ->
+        |           CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        |        FROM embeddings),
+        |m AS (SELECT pk.pack_id, pk.doc_id, mic.q FROM pk JOIN mic USING (doc_id)),
+        |chain(pack_id, seq, doc_id, dot_prev, sel) AS (
+        |  SELECT pack_id, CAST(0 AS BIGINT), min(doc_id), CAST(0 AS BIGINT),
+        |         [min(doc_id)]
+        |  FROM m GROUP BY pack_id
+        |  UNION ALL
+        |  SELECT pack_id, seq, nx['d'], nx['dot'], list_append(sel, nx['d'])
+        |  FROM (
+        |    SELECT c.pack_id, c.seq + 1 AS seq, c.sel,
+        |      (SELECT {'d': m2.doc_id,
+        |               'dot': CAST(list_sum(list_transform(range(1, len(m2.q) + 1),
+        |                        i -> m2.q[i] * mc.q[i])) AS BIGINT)}
+        |       FROM m m2, m mc
+        |       WHERE mc.pack_id = c.pack_id AND mc.doc_id = c.doc_id
+        |         AND m2.pack_id = c.pack_id
+        |         AND NOT list_contains(c.sel, m2.doc_id)
+        |       ORDER BY list_sum(list_transform(range(1, len(m2.q) + 1),
+        |                  i -> m2.q[i] * mc.q[i])) DESC, m2.doc_id
+        |       LIMIT 1) AS nx
+        |    FROM chain c) s
+        |  WHERE nx IS NOT NULL)
+        |SELECT pack_id, seq, doc_id, dot_prev FROM chain
+        |ORDER BY pack_id, seq""".stripMargin,
     // Full curation chain, stage by stage: quality CASE chain (same
     // thresholds as curate_filter), exact dedup by text among quality
     // survivors, near-dup removal among exact survivors, 3-gram eval

@@ -718,6 +718,70 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  final case class CtxSlot(pack_id: Long, seq: Long, doc_id: Long,
+                           dot_prev: Long)
+
+  /** IN-CONTEXT PACK ORDERING — the long-context curation step after
+    * packing ("related documents should share a context window", the
+    * in-context-pretraining recipe): within each [[packSequences]] pack,
+    * members are reordered into a greedy similarity chain — start at the
+    * min doc_id, repeatedly append the unplaced member with the highest
+    * embedding dot to the CURRENT document (exact integer micro-dots,
+    * ⌊x·1000⌋; ties to the smallest doc_id). The emitted `dot_prev`
+    * makes the chain quality auditable as data.
+    *
+    * The sequential dependence lives strictly INSIDE one pack, and packs
+    * are bounded by the token budget (≤ budget/min_doc_tokens members),
+    * so the right Spark spelling is a keyed traversal per group:
+    * one exchange on pack_id, then O(|pack|²·dims) driver-free work per
+    * group with O(|pack|) state — constant per pack, linear in packs.
+    * The oracle replays every pack's chain as one recursive CTE
+    * (embed_coreset's greedy-argmax pattern, parallel per pack). */
+  def contextPackOrder(s: SparkSession, dir: String,
+                       budget: Int = 256): DataFrame = {
+    import s.implicits._
+    val packs = packSequences(s, dir, budget).select("doc_id", "pack_id")
+    val mic = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("q"))
+    packs.join(mic, "doc_id")
+      .select(col("pack_id"), col("doc_id"), col("q"))
+      .as[(Long, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (pid: Long, it: Iterator[(Long, Long, Seq[Long])]) =>
+        val ms = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
+        val n = ms.length
+        val used = new Array[Boolean](n)
+        val out = new scala.collection.mutable.ArrayBuffer[CtxSlot](n)
+        var cur = 0
+        used(0) = true
+        out += CtxSlot(pid, 0L, ms(0)._1, 0L)
+        var step = 1
+        while (step < n) {
+          var best = -1
+          var bestDot = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val a = ms(cur)._2; val b = ms(i)._2
+              var d = 0L; var j = 0
+              while (j < a.length) { d += a(j) * b(j); j += 1 }
+              if (d > bestDot) { bestDot = d; best = i } // ascending ids: first wins ties
+            }
+            i += 1
+          }
+          used(best) = true
+          out += CtxSlot(pid, step.toLong, ms(best)._1, bestDot)
+          cur = best
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF()
+      .orderBy("pack_id", "seq")
+  }
+
   def temperatureMix(s: SparkSession, dir: String): DataFrame = {
     val perSource = documents(s, dir)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))

@@ -137,7 +137,13 @@ object ScaleProbe {
       "profile_columns", "profile_sketch", "curate_substr",
       // r12 additions: iterative label joins, banded Hamming join,
       // KMV sketch + exact gate, EM trainer + Viterbi apply scan
-      "graph_lpa", "multimodal_phash", "profile_theta", "text_unigram")
+      "graph_lpa", "multimodal_phash", "profile_theta", "text_unigram",
+      // r12 late additions: asymmetric-prefix containment join, cluster
+      // reweighting, per-shot decode fold, one-scan rule contract, and
+      // the sketch-merge maintenance row (its exact GATE leg dominates —
+      // the production serve path is the delta sketch + union only)
+      "dedup_contain", "curate_softdedup", "multimodal_keyframes",
+      "profile_expect", "profile_incr")
       .filterNot(n => skipGates && gateRows(n))
       .map(n => n -> graft.SparkEntry.queries(n)) ++ Seq[
       (String, (SparkSession, String) => DataFrame)](

@@ -2040,6 +2040,44 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(4) == diffs.filter(_._2 == mx).map(_._1).min)
   }
 
+  test("curate_ctxpack: greedy chains equal an independent replay on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Curation.contextPackOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replay: packs from cumulative doc_id-ordered token
+    // sums, then the greedy max-dot chain per pack on micro-int vectors
+    val toks = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong)
+      .sortBy(_._1)
+    val packOf = {
+      var cum = 0L
+      toks.map { case (id, n) => val p = cum / 256; cum += n; id -> p }.toMap
+    }
+    val mic = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000.0).toLong).toArray)
+      .toMap
+    val expect = packOf.toSeq.groupBy(_._2).toSeq.flatMap { case (p, ms) =>
+      val ids = ms.map(_._1).filter(mic.contains).sorted.toBuffer
+      val chain = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      var cur = ids.remove(0)
+      chain += ((p, 0L, cur, 0L))
+      var seq = 1L
+      while (ids.nonEmpty) {
+        val (nid, nd) = ids.map { c =>
+          c -> mic(cur).zip(mic(c)).map { case (a, b) => a * b }.sum
+        }.maxBy { case (c, d) => (d, -c) }
+        ids -= nid
+        chain += ((p, seq, nid, nd)); cur = nid; seq += 1
+      }
+      chain
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == expect, s"op=${out.length} expect=${expect.length}")
+    // the chain genuinely reorders: some pack's sequence is not id-sorted
+    assert(out.groupBy(_._1).values.exists(p =>
+      p.sortBy(_._2).map(_._3).toSeq != p.map(_._3).sorted.toSeq))
+  }
+
   test("profile_incr: merged sketch estimates pass the gate at exact fixture counts") {
     val rows = Profiling.incrementalProfile(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
