@@ -104,6 +104,9 @@ object SparkEntry {
     // the oracle derives the same fingerprints from the original
     // parquet, pinning full fidelity through the interchange loop.
     "ingest_jsonl"    -> ((s, d) => DocPipeline.jsonlRoundTrip(s, d)),
+    // CSV interchange round trip: lang-partitioned quote-all write,
+    // explicit-schema read-back, per-lang content fingerprints.
+    "ingest_csv"      -> ((s, d) => DocPipeline.csvRoundTrip(s, d)),
     "curate_pipeline" -> ((s, d) => DocPipeline.curatePipeline(s, d)),
     // The training-export capstone: quality filter -> exact dedup ->
     // near-dup -> decontaminate -> mix -> pack -> shuffle-into-shards
@@ -469,6 +472,9 @@ object SparkEntry {
     // Reciprocal-rank fusion of the BM25 and cosine orderings over the
     // same candidate set (exact-integer 1e9 div (60+rank) votes).
     "search_rrf"    -> ((s, d) => Search.rrfSearch(s, d)),
+    // Prefix autocomplete: per-prefix top-k completions by exact
+    // occurrence count (map-side-pruned per-prefix window).
+    "search_suggest" -> ((s, d) => Search.suggestTopK(s, d)),
     "search_hybrid" -> ((s, d) => Search.hybridSearch(s, d)),
     // Persisted IVF-PQ index: recall bound + bit-identity with the fresh
     // build (the settled-corpus ANN path, sibling of dedup_incr_artifact).
@@ -1092,6 +1098,20 @@ object SparkEntry {
         |  crank AS cos_rank, CAST(rrf_nano AS BIGINT) AS rrf_nano,
         |  CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rank
         |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+    // Term counts from the raw token stream; per-prefix top-5 by
+    // (freq desc, term asc).
+    "search_suggest" ->
+      """WITH tf AS (SELECT t AS term, count(*) AS freq
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |                  FROM documents)
+        |            WHERE length(t) >= 3 GROUP BY t),
+        |r AS (SELECT substr(term, 1, 3) AS prefix, term, freq,
+        |       ROW_NUMBER() OVER (PARTITION BY substr(term, 1, 3)
+        |         ORDER BY freq DESC, term) AS rk
+        |      FROM tf)
+        |SELECT prefix, CAST(rk AS BIGINT) AS rk, term,
+        |       CAST(freq AS BIGINT) AS freq
+        |FROM r WHERE rk <= 5 ORDER BY prefix, rk""".stripMargin,
     "search_hybrid" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |l AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
@@ -1753,6 +1773,14 @@ object SparkEntry {
         |WHERE len(string_split(d.text, ' ')) >= 5
         |ORDER BY d.doc_id""".stripMargin,
     "ingest_jsonl" ->
+      """SELECT lang, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_distinct,
+        | min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+        | sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same fingerprints, CSV round trip: any quoting/escaping/header/
+    // partition-dir/type bug in the round trip flips the hash.
+    "ingest_csv" ->
       """SELECT lang, count(*) AS n_docs,
         | count(DISTINCT md5(text)) AS n_distinct,
         | min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,

@@ -456,4 +456,63 @@ object DocPipeline {
         sum(col("doc_id")).as("sum_ids"))
       .orderBy("lang")
   }
+
+  /** CSV interchange round trip — [[jsonlRoundTrip]]'s sibling for the
+    * OTHER interchange format corpora actually arrive in: the corpus is
+    * written as lang-partitioned, quote-all, headered CSV (quote-all +
+    * explicit `"` escape so embedded delimiters/quotes can never shear a
+    * row — the defensive production configuration), read back through an
+    * EXPLICIT schema (never inference — schema drift must fail loudly,
+    * the ingest_jsonl stance), and fingerprinted per lang with the same
+    * engine-independent aggregates the DuckDB oracle computes straight
+    * from the parquet corpus — so a quoting, escaping, header, partition
+    * -dir or type-application bug anywhere in the round trip flips the
+    * hash. Same scale story as jsonl: write and read are both
+    * partition-parallel, fingerprints are keyed aggregates. */
+  def csvRoundTrip(s: SparkSession, dir: String,
+                   maxRecordsPerFile: Int = 100000,
+                   tasksPerLang: Int = 8,
+                   outRoot: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = outRoot
+      .orElse(s.conf.getOption("spark.graft.csv.root"))
+      .getOrElse {
+        require(s.sparkContext.isLocal,
+          "csvRoundTrip on a cluster needs a shared outRoot " +
+            "(param or spark.graft.csv.root)")
+        java.nio.file.Files.createTempDirectory("graft-csv").toString
+      }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .repartition(col("lang"), pmod(col("doc_id"), lit(tasksPerLang)))
+      .write
+      .partitionBy("lang")
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .option("escape", "\"")
+      // explicit null sentinel on BOTH sides: CSV's default empty-field
+      // encoding makes "" and NULL indistinguishable on read (the
+      // classic silent corruption — an empty document would come back
+      // null and vanish from n_distinct)
+      .option("nullValue", "\\N")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .mode("overwrite")
+      .csv(out)
+    val bodySchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    s.read.schema(bodySchema)
+      .option("header", "true").option("escape", "\"")
+      .option("nullValue", "\\N")
+      .csv(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        min(md5(col("text"))).as("min_md5"),
+        max(md5(col("text"))).as("max_md5"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("lang")
+  }
 }

@@ -412,4 +412,31 @@ object Search {
           slice(sort_array(concat(coalesce(col("s.plist"), empty),
             coalesce(col("i.plist"), empty))), 1, cap).as("plist")))
   }
+
+  /** PREFIX AUTOCOMPLETE (query suggestion) — the serving-side sibling
+    * of the postings index: for every `plen`-char prefix in the corpus
+    * vocabulary, the top-`k` completions by total occurrence count
+    * (ties to the lexicographically smallest term) — the precomputed
+    * suggestion table a search box reads on every keystroke. Exact
+    * integer frequencies.
+    *
+    * Scale shape: one term-count aggregate (map-side combined) over the
+    * token stream, then a per-prefix top-k window — WindowGroupLimit
+    * prunes to k rows per prefix map-side, so the second exchange
+    * carries ~k·|prefixes| rows, not the vocabulary. No index scan, no
+    * corpus broadcast. */
+  def suggestTopK(s: SparkSession, dir: String, plen: Int = 3,
+                  k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("prefix")
+      .orderBy(col("freq").desc, col("term"))
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) >= plen)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("prefix", substring(col("term"), 1, plen))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("prefix"), col("rk"), col("term"), col("freq"))
+      .orderBy("prefix", "rk")
+  }
 }

@@ -243,6 +243,65 @@ class OperatorsSpec extends SparkSpec {
     assert(langs.nonEmpty && langs.toSeq == langs.toSeq.sorted)
   }
 
+  test("ingest_csv: quote/comma/escape content survives the round trip exactly") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-csv-fx").toString
+    // the characters CSV can shear: delimiter, quote, quote-at-edges
+    val docs = Seq(
+      (0L, "plain words only", "en", "src1", 16L),
+      (1L, "a,b,,c trailing,", "en", "src1", 16L),
+      (2L, "she said \"hi, there\" twice", "fr", "src2", 26L),
+      (3L, "\"leading and trailing\"", "fr", "src2", 22L),
+      (4L, "", "de", "src3", 0L)) // empty text round-trips, not null
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val out = DocPipeline.csvRoundTrip(spark, d2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5), r.getLong(6)))).toMap
+    def md5s(ts: Seq[String]) = ts.map(t => org.apache.commons.codec.digest
+      .DigestUtils.md5Hex(t)).sorted
+    Seq("en", "fr", "de").foreach { l =>
+      val ds = docs.filter(_._3 == l)
+      val ms = md5s(ds.map(_._2))
+      assert(out(l) == ((ds.size.toLong, ms.distinct.size.toLong, ms.min,
+        ms.max, ds.map(_._5).sum, ds.map(_._1).sum)), s"lang $l")
+    }
+    // real-corpus run returns one row per language, sorted
+    val langs = DocPipeline.csvRoundTrip(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getString(0))
+    assert(langs.nonEmpty && langs.toSeq == langs.toSeq.sorted)
+  }
+
+  test("search_suggest: per-prefix completions equal a token-count replay") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Search.suggestTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val freq = Tables.documents(spark, sf).collect()
+      .flatMap(_.getString(1).split(" ")).filter(_.length >= 3)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val expect = freq.groupBy(_._1.take(3)).toSeq.flatMap { case (p, ts) =>
+      ts.toSeq.sortBy { case (t, f) => (-f, t) }.take(5).zipWithIndex
+        .map { case ((t, f), i) => (p, i + 1L, t, f) }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == expect)
+    // competition + tie-break pinned on a planted vocabulary (the real
+    // corpus vocab happens to have unique 3-prefixes)
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-sugg").toString
+    Seq((0L, "theory theory theme thesis cat", "en", "s", 30L),
+        (1L, "theme theory cat catalog", "en", "s", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val fx = Search.suggestTopK(spark, d2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(fx.filter(_._1 == "the").toSeq == Seq(
+      ("the", 1L, "theory", 3L), ("the", 2L, "theme", 2L),
+      ("the", 3L, "thesis", 1L)))
+    // "cat" twice across both docs beats "catalog" once
+    assert(fx.filter(_._1 == "cat").toSeq == Seq(
+      ("cat", 1L, "cat", 2L), ("cat", 2L, "catalog", 1L)))
+  }
+
   test("substring cut: kept chars complement the reported dup spans (sf0.001 + fixture)") {
     for (sf <- Seq(dir, "/root/testdata/sf0.001")) {
       val L = if (sf == dir) 10 else 40
