@@ -77,6 +77,9 @@ object SparkEntry {
     // Top-k length-3 behavioral paths (two stacked leads over the
     // one-exchange per-user sort, tiny-domain count, rank over top-k).
     "events_paths"    -> ((s, d) => EventAnalytics.topPaths(s, d)),
+    // OHLC gauge downsampling per (event_type, hour): first/last by
+    // event-time (id ties), min/max, exact-cents sum.
+    "ts_downsample"   -> ((s, d) => EventAnalytics.downsampleOhlc(s, d)),
     "events_transitions" -> (EventAnalytics.transitions _),
     // Batch gaps-and-islands sessionization — stream_sessions' batch
     // twin, same oracle SQL.
@@ -94,6 +97,9 @@ object SparkEntry {
     // into total entity assignments.
     "link_pairs"      -> (Linkage.blockedPairsDeletion _),
     "link_clusters"   -> (Linkage.entityClusters _),
+    // Survivorship: one golden record per resolved entity under
+    // deterministic merge rules (min_by name, max cents, fingerprints).
+    "link_golden"     -> (Linkage.goldenRecords _),
     "asof_join"       -> (AsOfJoin.errorsToPurchases _),
     "range_join"      -> ((s, d) => RangeJoin.eventBands(s, d)),
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
@@ -313,6 +319,9 @@ object SparkEntry {
     // Per-label embedding outliers: bottom-k cosine to the exact integer
     // group sum-vector (micro-quantized; ranks + exact dot survive).
     "embed_outlier"   -> ((s, d) => Similarity.embedOutliers(s, d)),
+    // Source-pair centroid cosine matrix (mixing diagnostic): exact
+    // integer sum-vectors, broadcast pair join over the source dimension.
+    "embed_domains"   -> ((s, d) => Similarity.domainSimilarity(s, d)),
     // 1-bit (sign) quantization: packed 64-bit signatures, Hamming top-k
     // flagged against the exact cosine top-k (recall as row data).
     "embed_binary"    -> ((s, d) => Similarity.binaryQuantTopK(s, d)),
@@ -1616,6 +1625,25 @@ object SparkEntry {
         |FROM spine s CROSS JOIN dims d
         |LEFT JOIN c ON c.m = s.m AND c.o_orderpriority = d.o_orderpriority
         |ORDER BY month_ms, priority""".stripMargin,
+    // OHLC rollup: first/last via per-bucket ranks (ts, event_id ties),
+    // doubles compared as stored values, sum in half-up cents.
+    "ts_downsample" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |       ts, event_id, value,
+        |       ROW_NUMBER() OVER (PARTITION BY event_type,
+        |         date_trunc('hour', ts) ORDER BY ts, event_id) AS rn_a,
+        |       ROW_NUMBER() OVER (PARTITION BY event_type,
+        |         date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC)
+        |         AS rn_d
+        |      FROM events)
+        |SELECT event_type, bucket, count(*) AS n,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM e GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
     // MERGE: both sides reduce to last-event-per-user under the same
     // (tus DESC, event_id DESC) order; FULL OUTER + the three actions.
     "cdc_merge" ->
@@ -1663,6 +1691,27 @@ object SparkEntry {
         |SELECT c_custkey, entity_id,
         |       count(*) OVER (PARTITION BY entity_id) AS n_members
         |FROM lbl ORDER BY c_custkey""".stripMargin,
+    // Same closure, rolled up to one golden record per entity under the
+    // registered survivorship rules (arg_min name, max cents).
+    "link_golden" ->
+      """WITH RECURSIVE
+        |e AS (SELECT a.c_custkey AS src, b.c_custkey AS dst
+        |      FROM customer a, customer b
+        |      WHERE a.c_nationkey = b.c_nationkey
+        |        AND a.c_mktsegment = b.c_mktsegment
+        |        AND a.c_custkey <> b.c_custkey
+        |        AND levenshtein(a.c_name, b.c_name) <= 1),
+        |reach(c, r) AS (SELECT c_custkey, c_custkey FROM customer
+        |  UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.c),
+        |lbl AS (SELECT c AS c_custkey, min(r) AS entity_id
+        |        FROM reach GROUP BY c)
+        |SELECT l.entity_id, count(*) AS n_members,
+        |       arg_min(c.c_name, c.c_custkey) AS canonical_name,
+        |       CAST(max(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100
+        |            AS BIGINT)) AS BIGINT) AS max_bal_cents,
+        |       CAST(sum(c.c_custkey) AS BIGINT) AS sum_keys
+        |FROM lbl l JOIN customer c USING (c_custkey)
+        |GROUP BY l.entity_id ORDER BY l.entity_id""".stripMargin,
     "q14_sql_subquery" ->
       """SELECT c_mktsegment, COUNT(*) AS n_above
         |FROM customer c
@@ -3471,6 +3520,29 @@ object SparkEntry {
         |       FROM dots)
         |SELECT label, rk, vec_id, CAST(dot_num AS BIGINT) AS dot_num
         |FROM rk WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+    // Per-source integer sum-vectors, all source-pair cosines — the one
+    // correctly-rounded double ratio of exact integer moments.
+    "embed_domains" ->
+      """WITH m AS (SELECT e.vec_id AS doc_id, d.source,
+        |        CAST(unnest(range(1, len(e.embedding) + 1)) AS BIGINT) AS idx,
+        |        CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000.0)
+        |             AS BIGINT) AS qi
+        |      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |sums AS (SELECT source, idx, sum(qi) AS sq FROM m
+        |         GROUP BY source, idx),
+        |n2 AS (SELECT source, sum(sq * sq) AS n2 FROM sums GROUP BY source),
+        |d2 AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        sum(a.sq * b.sq) AS dot
+        |       FROM sums a JOIN sums b
+        |         ON a.idx = b.idx AND a.source < b.source
+        |       GROUP BY a.source, b.source)
+        |SELECT d2.src_a, d2.src_b, CAST(d2.dot AS BIGINT) AS dot_num,
+        |       CAST(d2.dot AS DOUBLE) /
+        |         (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+        |         AS cosine
+        |FROM d2 JOIN n2 x ON x.source = d2.src_a
+        |        JOIN n2 y ON y.source = d2.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "embed_coreset" ->
       """WITH RECURSIVE sel(step, ids) AS (
         |  SELECT 1, [(SELECT min(vec_id) FROM embeddings)]

@@ -290,4 +290,39 @@ object EventAnalytics {
       .select("rk", "step1", "step2", "step3", "n")
       .orderBy("rk")
   }
+
+  /** OHLC DOWNSAMPLING — the gauge/metric rollup every observability and
+    * feature-store pipeline runs before retention ("keep hourly
+    * open/high/low/close, drop the raw points"): per (event_type, hour)
+    * the first and last value in event-time order (ties broken by
+    * event_id — deterministic), the min/max, the count, and the value
+    * sum in exact cents (ROUND(value·100) — identical half-up rounding
+    * in both engines; a raw double sum would be association-order-
+    * dependent and is deliberately absent). Open/close come from one
+    * pair of window ranks per bucket — partitioned windows, no global
+    * sort.
+    *
+    * Scale shape: two keyed window passes + one keyed aggregate, all on
+    * (event_type, bucket) — at 100 TB the buckets ARE the retention
+    * unit, so state per key is one row and the output is the compacted
+    * table itself. */
+  def downsampleOhlc(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      date_trunc("hour", col("ts")).as("bucket"),
+      col("ts"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy("event_type", "bucket")
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy("event_type", "bucket")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("event_type", "bucket")
+  }
 }

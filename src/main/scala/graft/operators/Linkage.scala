@@ -148,4 +148,27 @@ object Linkage {
       .select("c_custkey", "entity_id", "n_members")
       .orderBy("c_custkey")
   }
+
+  /** SURVIVORSHIP — the golden-record build every master-data pipeline
+    * runs after entity resolution: one merged record per
+    * [[entityClusters]] entity under explicit, deterministic rules —
+    * canonical name from the SMALLEST custkey member (recency/authority
+    * stand-in; min_by is exact, custkey unique so no tie exists),
+    * balance = the MAX member balance in exact cents, plus the member
+    * count and key-sum fingerprint. The rules are aggregate expressions,
+    * so survivorship is one keyed aggregate over the resolved entities —
+    * no per-entity loop, no second pass.
+    *
+    * Scale shape: the deletion-variant pair join + CC rounds
+    * (entityClusters' audited plan) then ONE entity-keyed exchange. */
+  def goldenRecords(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(entityClusters(s, dir), "c_custkey")
+      .groupBy("entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        min_by(col("c_name"), col("c_custkey")).as("canonical_name"),
+        max((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+          .as("max_bal_cents"),
+        sum(col("c_custkey")).as("sum_keys"))
+      .orderBy("entity_id")
 }

@@ -1403,6 +1403,48 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** DOMAIN SIMILARITY MATRIX — the mixing diagnostic a data-recipe
+    * owner reads before setting source weights ("which sources are
+    * near-duplicates of each other in embedding space, which bring
+    * diversity"): per-source centroid direction as the exact integer SUM
+    * of micro-quantized member vectors (no division — the sum IS the
+    * direction, cosine normalizes), then all source-pair cosines. The
+    * integer dot of sums is exact (|Σq| ≤ docs·1000 per dim keeps the
+    * pair dot far under 2⁶³); the cosine is the one correctly-rounded
+    * double ratio both engines compute identically.
+    *
+    * Scale shape: one (source, dim)-keyed aggregate over the corpus —
+    * 64·|sources| keys with map-side combine — then an all-pairs join
+    * over |sources| rows (broadcast; sources are a catalog-scale
+    * dimension, ~10²–10³ at any corpus size). The corpus is scanned
+    * once; nothing pairwise ever touches row-scale data. */
+  def domainSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000.0)).cast("long")))
+          .as(Seq("idx", "qi")))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy("source", "idx").agg(sum(col("qi")).as("sq"))
+      .groupBy("source")
+      .agg(sort_array(collect_list(struct(col("idx"), col("sq"))))
+        .getField("sq").as("v"))
+      .withColumn("n2", aggregate(col("v"), lit(0L), (a, x) => a + x * x))
+    val b = broadcast(sums.select(col("source").as("src_b"),
+      col("v").as("vb"), col("n2").as("n2b")))
+    sums.join(b, col("source") < col("src_b"))
+      .select(col("source").as("src_a"), col("src_b"),
+        aggregate(zip_with(col("v"), col("vb"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x).as("dot_num"),
+        col("n2"), col("n2b"))
+      .select(col("src_a"), col("src_b"), col("dot_num"),
+        (col("dot_num").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .as("cosine"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** MATRYOSHKA (prefix-dimension) retrieval — the fourth compression
     * point on the embed_quantize(int8) / ann_pq(product codes) /
     * embed_binary(sign bits) ladder, and the one MRL-trained embedding

@@ -76,6 +76,52 @@ class LinkageSpec extends SparkSpec {
     assert(nEntities < keys.size && nEntities > keys.size / 2)
   }
 
+  test("link_golden: survivorship rules equal a union-find rollup") {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    expectedPairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val bal = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val expected = custs.map(_._1).groupBy(find).toSeq.map { case (e, ks) =>
+      (e, ks.size.toLong, bal(ks.min)._1, ks.map(k => bal(k)._2).max, ks.sum)
+    }.sortBy(_._1)
+    val got = Linkage.goldenRecords(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._2 > 1)) // at least one genuinely merged entity
+  }
+
+  test("ts_downsample: OHLC per (type, hour) equals a collected replay") {
+    val got = EventAnalytics.downsampleOhlc(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7)))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val hourMs = 3600L * 1000
+    val expect = evs.groupBy(e =>
+        (e._1, new java.sql.Timestamp(e._2.getTime / hourMs * hourMs)))
+      .map { case (k, xs) =>
+        val inOrder = xs.sortBy(e => (e._2.getTime, e._3))
+        k -> ((xs.length.toLong, inOrder.head._4, xs.map(_._4).max,
+          xs.map(_._4).min, inOrder.last._4,
+          xs.map(e => math.round(e._4 * 100)).sum))
+      }
+    assert(got == expect)
+    assert(got.nonEmpty && got.values.exists(v => v._2 != v._5)) // open != close somewhere
+  }
+
   test("scd2: consecutive equal values collapse; intervals chain half-open") {
     import spark.implicits._
     // user 1: 3.0, 3.0 (collapse), 4.0, 4.0 (collapse), 3.0 (reopens);

@@ -2137,6 +2137,30 @@ class OperatorsSpec extends SparkSpec {
       p.sortBy(_._2).map(_._3).toSeq != p.map(_._3).sorted.toSeq))
   }
 
+  test("embed_domains: source-pair cosines equal an integer-sum replay") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Similarity.domainSimilarity(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val src = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val mic = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000.0).toLong).toArray)
+    val sums = mic.groupBy(v => src(v._1)).map { case (s0, vs) =>
+      s0 -> vs.map(_._2).reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    }
+    val names = sums.keys.toSeq.sorted
+    val expect = (for {
+      a <- names; b <- names if a < b
+      dot = sums(a).zip(sums(b)).map { case (x, y) => x * y }.sum
+      n2a = sums(a).map(x => x * x).sum; n2b = sums(b).map(x => x * x).sum
+    } yield (a, b) -> ((dot,
+      dot.toDouble / (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble))))).toMap
+    assert(out == expect)
+    assert(out.nonEmpty)
+  }
+
   test("profile_incr: merged sketch estimates pass the gate at exact fixture counts") {
     val rows = Profiling.incrementalProfile(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
