@@ -395,6 +395,10 @@ object SparkEntry {
     // integer-exact projection (counts; the double sum stays live-only).
     "stream_windowstats" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.windowStatsSpooled(s, d)),
+    // ts_downsample's streaming twin: OHLC per (type, hour) as a real
+    // watermarked execution — min_by/max_by on (ts, event_id) state.
+    "stream_ohlc" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.ohlcSpooled(s, d)),
     // Volume-spike monitor: stream-maintained tumbling counts, exact
     // integer trailing-3-window comparison over the finalized windows.
     "stream_anomaly" -> ((s, d) =>
@@ -687,6 +691,26 @@ object SparkEntry {
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The batch OHLC contract re-derived per hour window — the streaming
+    // execution must reproduce it bit-for-bit (parity gate).
+    "stream_ohlc" ->
+      """WITH e AS (SELECT event_type,
+        |       (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        |       ts, event_id, value,
+        |       ROW_NUMBER() OVER (PARTITION BY event_type,
+        |         epoch_ms(ts) // 3600000 ORDER BY ts, event_id) AS rn_a,
+        |       ROW_NUMBER() OVER (PARTITION BY event_type,
+        |         epoch_ms(ts) // 3600000 ORDER BY ts DESC, event_id DESC)
+        |         AS rn_d
+        |      FROM events)
+        |SELECT window_start_ms, event_type, count(*) AS n,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM e GROUP BY window_start_ms, event_type
+        |ORDER BY window_start_ms, event_type""".stripMargin,
     // Batch replay of the spike monitor: tumbling counts + the exact
     // integer trailing-3 comparison (first three windows cannot flag).
     "stream_anomaly" ->

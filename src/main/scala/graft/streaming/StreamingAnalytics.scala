@@ -539,6 +539,79 @@ object StreamingAnalytics {
     out
   }
 
+  /** STREAMING OHLC — [[graft.operators.EventAnalytics.downsampleOhlc]]'s
+    * streaming twin, proving batch/stream parity on the retention rollup
+    * itself: the same per-(event_type, hour) open/high/low/close/count/
+    * exact-cents contract computed by a REAL watermarked streaming
+    * execution over the spooled corpus and checked against the SAME
+    * batch-derived DuckDB oracle. Open/close are `min_by`/`max_by` on
+    * the (ts, event_id) struct — a declarative streaming-compatible
+    * aggregate (no sort, no per-window buffering beyond one row of
+    * state per extreme); watermark eviction bounds state to windows in
+    * the lateness horizon, the deployment regime the stream-family
+    * probes measured. */
+  def ohlcSpooled(s: SparkSession, dir: String,
+                  windowLen: String = "1 hour",
+                  lateness: String = "10 minutes"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val runId = spoolRuns.incrementAndGet()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-ohlcspool-$runId")
+    graft.operators.Tables.events(s, dir)
+      .select((unix_micros(col("ts")) * 1000L).as("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val maxTsNanos = graft.operators.Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+    val latenessMs = intervalMs(lateness)
+    def sentinel(tsNanos: Long): Unit =
+      Seq((tsNanos, -1L, "sentinel", 0.0))
+        .toDF("ts", "event_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(tmp.toString)
+    val schema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_ohlc_$runId"
+    withSpoolPartitions(s) {
+      val agg = stream
+        .withWatermark("ts", lateness)
+        .groupBy(window(col("ts"), windowLen), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("open"), col("high"), col("low"), col("close"),
+          col("sum_cents"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+        val t1 = maxTsNanos + step
+        sentinel(t1)
+        q.processAllAvailable()
+        sentinel(t1 + step)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val out = s.table(name)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("open"), col("high"), col("low"),
+        col("close"), col("sum_cents"))
+      .orderBy("window_start_ms", "event_type")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    deleteRecursively(tmp)
+    out
+  }
+
   /** CRASH-RECOVERY twin of [[windowStatsSpooled]], as an oracle row:
     * the same watermarked tumbling-window aggregate, executed as TWO
     * query incarnations over ONE checkpoint. The corpus is spooled in

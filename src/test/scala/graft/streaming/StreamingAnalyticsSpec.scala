@@ -548,6 +548,24 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("spooled OHLC equals the batch downsample contract (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = ohlcSpooled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7))).toSeq
+    val expected = graft.operators.EventAnalytics.downsampleOhlc(spark, sf)
+      .select(unix_millis(col("bucket")).as("w"), col("event_type"),
+        col("n"), col("open"), col("high"), col("low"), col("close"),
+        col("sum_cents"))
+      .orderBy("w", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7))).toSeq
+    assert(got == expected && got.nonEmpty)
+    // the extremes pipeline is genuinely exercised: open != close somewhere
+    assert(got.exists(t => t._4 != t._7))
+  }
+
   test("RocksDB state store: spooled windowed stats equal the in-memory provider's") {
     // Pins the alternative provider path in-tree (the BASELINE.md
     // parity/cost runs were manual env-var executions): the same spooled
