@@ -526,24 +526,50 @@ object Profiling {
     * the operator's — production serves the estimate). Union is
     * bucket-wise max, so the estimate is insensitive to partitioning and
     * merge order — deterministic on the item set. */
+  /** The SERVE leg of [[incrementalProfile]] alone — delta sketch +
+    * artifact union, NO exact pass: what production actually pays per
+    * release (the gate row adds the full-corpus exact leg only to PIN
+    * the estimate). Probe-registered so the gate-vs-serve separation is
+    * a measured exponent, the profile_sketch_only precedent. */
+  def incrementalProfileServe(s: SparkSession, dir: String,
+                              mod: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cols = docs.columns
+    val delta = hllSketchRows(docs.filter(col("doc_id") % mod === 0),
+      cols, "delta_sketch")
+    s.table(hllArtifact(s, dir, mod)).join(delta, "col_name")
+      .select(col("col_name"), hll_sketch_estimate(
+        hll_union(col("settled_sketch"), col("delta_sketch"))).as("n_est"))
+      .orderBy("col_name")
+  }
+
+  private def hllSketchRows(d: DataFrame, cols: Seq[String],
+                            out: String): DataFrame = d
+    .agg(hll_sketch_agg(col(cols.head)).as(cols.head),
+      cols.tail.map(c => hll_sketch_agg(col(c)).as(c)): _*)
+    .select(expr(s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', $c").mkString(", ") + s") as (col_name, $out)"))
+
+  private def hllArtifact(s: SparkSession, dir: String, mod: Int): String = {
+    val docs = Tables.documents(s, dir)
+    val name = s"graft_profile_hll_${Artifacts.key(s"$dir|$mod")}"
+    Artifacts.ensure(s, Seq(name)) {
+      val root = java.nio.file.Files.createTempDirectory("graft-hll").toString
+      hllSketchRows(docs.filter(col("doc_id") % mod =!= 0), docs.columns,
+        "settled_sketch")
+        .write.mode("overwrite")
+        .option("path", s"$root/$name").saveAsTable(name)
+    }
+    name
+  }
+
   def incrementalProfile(s: SparkSession, dir: String, mod: Int = 10,
                          tol: Double = 0.15): DataFrame = {
     val docs = Tables.documents(s, dir)
     val cols = docs.columns
-    def sketchRows(d: DataFrame, out: String): DataFrame = d
-      .agg(hll_sketch_agg(col(cols.head)).as(cols.head),
-        cols.tail.map(c => hll_sketch_agg(col(c)).as(c)): _*)
-      .select(expr(s"stack(${cols.length}, " +
-        cols.map(c => s"'$c', $c").mkString(", ") + s") as (col_name, $out)"))
-    val name = s"graft_profile_hll_${Artifacts.key(s"$dir|$mod")}"
-    Artifacts.ensure(s, Seq(name)) {
-      val root = java.nio.file.Files.createTempDirectory("graft-hll").toString
-      sketchRows(docs.filter(col("doc_id") % mod =!= 0), "settled_sketch")
-        .write.mode("overwrite")
-        .option("path", s"$root/$name").saveAsTable(name)
-    }
-    val delta = sketchRows(docs.filter(col("doc_id") % mod === 0), "delta_sketch")
-    val merged = s.table(name).join(delta, "col_name")
+    val delta = hllSketchRows(docs.filter(col("doc_id") % mod === 0),
+      cols, "delta_sketch")
+    val merged = s.table(hllArtifact(s, dir, mod)).join(delta, "col_name")
       .select(col("col_name"), hll_sketch_estimate(
         hll_union(col("settled_sketch"), col("delta_sketch"))).as("n_est"))
     val exact = docs.agg(count_distinct(col(cols.head)).as(cols.head),

@@ -150,6 +150,10 @@ object ScaleProbe {
       "profile_sketch_only" -> ((s: SparkSession, d: String) =>
         graft.operators.Profiling.approxProfile(
           graft.operators.Tables.lineitem(s, d))),
+      // The sketch-merge SERVE leg alone (no exact gate): what a release
+      // pays per delta once the settled artifact exists.
+      "profile_incr_serve" -> ((s: SparkSession, d: String) =>
+        graft.operators.Profiling.incrementalProfileServe(s, d)),
       "ann_serve" -> ((s: SparkSession, d: String) =>
         graft.operators.Similarity.ivfPqTopKFromArtifact(s, d)),
       "graph_serve" -> ((s: SparkSession, d: String) =>

@@ -2174,6 +2174,11 @@ class OperatorsSpec extends SparkSpec {
     val again = Profiling.incrementalProfile(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(again == rows)
+    // the serve leg alone (no exact pass) estimates the same counts
+    // exactly at fixture cardinality (HLL is exact for tiny sets)
+    val serve = Profiling.incrementalProfileServe(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(serve == rows.map { case (k, (n, _)) => k -> n })
   }
 
   test("profile_expect: planted violations counted per rule, clean rules pass") {
