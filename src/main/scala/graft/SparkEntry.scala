@@ -80,6 +80,9 @@ object SparkEntry {
     // OHLC gauge downsampling per (event_type, hour): first/last by
     // event-time (id ties), min/max, exact-cents sum.
     "ts_downsample"   -> ((s, d) => EventAnalytics.downsampleOhlc(s, d)),
+    // RFM user segmentation: exact integer hours/counts/cents, 1-5
+    // scores by exact rank arithmetic (div, not ntile).
+    "events_rfm"      -> ((s, d) => EventAnalytics.rfmScores(s, d)),
     "events_transitions" -> (EventAnalytics.transitions _),
     // Batch gaps-and-islands sessionization — stream_sessions' batch
     // twin, same oracle SQL.
@@ -177,6 +180,9 @@ object SparkEntry {
     // Deterministic synchronous label-propagation communities (fixed
     // rounds, min-label ties) on the artifact edge list.
     "graph_lpa"       -> ((s, d) => Graph.labelPropagation(s, d)),
+    // Modularity of the LPA communities: exact integer per-community
+    // contribution 4*m*e_c - d_c^2 over 4m^2 (decimal(38,0)).
+    "graph_modularity" -> ((s, d) => Graph.communityModularity(s, d)),
     // k-core membership via bounded synchronous peeling (4 rounds,
     // oracle-unrollable; per-round survivor joins over the artifact).
     "graph_kcore"     -> ((s, d) => Graph.kCore(s, d)),
@@ -711,6 +717,30 @@ object SparkEntry {
         |         AS sum_cents
         |FROM e GROUP BY window_start_ms, event_type
         |ORDER BY window_start_ms, event_type""".stripMargin,
+    // Exact rank-quintile arithmetic — the same (metric, user_id)
+    // orders and integral div both engines compute identically.
+    "events_rfm" ->
+      """WITH per AS (SELECT user_id, max(epoch_ms(ts)) AS last_ms,
+        |              count(*) AS f_n,
+        |              CAST(sum(CAST(ROUND(value * 100) AS BIGINT))
+        |                AS BIGINT) AS m_cents
+        |             FROM events GROUP BY user_id),
+        |tot AS (SELECT max(last_ms) AS max_ms, count(*) AS n_users FROM per),
+        |rk AS (SELECT per.*, tot.n_users,
+        |        (tot.max_ms - per.last_ms) // 3600000 AS r_hours,
+        |        ROW_NUMBER() OVER (ORDER BY
+        |          (tot.max_ms - per.last_ms) // 3600000 DESC, user_id) AS rk_r,
+        |        ROW_NUMBER() OVER (ORDER BY f_n ASC, user_id) AS rk_f,
+        |        ROW_NUMBER() OVER (ORDER BY m_cents ASC, user_id) AS rk_m
+        |       FROM per CROSS JOIN tot)
+        |SELECT user_id, CAST(r_hours AS BIGINT) AS r_hours, f_n, m_cents,
+        |       CAST((5 * (rk_r - 1)) // n_users + 1 AS BIGINT) AS r_score,
+        |       CAST((5 * (rk_f - 1)) // n_users + 1 AS BIGINT) AS f_score,
+        |       CAST((5 * (rk_m - 1)) // n_users + 1 AS BIGINT) AS m_score,
+        |       CAST(((5 * (rk_r - 1)) // n_users + 1) * 100 +
+        |            ((5 * (rk_f - 1)) // n_users + 1) * 10 +
+        |            ((5 * (rk_m - 1)) // n_users + 1) AS BIGINT) AS rfm
+        |FROM rk ORDER BY user_id""".stripMargin,
     // Batch replay of the spike monitor: tumbling counts + the exact
     // integer trailing-3 comparison (first three windows cannot flag).
     "stream_anomaly" ->
@@ -3281,6 +3311,50 @@ object SparkEntry {
         |sz AS (SELECT lab, count(*) AS n_members FROM l3 GROUP BY lab)
         |SELECT l3.node AS vec_id, l3.lab AS community, sz.n_members
         |FROM l3 JOIN sz USING (lab) ORDER BY vec_id""".stripMargin,
+    // Same LPA rounds, rolled to per-community modularity contributions
+    // in exact HUGEINT-backed decimals.
+    "graph_modularity" ->
+      """WITH p AS (
+        | SELECT q.vec_id AS src, e.vec_id AS dst,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rk
+        | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+        |d AS (SELECT src, dst FROM p WHERE rk <= 5),
+        |m AS (SELECT d1.src AS u, d1.dst AS v
+        |      FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |      WHERE d1.src < d1.dst),
+        |b AS (SELECT u, v FROM m UNION ALL SELECT v AS u, u AS v FROM m),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM b),
+        |l1 AS (SELECT node, lab FROM (
+        |  SELECT e.u AS node, l.lab, count(*) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY count(*) DESC, l.lab) AS rk
+        |  FROM b e JOIN l0 l ON l.node = e.v GROUP BY e.u, l.lab) WHERE rk = 1),
+        |l2 AS (SELECT node, lab FROM (
+        |  SELECT e.u AS node, l.lab, count(*) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY count(*) DESC, l.lab) AS rk
+        |  FROM b e JOIN l1 l ON l.node = e.v GROUP BY e.u, l.lab) WHERE rk = 1),
+        |l3 AS (SELECT node, lab FROM (
+        |  SELECT e.u AS node, l.lab, count(*) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY count(*) DESC, l.lab) AS rk
+        |  FROM b e JOIN l2 l ON l.node = e.v GROUP BY e.u, l.lab) WHERE rk = 1),
+        |sz AS (SELECT lab AS community, count(*) AS n_members FROM l3
+        |       GROUP BY lab),
+        |mt AS (SELECT count(*) AS m FROM m),
+        |ie AS (SELECT lu.lab AS community, count(*) AS intra_edges
+        |       FROM m JOIN l3 lu ON lu.node = m.u
+        |              JOIN l3 lv ON lv.node = m.v
+        |       WHERE lu.lab = lv.lab GROUP BY lu.lab),
+        |dg AS (SELECT l3.lab AS community, count(*) AS degree_sum
+        |       FROM b JOIN l3 ON l3.node = b.u GROUP BY l3.lab)
+        |SELECT sz.community, sz.n_members,
+        |       COALESCE(ie.intra_edges, 0) AS intra_edges, dg.degree_sum,
+        |       CAST(4 * mt.m * COALESCE(ie.intra_edges, 0)
+        |            - CAST(dg.degree_sum AS HUGEINT) * dg.degree_sum
+        |            AS BIGINT) AS q_num,
+        |       CAST(4 * CAST(mt.m AS HUGEINT) * mt.m AS BIGINT)
+        |         AS q_den
+        |FROM sz LEFT JOIN ie USING (community) JOIN dg USING (community)
+        |CROSS JOIN mt ORDER BY community""".stripMargin,
     // Same mutual-kNN edge construction as graph_components, then the
     // identical per-level-DISTINCT recursive BFS the Spark side runs
     // (UNION-dedup is unsupported in Spark's recursive CTEs, so both

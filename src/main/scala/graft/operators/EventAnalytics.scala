@@ -291,6 +291,49 @@ object EventAnalytics {
       .orderBy("rk")
   }
 
+  /** RFM SCORING — the recency/frequency/monetary user segmentation
+    * every growth/analytics stack derives from the event stream: per
+    * user, hours since last activity (against the corpus max event time
+    * — exact integer hours), event count, and value total in exact
+    * cents; each dimension scored 1–5 by exact rank arithmetic
+    * (score = ⌊5·(rank−1)/n⌋+1 over a deterministic (metric, user_id)
+    * order — NO ntile, whose bucket-remainder placement is an
+    * engine-specific detail the exact formula sidesteps). 5 = most
+    * recent / most frequent / highest value; `rfm` concatenates the
+    * three digits.
+    *
+    * Scale shape: one event scan → user-keyed aggregate; the three
+    * rank windows are global sorts over the USER dimension — a real
+    * range-partitioned exchange at 10⁹ users, but user-scale, not
+    * event-scale, and rank-quantile scoring is irreducibly a sort. */
+  def rfmScores(s: SparkSession, dir: String): DataFrame = {
+    val per = events(s, dir)
+      .groupBy("user_id")
+      .agg(max(unix_millis(col("ts"))).as("last_ms"),
+        count(lit(1)).as("f_n"),
+        sum(round(col("value") * 100).cast("long")).as("m_cents"))
+    val tot = per.agg(max("last_ms").as("max_ms"),
+      count(lit(1)).as("n_users"))
+    val wR = Window.orderBy(col("r_hours").desc, col("user_id"))
+    val wF = Window.orderBy(col("f_n").asc, col("user_id"))
+    val wM = Window.orderBy(col("m_cents").asc, col("user_id"))
+    per.crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("r_hours",
+        expr("(max_ms - last_ms) div 3600000")) // exact integral hours
+      .withColumn("rk_r", row_number().over(wR))
+      .withColumn("rk_f", row_number().over(wF))
+      .withColumn("rk_m", row_number().over(wM))
+      // div, not /: exact integral quintile arithmetic at any n_users
+      .withColumn("r_score", expr("(5 * (rk_r - 1)) div n_users + 1"))
+      .withColumn("f_score", expr("(5 * (rk_f - 1)) div n_users + 1"))
+      .withColumn("m_score", expr("(5 * (rk_m - 1)) div n_users + 1"))
+      .select(col("user_id"), col("r_hours"), col("f_n"), col("m_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm"))
+      .orderBy("user_id")
+  }
+
   /** OHLC DOWNSAMPLING — the gauge/metric rollup every observability and
     * feature-store pipeline runs before retention ("keep hourly
     * open/high/low/close, drop the raw points"): per (event_type, hour)

@@ -654,6 +654,55 @@ object Graph {
       .orderBy("vec_id")
   }
 
+  /** MODULARITY of the [[labelPropagation]] communities — the quality
+    * number that turns "LPA emitted labels" into "LPA found structure":
+    * Q = Σ_c [e_c/m − (d_c/2m)²], reported per community as the EXACT
+    * integer contribution numerator 4·m·e_c − d_c² over the constant
+    * denominator 4m² (decimal(38,0) — d_c can reach 2m, whose square
+    * overflows int64 at m ≳ 1.5·10⁹ edges; the profile_gini arithmetic
+    * stance). A community of well-connected members contributes
+    * positively; a label that lumped unrelated nodes goes negative —
+    * the per-community sign IS the diagnostic.
+    *
+    * Scale shape: the settled edge artifact scanned twice (intra-edge
+    * label join + degree count), both exchanges keyed on node/community;
+    * m is one driver scalar (control plane). */
+  def communityModularity(s: SparkSession, dir: String, k: Int = 5,
+                          iters: Int = 3): DataFrame = {
+    val m = artifactEdges(s, dir, k).localCheckpoint(false)
+    val lab = labelPropagation(s, dir, k, iters)
+      .select(col("vec_id"), col("community"), col("n_members"))
+      .localCheckpoint(false)
+    val mTotal = m.count() // one scalar: the edge count
+    val intra = m
+      .join(lab.select(col("vec_id").as("u"), col("community").as("cu")), "u")
+      .join(lab.select(col("vec_id").as("v"), col("community").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val deg = m.select(col("u").as("node"))
+      .union(m.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .join(lab.select(col("vec_id").as("node"), col("community")), "node")
+      .groupBy("community").agg(sum(col("deg")).as("degree_sum"))
+    lab.select("community", "n_members").distinct()
+      .join(intra, Seq("community"), "left").na.fill(0L, Seq("intra_edges"))
+      .join(deg, "community")
+      .select(col("community"), col("n_members"), col("intra_edges"),
+        col("degree_sum"),
+        // decimal(38,0) internally; the BOUNDARY cast to long is the
+        // profile_gini convention (DuckDB's pandas bridge floats
+        // decimals) — int64 holds q_num to m ≈ 1.5·10⁹ edges, and the
+        // internal arithmetic is already exact past that (widening the
+        // output spelling is a one-line change on both sides)
+        (lit(4L) * lit(mTotal) * col("intra_edges").cast("decimal(38,0)") -
+          col("degree_sum").cast("decimal(38,0)") *
+            col("degree_sum").cast("decimal(38,0)"))
+          .cast("long").as("q_num"),
+        (lit(4L) * lit(mTotal).cast("decimal(38,0)") * lit(mTotal))
+          .cast("long").as("q_den"))
+      .orderBy("community")
+  }
+
   /** k-CORE membership via bounded synchronous peeling over the mutual-
     * kNN artifact — the density filter community pipelines run before
     * LPA/triangles: a node is in the k-core iff it survives repeated

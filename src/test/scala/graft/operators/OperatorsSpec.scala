@@ -1029,6 +1029,58 @@ class OperatorsSpec extends SparkSpec {
     assert(first.exists(r => r.getLong(1) == 1L))
   }
 
+  test("graph_modularity: contributions equal a replay from labels and edges") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Graph.communityModularity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val lab = Graph.labelPropagation(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Graph.artifactEdges(spark, sf, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = edges.length.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    lab.values.toSeq.distinct.sorted.foreach { c =>
+      val members = lab.filter(_._2 == c).keySet
+      val eIn = edges.count(e => members(e._1) && members(e._2)).toLong
+      val dSum = members.toSeq.map(deg).sum
+      val (nm, ei, ds, qn, qd) = out(c)
+      assert(nm == members.size.toLong && ei == eIn && ds == dSum, s"community $c")
+      assert(qn == 4L * m * eIn - dSum * dSum)
+      assert(qd == 4L * m * m)
+    }
+    // positive contributions exist: LPA found some real structure
+    assert(out.values.exists(_._4 > 0L))
+  }
+
+  test("events_rfm: scores equal an exact rank-arithmetic replay") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EventAnalytics.rfmScores(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val per = evs.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.map(_._2).max, xs.length.toLong,
+        xs.map(x => math.round(x._3 * 100)).sum)
+    }.toSeq
+    val maxMs = per.map(_._2).max
+    val n = per.length.toLong
+    def scores(ranked: Seq[Long]): Map[Long, Long] =
+      ranked.zipWithIndex.map { case (u, i) => u -> (5L * i / n + 1L) }.toMap
+    val rh = per.map(p => p._1 -> (maxMs - p._2) / 3600000L).toMap
+    val rS = scores(per.map(_._1).sortBy(u => (-rh(u), u)))
+    val fS = scores(per.sortBy(p => (p._3, p._1)).map(_._1))
+    val mS = scores(per.sortBy(p => (p._4, p._1)).map(_._1))
+    per.foreach { case (u, _, f, mc) =>
+      assert(out(u) == ((rh(u), f, mc, rS(u), fS(u), mS(u),
+        rS(u) * 100 + fS(u) * 10 + mS(u))), s"user $u")
+    }
+    assert(out.values.map(_._4).toSet.size > 1) // scores genuinely spread
+  }
+
   test("graph ANN navigates from far entries to the planted neighbor; gate holds") {
     // full recall vs brute force at sf0.001 under the registered params
     val sf = "/root/testdata/sf0.001"
