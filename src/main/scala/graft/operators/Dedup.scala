@@ -1246,7 +1246,16 @@ object Dedup {
     * Σ_tok df_prefA(tok)·df(tok) — bounded by token frequencies, never
     * N²; every exchange is keyed (AQE absorbs skewed postings). */
   def containmentPairs(s: SparkSession, dir: String,
-                       threshold: Double = 0.95): DataFrame = {
+                       threshold: Double = 0.95): DataFrame =
+    containmentPairsUnsorted(s, dir, threshold)
+      .localCheckpoint()
+      .orderBy("doc_small", "doc_big")
+
+  /** The pair relation without the presentation sort (and without the
+    * checkpoint that makes the sort affordable) — the jaccardPairs
+    * split, so gates and the plan spec see the real join pipeline. */
+  private[graft] def containmentPairsUnsorted(s: SparkSession, dir: String,
+                                              threshold: Double): DataFrame = {
     import graft.functions.ArrayOps.{sortedFirstCommon, sortedIntersectCount}
     val sets = hashedTokenSets(s, dir)
     val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
@@ -1270,7 +1279,5 @@ object Dedup {
       .select(col("doc_small"), col("doc_big"), col("ov").cast("long").as("ov"),
         col("sz_small").cast("long").as("sz_small"),
         (col("ov").cast("double") / col("sz_small")).as("containment"))
-      .localCheckpoint()
-      .orderBy("doc_small", "doc_big")
   }
 }

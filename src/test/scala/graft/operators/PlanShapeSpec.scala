@@ -113,6 +113,31 @@ class PlanShapeSpec extends SparkSpec {
       s"final exchange carries more than the shard key: $firstHash")
   }
 
+  test("dedup_contain: keyed prefix-postings join, no cartesian, no dedup shuffle") {
+    val plan = planOf(Dedup.containmentPairsUnsorted(spark, sf, 0.95))
+    // the candidate join is an equi-join on the shared token — never a
+    // cartesian / broadcast-nested-loop over the corpus
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // firstShared single-retention means NO distinct/dropDuplicates
+    // exchange over the (much larger) raw candidate stream
+    assert(!plan.contains("HashAggregate(keys=[doc_small"), plan)
+    // exactly one merge-walk intersect per surviving candidate: the
+    // codegen expression appears in the plan, not array_intersect
+    assert(plan.contains("sortedintersectcount") ||
+      plan.contains("SortedIntersectCount"), plan)
+    assert(!plan.contains("array_intersect"), plan)
+  }
+
+  test("embed_domains: corpus scanned once into a keyed aggregate; pair join is broadcast") {
+    val plan = planOf(Similarity.domainSimilarity(spark, sf))
+    // the all-pairs stage joins the tiny source dimension — broadcast,
+    // never a shuffled join of row-scale data
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("graph family: serving queries scan the edge artifact, no IVF rebuild") {
     val plan = planOf(Graph.triangleCounts(spark, sf))
     assert(plan.contains("graft_knn_edges_") || plan.contains("graft_"),
