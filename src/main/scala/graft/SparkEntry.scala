@@ -83,6 +83,9 @@ object SparkEntry {
     // RFM user segmentation: exact integer hours/counts/cents, 1-5
     // scores by exact rank arithmetic (div, not ntile).
     "events_rfm"      -> ((s, d) => EventAnalytics.rfmScores(s, d)),
+    // A/B readout: id-parity variants, comparative conversion metric,
+    // per-arm ppm + chi-square micro in exact decimal arithmetic.
+    "events_abtest"   -> ((s, d) => EventAnalytics.abTest(s, d)),
     "events_transitions" -> (EventAnalytics.transitions _),
     // Batch gaps-and-islands sessionization — stream_sessions' batch
     // twin, same oracle SQL.
@@ -741,6 +744,33 @@ object SparkEntry {
         |            ((5 * (rk_f - 1)) // n_users + 1) * 10 +
         |            ((5 * (rk_m - 1)) // n_users + 1) AS BIGINT) AS rfm
         |FROM rk ORDER BY user_id""".stripMargin,
+    // The same contingency arithmetic in HUGEINT; integral divisions.
+    "events_abtest" ->
+      """WITH u AS (SELECT user_id,
+        |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        |        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc
+        |       FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS variant,
+        |        CASE WHEN np > nc THEN 1 ELSE 0 END AS conv FROM u),
+        |c AS (SELECT
+        |   sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+        |   sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+        |   sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+        |   sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+        |  FROM v)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+        |       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+        |       CAST((conv_a * 1000000) // n_a AS BIGINT) AS conv_a_ppm,
+        |       CAST((conv_b * 1000000) // n_b AS BIGINT) AS conv_b_ppm,
+        |       CAST(((n_a + n_b) *
+        |             CAST(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
+        |                  AS HUGEINT) *
+        |             (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+        |             * 1000000)
+        |            // (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+        |               * ((n_a - conv_a) + (n_b - conv_b))) AS BIGINT)
+        |         AS chi2_micro
+        |FROM c""".stripMargin,
     // Batch replay of the spike monitor: tumbling counts + the exact
     // integer trailing-3 comparison (first three windows cannot flag).
     "stream_anomaly" ->

@@ -334,6 +334,48 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** A/B EXPERIMENT READOUT — the two-proportion contingency test every
+    * experimentation platform reduces to: users split into variants by
+    * id parity (the deterministic assignment hash), per-user conversion
+    * is a comparative behavioral metric (more purchases than clicks —
+    * non-degenerate on this corpus at ~39% vs ~51%), and the readout is
+    * one row of exact integers: per-arm counts, conversion in exact ppm
+    * (integral div), and the χ² statistic in micro-units —
+    * N·(ad−bc)²·10⁶ div (row₁·row₂·col₁·col₂), computed in
+    * decimal(38,0) (exact to ~3·10⁷ users per arm; past that the
+    * z-score double spelling is the production path, this spelling is
+    * the oracle-pinnable one).
+    *
+    * Scale shape: one event scan → user-keyed aggregate → a four-cell
+    * conditional aggregate; the test statistic is arithmetic on one
+    * row. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val conv = events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nc"))
+      .select(pmod(col("user_id"), lit(2L)).as("variant"),
+        when(col("np") > col("nc"), 1L).otherwise(0L).as("conv"))
+    conv.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+      .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+        "(conv_a * 1000000) div n_a as conv_a_ppm",
+        "(conv_b * 1000000) div n_b as conv_b_ppm",
+        """cast(
+           (cast(n_a + n_b as decimal(38,0)) *
+            cast(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
+                 as decimal(38,0)) *
+            cast(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
+                 as decimal(38,0)) * 1000000)
+           div (cast(n_a as decimal(38,0)) * n_b * (conv_a + conv_b) *
+                ((n_a - conv_a) + (n_b - conv_b)))
+           as bigint) as chi2_micro""")
+  }
+
   /** OHLC DOWNSAMPLING — the gauge/metric rollup every observability and
     * feature-store pipeline runs before retention ("keep hourly
     * open/high/low/close, drop the raw points"): per (event_type, hour)

@@ -1081,6 +1081,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.values.map(_._4).toSet.size > 1) // scores genuinely spread
   }
 
+  test("events_abtest: contingency counts and chi-square equal a BigInt replay") {
+    val sf = "/root/testdata/sf0.001"
+    val r = EventAnalytics.abTest(spark, sf).head()
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val conv = evs.groupBy(_._1).map { case (u, xs) =>
+      u -> (xs.count(_._2 == "purchase") > xs.count(_._2 == "click"))
+    }
+    val (na, ca) = (conv.count(_._1 % 2 == 0).toLong,
+      conv.count(kv => kv._1 % 2 == 0 && kv._2).toLong)
+    val (nb, cb) = (conv.count(_._1 % 2 == 1).toLong,
+      conv.count(kv => kv._1 % 2 == 1 && kv._2).toLong)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((na, ca, nb, cb)))
+    assert(r.getLong(4) == ca * 1000000L / na)
+    assert(r.getLong(5) == cb * 1000000L / nb)
+    val det = BigInt(ca) * (nb - cb) - BigInt(na - ca) * cb
+    val chi2 = BigInt(na + nb) * det * det * 1000000 /
+      (BigInt(na) * nb * (ca + cb) * ((na - ca) + (nb - cb)))
+    assert(BigInt(r.getLong(6)) == chi2)
+    // the metric is non-degenerate: both arms convert partially
+    assert(ca > 0 && ca < na && cb > 0 && cb < nb)
+  }
+
   test("graph ANN navigates from far entries to the planted neighbor; gate holds") {
     // full recall vs brute force at sf0.001 under the registered params
     val sf = "/root/testdata/sf0.001"
