@@ -32,8 +32,22 @@ object ChildJvm {
         a.startsWith("-XX") || a.startsWith("-D"))
     val javaBin = java.nio.file.Paths.get(
       sys.props("java.home"), "bin", "java").toString
+    // Absolutize classpath entries against the PARENT's cwd: the child
+    // runs from a temp dir, so a parent launched with a relative -cp
+    // (e.g. `java -cp target/...` from the repo root) would otherwise
+    // spawn children that die on class-not-found and every adjudication
+    // reads -1.0. Wildcard entries pass through unchanged (the `*` is
+    // just a path segment; the child JVM expands it).
+    val cp = sys.props("java.class.path")
+      .split(java.io.File.pathSeparator)
+      .map { e =>
+        val p = java.nio.file.Paths.get(e)
+        if (p.isAbsolute) e
+        else java.nio.file.Paths.get(sys.props("user.dir"))
+          .resolve(p).toString
+      }.mkString(java.io.File.pathSeparator)
     val cmd = (Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", sys.props("java.class.path"), mainClass)).asJava
+      Seq("-cp", cp, mainClass)).asJava
     val pb = new ProcessBuilder(cmd)
     pb.directory(cwd.getOrElse(java.nio.file.Files
       .createTempDirectory("graft-child").toFile))
