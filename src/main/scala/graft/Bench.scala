@@ -128,11 +128,26 @@ object Bench {
     graft.tools.ChildJvm.runForLine("graft.Bench",
       env = Map("SPARK_GRAFT_ONLY" -> name, "SPARK_GRAFT_ADJ" -> "0"),
       dropEnv = Nil, marker = "\"metric\"", timeoutSec = timeoutSec)
-      .flatMap { line =>
+      // Try: a malformed child line must degrade to the -1.0 sentinel,
+      // not abort the whole bench run (ADVICE r12 — the ChildJvm
+      // refactor moved this parse outside runForLine's catch)
+      .flatMap { line => scala.util.Try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val node = mapper.readTree(line).path("queries").path(name)
         if (node.isMissingNode) None else Some(node.asDouble())
-      }.getOrElse(-1.0)
+      }.toOption.flatten }.getOrElse(-1.0)
+
+  /** Where a run's JSON artifact lands: full-suite runs own
+    * `bench_result.json` (the next round's adjudication comparator);
+    * TARGETED runs (`SPARK_GRAFT_ONLY` set) write
+    * `bench_result.partial.json` instead. Round-12 post-mortem: commit
+    * a26abb8 shipped a 2-query bench_result.json because a targeted
+    * adjudicator test, run from the repo root AFTER the 203-row close,
+    * clobbered the close's file — a corrupted committed comparator
+    * silently disarms the next round's self-adjudication. Spec-pinned
+    * in BenchAdjSpec (clobber-scenario regression). */
+  private[graft] def resultFileName(targeted: Boolean): String =
+    if (targeted) "bench_result.partial.json" else "bench_result.json"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -287,8 +302,10 @@ object Bench {
       s""""raw_operators":$raws,"errors":$errs,"adjudication":$adjs,""" +
       s""""memory":$mems,"sf":"$sfDir"}"""
     // File first (the durable artifact), then stdout, explicitly flushed:
-    // the driver's tail scrape must never be the only copy.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+    // the driver's tail scrape must never be the only copy. Targeted
+    // runs write the .partial name — see resultFileName's post-mortem.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(resultFileName(only.isDefined)),
       line.getBytes("UTF-8"))
     println(line)
     System.out.flush()

@@ -86,6 +86,9 @@ object SparkEntry {
     // A/B readout: id-parity variants, comparative conversion metric,
     // per-arm ppm + chi-square micro in exact decimal arithmetic.
     "events_abtest"   -> ((s, d) => EventAnalytics.abTest(s, d)),
+    // z-score twin: the production path past the decimal leg's ~3e7
+    // users/arm ceiling; ships with its in-row χ²-agreement gate.
+    "events_abtest_z" -> ((s, d) => EventAnalytics.abTestZ(s, d)),
     "events_transitions" -> (EventAnalytics.transitions _),
     // Batch gaps-and-islands sessionization — stream_sessions' batch
     // twin, same oracle SQL.
@@ -762,15 +765,65 @@ object SparkEntry {
         |       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
         |       CAST((conv_a * 1000000) // n_a AS BIGINT) AS conv_a_ppm,
         |       CAST((conv_b * 1000000) // n_b AS BIGINT) AS conv_b_ppm,
-        |       CAST(((n_a + n_b) *
+        |       CASE WHEN n_a = 0 OR n_b = 0 OR (conv_a + conv_b) = 0
+        |              OR ((n_a - conv_a) + (n_b - conv_b)) = 0
+        |       THEN CAST(NULL AS BIGINT)
+        |       ELSE CAST(((n_a + n_b) *
         |             CAST(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
         |                  AS HUGEINT) *
         |             (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
         |             * 1000000)
         |            // (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
         |               * ((n_a - conv_a) + (n_b - conv_b))) AS BIGINT)
-        |         AS chi2_micro
+        |       END AS chi2_micro
         |FROM c""".stripMargin,
+    // z-score twin: identical IEEE double spelling on both engines
+    // (casts, left-assoc multiplies, sqrt — correctly rounded), plus the
+    // in-row χ² agreement gate against the decimal leg.
+    "events_abtest_z" ->
+      """WITH u AS (SELECT user_id,
+        |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        |        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc
+        |       FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS variant,
+        |        CASE WHEN np > nc THEN 1 ELSE 0 END AS conv FROM u),
+        |c AS (SELECT
+        |   sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+        |   sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_a,
+        |   sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+        |   sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_b
+        |  FROM v),
+        |z0 AS (SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR (conv_a + conv_b) = 0
+        |         OR ((n_a - conv_a) + (n_b - conv_b)) = 0
+        |  THEN CAST(NULL AS DOUBLE)
+        |  ELSE (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |        CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |       sqrt((CAST(conv_a + conv_b AS DOUBLE) /
+        |             CAST(n_a + n_b AS DOUBLE)) *
+        |            (1.0 - CAST(conv_a + conv_b AS DOUBLE) /
+        |                   CAST(n_a + n_b AS DOUBLE)) *
+        |            (1.0 / CAST(n_a AS DOUBLE) +
+        |             1.0 / CAST(n_b AS DOUBLE))) END AS z,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR (conv_a + conv_b) = 0
+        |         OR ((n_a - conv_a) + (n_b - conv_b)) = 0
+        |  THEN CAST(NULL AS BIGINT)
+        |  ELSE CAST(((n_a + n_b) *
+        |        CAST(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
+        |             AS HUGEINT) *
+        |        (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+        |        * 1000000)
+        |       // (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+        |          * ((n_a - conv_a) + (n_b - conv_b))) AS BIGINT)
+        |  END AS chi2_micro FROM c)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+        |       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+        |       z, chi2_micro,
+        |       CASE WHEN chi2_micro IS NULL OR z IS NULL
+        |       THEN CAST(NULL AS BOOLEAN)
+        |       ELSE abs(z * z * 1000000.0 - CAST(chi2_micro AS DOUBLE))
+        |            <= 1000.0 END AS agree
+        |FROM z0""".stripMargin,
     // Batch replay of the spike monitor: tumbling counts + the exact
     // integer trailing-3 comparison (first three windows cannot flag).
     "stream_anomaly" ->

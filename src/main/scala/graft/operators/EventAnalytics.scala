@@ -291,6 +291,55 @@ object EventAnalytics {
       .orderBy("rk")
   }
 
+  /** Exact global rank of every row under `order` (a TOTAL order — the
+    * caller appends a unique tiebreak column), computed without a
+    * single-partition exchange: range-repartition into an EXPLICIT
+    * partition count (explicit counts are exempt from AQE coalescing,
+    * so the physical row order below stays the sorted order), sort
+    * within partitions, stamp `monotonically_increasing_id` (by
+    * contract = partitionId·2³³ + position-within-partition), then read
+    * the ≤P per-partition counts onto the driver — a control-plane
+    * read, P rows — and broadcast the prefix-sum offsets back:
+    * rank = offset(pid) + localPos + 1. The ranked relation is
+    * local-checkpointed FIRST so the offset read and the final join see
+    * the same materialized (pid, localPos) stamps — a recomputed range
+    * shuffle may re-sample different boundaries, and mixing two
+    * samplings would mis-pair offsets with positions (the classic
+    * zipWithIndex hazard; rank itself is boundary-independent since the
+    * order is total). `checkpoint = false` exists for plan-shape specs
+    * that need the un-truncated lineage.
+    *
+    * Scale shape: ONE range-partitioned exchange of the input — every
+    * partition sorts its own slice in parallel; nothing ever moves to
+    * one task (`row_number` over an unpartitioned `Window.orderBy`
+    * plans `Exchange SinglePartition` — WindowExec does NOT range
+    * partition — which is exactly what this helper replaces). */
+  private[operators] def rangedRank(s: SparkSession, df: DataFrame,
+      order: Seq[Column], rkName: String,
+      checkpoint: Boolean = true): DataFrame = {
+    val p = math.max(1, s.sessionState.conf.numShufflePartitions)
+    val mask = (1L << 33) - 1
+    val stamped0 = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+    val stamped = if (checkpoint) stamped0.localCheckpoint(true) else stamped0
+    val counts = stamped
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect() // control-plane: at most P rows
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offRows = counts.map { case (pid, cnt) =>
+      val row = (pid, acc); acc += cnt; row }
+    import s.implicits._
+    val offs = s.createDataset(offRows.toIndexedSeq).toDF("__pid", "__off")
+    stamped
+      .join(broadcast(offs), shiftright(col("__mid"), 33) === col("__pid"))
+      .withColumn(rkName,
+        col("__off") + col("__mid").bitwiseAND(lit(mask)) + lit(1L))
+      .drop("__mid", "__pid", "__off")
+  }
+
   /** RFM SCORING — the recency/frequency/monetary user segmentation
     * every growth/analytics stack derives from the event stream: per
     * user, hours since last activity (against the corpus max event time
@@ -302,27 +351,40 @@ object EventAnalytics {
     * recent / most frequent / highest value; `rfm` concatenates the
     * three digits.
     *
-    * Scale shape: one event scan → user-keyed aggregate; the three
-    * rank windows are global sorts over the USER dimension — a real
-    * range-partitioned exchange at 10⁹ users, but user-scale, not
-    * event-scale, and rank-quantile scoring is irreducibly a sort. */
-  def rfmScores(s: SparkSession, dir: String): DataFrame = {
-    val per = events(s, dir)
+    * Scale shape: one event scan → user-keyed aggregate, then three
+    * [[rangedRank]] passes — each a RANGE-PARTITIONED parallel sort of
+    * the user dimension with driver-broadcast partition offsets, never
+    * an `Exchange SinglePartition` (the r12 spelling's three
+    * unpartitioned `row_number` windows each moved ALL users to one
+    * task — at 10⁹ users that OOMs one executor; plan-pinned gone in
+    * PlanShapeSpec) — and three user-keyed joins to reassemble. */
+  def rfmScores(s: SparkSession, dir: String): DataFrame =
+    rfmScoresImpl(s, dir, checkpoint = true)
+
+  private[operators] def rfmScoresImpl(s: SparkSession, dir: String,
+      checkpoint: Boolean): DataFrame = {
+    val per0 = events(s, dir)
       .groupBy("user_id")
       .agg(max(unix_millis(col("ts"))).as("last_ms"),
         count(lit(1)).as("f_n"),
         sum(round(col("value") * 100).cast("long")).as("m_cents"))
-    val tot = per.agg(max("last_ms").as("max_ms"),
+    val tot = per0.agg(max("last_ms").as("max_ms"),
       count(lit(1)).as("n_users"))
-    val wR = Window.orderBy(col("r_hours").desc, col("user_id"))
-    val wF = Window.orderBy(col("f_n").asc, col("user_id"))
-    val wM = Window.orderBy(col("m_cents").asc, col("user_id"))
-    per.crossJoin(broadcast(tot)) // 1-row totals
+    val per1 = per0.crossJoin(broadcast(tot)) // 1-row totals
       .withColumn("r_hours",
         expr("(max_ms - last_ms) div 3600000")) // exact integral hours
-      .withColumn("rk_r", row_number().over(wR))
-      .withColumn("rk_f", row_number().over(wF))
-      .withColumn("rk_m", row_number().over(wM))
+    // one materialization of the user aggregate; three ranks read it
+    val per = if (checkpoint) per1.localCheckpoint(true) else per1
+    def rk(metric: String, desc: Boolean, name: String): DataFrame = {
+      val m = if (desc) col(metric).desc else col(metric).asc
+      rangedRank(s, per.select(col("user_id"), col(metric)),
+        Seq(m, col("user_id").asc), name, checkpoint)
+        .select("user_id", name)
+    }
+    per
+      .join(rk("r_hours", desc = true, "rk_r"), "user_id")
+      .join(rk("f_n", desc = false, "rk_f"), "user_id")
+      .join(rk("m_cents", desc = false, "rk_m"), "user_id")
       // div, not /: exact integral quintile arithmetic at any n_users
       .withColumn("r_score", expr("(5 * (rk_r - 1)) div n_users + 1"))
       .withColumn("f_score", expr("(5 * (rk_f - 1)) div n_users + 1"))
@@ -342,9 +404,13 @@ object EventAnalytics {
     * one row of exact integers: per-arm counts, conversion in exact ppm
     * (integral div), and the χ² statistic in micro-units —
     * N·(ad−bc)²·10⁶ div (row₁·row₂·col₁·col₂), computed in
-    * decimal(38,0) (exact to ~3·10⁷ users per arm; past that the
-    * z-score double spelling is the production path, this spelling is
-    * the oracle-pinnable one).
+    * decimal(38,0) (exact to ~3·10⁷ users per arm; past that
+    * [[abTestZ]] — the registered z-score double twin — is the
+    * production path, this spelling is the oracle-pinnable one). A
+    * degenerate corpus (zero or all users convert) zeroes a χ²
+    * marginal: the statistic is guarded to an agreed NULL on both
+    * engines (Spark's non-ANSI decimal div returns NULL where DuckDB's
+    * `//` raises, so the oracle spells the same guard as NULLIF).
     *
     * Scale shape: one event scan → user-keyed aggregate → a four-cell
     * conditional aggregate; the test statistic is arithmetic on one
@@ -365,16 +431,54 @@ object EventAnalytics {
       .selectExpr("n_a", "conv_a", "n_b", "conv_b",
         "(conv_a * 1000000) div n_a as conv_a_ppm",
         "(conv_b * 1000000) div n_b as conv_b_ppm",
-        """cast(
-           (cast(n_a + n_b as decimal(38,0)) *
-            cast(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
-                 as decimal(38,0)) *
-            cast(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
-                 as decimal(38,0)) * 1000000)
-           div (cast(n_a as decimal(38,0)) * n_b * (conv_a + conv_b) *
-                ((n_a - conv_a) + (n_b - conv_b)))
-           as bigint) as chi2_micro""")
+        """case when n_a = 0 or n_b = 0 or (conv_a + conv_b) = 0
+                 or ((n_a - conv_a) + (n_b - conv_b)) = 0
+           then cast(null as bigint)
+           else cast(
+             (cast(n_a + n_b as decimal(38,0)) *
+              cast(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
+                   as decimal(38,0)) *
+              cast(conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
+                   as decimal(38,0)) * 1000000)
+             div (cast(n_a as decimal(38,0)) * n_b * (conv_a + conv_b) *
+                  ((n_a - conv_a) + (n_b - conv_b)))
+             as bigint) end as chi2_micro""")
   }
+
+  /** A/B readout, z-score spelling — the PRODUCTION path past the
+    * decimal(38,0) exact leg's ~3·10⁷-users-per-arm ceiling (N·(ad−bc)²
+    * overflows 38 digits there; doubles don't): the two-proportion
+    * pooled z statistic z = (p̂_a−p̂_b)/√(p̂(1−p̂)(1/n_a+1/n_b)), whose
+    * square IS the 2×2 Pearson χ² — so the row carries its own
+    * tolerance gate, `agree` = |z²·10⁶ − chi2_micro| ≤ 1000, pinning
+    * the float spelling to the exact-decimal leg in-row (the
+    * bruteForceTopK float-stability convention: ship the float path
+    * WITH its agreement bit, never alone). Every double op (casts,
+    * divisions, sqrt) is spelled identically in the oracle — IEEE
+    * correctly-rounded, so the stored bits hash-match.
+    *
+    * Scale shape: identical to [[abTest]] — one event scan, one
+    * user-keyed aggregate, a four-cell conditional aggregate, then
+    * arithmetic on one row. */
+  def abTestZ(s: SparkSession, dir: String): DataFrame =
+    abTest(s, dir).selectExpr("n_a", "conv_a", "n_b", "conv_b",
+        """case when n_a = 0 or n_b = 0 or (conv_a + conv_b) = 0
+                 or ((n_a - conv_a) + (n_b - conv_b)) = 0
+           then cast(null as double)
+           else (cast(conv_a as double) / cast(n_a as double) -
+                 cast(conv_b as double) / cast(n_b as double)) /
+                sqrt((cast(conv_a + conv_b as double) /
+                      cast(n_a + n_b as double)) *
+                     (1.0 - cast(conv_a + conv_b as double) /
+                            cast(n_a + n_b as double)) *
+                     (1.0 / cast(n_a as double) +
+                      1.0 / cast(n_b as double))) end as z""",
+        "chi2_micro")
+      .selectExpr("n_a", "conv_a", "n_b", "conv_b", "z", "chi2_micro",
+        """case when chi2_micro is null or z is null
+           then cast(null as boolean)
+           else abs(z * z * 1000000.0 - cast(chi2_micro as double))
+                <= 1000.0 end as agree""")
 
   /** OHLC DOWNSAMPLING — the gauge/metric rollup every observability and
     * feature-store pipeline runs before retention ("keep hourly
@@ -383,30 +487,33 @@ object EventAnalytics {
     * event_id — deterministic), the min/max, the count, and the value
     * sum in exact cents (ROUND(value·100) — identical half-up rounding
     * in both engines; a raw double sum would be association-order-
-    * dependent and is deliberately absent). Open/close come from one
-    * pair of window ranks per bucket — partitioned windows, no global
-    * sort.
+    * dependent and is deliberately absent). Open/close are
+    * `min_by`/`max_by` on the (ts, event_id) struct — the SAME spelling
+    * as the streaming twin [[graft.streaming.StreamingAnalytics]]'
+    * stream_ohlc (bit-identical output, spec-pinned); DuckDB's
+    * `arg_min`/`arg_max` match exactly, the repo's recorded
+    * equivalence.
     *
-    * Scale shape: two keyed window passes + one keyed aggregate, all on
-    * (event_type, bucket) — at 100 TB the buckets ARE the retention
-    * unit, so state per key is one row and the output is the compacted
-    * table itself. */
+    * Scale shape: ONE keyed aggregate on (event_type, bucket). The
+    * struct-keyed min_by buffer is not hash-aggregable, so Spark plans
+    * a SortAggregate — two GROUPING-KEY-ONLY local sorts (partial +
+    * final), with the partial aggregate combining map-side: the
+    * exchange carries one row per (key, input partition). The r12
+    * window spelling shuffled EVERY event row and sorted twice by
+    * (key, ts, event_id) — strictly more bytes moved and longer sort
+    * keys (ADVICE r12; plan-pinned in PlanShapeSpec). At 100 TB the
+    * buckets ARE the retention unit, so state per key is one row and
+    * the output is the compacted table itself. */
   def downsampleOhlc(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).select(col("event_type"),
       date_trunc("hour", col("ts")).as("bucket"),
       col("ts"), col("event_id"), col("value"))
-    val wAsc = Window.partitionBy("event_type", "bucket")
-      .orderBy(col("ts"), col("event_id"))
-    val wDesc = Window.partitionBy("event_type", "bucket")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    e.withColumn("rn_a", row_number().over(wAsc))
-      .withColumn("rn_d", row_number().over(wDesc))
-      .groupBy("event_type", "bucket")
+    e.groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n"),
-        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         sum(round(col("value") * 100).cast("long")).as("sum_cents"))
       .orderBy("event_type", "bucket")
   }

@@ -303,8 +303,10 @@ object Multimodal {
         case "audio" =>
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new ByteArrayInputStream(a.payload))
-          val n = ais.getFrameLength.toInt // parsed from the WAV header
-          val bytes = new Array[Byte](n)   // 1 byte/frame: 8-bit mono PCM
+          // bytes = frames × frame size (1 on the 8-bit mono corpus; a
+          // 16-bit/stereo WAV would otherwise be silently half-read)
+          val n = ais.getFrameLength.toInt * ais.getFormat.getFrameSize
+          val bytes = new Array[Byte](n)
           var off = 0
           while (off < n) {
             val r = ais.read(bytes, off, n - off)
@@ -483,7 +485,9 @@ object Multimodal {
         it.flatMap { a =>
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new ByteArrayInputStream(a.payload))
-          val n = ais.getFrameLength.toInt
+          // bytes = frames × frame size (1 on the 8-bit mono corpus; a
+          // 16-bit/stereo WAV would otherwise be silently half-read)
+          val n = ais.getFrameLength.toInt * ais.getFormat.getFrameSize
           val bytes = new Array[Byte](n)
           var offr = 0
           while (offr < n) {
@@ -582,7 +586,9 @@ object Multimodal {
         it.flatMap { a =>
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new ByteArrayInputStream(a.payload))
-          val n = ais.getFrameLength.toInt
+          // bytes = frames × frame size (1 on the 8-bit mono corpus; a
+          // 16-bit/stereo WAV would otherwise be silently half-read)
+          val n = ais.getFrameLength.toInt * ais.getFormat.getFrameSize
           val bytes = new Array[Byte](n)
           var offr = 0
           while (offr < n) {

@@ -183,11 +183,13 @@ object ScaleProbe {
       dropEnv = Seq("SPARK_GRAFT_SCALE_STANDALONE"),
       marker = "\"scale_cell\"", timeoutSec = timeoutSec,
       cwd = Some(new java.io.File(sys.props("user.dir"))))
-      .flatMap { line =>
+      // Try: malformed child output degrades to the -1.0 sentinel
+      // instead of aborting the whole probe run (ADVICE r12)
+      .flatMap { line => scala.util.Try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(line).path("sec")
         if (node.isMissingNode) None else Some(node.asDouble())
-      }.getOrElse(-1.0)
+      }.toOption.flatten }.getOrElse(-1.0)
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

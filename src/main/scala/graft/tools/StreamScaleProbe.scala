@@ -123,14 +123,16 @@ object StreamScaleProbe {
       dropEnv = Seq("SPARK_GRAFT_SCALE_STANDALONE"),
       marker = "\"sscale_cell\"", timeoutSec = timeoutSec,
       cwd = Some(new java.io.File(sys.props("user.dir"))))
-      .map { line =>
+      // Try: malformed child output degrades to the Nil sentinel
+      // instead of aborting the whole probe run (ADVICE r12)
+      .flatMap { line => scala.util.Try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
         root.path("samples").elements().asScala.map { s =>
           Sample(s.path("chunk").asInt(), s.path("fed").asLong(),
             s.path("stateRows").asLong(), s.path("stateMB").asDouble(),
             s.path("wallS").asDouble())
         }.toSeq
-      }.getOrElse(Nil)
+      }.toOption }.getOrElse(Nil)
   }
 
   def main(args: Array[String]): Unit = {

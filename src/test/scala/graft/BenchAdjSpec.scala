@@ -79,6 +79,35 @@ class BenchAdjSpec extends AnyFunSuite {
     assert(Bench.latestPrevRound(d) === Map("c" -> 3.0))
   }
 
+  test("targeted runs cannot clobber the committed full-suite comparator") {
+    // Regression for commit a26abb8 (judge r12 What's-wrong #2): a
+    // targeted adjudicator test run from the repo root AFTER the 203-row
+    // close overwrote bench_result.json with a 2-query file, and the
+    // clobber was committed — silently disarming the next round's
+    // self-adjudication. Targeted (SPARK_GRAFT_ONLY) runs now write
+    // bench_result.partial.json; reproduce the exact scenario and prove
+    // the full close file survives.
+    val d = tmp()
+    val full = """{"metric":"total","value":271.86,"unit":"sec",""" +
+      """"queries":{"q1_agg":0.5,"dedup_exact":0.7,"profile_sketch":1.9}}"""
+    write(d, "bench_result.json", full) // the committed close artifact
+    // ... then a targeted 2-query run writes its result:
+    val targeted = """{"metric":"total","value":3.9,"unit":"sec",""" +
+      """"queries":{"events_rfm":2.1,"events_abtest":1.8}}"""
+    write(d, Bench.resultFileName(targeted = true), targeted)
+    // the close file is byte-identical, the partial landed alongside
+    assert(new String(Files.readAllBytes(d.resolve("bench_result.json")),
+      UTF_8) === full)
+    assert(Files.exists(d.resolve("bench_result.partial.json")))
+    // and the adjudication comparator still reads the FULL suite (the
+    // partial name is invisible to latestPrevRound's fallback)
+    assert(Bench.latestPrevRound(d).keySet ===
+      Set("q1_agg", "dedup_exact", "profile_sketch"))
+    // name routing itself: full-suite runs own the canonical name
+    assert(Bench.resultFileName(targeted = false) === "bench_result.json")
+    assert(Bench.resultFileName(targeted = true) === "bench_result.partial.json")
+  }
+
   test("drift thresholds flag the real r10->r11 profile_qsketch regression") {
     val prev = Map("profile_qsketch" -> 2.191, "dedup_jaccard" -> 5.588,
       "stream_recovery" -> 5.213)

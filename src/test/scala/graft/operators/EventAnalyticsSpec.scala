@@ -107,6 +107,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(edgeCustom == edge)
   }
 
+  test("abtest z twin: z² agrees with the exact decimal χ²; degenerate corpus yields NULL") {
+    val r = EventAnalytics.abTestZ(spark, sf).head()
+    // the in-row tolerance gate holds on the real corpus
+    assert(!r.isNullAt(4) && !r.isNullAt(5) && r.getBoolean(6))
+    assert(math.abs(r.getDouble(4) * r.getDouble(4) * 1e6 -
+      r.getLong(5).toDouble) <= 1000.0)
+    // degenerate corpus (EVERY user converts): a zero χ² marginal —
+    // both legs must return the agreed NULL sentinel, never a crash or
+    // an engine-specific divide-by-zero (ADVICE r12: Spark's non-ANSI
+    // decimal div nulls where DuckDB's // raises; the guard is now
+    // spelled identically on both sides)
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ab").toString
+    Seq((1L, 1L, "purchase", 1.0, 0L), (2L, 2L, "purchase", 2.0, 1000000L))
+      .toDF("event_id", "user_id", "event_type", "value", "tus")
+      .withColumn("ts", timestamp_micros(col("tus"))).drop("tus")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val dr = EventAnalytics.abTest(spark, d).head()
+    assert(dr.isNullAt(6), "chi2_micro must be the NULL sentinel")
+    val dz = EventAnalytics.abTestZ(spark, d).head()
+    assert(dz.isNullAt(4) && dz.isNullAt(5) && dz.isNullAt(6))
+  }
+
   test("transitions: per-user consecutive-pair counts match") {
     val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
       val ordered = rows.sortBy(e => (e._4, e._2)).map(_._3)
