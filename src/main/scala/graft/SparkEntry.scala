@@ -509,6 +509,10 @@ object SparkEntry {
     // corpus would sit near coverage — the partition-pruning win as a
     // gated number (recall sweep in BASELINE.md).
     "ann_clustered" -> (Gates.annClusteredGate _),
+    // RESIDUAL-PQ codes served on the clustered fixture (nlist=32 =
+    // planted clusters, nprobe=4): bit-equal to raw codes at full
+    // rerank + clustered recall bound — the r8 recall win, registered.
+    "ann_residual"  -> (Gates.annResidualGate _),
     // Incrementally-maintained ANN index: increment appended under frozen
     // quantizers must equal the one-pass rebuild bit-for-bit + recall.
     "ann_incr_artifact" -> (Gates.annIncrArtifactGate _),
@@ -2784,6 +2788,20 @@ object SparkEntry {
         | FROM range(2000) t(i))
         |SELECT count(*) AS n_exact, true AS recall_ok,
         | CAST(16 AS BIGINT) AS nlist, CAST(4 AS BIGINT) AS nprobe FROM (
+        | SELECT q.vec_id FROM v q, v e
+        | WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
+        | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) <= 5)""".stripMargin,
+    // Same clustered fixture; n_exact recomputed from the shared
+    // formula, the recall and residual-vs-raw equality bits are the
+    // gate's literals (both spec-checked Spark-side).
+    "ann_residual" ->
+      """WITH v AS (SELECT i AS vec_id, list_transform(range(64), d ->
+        |  CAST(((i % 32) * 37 + d * 101) % 97 - 48
+        |     + ((i * 131 + d * 17) % 13 - 6) AS DOUBLE)) AS emb
+        | FROM range(2000) t(i))
+        |SELECT count(*) AS n_exact, true AS recall_ok,
+        | true AS residual_equals_raw_at_full_rerank FROM (
         | SELECT q.vec_id FROM v q, v e
         | WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
         | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id

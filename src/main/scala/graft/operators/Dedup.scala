@@ -1280,4 +1280,59 @@ object Dedup {
         col("sz_small").cast("long").as("sz_small"),
         (col("ov").cast("double") / col("sz_small")).as("containment"))
   }
+
+  /** REJOIN spelling of [[containmentPairsUnsorted]] — the carry-vs-
+    * rejoin A/B twin (the r4 minhash precedent: carried arrays lost to a
+    * re-join at 9×). Both posting sides go SLIM — the container side
+    * carries no `tb` array (the carry spelling moves O(sz) bytes × sz
+    * posting rows per container doc through the token exchange, O(sz²)
+    * bytes/doc) and the contained side carries no `ta`/`pref` either.
+    * Exactly-once retention is a pair-keyed `min_by` on the join token:
+    * the retained row is the numeric-MIN shared (prefix-A ∩ B) token —
+    * the SAME row `sortedFirstCommon` retains, so the WWW'08 positional
+    * bound stays valid at it (no common token precedes it in either
+    * sorted array) and the output is bit-identical (spec-pinned). The
+    * bound prunes AFTER the min_by (at a non-first meeting the bound is
+    * invalid — it could kill a passing pair); only SURVIVORS re-join the
+    * corpus for both token arrays and pay the exact merge walk.
+    *
+    * Trade: carry = one token-keyed exchange moving Σ_tok df(tok)·O(sz)
+    * array bytes; rejoin = slim token exchange + a pair-keyed dedup
+    * exchange over the candidate stream + two doc-keyed rejoins over
+    * positional-bound survivors. Which wins depends on how fat the
+    * carried arrays are vs how many candidate rows exist — i.e. on
+    * vocabulary overlap (BASELINE.md r13: measured on the content-
+    * disjoint Caesar corpus AND a shared-vocab Zipfian corpus). */
+  private[graft] def containmentPairsRejoinUnsorted(
+      s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import graft.functions.ArrayOps.sortedIntersectCount
+    val sets = hashedTokenSets(s, dir)
+    val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val small = sets.select(col("doc_id").as("id_a"), col("sz").as("sa"),
+        slice(col("toks"), lit(1), prefLen).as("pref"))
+      .select(col("id_a"), col("sa"),
+        posexplode(col("pref")).as(Seq("qa", "ptok")))
+    val big = sets.select(col("doc_id").as("id_b"), col("sz").as("sb"),
+      posexplode(col("toks")).as(Seq("qb", "tok")))
+    val dirOk = col("sa") < col("sb") ||
+      (col("sa") === col("sb") && col("id_a") < col("id_b"))
+    val cand = small.join(big, col("ptok") === col("tok") && dirOk)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min_by(struct(col("qa"), col("qb"), col("sa"), col("sb")),
+        col("tok")).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.qa").as("qa"),
+        col("m.qb").as("qb"), col("m.sa").as("sa"), col("m.sb").as("sb"))
+    val bound = lit(1) + least(col("sa") - col("qa") - 1,
+      col("sb") - col("qb") - 1)
+    cand.filter(bound.cast("double") / col("sa") >= threshold)
+      .join(sets.select(col("doc_id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("toks").as("tb")), "id_b")
+      .select(col("id_a").as("doc_small"), col("id_b").as("doc_big"),
+        sortedIntersectCount(col("ta"), col("tb")).as("ov"),
+        col("sa").as("sz_small"))
+      .filter(col("ov").cast("double") / col("sz_small") >= threshold)
+      .select(col("doc_small"), col("doc_big"), col("ov").cast("long").as("ov"),
+        col("sz_small").cast("long").as("sz_small"),
+        (col("ov").cast("double") / col("sz_small")).as("containment"))
+  }
 }

@@ -145,6 +145,54 @@ object Gates {
         lit(nprobe).cast("long").as("nprobe"))
   }
 
+  /** RESIDUAL-PQ gate on the clustered fixture (judge r13 brief #7):
+    * the r8 measurement (tools/MeasureRecallClustered, BASELINE.md)
+    * showed residual encoding buys +0.08–0.13 recall at every rerank
+    * depth on CLUSTERED embeddings — tight cells make the residual
+    * spread much smaller than the vector spread — but no oracle row
+    * served residual codes. This gate runs the SAME IVF-PQ operator
+    * twice over [[Similarity.clusteredCorpus]], residual vs raw codes,
+    * at FULL rerank (rerank ≥ every candidate a probe can emit, so both
+    * orderings collapse onto the exact cosine over the probed lists):
+    * the outputs must be BIT-IDENTICAL — the equality pin proving the
+    * residual ADC arithmetic (q̂·c_list + Σ residual-table lookups)
+    * ranks candidates into the same re-rank set — and the served top-k
+    * must meet the clustered recall bound vs brute force. nlist=32
+    * matches the fixture's 32 planted clusters (the regime residual
+    * encoding exists for); nprobe=4 keeps the partial-probe pruning
+    * real (12.5% coverage). */
+  def annResidualGate(s: SparkSession, dir: String): DataFrame = {
+    val all = Similarity.clusteredCorpus(s)
+    val nlist = 32
+    val nprobe = 4
+    // full rerank: 2000 vectors over nprobe/nlist lists can emit at most
+    // ~nprobe/nlist·n candidates per query; 2000 covers any skew
+    val res = Similarity.ivfPqTopKOn(all, nQueries = 50, k = 5,
+        nlist = nlist, nprobe = nprobe, rerank = 2000, residual = true)
+      .localCheckpoint() // 250 rows; equality join + recall gate
+    val raw = Similarity.ivfPqTopKOn(all, nQueries = 50, k = 5,
+      nlist = nlist, nprobe = nprobe, rerank = 2000, residual = false)
+    val eq = res.select(col("query_id"), col("neighbor_id"), col("rank"),
+        lit(1).as("in_res"))
+      .join(raw.select(col("query_id"), col("neighbor_id"), col("rank"),
+          lit(1).as("in_raw")),
+        Seq("query_id", "neighbor_id", "rank"), "full_outer")
+      .agg(coalesce(sum(when(col("in_res").isNull || col("in_raw").isNull, 1)
+        .otherwise(0)), lit(0)).as("mismatch"))
+    val exact = Similarity.bruteForceTopKOn(all, nQueries = 50, k = 5)
+      .select("query_id", "neighbor_id")
+    exact.join(
+        res.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .crossJoin(eq) // 1 × 1 rows
+      .select(col("n_exact"),
+        coalesce(col("n_hit").cast("double") / col("n_exact") >=
+          envBound("GRAFT_ANN_CLUSTERED_RECALL_BOUND", 0.95), lit(true))
+          .as("recall_ok"),
+        (col("mismatch") === 0).as("residual_equals_raw_at_full_rerank"))
+  }
+
   /** Incremental-index ANN gate: the INCREMENTALLY-MAINTAINED index
     * (settled corpus encoded at build, increment batch appended under
     * frozen quantizers — [[Similarity.ivfPqIncrArtifacts]]) must serve

@@ -512,8 +512,17 @@ object Similarity {
   def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
                 nlist: Int = 16, nprobe: Int = 12,
                 m: Int = 16, ksub: Int = 32, rerank: Int = 64,
-                residual: Boolean = false): DataFrame = {
-    val all = corpus(s, dir)
+                residual: Boolean = false): DataFrame =
+    ivfPqTopKOn(corpus(s, dir), nQueries, k, nlist, nprobe, m, ksub,
+      rerank, residual)
+
+  /** [[ivfPqTopK]] over an explicit corpus relation — the clustered
+    * fixture's entry point ([[graft.operators.Gates.annResidualGate]]),
+    * same contract as [[ivfTopKOn]]. */
+  def ivfPqTopKOn(all: DataFrame, nQueries: Int = 10, k: Int = 5,
+                  nlist: Int = 16, nprobe: Int = 12,
+                  m: Int = 16, ksub: Int = 32, rerank: Int = 64,
+                  residual: Boolean = false): DataFrame = {
     // one bounded corpus pass trains BOTH quantizers
     val sample = normalizedSample(all, 2048)
     val cents = centroids(all, nlist, sharedSample = sample)

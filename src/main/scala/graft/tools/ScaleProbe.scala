@@ -143,7 +143,12 @@ object ScaleProbe {
       // the sketch-merge maintenance row (its exact GATE leg dominates —
       // the production serve path is the delta sketch + union only)
       "dedup_contain", "curate_softdedup", "multimodal_keyframes",
-      "profile_expect", "profile_incr")
+      "profile_expect", "profile_incr",
+      // r13 brief #5: the unprobed r12 heavies — group-sampled split
+      // assignment, bounded k-core peeling (iterative joins are where
+      // exponents surprise), version restore scan, and the post-fix
+      // range-partitioned-rank RFM
+      "curate_leaksplit", "graph_kcore", "version_restore", "events_rfm")
       .filterNot(n => skipGates && gateRows(n))
       .map(n => n -> graft.SparkEntry.queries(n)) ++ Seq[
       (String, (SparkSession, String) => DataFrame)](
@@ -164,7 +169,15 @@ object ScaleProbe {
       "link_pairs_blocked" -> ((s: SparkSession, d: String) =>
         graft.operators.Linkage.blockedPairs(s, d)),
       "link_pairs_del" -> ((s: SparkSession, d: String) =>
-        graft.operators.Linkage.blockedPairsDeletion(s, d)))
+        graft.operators.Linkage.blockedPairsDeletion(s, d)),
+      // The carry-vs-rejoin containment A/B (judge r13 brief #3): both
+      // UNSORTED (the join pipeline, not the presentation sort), driven
+      // over the Caesar scale dirs AND [[ContainZipf]]'s shared-vocab
+      // Zipfian corpora.
+      "dedup_contain_carry" -> ((s: SparkSession, d: String) =>
+        graft.operators.Dedup.containmentPairsUnsorted(s, d, 0.95)),
+      "dedup_contain_rejoin" -> ((s: SparkSession, d: String) =>
+        graft.operators.Dedup.containmentPairsRejoinUnsorted(s, d, 0.95)))
   }
 
   /** Run one (operator, dir) cell in a FRESH child JVM (same classpath +
@@ -176,8 +189,8 @@ object ScaleProbe {
     * inflation pathology reproduced inside the probe itself. Exponents
     * fitted across scales are only honest when every cell pays the same
     * fixed costs, so the standalone mode gives each cell its own JVM. */
-  private def spawnCell(op: String, dir: String,
-                        timeoutSec: Long = 1200): Double =
+  private[tools] def spawnCell(op: String, dir: String,
+                               timeoutSec: Long = 1200): Double =
     ChildJvm.runForLine("graft.tools.ScaleProbe",
       env = Map("SPARK_GRAFT_SCALE_CELL" -> op, "SPARK_GRAFT_SF_DIR" -> dir),
       dropEnv = Seq("SPARK_GRAFT_SCALE_STANDALONE"),

@@ -215,7 +215,13 @@ object StreamScaleProbe {
           docSchema, docToTs,
           df => A.nearDupStream(
             df.select(col("doc_id"), col("ts"), col("text")),
-            lateness = lateness).toDF())))
+            lateness = lateness).toDF())),
+      // the spike monitor's streaming half (r13 brief #5): state is the
+      // live per-(window, type) counter set — must stay flat per chunk
+      // under watermark eviction like the other windowed aggs
+      "stream_anomaly" -> ((dir: String, mult: Int) =>
+        feed(spark, s"anom$mult", eventsChunked(dir), chunks, evSchema,
+          evToTs, df => A.anomalyWindowCounts(df, lateness = lateness))))
 
     def ms(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -70,6 +70,30 @@ class OperatorsSpec extends SparkSpec {
     assert(brute.nonEmpty) // the corpus genuinely exercises the path
   }
 
+  test("containment rejoin twin is bit-identical to the carry spelling") {
+    // the A/B twin (r13 brief #3): min_by-on-join-token retention must
+    // pick the SAME row sortedFirstCommon retains, so fixture, real
+    // corpus AND a shared-vocab Zipfian corpus (the regime the twin
+    // exists for) all match pair-for-pair, value-for-value
+    def rows(d: String, t: Double) = {
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      (canon(Dedup.containmentPairsUnsorted(spark, d, t)),
+        canon(Dedup.containmentPairsRejoinUnsorted(spark, d, t)))
+    }
+    val (c1, r1) = rows(dir, 0.95)
+    assert(c1 == r1 && c1.nonEmpty)
+    val (c2, r2) = rows("/root/testdata/sf0.001", 0.95)
+    assert(c2 == r2 && c2.nonEmpty)
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    graft.tools.ContainZipf.buildZipf(spark, zdir, nDocs = 300, vocab = 2000)
+    val (c3, r3) = rows(zdir, 0.95)
+    assert(c3 == r3, s"carry=${c3.size} rejoin=${r3.size}")
+    // the planted subset pairs guarantee the zipf path is non-trivial
+    assert(c3.size >= 30, s"zipf corpus must plant pairs, got ${c3.size}")
+  }
+
   test("soft dedup: cluster mass sums to one doc, singletons weight 1.0") {
     // t=0.85 pairs on the fixture: only (0,1) — jaccard(0,2)=5/6 < 0.85
     val rows = Curation.softDedupWeights(spark, dir).collect()
