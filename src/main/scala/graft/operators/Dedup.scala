@@ -1303,6 +1303,78 @@ object Dedup {
     * carried arrays are vs how many candidate rows exist — i.e. on
     * vocabulary overlap (BASELINE.md r13: measured on the content-
     * disjoint Caesar corpus AND a shared-vocab Zipfian corpus). */
+  /** RAREST-FIRST (df-ordered-prefix) + rejoin spelling of the
+    * containment join — the SHARED-VOCABULARY scale path. Under hash
+    * order a corpus whose documents share a Zipfian vocabulary puts the
+    * head words (df ≈ N) into ~prefLen/sz of all prefixes, so the
+    * candidate term Σ_tok df_prefA(tok)·df(tok) grows ~N² (measured:
+    * the r13 Zipf probe reads exponent 2.4 at 20× for BOTH hash-order
+    * spellings, carry and rejoin — BASELINE.md r13). Under the
+    * (df, tok) global order A's prefix holds its RAREST tokens, so head
+    * words never generate candidates and the sum collapses to the rare
+    * tail — the classic AllPairs/PPJoin ordering, applied to the
+    * asymmetric filter.
+    *
+    * Correctness mirrors the hash-order argument coordinate-for-
+    * coordinate, because A's prefix is the HEAD SLICE of A's df-ordered
+    * array: (a) C ≥ t still forces a shared token in A's first
+    * |A|−⌈t·|A|⌉+1 tokens under ANY one global order; (b) exactly-once
+    * retention keeps the df-order-MIN shared (prefix-A ∩ B) token via
+    * the pair-keyed `min_by` on (df, tok); (c) the WWW'08 positional
+    * bound is valid at that token — any shared token u preceding it in
+    * df-order sits before it in A's df-ordered array and hence inside
+    * A's prefix, contradicting minimality — with qa/qb the df-order
+    * positions; (d) the exact merge-walk verify runs on the NUMERIC-
+    * sorted arrays re-joined for survivors, so the output is
+    * bit-identical to the other spellings (spec-pinned).
+    *
+    * Costs the df-count shuffle + a per-doc df-order rebuild (two keyed
+    * exchanges of token rows, linear in corpus tokens) that hash order
+    * avoids — the right trade exactly when vocabulary is shared
+    * (measured both ways, BASELINE.md r13). */
+  private[graft] def containmentPairsRarestUnsorted(
+      s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import graft.functions.ArrayOps.sortedIntersectCount
+    val sets = hashedTokenSets(s, dir)
+    val exploded = sets.select(col("doc_id"), col("sz"),
+      explode(col("toks")).as("tok"))
+    val dfc = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc df-ordered token array; localCheckpoint: both join sides
+    // and the rebuild would otherwise recompute (prefixTable precedent)
+    val ordered = exploded.join(dfc, "tok")
+      .groupBy("doc_id", "sz")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .localCheckpoint()
+    val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val small = ordered.select(col("doc_id").as("id_a"), col("sz").as("sa"),
+        posexplode(slice(col("ord"), lit(1), prefLen)).as(Seq("qa", "p")))
+      .select(col("id_a"), col("sa"), col("qa"),
+        col("p.df").as("pdf"), col("p.tok").as("ptok"))
+    val big = ordered.select(col("doc_id").as("id_b"), col("sz").as("sb"),
+      posexplode(col("ord")).as(Seq("qb", "q")))
+      .select(col("id_b"), col("sb"), col("qb"), col("q.tok").as("tok"))
+    val dirOk = col("sa") < col("sb") ||
+      (col("sa") === col("sb") && col("id_a") < col("id_b"))
+    val cand = small.join(big, col("ptok") === col("tok") && dirOk)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min_by(struct(col("qa"), col("qb"), col("sa"), col("sb")),
+        struct(col("pdf"), col("ptok"))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.qa").as("qa"),
+        col("m.qb").as("qb"), col("m.sa").as("sa"), col("m.sb").as("sb"))
+    val bound = lit(1) + least(col("sa") - col("qa") - 1,
+      col("sb") - col("qb") - 1)
+    cand.filter(bound.cast("double") / col("sa") >= threshold)
+      .join(sets.select(col("doc_id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("toks").as("tb")), "id_b")
+      .select(col("id_a").as("doc_small"), col("id_b").as("doc_big"),
+        sortedIntersectCount(col("ta"), col("tb")).as("ov"),
+        col("sa").as("sz_small"))
+      .filter(col("ov").cast("double") / col("sz_small") >= threshold)
+      .select(col("doc_small"), col("doc_big"), col("ov").cast("long").as("ov"),
+        col("sz_small").cast("long").as("sz_small"),
+        (col("ov").cast("double") / col("sz_small")).as("containment"))
+  }
+
   private[graft] def containmentPairsRejoinUnsorted(
       s: SparkSession, dir: String, threshold: Double): DataFrame = {
     import graft.functions.ArrayOps.sortedIntersectCount

@@ -177,7 +177,11 @@ object ScaleProbe {
       "dedup_contain_carry" -> ((s: SparkSession, d: String) =>
         graft.operators.Dedup.containmentPairsUnsorted(s, d, 0.95)),
       "dedup_contain_rejoin" -> ((s: SparkSession, d: String) =>
-        graft.operators.Dedup.containmentPairsRejoinUnsorted(s, d, 0.95)))
+        graft.operators.Dedup.containmentPairsRejoinUnsorted(s, d, 0.95)),
+      // the df-ordered-prefix spelling — head words never enter a
+      // prefix, so the shared-vocab candidate term collapses
+      "dedup_contain_rarest" -> ((s: SparkSession, d: String) =>
+        graft.operators.Dedup.containmentPairsRarestUnsorted(s, d, 0.95)))
   }
 
   /** Run one (operator, dir) cell in a FRESH child JVM (same classpath +

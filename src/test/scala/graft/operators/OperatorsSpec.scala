@@ -80,16 +80,18 @@ class OperatorsSpec extends SparkSpec {
         .map(r => ((r.getLong(0), r.getLong(1)),
           (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
       (canon(Dedup.containmentPairsUnsorted(spark, d, t)),
-        canon(Dedup.containmentPairsRejoinUnsorted(spark, d, t)))
+        canon(Dedup.containmentPairsRejoinUnsorted(spark, d, t)),
+        canon(Dedup.containmentPairsRarestUnsorted(spark, d, t)))
     }
-    val (c1, r1) = rows(dir, 0.95)
-    assert(c1 == r1 && c1.nonEmpty)
-    val (c2, r2) = rows("/root/testdata/sf0.001", 0.95)
-    assert(c2 == r2 && c2.nonEmpty)
+    val (c1, r1, f1) = rows(dir, 0.95)
+    assert(c1 == r1 && c1 == f1 && c1.nonEmpty)
+    val (c2, r2, f2) = rows("/root/testdata/sf0.001", 0.95)
+    assert(c2 == r2 && c2 == f2 && c2.nonEmpty)
     val zdir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
     graft.tools.ContainZipf.buildZipf(spark, zdir, nDocs = 300, vocab = 2000)
-    val (c3, r3) = rows(zdir, 0.95)
+    val (c3, r3, f3) = rows(zdir, 0.95)
     assert(c3 == r3, s"carry=${c3.size} rejoin=${r3.size}")
+    assert(c3 == f3, s"carry=${c3.size} rarest=${f3.size}")
     // the planted subset pairs guarantee the zipf path is non-trivial
     assert(c3.size >= 30, s"zipf corpus must plant pairs, got ${c3.size}")
   }
