@@ -74,6 +74,25 @@ object ScaleDiag {
       val top = perTok.orderBy(col("pdf").desc).limit(5).collect()
         .map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ")
       println(s"[diag] $dir jaccard top prefix-token dfs: $top")
+
+      // --- containment volumes (r13): output pairs + candidate stream.
+      // Candidate rows = Σ_tok df_prefA(tok)·df(tok) under HASH order
+      // (the registered spelling's join volume); output pairs = the
+      // exact relation size, so a super-linear wall leg can be split
+      // into "more work per result" vs "more results" (the Caesar
+      // period-26 aliasing doubles 24 of 50 copies at 50x — every doc
+      // gains an identical twin and the TRUE pair relation explodes).
+      val tc = 0.95
+      val prefLenC = (col("sz") - ceil(lit(tc) * col("sz")) + 1).cast("int")
+      val prefC = sets.select(col("sz"),
+          explode(slice(col("toks"), lit(1), prefLenC)).as("ptok"))
+        .groupBy("ptok").agg(count(lit(1)).as("pdf"))
+      val fullC = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+      val candC = prefC.join(fullC, col("ptok") === col("tok"))
+        .agg(sum(col("pdf") * col("df")).as("cand_rows")).head().getLong(0)
+      val pairsC = graft.operators.Dedup
+        .containmentPairsUnsorted(spark, dir, tc).count()
+      println(s"[diag] $dir containment: cand_rows=$candC out_pairs=$pairsC")
     }
     spark.stop()
   }

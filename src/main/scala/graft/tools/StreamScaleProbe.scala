@@ -175,6 +175,14 @@ object StreamScaleProbe {
         .localCheckpoint()
     val evToTs = (df: DataFrame) =>
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the anomaly op keys on event_type, not user_id — own feeder/schema
+    val evTypeSchema = StructType(Seq(
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    def eventsChunkedTyped(dir: String): DataFrame =
+      graft.operators.Tables.events(spark, dir)
+        .select((unix_micros(col("ts")) * 1000L).as("ts"), col("event_type"))
+        .withColumn("chunk", ntile(chunks).over(Window.orderBy("ts")))
+        .localCheckpoint()
 
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -220,8 +228,9 @@ object StreamScaleProbe {
       // live per-(window, type) counter set — must stay flat per chunk
       // under watermark eviction like the other windowed aggs
       "stream_anomaly" -> ((dir: String, mult: Int) =>
-        feed(spark, s"anom$mult", eventsChunked(dir), chunks, evSchema,
-          evToTs, df => A.anomalyWindowCounts(df, lateness = lateness))))
+        feed(spark, s"anom$mult", eventsChunkedTyped(dir), chunks,
+          evTypeSchema, evToTs,
+          df => A.anomalyWindowCounts(df, lateness = lateness))))
 
     def ms(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -240,8 +249,13 @@ object StreamScaleProbe {
     val standalone =
       sys.env.get("SPARK_GRAFT_SCALE_STANDALONE").exists(_.nonEmpty)
     val allScales: Seq[(Int, String)] = (1, base) +: scaleDirs
+    // SPARK_GRAFT_SSCALE_OPS=<csv>: restrict to named ops (a one-op
+    // probe doesn't pay for the other four; ScaleProbe's OPS precedent)
+    val onlyOps = sys.env.get("SPARK_GRAFT_SSCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     // (op, per-scale samples, per-leg exponents)
-    val results = ops.map { case (opName, run) =>
+    val results = ops.filter { case (n, _) => onlyOps.forall(_.contains(n)) }
+      .map { case (opName, run) =>
       val perScale = allScales.map { case (k, dir) =>
         k -> (if (standalone) spawnStreamCell(opName, k, dir) else run(dir, k)) }
       val legs = perScale.sliding(2).collect { case Seq((ka, sa), (kb, sb)) =>
