@@ -1247,7 +1247,23 @@ object Dedup {
     * N²; every exchange is keyed (AQE absorbs skewed postings). */
   def containmentPairs(s: SparkSession, dir: String,
                        threshold: Double = 0.95): DataFrame =
-    containmentPairsUnsorted(s, dir, threshold)
+    containmentPairs(s, dir, threshold, rarestFirst = false)
+
+  /** Public ordering knob — the r13 regime map's user-facing switch
+    * (BASELINE.md r13 A/B table; all spellings spec-pinned
+    * bit-identical). `rarestFirst = false` (default): hash-order
+    * prefixes with carried postings — wins on low-vocabulary-overlap
+    * corpora (content-disjoint shards, deduplicated snapshots) and on
+    * THIS repo's test corpus. `rarestFirst = true`: (df, tok)-ordered
+    * prefixes ([[containmentPairsRarestUnsorted]]) — the only
+    * linear-asymptote plan when documents share a natural-language
+    * Zipfian vocabulary (27× faster at zipf-20×), the 100-TB web-corpus
+    * regime; pays a df shuffle + per-doc rebuild that loses 2–8× where
+    * vocabulary is disjoint. */
+  def containmentPairs(s: SparkSession, dir: String, threshold: Double,
+                       rarestFirst: Boolean): DataFrame =
+    (if (rarestFirst) containmentPairsRarestUnsorted(s, dir, threshold)
+     else containmentPairsUnsorted(s, dir, threshold))
       .localCheckpoint()
       .orderBy("doc_small", "doc_big")
 

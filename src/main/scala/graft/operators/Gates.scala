@@ -160,7 +160,11 @@ object Gates {
     * must meet the clustered recall bound vs brute force. nlist=32
     * matches the fixture's 32 planted clusters (the regime residual
     * encoding exists for); nprobe=4 keeps the partial-probe pruning
-    * real (12.5% coverage). */
+    * real (12.5% coverage). Cost note: ~9 s at any sf — the fixture is
+    * GENERATED at n=2000 regardless of corpus size, so this row's
+    * price is a corpus-size-INDEPENDENT constant (two full IVF-PQ
+    * builds + the brute truth + the equality join), never a scale
+    * risk. */
   def annResidualGate(s: SparkSession, dir: String): DataFrame = {
     val all = Similarity.clusteredCorpus(s)
     val nlist = 32

@@ -94,6 +94,11 @@ class OperatorsSpec extends SparkSpec {
     assert(c3 == f3, s"carry=${c3.size} rarest=${f3.size}")
     // the planted subset pairs guarantee the zipf path is non-trivial
     assert(c3.size >= 30, s"zipf corpus must plant pairs, got ${c3.size}")
+    // the public ordering knob routes to the same relation
+    val viaKnob = Dedup.containmentPairs(spark, zdir, 0.95, rarestFirst = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(viaKnob == c3)
   }
 
   test("soft dedup: cluster mass sums to one doc, singletons weight 1.0") {
