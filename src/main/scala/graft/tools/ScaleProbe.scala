@@ -273,8 +273,15 @@ object ScaleProbe {
     // a two-operator A/B doesn't pay for the other 13 cells).
     val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(",").map(_.trim).toSet)
+    // A/B measurement twins (carry/rejoin/rarest spellings) are OPT-IN:
+    // they exist so one of them can lose — sweeping them into the
+    // default run (and scale_check's exponent gate) would fail CI on a
+    // spelling that is documented as losing in this corpus regime.
+    val abTwins = Set("dedup_contain_carry", "dedup_contain_rejoin",
+      "dedup_contain_rarest")
     val probes = probesFor(skipGates)
-      .filter { case (n, _) => onlyOps.forall(_.contains(n)) }
+      .filter { case (n, _) =>
+        onlyOps.map(_.contains(n)).getOrElse(!abTwins(n)) }
 
     def dropCheckpoints(): Unit =
       spark.sparkContext.getPersistentRDDs.valuesIterator
@@ -331,9 +338,16 @@ object ScaleProbe {
     // leg exponent exceeds the bound (super-linear creep) fails the run
     // with exit 2, so exponent regressions are caught by the round's own
     // close instead of a judge round-trip. Gate rows (brute-truth
-    // rebuilds, ~linear BY CONSTRUCTION) are exempt.
+    // rebuilds, ~linear BY CONSTRUCTION) are exempt, as are rows whose
+    // super-linear leg is MEASURED output growth, not plan cost:
+    // multimodal_phash's 1.10 is the corpus multiplying its one giant
+    // near-dup raster class — true pair output grows ~quadratically
+    // (decomposed in BASELINE.md r12; the dedup_contain@50x precedent).
+    // An exemption here requires that decomposition on record.
+    val outputBoundRows = Set("multimodal_phash")
     sys.env.get("SPARK_GRAFT_SCALE_MAX_EXP").map(_.toDouble).foreach { bound =>
-      val bad = rows.filterNot { case (n, _, _) => gateRows(n) }
+      val bad = rows.filterNot { case (n, _, _) =>
+          gateRows(n) || outputBoundRows(n) }
         .filter { case (_, _, legs) => legs.nonEmpty && legs.last > bound }
       if (bad.nonEmpty) {
         bad.foreach { case (n, _, legs) =>
