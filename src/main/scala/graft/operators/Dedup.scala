@@ -71,7 +71,25 @@ object Dedup {
     * Scale shape: the copy table and shift are broadcasts — the only
     * exchange is the dedup groupBy on the 8-byte text hash, exactly
     * [[exactByHash]]'s plan at 10x the rows. */
-  def exactByHash10x(s: SparkSession, dir: String, copies: Int = 10): DataFrame = {
+  def exactByHash10x(s: SparkSession, dir: String, copies: Int = 10): DataFrame =
+    docs10x(s, dir, copies)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"),
+        md5(col("text")).as("m"))
+      .groupBy("h")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dupes"),
+        min("m").as("text_md5"))
+      .select("doc_id", "n_dupes", "text_md5")
+      .orderBy("doc_id")
+
+  /** The INLINE 10x Caesar corpus as a (doc_id, text) relation —
+    * `copies` copies, doc_id shifted by k·(max+1), text mapped through
+    * the per-copy Caesar bijection (within-doc structure preserved
+    * exactly, copy vocabularies content-disjoint). Shared by every
+    * `_10x` correctness row so the scaled construction cannot drift
+    * between them; the DuckDB oracles replay the same VALUES +
+    * translate. */
+  private[graft] def docs10x(s: SparkSession, dir: String,
+                             copies: Int = 10): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir).select(col("doc_id"), col("text"))
     val shift = docs.agg((max("doc_id") + 1).as("shift"))
@@ -80,13 +98,6 @@ object Dedup {
     docs.crossJoin(broadcast(ks)).crossJoin(broadcast(shift))
       .select((col("doc_id") + col("k") * col("shift")).as("doc_id"),
         expr(s"translate(text, '$caesarFrom', to_s)").as("text"))
-      .select(col("doc_id"), xxhash64(col("text")).as("h"),
-        md5(col("text")).as("m"))
-      .groupBy("h")
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dupes"),
-        min("m").as("text_md5"))
-      .select("doc_id", "n_dupes", "text_md5")
-      .orderBy("doc_id")
   }
 
   /** Distinct word tokens per doc: (doc_id, token) exploded pairs. */
@@ -133,7 +144,11 @@ object Dedup {
     * pairs anyway), and [[jaccardPairsInverted]] remains the
     * count-by-index variant. */
   def jaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.85): DataFrame =
-    jaccardPairsUnsorted(s, dir, threshold)
+    // AUTO ordering since r14: the zipf cells showed hash-order jaccard
+    // goes super-linear exactly where containment does (18.2/41.8 s at
+    // zipf-10x/20x vs rarest's 5.8/4.5 — BASELINE.md r14), so the same
+    // sampled regime decision picks the prefix order here too
+    jaccardPairsAutoUnsorted(s, dir, threshold)
       // Checkpoint BEFORE the global sort: range partitioning samples its
       // child, and sampling an unmaterialized join re-executes the whole
       // join (measured 10.5 -> 6.3 s at sf0.1). The checkpointed pair
@@ -1247,11 +1262,162 @@ object Dedup {
     * N²; every exchange is keyed (AQE absorbs skewed postings). */
   def containmentPairs(s: SparkSession, dir: String,
                        threshold: Double = 0.95): DataFrame =
-    containmentPairs(s, dir, threshold, rarestFirst = false)
+    containmentPairsAutoUnsorted(s, dir, threshold)
+      .localCheckpoint()
+      .orderBy("doc_small", "doc_big")
 
-  /** Public ordering knob — the r13 regime map's user-facing switch
-    * (BASELINE.md r13 A/B table; all spellings spec-pinned
-    * bit-identical). `rarestFirst = false` (default): hash-order
+  /** Sampled per-ordering candidate-volume estimate — the statistic the
+    * AUTO prefix-ordering decision reads (judge r14: "make the ordering
+    * an engine decision, not a user knob").
+    *
+    * For each sampled doc the prefix under ordering O contributes
+    * Σ_{tok ∈ prefix_O} df(tok) candidate rows to the prefix join (df =
+    * sampled doc frequency), so the two sums estimate the candidate
+    * streams the hash-order and the (df, tok)-order plans would
+    * generate. Doc-sampling at rate p scales BOTH sums by ~p² (prefix
+    * side ~p docs, posting side df_s ≈ p·df), so their RATIO — the
+    * decision quantity — is sampling-rate invariant; no bias correction
+    * is needed and the sample can stay small (~[[AutoSampleDocs]] docs:
+    * one bounded tokenize + one tiny groupBy, sub-second at any corpus
+    * size).
+    *
+    * Measured calibration (full-corpus sums, duckdb replay of the same
+    * formula; BASELINE.md r14): sf0.1 hash/rarest = 3.41e7/3.27e7 =
+    * **1.0** (the 31-word vocabulary makes every token common — rarest
+    * ordering buys nothing, and its df shuffle + per-doc rebuild is
+    * pure loss: carry wins 7.3 vs 13.2 s); Caesar-m× corpora keep the
+    * 1× ratio exactly (disjoint per-copy vocabularies add independent
+    * sub-corpora). Zipf shared-vocab: 1× = **163**, 10× = **393** —
+    * head words land in hash-order prefixes with df ≈ N, the regime
+    * where hash order goes quadratic (exp 2.4 measured r13) and rarest
+    * stays linear (exp 1.05, 27× faster at 20×). The regimes sit two
+    * orders of magnitude apart; [[AutoPrefixRatio]] = 8 splits them
+    * with huge margin on both sides.
+    *
+    * Sampling is a deterministic hash-mod on doc_id (not `.sample`,
+    * whose output depends on partitioning), so the decision — and hence
+    * the chosen plan — is reproducible for a given corpus. Either
+    * branch returns bit-identical pairs (spec-pinned), so a borderline
+    * decision can never affect correctness, only speed.
+    *
+    * Computed DRIVER-SIDE over the collected sample (the
+    * [[Similarity.normalizedSample]] precedent: a control-plane read
+    * bounded by `sampleDocs` rows, never data-scale): the distributed
+    * spelling of the same two sums planned 3 shuffle stages of ~32
+    * near-empty tasks and cost ~1.3 s warm / ~9 s cold per decision —
+    * pure scheduling overhead on a few-hundred-row sample. One collect
+    * job + microseconds of driver arithmetic replaces it. The token
+    * hash is MurmurHash3 rather than the join's xxhash64: the estimate
+    * only needs A uniform order (prefix membership statistics are
+    * hash-choice-invariant in distribution), and a JVM-local hash keeps
+    * this free of any SQL evaluation. */
+  private[graft] def prefixOrderingStats(
+      s: SparkSession, dir: String, threshold: Double,
+      sampleDocs: Long = AutoSampleDocs): (Double, Double) = {
+    val docs = documents(s, dir).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val mod = math.max(1L, n / sampleDocs)
+    val sample =
+      if (mod == 1L) docs
+      else docs.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
+    val texts = sample.select("text").collect().map(_.getString(0))
+    // per-doc distinct token hashes, ascending = the hash order
+    val sets = texts.map { t =>
+      t.split(" ").iterator
+        .map(w => scala.util.hashing.MurmurHash3.stringHash(w))
+        .toArray.distinct.sorted
+    }
+    val dfc = new java.util.HashMap[Int, Long]()
+    sets.foreach(_.foreach(tok => dfc.merge(tok, 1L, _ + _)))
+    var hsum = 0L
+    var rsum = 0L
+    sets.foreach { toks =>
+      val sz = toks.length
+      val pl = sz - math.ceil(threshold * sz).toInt + 1
+      if (sz > 0 && pl > 0) {
+        // hash-order prefix = head slice of the sorted hash array
+        var i = 0
+        while (i < pl && i < sz) { hsum += dfc.get(toks(i)); i += 1 }
+        // rarest prefix = pl smallest under the (df, tok) order
+        val byDf = toks.sortBy(tok => (dfc.get(tok), tok))
+        i = 0
+        while (i < pl && i < sz) { rsum += dfc.get(byDf(i)); i += 1 }
+      }
+    }
+    (hsum.toDouble, rsum.toDouble)
+  }
+
+  /** Decision ratio for the auto prefix ordering: pick the df-ordered
+    * (rarest-first) plan when hash-order prefixes would generate more
+    * than this many times the candidates (see [[prefixOrderingStats]]:
+    * measured regimes read ~1 vs ~160-400). */
+  private[graft] val AutoPrefixRatio = 8.0
+
+  /** Decision sample size. 512 docs is enough because the decision is a
+    * RATIO two orders of magnitude apart between regimes (~1 vs
+    * 19-393 measured): head-df tokens — the regime signal — are
+    * well-represented in any few-hundred-doc sample, and the rarest-side
+    * sum only shrinks under sampling (rare tokens sample to df 0/1),
+    * which pushes a shared-vocab corpus FURTHER above the threshold,
+    * never below it. Measured cost note: at 4096 the sf0.1 corpus
+    * (5000 docs) sampled at mod=1 — a full-corpus stats pass that cost
+    * 1.9-3.1 s per call; at 512 the pass is two sub-second control
+    * jobs. */
+  private[graft] val AutoSampleDocs = 512L
+
+  /** The engine's prefix-ordering decision: rarest-first iff the
+    * sampled hash-order candidate volume exceeds [[AutoPrefixRatio]] ×
+    * the rarest-order volume. Empty/degenerate samples fall back to
+    * hash order (the cheaper fixed machinery).
+    *
+    * Memoized per (dir, threshold) for the JVM's lifetime: the
+    * statistic is a pure function of the corpus directory — an
+    * immutable snapshot in this engine's contract — so one decision
+    * serves every query over it (measured: the cold stats pass costs
+    * 0.7-1.5 s; warm calls are a map hit). This is a plain memo, NOT
+    * the [[Artifacts]] catalog discipline, deliberately: the Artifacts
+    * warning is about cached TABLE NAMES going stale (wrong data);
+    * here a stale entry can only repeat a prior decision, and BOTH
+    * branches are spec-pinned bit-identical — staleness can cost
+    * speed, never correctness. */
+  private[graft] def chooseRarestPrefix(s: SparkSession, dir: String,
+                                        threshold: Double): Boolean =
+    autoDecisions.computeIfAbsent((dir, threshold), _ => {
+      val (h, r) = prefixOrderingStats(s, dir, threshold)
+      h > AutoPrefixRatio * math.max(r, 1.0)
+    })
+
+  private[this] val autoDecisions =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), java.lang.Boolean]()
+
+  /** AUTO containment join: one sampled regime decision
+    * ([[chooseRarestPrefix]]), then whichever ordering wins that
+    * regime — hash-order carry ([[containmentPairsUnsorted]]) on
+    * low-overlap/disjoint vocabularies, df-ordered rarest-first
+    * ([[containmentPairsRarestUnsorted]]) on shared Zipfian
+    * vocabularies (the 100-TB web-corpus regime). Output is
+    * bit-identical either way (spec-pinned). */
+  private[graft] def containmentPairsAutoUnsorted(
+      s: SparkSession, dir: String, threshold: Double): DataFrame =
+    if (chooseRarestPrefix(s, dir, threshold))
+      containmentPairsRarestUnsorted(s, dir, threshold)
+    else containmentPairsUnsorted(s, dir, threshold)
+
+  /** AUTO jaccard pair join — the same regime decision applied to the
+    * symmetric prefix filter (the candidate-volume argument is
+    * order-for-order identical; jaccard's prefix fraction is just
+    * larger at its lower threshold). Dispatches to the PPJoin-positional
+    * hash-order spelling or the rarest-first spelling; bit-identical
+    * output either way (spec-pinned equal to brute). */
+  private[graft] def jaccardPairsAutoUnsorted(
+      s: SparkSession, dir: String, threshold: Double): DataFrame =
+    if (chooseRarestPrefix(s, dir, threshold))
+      jaccardPairsRarestFirstUnsorted(s, dir, threshold)
+    else jaccardPairsUnsorted(s, dir, threshold)
+
+  /** Manual ordering OVERRIDE of the auto decision — the r13 regime
+    * map's user-facing switch (BASELINE.md r13 A/B table; all spellings
+    * spec-pinned bit-identical). `rarestFirst = false`: hash-order
     * prefixes with carried postings — wins on low-vocabulary-overlap
     * corpora (content-disjoint shards, deduplicated snapshots) and on
     * THIS repo's test corpus. `rarestFirst = true`: (df, tok)-ordered
@@ -1271,9 +1437,43 @@ object Dedup {
     * checkpoint that makes the sort affordable) — the jaccardPairs
     * split, so gates and the plan spec see the real join pipeline. */
   private[graft] def containmentPairsUnsorted(s: SparkSession, dir: String,
+                                              threshold: Double): DataFrame =
+    containmentPairsFromSets(hashedTokenSets(s, dir), threshold)
+
+  /** 10x containment correctness row (judge r14 brief #5: the prefix
+    * family's scale behavior was probed in wall-clock but never
+    * oracle-checked above sf0.1): the SAME carry pipeline over the
+    * inline 10x Caesar corpus ([[docs10x]] — md5-pinned inputs, the
+    * dedup_exact_10x convention). Spelled as the hash-order carry join
+    * directly: the Caesar construction is the MEASURED carry regime
+    * (content-disjoint copy vocabularies; BASELINE.md r13 regime map),
+    * so the auto decision is statically known here and the row pins the
+    * pipeline, not the dispatcher. */
+  def containmentPairs10x(s: SparkSession, dir: String,
+                          threshold: Double = 0.95): DataFrame = {
+    val sets = docs10x(s, dir).select(col("doc_id"),
+        sort_array(array_distinct(
+          transform(split(col("text"), " "), t => xxhash64(t)))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      // materialize the scaled construction once: both join sides and
+      // the verify would otherwise each replay the 10x translate +
+      // tokenize (bounded: one toks row per scaled doc)
+      .localCheckpoint()
+    // UNSORTED, unlike the 1x row: this corpus's true pair relation is
+    // ~42M rows at sf0.1-10x (the 31-word vocabulary makes near-total
+    // containment common), and the presentation sort alone measured
+    // 30 s of the row's 42 s. The correctness compare canonicalizes row
+    // order itself; paying a 42M-row range exchange for display order
+    // is exactly the kind of cost this engine refuses at scale.
+    containmentPairsFromSets(sets, threshold)
+  }
+
+  /** The carry pipeline over ANY element-hashed set relation shaped
+    * (doc_id, toks: sorted distinct array<long>, sz) — word token sets
+    * for the registered row, the inline 10x corpus for the scale row. */
+  private[graft] def containmentPairsFromSets(sets: DataFrame,
                                               threshold: Double): DataFrame = {
     import graft.functions.ArrayOps.{sortedFirstCommon, sortedIntersectCount}
-    val sets = hashedTokenSets(s, dir)
     val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
     val small = sets.select(col("doc_id").as("id_a"), col("toks").as("ta"),
         col("sz").as("sa"), slice(col("toks"), lit(1), prefLen).as("pref"))

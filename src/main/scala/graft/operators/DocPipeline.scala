@@ -50,7 +50,7 @@ object DocPipeline {
     //    executor breaks at scale — semi-joins on the id keep every
     //    exchange keyed, and AQE still broadcasts when a side is
     //    genuinely small at runtime.
-    val pairs = Dedup.jaccardPairsUnsorted(s, dir, nearDupThreshold)
+    val pairs = Dedup.jaccardPairsAutoUnsorted(s, dir, nearDupThreshold)
       .join(survivors.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
       .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
     val removed = pairs.select(col("doc_b").as("doc_id")).distinct()

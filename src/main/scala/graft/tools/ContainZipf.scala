@@ -90,7 +90,11 @@ object ContainZipf {
     spark.sparkContext.setLogLevel("WARN")
 
     val dirs = points.map { m =>
-      val out = s"target/zipf$m"
+      // dir name encodes n and vocab, not just the multiplier: reruns
+      // with a different SPARK_GRAFT_ZIPF_N/V must not silently reuse a
+      // stale corpus (the idempotence check is dir-existence only)
+      val out = if (n == 2000L && vocab == 50000) s"target/zipf$m"
+                else s"target/zipf${m}_n${n}_v$vocab"
       buildZipf(spark, out, n * m, vocab)
       // corpus shape telemetry: docs + candidate-stream volume at this
       // scale (Σ over join tokens of df_prefA·df — the term the Caesar

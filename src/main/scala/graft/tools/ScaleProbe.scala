@@ -181,7 +181,21 @@ object ScaleProbe {
       // the df-ordered-prefix spelling — head words never enter a
       // prefix, so the shared-vocab candidate term collapses
       "dedup_contain_rarest" -> ((s: SparkSession, d: String) =>
-        graft.operators.Dedup.containmentPairsRarestUnsorted(s, d, 0.95)))
+        graft.operators.Dedup.containmentPairsRarestUnsorted(s, d, 0.95)),
+      // the containment auto path end-to-end: sampled regime decision +
+      // whichever ordering it picks (judge r13 brief #1)
+      "dedup_contain_auto" -> ((s: SparkSession, d: String) =>
+        graft.operators.Dedup.containmentPairsAutoUnsorted(s, d, 0.95)),
+      // jaccard ordering twins on the SAME protocol (judge r13 brief
+      // #2): the r12 hash-order re-registration was measured only on
+      // Caesar-family corpora; the Zipf cells decide whether jaccard's
+      // prefix construction shares containment's shared-vocab blow-up
+      "dedup_jaccard_pos" -> ((s: SparkSession, d: String) =>
+        graft.operators.Dedup.jaccardPairsUnsorted(s, d, 0.85)),
+      "dedup_jaccard_rarest" -> ((s: SparkSession, d: String) =>
+        graft.operators.Dedup.jaccardPairsRarestFirstUnsorted(s, d, 0.85)),
+      "dedup_jaccard_auto" -> ((s: SparkSession, d: String) =>
+        graft.operators.Dedup.jaccardPairsAutoUnsorted(s, d, 0.85)))
   }
 
   /** Run one (operator, dir) cell in a FRESH child JVM (same classpath +
@@ -278,7 +292,8 @@ object ScaleProbe {
     // default run (and scale_check's exponent gate) would fail CI on a
     // spelling that is documented as losing in this corpus regime.
     val abTwins = Set("dedup_contain_carry", "dedup_contain_rejoin",
-      "dedup_contain_rarest")
+      "dedup_contain_rarest", "dedup_contain_auto",
+      "dedup_jaccard_pos", "dedup_jaccard_rarest", "dedup_jaccard_auto")
     val probes = probesFor(skipGates)
       .filter { case (n, _) =>
         onlyOps.map(_.contains(n)).getOrElse(!abTwins(n)) }
@@ -331,30 +346,53 @@ object ScaleProbe {
     rows.foreach { case (n, ts, legs) =>
       println(s"| $n | " + ts.map(t => f"${t._2}%.2f").mkString(" | ") +
         " | " + legs.map(e => f"$e%.2f").mkString(" | ") + " |") }
-    spark.stop()
 
     // CI gate (judge r11 Next #8): SPARK_GRAFT_SCALE_MAX_EXP=<float>
     // turns the probe into a pass/fail check — any operator whose LAST
     // leg exponent exceeds the bound (super-linear creep) fails the run
     // with exit 2, so exponent regressions are caught by the round's own
     // close instead of a judge round-trip. Gate rows (brute-truth
-    // rebuilds, ~linear BY CONSTRUCTION) are exempt, as are rows whose
-    // super-linear leg is MEASURED output growth, not plan cost:
-    // multimodal_phash's 1.10 is the corpus multiplying its one giant
-    // near-dup raster class — true pair output grows ~quadratically
-    // (decomposed in BASELINE.md r12; the dedup_contain@50x precedent).
-    // An exemption here requires that decomposition on record.
-    val outputBoundRows = Set("multimodal_phash")
+    // rebuilds, ~linear BY CONSTRUCTION) are exempt. Rows named in
+    // `outputBoundCandidates` may exceed the bound ONLY when the data
+    // says so (ADVICE r13: the old name-allowlist exemption was
+    // permanent and unconditional, hiding any future genuine plan-cost
+    // regression): for a candidate over the bound, the gate re-counts
+    // the operator's OUTPUT rows at the last two scale points and
+    // exempts iff the output-growth exponent explains the wall-clock
+    // exponent (within `OutputExplainsMargin`) — multimodal_phash's
+    // super-linear leg is its one giant near-dup raster class
+    // multiplying with the corpus (decomposed in BASELINE.md r12), so
+    // its output exponent tracks its time exponent; a plan-cost
+    // regression would open a gap and FAIL.
+    val outputBoundCandidates = Set("multimodal_phash")
+    val OutputExplainsMargin = 0.35
     sys.env.get("SPARK_GRAFT_SCALE_MAX_EXP").map(_.toDouble).foreach { bound =>
-      val bad = rows.filterNot { case (n, _, _) =>
-          gateRows(n) || outputBoundRows(n) }
+      val probeFns = probesFor(skipGates = false).toMap
+      def outputExplains(n: String, legs: Seq[Double]): Boolean = {
+        val Seq((ka, da), (kb, db)) = scales.takeRight(2)
+        val ca = probeFns(n)(spark, da).count().toDouble
+        val cb = probeFns(n)(spark, db).count().toDouble
+        val outExp =
+          if (ca <= 0 || cb <= 0) 0.0
+          else math.log(cb / ca) / math.log(kb.toDouble / ka)
+        val ok = legs.last <= outExp + OutputExplainsMargin
+        System.err.println(f"[scale] $n over bound: time exp ${legs.last}%.2f, " +
+          f"output exp $outExp%.2f (rows $ca%.0f -> $cb%.0f) — " +
+          (if (ok) "exempt (output-bound)" else "NOT explained by output"))
+        ok
+      }
+      val bad = rows.filterNot { case (n, _, _) => gateRows(n) }
         .filter { case (_, _, legs) => legs.nonEmpty && legs.last > bound }
+        .filterNot { case (n, _, legs) =>
+          outputBoundCandidates(n) && outputExplains(n, legs) }
       if (bad.nonEmpty) {
         bad.foreach { case (n, _, legs) =>
           System.err.println(f"[scale] FAIL $n: exponent ${legs.last}%.2f > $bound%.2f") }
+        spark.stop()
         sys.exit(2)
       }
       System.err.println(f"[scale] PASS: all ${rows.size} non-gate exponents <= $bound%.2f")
     }
+    spark.stop()
   }
 }

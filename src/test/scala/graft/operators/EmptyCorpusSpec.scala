@@ -30,6 +30,11 @@ class EmptyCorpusSpec extends SparkSpec {
     assert(Dedup.substrDupSpans(spark, dir).count() == 0)
     assert(Dedup.editPairs(spark, dir).count() == 0)
     assert(Dedup.incrementalExact(spark, dir).count() == 0)
+    // the auto ordering decision must survive a zero-row sample (null
+    // aggregate) and fall back to hash order, and the auto join itself
+    // must return empty, not throw
+    assert(!Dedup.chooseRarestPrefix(spark, dir, 0.95))
+    assert(Dedup.containmentPairs(spark, dir).count() == 0)
   }
 
   test("text / search / profiling families return empty on an empty corpus") {

@@ -101,6 +101,38 @@ class OperatorsSpec extends SparkSpec {
     assert(viaKnob == c3)
   }
 
+  test("auto prefix ordering picks carry on sf corpora, rarest on shared-vocab zipf") {
+    // The engine decision (judge r14 brief #1). Calibration pins
+    // (full-corpus replay of the same formula, BASELINE.md r14): the sf
+    // corpora read candHash/candRarest ~= 1.0 at BOTH thresholds (the
+    // 31-word vocabulary makes every token common, so rarest ordering
+    // buys nothing and its extra shuffles are pure loss), while zipf
+    // corpora read 19-393 (head words with df ~= N land in hash-order
+    // prefixes). The decision threshold 8 sits between with wide margin.
+    assert(!Dedup.chooseRarestPrefix(spark, "/root/testdata/sf0.001", 0.95))
+    assert(!Dedup.chooseRarestPrefix(spark, "/root/testdata/sf0.01", 0.95))
+    assert(!Dedup.chooseRarestPrefix(spark, "/root/testdata/sf0.001", 0.85))
+    val zdir = Files.createTempDirectory("graft-zipf-auto").toString
+    graft.tools.ContainZipf.buildZipf(spark, zdir, nDocs = 300, vocab = 2000)
+    assert(Dedup.chooseRarestPrefix(spark, zdir, 0.95))
+    assert(Dedup.chooseRarestPrefix(spark, zdir, 0.85))
+    // the registered entry (now auto) serves the identical pair relation
+    // on the corpus where the decision flips to rarest
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val auto = canon(Dedup.containmentPairs(spark, zdir))
+    val manual = canon(Dedup.containmentPairs(spark, zdir, 0.95, rarestFirst = true))
+    assert(auto == manual && auto.nonEmpty)
+    // jaccard dispatch: auto output equals both manual spellings where
+    // the decision picks rarest (hash-order twin pinned equal elsewhere)
+    def canonJ(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ja = canonJ(Dedup.jaccardPairsAutoUnsorted(spark, zdir, 0.85))
+    val jp = canonJ(Dedup.jaccardPairsUnsorted(spark, zdir, 0.85))
+    assert(ja == jp)
+  }
+
   test("soft dedup: cluster mass sums to one doc, singletons weight 1.0") {
     // t=0.85 pairs on the fixture: only (0,1) — jaccard(0,2)=5/6 < 0.85
     val rows = Curation.softDedupWeights(spark, dir).collect()
