@@ -77,8 +77,14 @@ object Gates {
     * top-k (both deterministic). n_exact is recomputable by the oracle's
     * own top-k SQL. */
   private def annGate(s: SparkSession, dir: String, approx: DataFrame,
-                      recallBound: Double): DataFrame = {
-    val exact = Similarity.bruteForceTopK(s, dir).select("query_id", "neighbor_id")
+                      recallBound: Double): DataFrame =
+    annGateOn(Similarity.bruteForceTopK(s, dir), approx, recallBound)
+
+  /** [[annGate]] with an explicit brute-truth relation — shared with
+    * gates over generated/scaled corpora. */
+  private def annGateOn(brute: DataFrame, approx: DataFrame,
+                        recallBound: Double): DataFrame = {
+    val exact = brute.select("query_id", "neighbor_id")
     exact.join(
         approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
         Seq("query_id", "neighbor_id"), "left_outer")
@@ -106,6 +112,37 @@ object Gates {
       .agg(coalesce(sum(when(col("in_art").isNull || col("in_fresh").isNull, 1)
         .otherwise(0)), lit(0)).as("mismatch"))
     annGate(s, dir, art, envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
+      .crossJoin(eq) // 1 × 1 rows
+      .select(col("n_exact"), col("recall_ok"),
+        (col("mismatch") === 0).as("artifact_equals_fresh"))
+  }
+
+  /** [[annArtifactGate]] at 10x (judge r14 brief #5: the serve paths'
+    * scale behavior was wall-clock-probed but never CORRECTNESS-checked
+    * above sf0.1): the identical gate — persisted-index serve must be
+    * bit-identical to the fresh build AND meet the recall bound against
+    * brute force — over the INLINE 10x corpus
+    * ([[Similarity.corpus10x]]: vec_id-shifted, coordinate-rotated
+    * copies). The artifact is keyed `dir|10x`, so it coexists with the
+    * 1x artifact in the same session. The corpus relation is
+    * localCheckpoint'd once and shared by the index build, the fresh
+    * twin, and the brute truth leg. */
+  def annArtifactGate10x(s: SparkSession, dir: String): DataFrame = {
+    val all = Similarity.corpus10x(s, dir).localCheckpoint()
+    val (idxName, cbName) =
+      Similarity.ivfPqIndexArtifactOn(s, all, keyTag = s"$dir|10x")
+    val art = Similarity.ivfPqTopKServeOn(s, all, idxName, cbName)
+      .localCheckpoint()
+    val fresh = Similarity.ivfPqTopKOn(all)
+    val eq = art.select(col("query_id"), col("neighbor_id"), col("rank"),
+        lit(1).as("in_art"))
+      .join(fresh.select(col("query_id"), col("neighbor_id"), col("rank"),
+          lit(1).as("in_fresh")),
+        Seq("query_id", "neighbor_id", "rank"), "full_outer")
+      .agg(coalesce(sum(when(col("in_art").isNull || col("in_fresh").isNull, 1)
+        .otherwise(0)), lit(0)).as("mismatch"))
+    annGateOn(Similarity.bruteForceTopKOn(all), art,
+        envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
       .crossJoin(eq) // 1 × 1 rows
       .select(col("n_exact"), col("recall_ok"),
         (col("mismatch") === 0).as("artifact_equals_fresh"))
@@ -160,22 +197,26 @@ object Gates {
     * must meet the clustered recall bound vs brute force. nlist=32
     * matches the fixture's 32 planted clusters (the regime residual
     * encoding exists for); nprobe=4 keeps the partial-probe pruning
-    * real (12.5% coverage). Cost note: ~9 s at any sf — the fixture is
-    * GENERATED at n=2000 regardless of corpus size, so this row's
-    * price is a corpus-size-INDEPENDENT constant (two full IVF-PQ
-    * builds + the brute truth + the equality join), never a scale
-    * risk. */
+    * real (12.5% coverage). Cost note: the fixture is GENERATED at
+    * n=2000 regardless of corpus size, so this row's price is a
+    * corpus-size-INDEPENDENT constant (one shared coarse build + two
+    * codebook trainings/encodings + the brute truth + the equality
+    * join — r14 deduped the formerly-independent double build), never
+    * a scale risk. */
   def annResidualGate(s: SparkSession, dir: String): DataFrame = {
     val all = Similarity.clusteredCorpus(s)
     val nlist = 32
     val nprobe = 4
     // full rerank: 2000 vectors over nprobe/nlist lists can emit at most
     // ~nprobe/nlist·n candidates per query; 2000 covers any skew
-    val res = Similarity.ivfPqTopKOn(all, nQueries = 50, k = 5,
-        nlist = nlist, nprobe = nprobe, rerank = 2000, residual = true)
+    // ONE shared coarse build (sample + k-means + assignment) serves
+    // both encodings — the r14 dedup of the former two full builds; the
+    // per-encoding codebooks and codes stay independent, which is the
+    // entire surface the equality pin compares
+    val (resPlan, raw) = Similarity.ivfPqTopKBothOn(all, nQueries = 50,
+      k = 5, nlist = nlist, nprobe = nprobe, rerank = 2000)
+    val res = resPlan
       .localCheckpoint() // 250 rows; equality join + recall gate
-    val raw = Similarity.ivfPqTopKOn(all, nQueries = 50, k = 5,
-      nlist = nlist, nprobe = nprobe, rerank = 2000, residual = false)
     val eq = res.select(col("query_id"), col("neighbor_id"), col("rank"),
         lit(1).as("in_res"))
       .join(raw.select(col("query_id"), col("neighbor_id"), col("rank"),
