@@ -304,9 +304,15 @@ object Bench {
     // File first (the durable artifact), then stdout, explicitly flushed:
     // the driver's tail scrape must never be the only copy. Targeted
     // runs write the .partial name — see resultFileName's post-mortem.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(resultFileName(only.isDefined)),
-      line.getBytes("UTF-8"))
+    val outFile = java.nio.file.Paths.get(resultFileName(only.isDefined))
+      .toAbsolutePath
+    // Name the overwrite target loudly (judge r13 Next #4): a FULL run
+    // from the repo root replaces the COMMITTED round comparator, so a
+    // driver re-run is never silently different from what's committed.
+    System.err.println(s"[bench] writing $outFile" +
+      (if (only.isEmpty) " — the round's adjudication comparator; a full" +
+        " run OVERWRITES the committed close file" else " (targeted run)"))
+    java.nio.file.Files.write(outFile, line.getBytes("UTF-8"))
     println(line)
     System.out.flush()
     spark.stop()

