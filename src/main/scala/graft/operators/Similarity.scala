@@ -391,10 +391,19 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 12): DataFrame = {
     val cents = centroids(all, nlist)
     def centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    // MATERIALIZED list assignment — the same fix as ivfPqServe's code
+    // projection (r14): left lazy, the nlist-dot assignment expression
+    // below the probe join re-evaluates downstream (array_position +
+    // array_max alone reference it twice), so fresh-build serve time
+    // grew ∝ nlist regardless of coverage (measured 19.6 s at
+    // nlist=64/n=20k where nlist=8 read 0.65 s — the IvfCostModel
+    // sweep). This relation IS the stored index table; at 100 TB it is
+    // the persisted artifact, never a per-query recompute.
     val assigned = all
       .withColumn("cd", centDots)
       .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1"))
       .drop("cd")
+      .localCheckpoint()
     // queries probe their nprobe best lists
     val probes = assigned.filter(col("vec_id") < nQueries)
       .withColumn("cd", centDots)
@@ -463,6 +472,9 @@ object Similarity {
       .withColumn("list_id", expr("array_position(cd, array_max(cd)) - 1"))
       .drop("cd")
       .join(labels, "vec_id")
+      // materialized for the same reason as ivfTopKOn's assignment: the
+      // lazy nlist-dot expression re-evaluates below the probe join
+      .localCheckpoint()
     val probes = assigned.filter(col("vec_id") < nQueries)
       .withColumn("cd", centDots)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
@@ -763,7 +775,10 @@ object Similarity {
              m: Int = 16, ksub: Int = 32, rerank: Int = 64): DataFrame = {
     val all = corpus(s, dir)
     val books = pqCodebooks(all, m, ksub)
-    val encoded = pqEncode(all, books, m)
+    // materialized: the lazy encode below the all-pairs query join would
+    // re-evaluate per candidate row and per ADC lookup (the ivfPqServe
+    // finding, r14); this IS the stored code table
+    val encoded = pqEncode(all, books, m).localCheckpoint()
 
     // Per-query inner-product tables ([[graft.functions.PqIpTables]]):
     // computed on the nQueries broadcast rows only.
