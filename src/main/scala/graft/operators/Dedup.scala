@@ -147,14 +147,14 @@ object Dedup {
     // AUTO ordering since r14: the zipf cells showed hash-order jaccard
     // goes super-linear exactly where containment does (18.2/41.8 s at
     // zipf-10x/20x vs rarest's 5.8/4.5 — BASELINE.md r14), so the same
-    // sampled regime decision picks the prefix order here too
+    // sampled regime decision picks the prefix order here too.
+    // SET semantics since r14 (the dedup_contain_10x precedent): the
+    // pair relation is unordered — a global presentation sort over a
+    // data-scale pair table is a range exchange no 100-TB consumer
+    // would pay (consumers join/aggregate it; the correctness compare
+    // canonicalizes row order itself). Callers wanting display order
+    // append .orderBy("doc_a", "doc_b").
     jaccardPairsAutoUnsorted(s, dir, threshold)
-      // Checkpoint BEFORE the global sort: range partitioning samples its
-      // child, and sampling an unmaterialized join re-executes the whole
-      // join (measured 10.5 -> 6.3 s at sf0.1). The checkpointed pair
-      // table is tiny (24 B/row); ContextCleaner reclaims it.
-      .localCheckpoint()
-      .orderBy("doc_a", "doc_b")
 
   /** The pair SET without the presentation sort (and without its
     * checkpoint): gates and pipeline stages join/aggregate the result, so
@@ -1262,9 +1262,10 @@ object Dedup {
     * N²; every exchange is keyed (AQE absorbs skewed postings). */
   def containmentPairs(s: SparkSession, dir: String,
                        threshold: Double = 0.95): DataFrame =
+    // SET semantics since r14 — see [[jaccardPairs]]: the presentation
+    // sort alone measured 30 s of the 42 s 10x row, and the 1x row's
+    // ~4M-pair checkpoint+sort was the same class of waste.
     containmentPairsAutoUnsorted(s, dir, threshold)
-      .localCheckpoint()
-      .orderBy("doc_small", "doc_big")
 
   /** Sampled per-ordering candidate-volume estimate — the statistic the
     * AUTO prefix-ordering decision reads (judge r14: "make the ordering
@@ -1428,10 +1429,8 @@ object Dedup {
     * vocabulary is disjoint. */
   def containmentPairs(s: SparkSession, dir: String, threshold: Double,
                        rarestFirst: Boolean): DataFrame =
-    (if (rarestFirst) containmentPairsRarestUnsorted(s, dir, threshold)
-     else containmentPairsUnsorted(s, dir, threshold))
-      .localCheckpoint()
-      .orderBy("doc_small", "doc_big")
+    if (rarestFirst) containmentPairsRarestUnsorted(s, dir, threshold)
+    else containmentPairsUnsorted(s, dir, threshold)
 
   /** The pair relation without the presentation sort (and without the
     * checkpoint that makes the sort affordable) — the jaccardPairs
