@@ -517,6 +517,13 @@ object SparkEntry {
     // corpus would sit near coverage — the partition-pruning win as a
     // gated number (recall sweep in BASELINE.md).
     "ann_clustered" -> (Gates.annClusteredGate _),
+    // ENGINE-DECIDED ANN (the IVF cost model as a decision): the planner
+    // derives nlist = pow2(sqrt n) = 32 (the fixture's planted
+    // granularity), calibrates nprobe on the training sample (lands 1 —
+    // the partition-pruning regime), dispatches by the fresh cost model
+    // (brute iff nlist + Q*nprobe/nlist >= Q), and the brute regime's
+    // dispatch is pinned bit-identical to bruteForceTopK.
+    "ann_auto"      -> (Gates.annAutoGate _),
     // RESIDUAL-PQ codes served on the clustered fixture (nlist=32 =
     // planted clusters, nprobe=4): bit-equal to raw codes at full
     // rerank + clustered recall bound — the r8 recall win, registered.
@@ -2854,6 +2861,24 @@ object SparkEntry {
         | FROM range(2000) t(i))
         |SELECT count(*) AS n_exact, true AS recall_ok,
         | CAST(16 AS BIGINT) AS nlist, CAST(4 AS BIGINT) AS nprobe FROM (
+        | SELECT q.vec_id FROM v q, v e
+        | WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
+        | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) <= 5)""".stripMargin,
+    // Same clustered fixture; n_exact recomputed from the shared
+    // formula. The decision columns are the PLANNER'S OUTPUT pinned as
+    // oracle literals: the plan is a deterministic function of the
+    // generated fixture (seedless sample, exact double arithmetic), so
+    // a decision drift — wrong nlist from the sqrt rule, wrong
+    // calibrated nprobe, wrong dispatch — hash-mismatches here.
+    "ann_auto" ->
+      """WITH v AS (SELECT i AS vec_id, list_transform(range(64), d ->
+        |  CAST(((i % 32) * 37 + d * 101) % 97 - 48
+        |     + ((i * 131 + d * 17) % 13 - 6) AS DOUBLE)) AS emb
+        | FROM range(2000) t(i))
+        |SELECT count(*) AS n_exact, true AS recall_ok,
+        | 'ivf' AS decision, CAST(32 AS BIGINT) AS nlist,
+        | CAST(1 AS BIGINT) AS nprobe, true AS brute_leg_equals_exact FROM (
         | SELECT q.vec_id FROM v q, v e
         | WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
         | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.CodebookOps.codebookDots
 
 /** Driver-checkable correctness gates for the operators whose raw output
   * is not ANSI-SQL-expressible (seeded-hash LSH candidates, HLL sketches,
@@ -238,6 +239,59 @@ object Gates {
         (col("mismatch") === 0).as("residual_equals_raw_at_full_rerank"))
   }
 
+  /** ENGINE-DECIDED ANN gate ([[Similarity.annAutoPlanOn]] — the r14
+    * IVF cost model as a decision, not prose): both regimes of the
+    * auto-planner exercised in one row, each against exact truth.
+    *
+    * IVF leg — the clustered fixture (n=2000, 32 planted clusters):
+    * the planner must derive the index itself — nlist lands on 32 (the
+    * largest power of two ≤ √2000 ≈ 44.7, which IS the fixture's
+    * planted granularity: the √N rule meeting the data that motivated
+    * it) and sample-calibrated nprobe lands in the partition-pruning
+    * regime (the sweep's recall-1.0-at-nprobe-1 finding) — and the
+    * dispatched top-k must meet the clustered recall bound vs brute.
+    *
+    * Brute leg — the same fixture at n=200 (≤ bruteFloor: the corpus
+    * is smaller than the training sample, indexing is pure overhead):
+    * the planner must dispatch brute, and the output must be
+    * BIT-IDENTICAL to [[Similarity.bruteForceTopKOn]].
+    *
+    * Cost note: both fixtures are GENERATED at fixed n regardless of
+    * corpus size (`dir` unused, kept for the registry signature), so
+    * the row's price is a corpus-size-independent constant. */
+  def annAutoGate(s: SparkSession, dir: String): DataFrame = {
+    val all = Similarity.clusteredCorpus(s)
+    val (plan, approxPlan) = Similarity.annTopKAutoOn(all, nQueries = 50, k = 5)
+    val approx = approxPlan
+      .localCheckpoint() // 250 rows; consumed by the recall gate only
+    val exact = Similarity.bruteForceTopKOn(all, nQueries = 50, k = 5)
+      .select("query_id", "neighbor_id")
+    val small = Similarity.clusteredCorpus(s, n = 200)
+    val (planB, outB) = Similarity.annTopKAutoOn(small, nQueries = 20, k = 5)
+    val eqB = outB.select(col("query_id"), col("neighbor_id"), col("rank"),
+        lit(1).as("in_auto"))
+      .join(Similarity.bruteForceTopKOn(small, nQueries = 20, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            lit(1).as("in_brute")),
+        Seq("query_id", "neighbor_id", "rank"), "full_outer")
+      .agg(coalesce(sum(when(col("in_auto").isNull || col("in_brute").isNull, 1)
+        .otherwise(0)), lit(0)).as("mismatch"))
+    exact.join(
+        approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .crossJoin(eqB) // 1 × 1 rows
+      .select(col("n_exact"),
+        coalesce(col("n_hit").cast("double") / col("n_exact") >=
+          envBound("GRAFT_ANN_CLUSTERED_RECALL_BOUND", 0.95), lit(true))
+          .as("recall_ok"),
+        lit(plan.decision).as("decision"),
+        lit(plan.nlist.toLong).as("nlist"),
+        lit(plan.nprobe.toLong).as("nprobe"),
+        (lit(planB.decision == "brute") && col("mismatch") === 0)
+          .as("brute_leg_equals_exact"))
+  }
+
   /** Incremental-index ANN gate: the INCREMENTALLY-MAINTAINED index
     * (settled corpus encoded at build, increment batch appended under
     * frozen quantizers — [[Similarity.ivfPqIncrArtifacts]]) must serve
@@ -393,7 +447,7 @@ object Gates {
     val all = Similarity.corpus(s, dir).localCheckpoint()
 
     def assignCos(cents: Array[Seq[Double]]): DataFrame = {
-      val cd = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+      val cd = codebookDots(col("v"), col("nrm"), cents)
       all.withColumn("cd", cd)
         .select(col("vec_id"),
           (expr("array_position(cd, array_max(cd))") - 1).as("list_id"),

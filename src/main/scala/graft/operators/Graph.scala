@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
   import graft.functions.VectorFunctions._
+import graft.functions.CodebookOps.codebookDots
 
   /** Directed EXACT kNN edges (src, dst): each vector's top-k neighbors
     * by cosine, ties broken by neighbor id, self excluded.
@@ -88,7 +89,7 @@ object Graph {
                                   queryPred: org.apache.spark.sql.Column = lit(true))
       : (DataFrame, DataFrame, DataFrame) = {
     val cents = Similarity.centroids(all, nlist)
-    val centDots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*)
+    val centDots = codebookDots(col("v"), col("nrm"), cents)
     // The single-block scan would otherwise run every downstream join in
     // one task (broadcast/shuffle joins preserve the scan's partitioning;
     // see round-6 note) — spread N tiny rows BEFORE any pair blowup.
@@ -539,9 +540,9 @@ object Graph {
       .select(col("src").as("qid"),
         when(col("cnt") >= k, col("tmin")).otherwise(lit(-2.0)).as("tau"))
     val centsI = Similarity.centroids(incr, nlist)
-    val centDotsI = array(centsI.toIndexedSeq.map(c => dot(col("qv"), typedlit(c)) / col("qnrm")): _*)
+    val centDotsI = codebookDots(col("qv"), col("qnrm"), centsI)
     val assignedI = incr.repartition(col("vec_id"))
-      .withColumn("cd", array(centsI.toIndexedSeq.map(c => dot(col("v"), typedlit(c)) / col("nrm")): _*))
+      .withColumn("cd", codebookDots(col("v"), col("nrm"), centsI))
       .withColumn("own", array_max(col("cd")))
       .withColumn("list_id", expr("array_position(cd, own) - 1"))
     val radiusI = assignedI.groupBy("list_id").agg(min(col("own")).as("mc"))

@@ -1191,6 +1191,60 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head.getLong(0) == 0L && top.head.getLong(1) == 1L && top.head.getLong(2) == 1L)
   }
 
+  test("auto ANN planner: derives (ivf, nlist=32, nprobe=1) on the clustered fixture") {
+    // the sqrt-N rule must land on the fixture's planted granularity
+    // (pow2 floor of sqrt(2000) = 32 = planted clusters) and sample
+    // calibration must land in the partition-pruning regime
+    val all = Similarity.clusteredCorpus(spark)
+    val (plan, topk) = Similarity.annTopKAutoOn(all, nQueries = 50, k = 5)
+    assert(plan.decision == "ivf" && plan.nlist == 32 && plan.nprobe == 1,
+      s"got ${plan.decision}/${plan.nlist}/${plan.nprobe}")
+    // dispatched plan meets the clustered recall bound vs brute
+    val exact = Similarity.bruteForceTopKOn(all, 50, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = topk.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.intersect(exact).size.toDouble / exact.size >= 0.95)
+  }
+
+  test("auto ANN planner: brute in every regime the cost model says brute") {
+    // corpus at/below training-sample scale
+    val small = Similarity.clusteredCorpus(spark, n = 200)
+    val (planS, outS) = Similarity.annTopKAutoOn(small, nQueries = 20, k = 5)
+    assert(planS.decision == "brute")
+    // ... and the dispatch IS bruteForceTopK, bit for bit
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ids(outS) == ids(Similarity.bruteForceTopKOn(small, 20, 5)))
+    assert(ids(outS).nonEmpty)
+    // batch smaller than the codebook: decided WITHOUT training
+    val (planQ, _) = Similarity.annTopKAutoOn(
+      Similarity.clusteredCorpus(spark), nQueries = 10, k = 5)
+    assert(planQ.decision == "brute" && planQ.nlist == 0)
+    // uniform-direction corpus: calibration honestly probes most lists,
+    // so the cost comparison refuses to index (the recall-tracks-
+    // coverage law, enforced rather than documented)
+    val (planU, _) = Similarity.annTopKAutoOn(
+      Similarity.corpus(spark, "/root/testdata/sf0.1"), nQueries = 50, k = 5)
+    assert(planU.decision == "brute" && planU.nprobe > planU.nlist / 2,
+      s"got ${planU.decision}/${planU.nlist}/${planU.nprobe}")
+  }
+
+  test("codebookDots is bit-identical to the per-centroid dot spelling") {
+    import graft.functions.CodebookOps.codebookDots
+    import graft.functions.VectorFunctions.dot
+    val all = Similarity.clusteredCorpus(spark, n = 100)
+    val cents = Similarity.centroids(all, 8)
+    val a = all.select(col("vec_id"),
+        codebookDots(col("v"), col("nrm"), cents).as("cd"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val b = all.select(col("vec_id"),
+        array(cents.toIndexedSeq.map(c =>
+          dot(col("v"), typedlit(c)) / col("nrm")): _*).as("cd"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(a == b) // exact doubles: same fold order, same widening
+    assert(a.head._2.length == cents.length)
+  }
+
   test("residual IVF-PQ equals raw at full rerank (scoring plumbing exact)") {
     // Same probed candidate set + exact re-rank over all of it ⇒ the two
     // encodings MUST converge; divergence here would mean the residual
