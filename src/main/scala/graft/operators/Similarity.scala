@@ -497,6 +497,10 @@ object Similarity {
     if (n <= bruteFloor || nQueries < nlist)
       return AutoAnnPlan(n, "brute", 0, 0, Array.empty)
     val sampleRows = normalizedSample(all, sampleCap)
+    // a corpus of only zero-norm vectors has no directions to train or
+    // calibrate on — every cosine is degenerate, brute is the only plan
+    if (sampleRows.isEmpty)
+      return AutoAnnPlan(n, "brute", 0, 0, Array.empty)
     val cents = centroids(all, nlist, sharedSample = sampleRows)
     val sample = sampleRows.map(_._2)
     val kk = cents.length

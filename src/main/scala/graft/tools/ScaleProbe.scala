@@ -381,10 +381,37 @@ object ScaleProbe {
           (if (ok) "exempt (output-bound)" else "NOT explained by output"))
         ok
       }
+      // FRESH-JVM ADJUDICATION before failing (r14 close incident): the
+      // cheap in-process gate shares one JVM across ~30 probes × 4 timed
+      // executions each, and the r12-documented late-cell inflation
+      // (same-JVM pressure) can push an honest sub-linear row over the
+      // bound — observed at the r14 wave-2 close: profile_sketch read
+      // 17.5 s at 10x in-process (exp 0.98, FAIL) vs 3.7 s in a fresh
+      // JVM (exp 0.31, huge margin), with zero commits touching
+      // profiling. So an over-bound row is re-measured cell-by-cell in
+      // fresh child JVMs (the standalone protocol, [[spawnCell]]) and
+      // the fresh-JVM exponent is the VERDICT; both readings print. A
+      // real plan regression reproduces standalone and still fails; a
+      // JVM-pressure artifact doesn't get to fail the close. No-op when
+      // the run is already standalone.
+      def standaloneClears(n: String): Boolean = {
+        if (standalone) return false // already fresh-JVM; no second opinion
+        val cells = scales.map { case (k, d) => k -> spawnCell(n, d) }
+        if (cells.exists(_._2 <= 0)) return false // child failed: keep FAIL
+        val legs2 = cells.sliding(2).collect { case Seq((ka, ta), (kb, tb)) =>
+          math.log(tb / ta) / math.log(kb.toDouble / ka) }.toSeq
+        System.err.println(f"[scale] $n adjudicated in fresh JVMs: " +
+          cells.map { case (k, t) => f"${k}x $t%7.2f s" }.mkString("  ") +
+          "   exp " + legs2.map(e => f"$e%5.2f").mkString(" -> ") +
+          (if (legs2.last <= bound) " — CLEARED (in-process inflation)"
+           else " — CONFIRMED over bound"))
+        legs2.last <= bound
+      }
       val bad = rows.filterNot { case (n, _, _) => gateRows(n) }
         .filter { case (_, _, legs) => legs.nonEmpty && legs.last > bound }
         .filterNot { case (n, _, legs) =>
           outputBoundCandidates(n) && outputExplains(n, legs) }
+        .filterNot { case (n, _, _) => standaloneClears(n) }
       if (bad.nonEmpty) {
         bad.foreach { case (n, _, legs) =>
           System.err.println(f"[scale] FAIL $n: exponent ${legs.last}%.2f > $bound%.2f") }

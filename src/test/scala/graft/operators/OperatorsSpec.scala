@@ -1229,6 +1229,15 @@ class OperatorsSpec extends SparkSpec {
       s"got ${planU.decision}/${planU.nlist}/${planU.nprobe}")
   }
 
+  test("auto ANN planner: all-zero-norm corpus above the floor falls back to brute") {
+    // no directions to train or calibrate on — the planner must decide
+    // brute instead of NPEing on an empty training sample
+    val zeros = spark.range(2000).select(col("id").as("vec_id"),
+      typedlit(Seq.fill(8)(0.0f)).as("v"), lit(0.0).as("nrm"))
+    val (plan, _) = Similarity.annTopKAutoOn(zeros, nQueries = 50, k = 5)
+    assert(plan.decision == "brute" && plan.nlist == 0)
+  }
+
   test("codebookDots is bit-identical to the per-centroid dot spelling") {
     import graft.functions.CodebookOps.codebookDots
     import graft.functions.VectorFunctions.dot
