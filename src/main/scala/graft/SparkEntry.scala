@@ -293,6 +293,13 @@ object SparkEntry {
     // exact per-bucket token/distinct histogram (D=64 bounded domain).
     "text_feathash"   -> ((s, d) => TextAnalysis.featureHash(s, d)),
     "text_langid"     -> (TextAnalysis.languageId _),
+    // Per-SPAN language segmentation: the langid vote swept over 16-word
+    // windows, adjacent same-vote spans merged (islands) — multilingual
+    // docs are filtered per segment, not per document.
+    "text_langspans"  -> ((s, d) => TextAnalysis.languageSpans(s, d)),
+    // Per-language subword fertility (subtokens per word, exact ppm) over
+    // the PREDICTED language — the multilingual tokenizer-quality table.
+    "text_fertility"  -> (TextAnalysis.subwordFertility _),
     "text_keyterms"   -> ((s, d) => TextAnalysis.keyTerms(s, d)),
     "text_gopher"     -> (TextAnalysis.gopherSignals _),
     "text_dupgrams"   -> (TextAnalysis.dupGramStats _),
@@ -2916,6 +2923,63 @@ object SparkEntry {
          |SELECT doc_id, lang_cand AS predicted_lang, hits FROM h
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) = 1
          |ORDER BY doc_id""".stripMargin
+    },
+    // The per-span sweep: positional unnest -> 16-word spans -> per-span
+    // stopword vote with an 'und' fallback on the full span spine ->
+    // islands merge. IS DISTINCT FROM opens a segment on the first span
+    // exactly like the Spark side's lag-IS-NULL branch.
+    "text_langspans" -> {
+      val values = graft.operators.TextAnalysis.stopwordProfiles.toSeq.sortBy(_._1)
+        .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(", ")
+      s"""WITH w(lang_cand, word) AS (VALUES $values),
+         |tok AS (SELECT doc_id,
+         |  unnest(string_split(lower(text), ' ')) AS word,
+         |  generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+         | FROM documents),
+         |h AS (SELECT doc_id, pos // 16 AS span, lang_cand, count(*) AS hits
+         |  FROM tok JOIN w USING (word) GROUP BY 1, 2, 3),
+         |v AS (SELECT doc_id, span, lang_cand AS lang FROM h
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, span
+         |    ORDER BY hits DESC, lang_cand) = 1),
+         |spine AS (SELECT doc_id, unnest(range(0,
+         |    (len(string_split(lower(text), ' ')) - 1) // 16 + 1)) AS span
+         |  FROM documents),
+         |sl AS (SELECT s.doc_id, s.span, coalesce(v.lang, 'und') AS lang
+         |  FROM spine s LEFT JOIN v ON s.doc_id = v.doc_id AND s.span = v.span),
+         |c AS (SELECT doc_id, span, lang,
+         |  CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY span)
+         |       IS DISTINCT FROM lang THEN 1 ELSE 0 END AS chg FROM sl),
+         |g AS (SELECT doc_id, span, lang,
+         |  sum(chg) OVER (PARTITION BY doc_id ORDER BY span) AS seg_idx FROM c)
+         |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx, lang,
+         |  CAST(min(span) AS BIGINT) AS first_span,
+         |  CAST(max(span) AS BIGINT) AS last_span,
+         |  CAST(count(*) AS BIGINT) AS n_spans
+         |FROM g GROUP BY doc_id, seg_idx, lang
+         |ORDER BY doc_id, seg_idx""".stripMargin
+    },
+    // Same langid vote + the text_subtokens regex; fertility is the
+    // integral-div ppm of the same integers on both engines.
+    "text_fertility" -> {
+      val values = graft.operators.TextAnalysis.stopwordProfiles.toSeq.sortBy(_._1)
+        .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(", ")
+      s"""WITH w(lang_cand, word) AS (VALUES $values),
+         |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+         |h AS (SELECT doc_id, lang_cand, count(*) AS hits FROM tok JOIN w USING (word) GROUP BY 1, 2),
+         |lid AS (SELECT doc_id, lang_cand AS predicted_lang FROM h
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) = 1),
+         |cnt AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[^a-zA-Z0-9[:space:]][a-zA-Z0-9]*|[a-zA-Z0-9]+')) AS BIGINT) AS n_subtokens
+         | FROM documents)
+         |SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |  CAST(sum(n_subtokens) AS BIGINT) AS sum_subtokens,
+         |  CAST((sum(n_subtokens) * 1000000) // sum(n_words) AS BIGINT)
+         |    AS fertility_ppm
+         |FROM lid JOIN cnt USING (doc_id)
+         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
     },
     "text_keyterms" ->
       """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token

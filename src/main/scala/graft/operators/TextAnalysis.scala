@@ -75,6 +75,93 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PER-SPAN LANGUAGE SEGMENTATION — the document-level [[languageId]]
+    * vote swept over fixed-width word windows, then adjacent same-vote
+    * spans merged into segments (the islands trick). Multilingual web
+    * documents are filtered per-SEGMENT, not per-document (a page with an
+    * English boilerplate header and a German body must not be kept or
+    * dropped whole), and this is that sweep: span i = words
+    * [i·spanWords, (i+1)·spanWords), each span voted by stopword hits
+    * (ties → lowest language code), spans with zero hits labeled 'und'
+    * (unknown — the honest output for text none of the wordlists
+    * recognize). Output one row per segment: (doc_id, seg_idx, lang,
+    * first_span, last_span, n_spans).
+    *
+    * Scale shape: one token explode + constant-size broadcast wordlist
+    * join + one (doc, span)-keyed aggregate; the islands pass windows
+    * PARTITIONED BY doc_id over ≤ n_words/spanWords rows per doc — no
+    * global window, no data-scale sort. */
+  def languageSpans(s: SparkSession, dir: String,
+                    spanWords: Int = 16): DataFrame = {
+    import s.implicits._
+    val wordlist = stopwordProfiles.toSeq
+      .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
+      .toDF("lang_cand", "word")
+    val docs = documents(s, dir)
+    val words = docs.select(col("doc_id"),
+        posexplode(tokens(lower(col("text")))).as(Seq("pos", "word")))
+      .withColumn("span", (col("pos") / spanWords).cast("long"))
+    val hits = words.join(broadcast(wordlist), "word")
+      .groupBy("doc_id", "span", "lang_cand").agg(count(lit(1)).as("hits"))
+    val wv = Window.partitionBy("doc_id", "span")
+      .orderBy(col("hits").desc, col("lang_cand"))
+    val voted = hits.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("span"), col("lang_cand").as("lang"))
+    // span spine: EVERY span of every doc exists, voted or not — a
+    // zero-hit span must surface as 'und', not vanish
+    val spine = docs.select(col("doc_id"),
+      explode(sequence(lit(0L),
+        ((size(tokens(lower(col("text")))) - 1) / spanWords).cast("long")))
+        .as("span"))
+    val spans = spine.join(voted, Seq("doc_id", "span"), "left_outer")
+      .withColumn("lang", coalesce(col("lang"), lit("und")))
+    val wd = Window.partitionBy("doc_id").orderBy("span")
+    val chg = when(lag(col("lang"), 1).over(wd).isNull ||
+      lag(col("lang"), 1).over(wd) =!= col("lang"), 1).otherwise(0)
+    spans.withColumn("seg_idx",
+        sum(chg).over(wd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("long"))
+      .groupBy("doc_id", "seg_idx")
+      .agg(min("lang").as("lang"), // constant within a segment
+        min("span").cast("long").as("first_span"),
+        max("span").cast("long").as("last_span"),
+        count(lit(1)).as("n_spans"))
+      .select("doc_id", "seg_idx", "lang", "first_span", "last_span",
+        "n_spans")
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  /** PER-LANGUAGE SUBWORD FERTILITY — the standard multilingual
+    * tokenizer-quality diagnostic: subword tokens per whitespace word,
+    * aggregated over each PREDICTED language ([[languageId]]'s vote, so
+    * the metric works on unlabeled corpora). High-fertility languages
+    * are under-served by the tokenizer (each word fragments into many
+    * pieces — more sequence length, worse sample efficiency), and this
+    * table is the evidence a vocab rebalance starts from. Subword
+    * counts use the [[regexpTokenCounts]] pre-tokenizer; the ratio is
+    * reported in exact ppm (integral div — engine-portable, no float
+    * division), with the doc/word/subword totals alongside. Docs with
+    * no stopword hit in any wordlist carry no language evidence and are
+    * excluded (the languageId relation defines membership). One scan +
+    * the languageId vote + a languages-sized aggregate. */
+  def subwordFertility(s: SparkSession, dir: String): DataFrame = {
+    val counts = documents(s, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_words"),
+      size(filter(split(col("text"), "\\s+|(?=[^a-zA-Z0-9])"),
+        t => length(t) > 0)).cast("long").as("n_subtokens"))
+    languageId(s, dir).select(col("doc_id"), col("predicted_lang"))
+      .join(counts, "doc_id")
+      .groupBy("predicted_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("sum_words"),
+        sum("n_subtokens").as("sum_subtokens"))
+      .select(col("predicted_lang"), col("n_docs"), col("sum_words"),
+        col("sum_subtokens"),
+        expr("(sum_subtokens * 1000000) div sum_words").as("fertility_ppm"))
+      .orderBy("predicted_lang")
+  }
+
   /** Key-term extraction: each document's `k` most distinctive terms —
     * the present terms with the LOWEST corpus document frequency (the
     * integer-exact analogue of tf-idf ranking: for distinct-term sets,

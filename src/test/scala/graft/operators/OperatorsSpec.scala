@@ -1395,6 +1395,43 @@ class OperatorsSpec extends SparkSpec {
     assert(langs(0L) == "en" && langs(3L) == "de")
   }
 
+  test("language spans: mixed doc segments at the vote boundary; und fills voteless spans") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-langspans").toString
+    Seq(
+      // 16 de words then 16 en words: exactly spans 0 (de) and 1 (en)
+      (0L, (Seq.fill(16)("der") ++ Seq.fill(16)("the")).mkString(" "), "x", "s", 0L),
+      (1L, "scan filter row", "x", "s", 0L),                // no vote -> und
+      (2L, "le la et", "x", "s", 0L))                       // fr, one span
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val segs = TextAnalysis.languageSpans(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(segs.toSeq == Seq(
+      (0L, 1L, "de", 0L, 0L, 1L), (0L, 2L, "en", 1L, 1L, 1L),
+      (1L, 1L, "und", 0L, 0L, 1L),
+      (2L, 1L, "fr", 0L, 0L, 1L)))
+  }
+
+  test("subword fertility: per predicted language, exact ppm, voteless docs excluded") {
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft-fertility").toString
+    Seq(
+      // tie 16 de / 16 en -> lowest lang code wins: de; 32 words = 32 subtokens
+      (0L, (Seq.fill(16)("der") ++ Seq.fill(16)("the")).mkString(" "), "x", "s", 0L),
+      (1L, "scan filter row", "x", "s", 0L), // no stopword hit -> excluded
+      (2L, "le l'a et", "x", "s", 0L))       // fr; l'a = 2 subtokens -> 4 total
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val rows = TextAnalysis.subwordFertility(spark, d2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      ("de", 1L, 32L, 32L, 1000000L),
+      ("fr", 1L, 3L, 4L, 1333333L)))
+  }
+
   test("sorted run stats kernel: distinct count + max multiplicity in one walk") {
     import spark.implicits._
     val df = Seq(Seq(1L, 1L, 2L, 3L, 3L, 3L), Seq.empty[Long]).toDF("a")
