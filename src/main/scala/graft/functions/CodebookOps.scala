@@ -25,7 +25,10 @@ import org.apache.spark.sql.types._
   * old spelling: per centroid, the same fold order Σ v_i·c_i (floats
   * widened per element exactly like [[DotProduct]]), then one divide by
   * the norm column — so every trained-codebook operator's output (and
-  * every recall gate and oracle hash downstream) is unchanged.
+  * every recall gate and oracle hash downstream) is unchanged. A ZERO
+  * norm fails loudly (ArithmeticException), matching the ANSI Divide
+  * the spelling replaced — a silent NaN would mis-assign the degenerate
+  * row to list 0 instead of surfacing the upstream data bug.
   *
   * Input: (vector `array<float|double>`, norm `double`); output
   * `array<double>` of length nlist — the `cd` column every IVF consumer
@@ -57,6 +60,14 @@ case class CodebookDots(left: Expression, right: Expression,
   override def nullSafeEval(l: Any, r: Any): Any = {
     val v = l.asInstanceOf[ArrayData]
     val nrm = r.asInstanceOf[Double]
+    // fail loudly on a zero norm, exactly like the ANSI Divide this
+    // expression replaced (sessions here run spark.sql.ansi.enabled's
+    // default true, where the old per-centroid dot/nrm spelling threw
+    // DIVIDE_BY_ZERO) — a silent NaN would mis-assign the degenerate
+    // row to list 0 instead of surfacing the upstream data bug
+    if (nrm == 0.0)
+      throw new ArithmeticException(
+        "codebook_dots: zero vector norm (division by zero)")
     val isFloat = elemType == FloatType
     val k = codebook.length
     val res = new Array[Double](k)
@@ -89,6 +100,10 @@ case class CodebookDots(left: Expression, right: Expression,
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
+         |if ($nrm == 0.0) {
+         |  throw new ArithmeticException(
+         |    "codebook_dots: zero vector norm (division by zero)");
+         |}
          |double[][] $cb = $cbRef;
          |int $k = $cb.length;
          |double[] $res = new double[$k];

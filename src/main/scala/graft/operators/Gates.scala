@@ -264,8 +264,6 @@ object Gates {
     val (plan, approxPlan) = Similarity.annTopKAutoOn(all, nQueries = 50, k = 5)
     val approx = approxPlan
       .localCheckpoint() // 250 rows; consumed by the recall gate only
-    val exact = Similarity.bruteForceTopKOn(all, nQueries = 50, k = 5)
-      .select("query_id", "neighbor_id")
     val small = Similarity.clusteredCorpus(s, n = 200)
     val (planB, outB) = Similarity.annTopKAutoOn(small, nQueries = 20, k = 5)
     val eqB = outB.select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -276,15 +274,10 @@ object Gates {
         Seq("query_id", "neighbor_id", "rank"), "full_outer")
       .agg(coalesce(sum(when(col("in_auto").isNull || col("in_brute").isNull, 1)
         .otherwise(0)), lit(0)).as("mismatch"))
-    exact.join(
-        approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
-        Seq("query_id", "neighbor_id"), "left_outer")
-      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+    annGateOn(Similarity.bruteForceTopKOn(all, nQueries = 50, k = 5), approx,
+        envBound("GRAFT_ANN_CLUSTERED_RECALL_BOUND", 0.95))
       .crossJoin(eqB) // 1 × 1 rows
-      .select(col("n_exact"),
-        coalesce(col("n_hit").cast("double") / col("n_exact") >=
-          envBound("GRAFT_ANN_CLUSTERED_RECALL_BOUND", 0.95), lit(true))
-          .as("recall_ok"),
+      .select(col("n_exact"), col("recall_ok"),
         lit(plan.decision).as("decision"),
         lit(plan.nlist.toLong).as("nlist"),
         lit(plan.nprobe.toLong).as("nprobe"),

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
   import graft.functions.VectorFunctions._
-import graft.functions.CodebookOps.codebookDots
+  import graft.functions.CodebookOps.codebookDots
 
   /** Directed EXACT kNN edges (src, dst): each vector's top-k neighbors
     * by cosine, ties broken by neighbor id, self excluded.

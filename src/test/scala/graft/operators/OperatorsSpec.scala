@@ -1254,6 +1254,19 @@ class OperatorsSpec extends SparkSpec {
     assert(a.head._2.length == cents.length)
   }
 
+  test("codebookDots fails loudly on a zero norm, like the ANSI divide it replaced") {
+    import graft.functions.CodebookOps.codebookDots
+    import spark.implicits._
+    val df = Seq((0L, Seq(0.0f, 0.0f), 0.0)).toDF("vec_id", "v", "nrm")
+    val ex = intercept[Exception] {
+      df.select(codebookDots(col("v"), col("nrm"), Array(Seq(1.0, 2.0)))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an ArithmeticException cause, got $ex")
+  }
+
   test("residual IVF-PQ equals raw at full rerank (scoring plumbing exact)") {
     // Same probed candidate set + exact re-rank over all of it ⇒ the two
     // encodings MUST converge; divergence here would mean the residual
