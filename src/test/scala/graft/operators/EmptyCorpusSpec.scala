@@ -62,4 +62,11 @@ class EmptyCorpusSpec extends SparkSpec {
     assert(sk.length == 5 && sk.forall(r => r.getLong(1) == 0 && r.getBoolean(2)))
     assert(Curation.urlNormDemo(spark, dir).count() == 0)
   }
+
+  test("round-14 text additions return empty on an empty corpus") {
+    // span spine over zero docs -> zero segments, not a throw
+    assert(TextAnalysis.languageSpans(spark, dir).count() == 0)
+    // fertility: the languageId join defines membership -> zero rows
+    assert(TextAnalysis.subwordFertility(spark, dir).count() == 0)
+  }
 }

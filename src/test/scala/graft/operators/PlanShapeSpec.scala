@@ -208,4 +208,25 @@ class PlanShapeSpec extends SparkSpec {
     // the embeddings scan; the serving path must not read embeddings
     assert(!plan.contains("embeddings.parquet"), plan.take(4000))
   }
+
+  test("text_langspans: wordlist join broadcasts; every window partitions by doc") {
+    val plan = planOf(TextAnalysis.languageSpans(spark, sf))
+    // the constant-size wordlist must ride a broadcast join, never a
+    // shuffled one — the token explode is the only data-scale relation
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // both the per-span vote window and the islands window partition by
+    // doc_id: a single-partition window here would serialize the corpus
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in langspans:\n$plan")
+  }
+
+  test("text_fertility: languages-sized aggregate with map-side combine") {
+    val plan = planOf(TextAnalysis.subwordFertility(spark, sf))
+    // per-doc counts partially aggregate below the exchange, so the
+    // shuffle carries (lang, partial) rows, not per-token rows
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"map-side combine missing:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in fertility:\n$plan")
+  }
 }
