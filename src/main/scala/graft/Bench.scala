@@ -272,10 +272,11 @@ object Bench {
     val adjCfg = sys.env.get("SPARK_GRAFT_ADJ")
     val adjEnabled = adjN > 0 && !adjCfg.contains("0") &&
       (only.isEmpty || adjCfg.contains("1"))
+    val prev: Map[String, Double] =
+      if (adjEnabled) latestPrevRound() else Map.empty
     val adjudication: Seq[(String, Double, Double)] =
       if (!adjEnabled) Seq.empty
       else {
-        val prev = latestPrevRound()
         System.err.println(s"[bench] adjudication comparator loaded " +
           s"${prev.size} previous-round medians")
         driftedRows(results.toSeq, prev, adjN).map { case (name, cur, d) =>
@@ -284,6 +285,14 @@ object Bench {
           (name, cur, standaloneRun(name))
         }
       }
+    // BOX-DRIFT FACTOR (r14): the median timed/previous ratio over the
+    // rows common with the adjudication comparator — the per-round
+    // normalizer BASELINE.md previously hand-computed from an ad-hoc
+    // "untouched sample". Median, not mean: real per-row wins and
+    // regressions live in the tails; uniform box speed lives at the
+    // center. null when no comparator parsed or in targeted runs.
+    val driftRatios = results.toSeq.collect {
+      case (k, v) if prev.get(k).exists(_ > 0) => v / prev(k) }.sorted
     val qs = obj(results.map { case (k, v) => k -> ms(v) })
     val raws = obj(rawResults.map { case (k, v) => k -> ms(v) })
     val errs = obj(errors.map { case (k, v) => k -> s""""${esc(v)}"""" })
@@ -298,8 +307,11 @@ object Bench {
     val adjs = obj(adjudication.map { case (k, timed, alone) =>
       k -> s"[${ms(timed)},${ms(alone)}]" })
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val drift = if (driftRatios.isEmpty) "null"
+      else ms(driftRatios(driftRatios.size / 2))
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""raw_operators":$raws,"errors":$errs,"adjudication":$adjs,""" +
+      s""""drift_vs_prev":$drift,"drift_n":${driftRatios.size},""" +
       s""""memory":$mems,"sf":"$sfDir"}"""
     // File first (the durable artifact), then stdout, explicitly flushed:
     // the driver's tail scrape must never be the only copy. Targeted
