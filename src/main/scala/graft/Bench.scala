@@ -121,6 +121,20 @@ object Bench {
       }
     }.sortBy(-_._3).take(n)
 
+  /** BOX-DRIFT FACTOR (r14): the median timed/previous ratio over the
+    * rows common with the adjudication comparator — the per-round
+    * normalizer BASELINE.md previously hand-computed from an ad-hoc
+    * "untouched sample". Median, not mean: real per-row wins and
+    * regressions live in the tails; uniform box speed lives at the
+    * center. None when no comparator row matches (targeted runs, first
+    * round). Separated from main() so the definition is spec-pinned. */
+  private[graft] def driftFactor(results: Seq[(String, Double)],
+      prev: Map[String, Double]): Option[Double] = {
+    val ratios = results.collect {
+      case (k, v) if prev.get(k).exists(_ > 0) => v / prev(k) }.sorted
+    if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
+  }
+
   /** Re-run one query in a fresh JVM (same classpath + module opens as
     * this one, `SPARK_GRAFT_ONLY` pinned, recursion off) and return its
     * standalone median, or -1 on timeout/parse failure. */
@@ -285,14 +299,9 @@ object Bench {
           (name, cur, standaloneRun(name))
         }
       }
-    // BOX-DRIFT FACTOR (r14): the median timed/previous ratio over the
-    // rows common with the adjudication comparator — the per-round
-    // normalizer BASELINE.md previously hand-computed from an ad-hoc
-    // "untouched sample". Median, not mean: real per-row wins and
-    // regressions live in the tails; uniform box speed lives at the
-    // center. null when no comparator parsed or in targeted runs.
-    val driftRatios = results.toSeq.collect {
-      case (k, v) if prev.get(k).exists(_ > 0) => v / prev(k) }.sorted
+    val driftMedian = driftFactor(results.toSeq, prev)
+    val driftN = results.toSeq.count { case (k, _) =>
+      prev.get(k).exists(_ > 0) }
     val qs = obj(results.map { case (k, v) => k -> ms(v) })
     val raws = obj(rawResults.map { case (k, v) => k -> ms(v) })
     val errs = obj(errors.map { case (k, v) => k -> s""""${esc(v)}"""" })
@@ -307,11 +316,10 @@ object Bench {
     val adjs = obj(adjudication.map { case (k, timed, alone) =>
       k -> s"[${ms(timed)},${ms(alone)}]" })
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val drift = if (driftRatios.isEmpty) "null"
-      else ms(driftRatios(driftRatios.size / 2))
+    val drift = driftMedian.map(ms).getOrElse("null")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""raw_operators":$raws,"errors":$errs,"adjudication":$adjs,""" +
-      s""""drift_vs_prev":$drift,"drift_n":${driftRatios.size},""" +
+      s""""drift_vs_prev":$drift,"drift_n":$driftN,""" +
       s""""memory":$mems,"sf":"$sfDir"}"""
     // File first (the durable artifact), then stdout, explicitly flushed:
     // the driver's tail scrape must never be the only copy. Targeted

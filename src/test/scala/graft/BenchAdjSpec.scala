@@ -123,4 +123,18 @@ class BenchAdjSpec extends AnyFunSuite {
     val prev2 = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
     assert(Bench.driftedRows(many, prev2, 2).map(_._1) === Seq("b", "c"))
   }
+
+  test("drift factor is the median common-row ratio, tail-insensitive") {
+    val prev = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "d" -> 1.0)
+    // ratios: a 1.1, b 1.1, c 1.1 — and one 10x tail that must NOT move
+    // the median (a mean would read 3.3)
+    val results = Seq("a" -> 1.1, "b" -> 2.2, "c" -> 4.4, "d" -> 10.0,
+      "unseen" -> 9.9) // no previous median -> excluded
+    val f = Bench.driftFactor(results, prev)
+    assert(f.exists(v => math.abs(v - 1.1) < 1e-9), f.toString)
+    // no common rows (targeted run / first round) -> None, not a crash
+    assert(Bench.driftFactor(Seq("x" -> 1.0), Map.empty).isEmpty)
+    // zero previous median never divides: the row is excluded
+    assert(Bench.driftFactor(Seq("z" -> 1.0), Map("z" -> 0.0)).isEmpty)
+  }
 }
