@@ -126,14 +126,48 @@ object Bench {
     * normalizer BASELINE.md previously hand-computed from an ad-hoc
     * "untouched sample". Median, not mean: real per-row wins and
     * regressions live in the tails; uniform box speed lives at the
-    * center. None when no comparator row matches (targeted runs, first
-    * round). Separated from main() so the definition is spec-pinned. */
+    * center. Rows that ERRORED this run are excluded (ADVICE r14: a
+    * thrown query lands a near-zero timing whose ~0 ratio would drag
+    * the pool), and the even-count median is the mean of the two
+    * middle elements, not the upper one. None when no comparator row
+    * matches (targeted runs, first round). Separated from main() so
+    * the definition is spec-pinned. */
   private[graft] def driftFactor(results: Seq[(String, Double)],
-      prev: Map[String, Double]): Option[Double] = {
+      prev: Map[String, Double],
+      errored: Set[String] = Set.empty): Option[Double] = {
     val ratios = results.collect {
-      case (k, v) if prev.get(k).exists(_ > 0) => v / prev(k) }.sorted
-    if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
+      case (k, v) if !errored(k) && prev.get(k).exists(_ > 0) =>
+        v / prev(k) }.sorted
+    if (ratios.isEmpty) None
+    else if (ratios.size % 2 == 1) Some(ratios(ratios.size / 2))
+    else Some((ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
   }
+
+  /** BOX-SCORE kernel (judge r14 Next #4): a fixed-work, CPU-bound,
+    * I/O-free mixing loop timed at every bench start — the ABSOLUTE
+    * box-speed normalizer `drift_vs_prev` cannot be. drift_vs_prev is
+    * RELATIVE to the previous committed comparator, so a round where
+    * many rows legitimately change conflates plan deltas with box
+    * speed; this kernel's work is pinned by construction (the checksum
+    * is spec-pinned, so the loop can neither be edited silently nor
+    * constant-folded away), making box_score comparable across rounds
+    * and across machines with no comparator at all. Never registered
+    * as a query — it measures the box, not the engine. Returns
+    * (seconds, checksum). */
+  private[graft] def boxScoreKernel(iters: Long = 200000000L): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) {
+      h ^= i; h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 27)
+      i += 1L
+    }
+    ((System.nanoTime() - t0) / 1e9, h)
+  }
+
+  /** Median-of-3 [[boxScoreKernel]] seconds (first rep pays JIT). */
+  private[graft] def boxScore(): Double =
+    Seq.fill(3)(boxScoreKernel()._1).sorted.apply(1)
 
   /** Re-run one query in a fresh JVM (same classpath + module opens as
     * this one, `SPARK_GRAFT_ONLY` pinned, recursion off) and return its
@@ -299,7 +333,12 @@ object Bench {
           (name, cur, standaloneRun(name))
         }
       }
-    val driftMedian = driftFactor(results.toSeq, prev)
+    val driftMedian = driftFactor(results.toSeq, prev, errors.keySet.toSet)
+    // Absolute box-speed calibration (see boxScoreKernel): timed AFTER
+    // the suite so JIT/alloc noise from bench startup never inflates
+    // it, but before artifact assembly so it always ships.
+    val box = boxScore()
+    System.err.println(f"[bench] box_score $box%.3f s (fixed-work kernel)")
     val driftN = results.toSeq.count { case (k, _) =>
       prev.get(k).exists(_ > 0) }
     val qs = obj(results.map { case (k, v) => k -> ms(v) })
@@ -320,6 +359,7 @@ object Bench {
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""raw_operators":$raws,"errors":$errs,"adjudication":$adjs,""" +
       s""""drift_vs_prev":$drift,"drift_n":$driftN,""" +
+      s""""box_score":${ms(box)},""" +
       s""""memory":$mems,"sf":"$sfDir"}"""
     // File first (the durable artifact), then stdout, explicitly flushed:
     // the driver's tail scrape must never be the only copy. Targeted

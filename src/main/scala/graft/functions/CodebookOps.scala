@@ -26,9 +26,12 @@ import org.apache.spark.sql.types._
   * widened per element exactly like [[DotProduct]]), then one divide by
   * the norm column — so every trained-codebook operator's output (and
   * every recall gate and oracle hash downstream) is unchanged. A ZERO
-  * norm fails loudly (ArithmeticException), matching the ANSI Divide
-  * the spelling replaced — a silent NaN would mis-assign the degenerate
-  * row to list 0 instead of surfacing the upstream data bug.
+  * norm fails loudly (ArithmeticException) REGARDLESS of the session's
+  * ANSI setting — matching the ANSI Divide the spelling replaced under
+  * spark.sql.ansi.enabled=true (the Spark 4 default), and deliberately
+  * DIVERGING from the old spelling's NULL result when ANSI is disabled:
+  * a silent NaN/NULL would mis-assign the degenerate row to list 0
+  * instead of surfacing the upstream data bug.
   *
   * Input: (vector `array<float|double>`, norm `double`); output
   * `array<double>` of length nlist — the `cd` column every IVF consumer

@@ -297,9 +297,10 @@ object Similarity {
     // nrm > 0: a zero vector in the sample would normalize to NaN
     // components that propagate into every IVF and PQ centroid (Lloyd
     // averages them), silently corrupting both codebooks. Zero vectors
-    // carry no direction to train on; corpus-side they still assign (to
-    // list 0 — every centroid dot is 0/0-free because assignment divides
-    // by the CORPUS row's nrm, and such rows are degenerate upstream).
+    // carry no direction to train on; corpus-side a zero-norm row now
+    // ABORTS the whole IVF assignment (CodebookDots fails loudly with
+    // ArithmeticException on nrm == 0 — see functions/CodebookOps) so
+    // the degenerate upstream row surfaces instead of mis-assigning.
     all.filter(col("nrm") > 0)
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
       .collect()

@@ -136,5 +136,28 @@ class BenchAdjSpec extends AnyFunSuite {
     assert(Bench.driftFactor(Seq("x" -> 1.0), Map.empty).isEmpty)
     // zero previous median never divides: the row is excluded
     assert(Bench.driftFactor(Seq("z" -> 1.0), Map("z" -> 0.0)).isEmpty)
+    // ERRORED rows are excluded (ADVICE r14): a thrown query's ~0 s
+    // timing would otherwise drag a ~0 ratio into the pool
+    val withErr = results :+ ("boom" -> 0.001)
+    val prevErr = prev + ("boom" -> 5.0)
+    val fe = Bench.driftFactor(withErr, prevErr, errored = Set("boom"))
+    assert(fe.exists(v => math.abs(v - 1.1) < 1e-9), fe.toString)
+    // even-count median is the midpoint of the two middle elements,
+    // not the upper-middle one
+    val even = Bench.driftFactor(
+      Seq("a" -> 1.0, "b" -> 2.0), Map("a" -> 1.0, "b" -> 1.0))
+    assert(even.exists(v => math.abs(v - 1.5) < 1e-9), even.toString)
+  }
+
+  test("box-score kernel: fixed work, pinned checksum, positive time") {
+    // The checksum literal pins the WORKLOAD: an edit to the mixing
+    // loop (iteration count, constants, operation order) lands here
+    // before it silently changes what box_score measures across rounds.
+    val (secs, sum) = Bench.boxScoreKernel()
+    assert(sum === 6688301274791546823L, f"checksum drift: $sum%d")
+    assert(secs > 0.0)
+    // work actually scales with the iteration budget (the loop is not
+    // constant-folded or dead-code-eliminated)
+    assert(Bench.boxScoreKernel(1000L)._2 !== sum)
   }
 }
