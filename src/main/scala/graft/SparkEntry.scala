@@ -170,6 +170,11 @@ object SparkEntry {
     // detector jaccard cannot be; directed small→big, prefix filter on
     // the contained side only, full postings on the container side.
     "dedup_contain"   -> ((s, d) => Dedup.containmentPairs(s, d)),
+    // The df-capped prefix join on a generated SATURATED corpus with a
+    // boilerplate minority (the regime r14 proved quadratic under any
+    // ordering): decision literals + measured recall vs uncapped truth
+    // + value-identical-subset proof in one row (r14 brief #1).
+    "dedup_contain_capped" -> (Gates.containCappedGate _),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalPairs(s, d)),
     // Same semantics against the PERSISTED settled-corpus artifacts
     // (write-once bucketed prefix + df tables; built lazily on first
@@ -2079,6 +2084,22 @@ object SparkEntry {
          |FROM p WHERE CAST(ov AS DOUBLE) / sz_small >= 0.95
          |ORDER BY doc_small, doc_big""".stripMargin
     },
+    // The df-cap gate's whole output pinned as oracle literals (the
+    // ann_auto convention): the fixture is generated and deterministic
+    // (seed-free Zipf construction, exact percentile, HLL distinct —
+    // all partitioning-independent), so decision drift (wrong maxDf
+    // from the coverage quantile, wrong tailDf, a capped join that
+    // stops being a value-identical subset, recall moving off
+    // 4831/4895) hash-mismatches here. recall is the live n_capped/
+    // n_true division on the Spark side and the same IEEE division of
+    // literals here.
+    "dedup_contain_capped" ->
+      """SELECT CAST(4895 AS BIGINT) AS n_true,
+        | CAST(4831 AS BIGINT) AS n_capped,
+        | CAST(4831 AS DOUBLE) / 4895 AS recall,
+        | true AS capped_subset_of_truth, true AS recall_ok,
+        | 'capped' AS decision, CAST(306 AS BIGINT) AS max_df,
+        | CAST(7.86 AS DOUBLE) AS tail_df""".stripMargin,
     // Character-level duplicated-substring spans (L = 40). The oracle
     // re-derives duplicated L-grams from the raw text (the Spark side
     // carries only xxhash64 anchors — a hash collision cannot hash-match
@@ -2885,7 +2906,7 @@ object SparkEntry {
         | FROM range(2000) t(i))
         |SELECT count(*) AS n_exact, true AS recall_ok,
         | 'ivf' AS decision, CAST(32 AS BIGINT) AS nlist,
-        | CAST(1 AS BIGINT) AS nprobe, true AS brute_leg_equals_exact FROM (
+        | CAST(1 AS BIGINT) AS nprobe, true AS brute_dispatch_ok FROM (
         | SELECT q.vec_id FROM v q, v e
         | WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
         | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
