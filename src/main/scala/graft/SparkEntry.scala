@@ -536,6 +536,10 @@ object SparkEntry {
     // (brute iff nlist + Q*nprobe/nlist >= Q), and the brute regime's
     // dispatch is pinned bit-identical to bruteForceTopK.
     "ann_auto"      -> (Gates.annAutoGate _),
+    // The planner's point driven through the PERSISTED-ARTIFACT path:
+    // build at derived nlist, serve at calibrated nprobe, bit-equal to
+    // the fresh build at the same point (r14 brief #2's fixture row).
+    "ann_artifact_auto" -> (Gates.annArtifactAutoGate _),
     // RESIDUAL-PQ codes served on the clustered fixture (nlist=32 =
     // planted clusters, nprobe=4): bit-equal to raw codes at full
     // rerank + clustered recall bound — the r8 recall win, registered.
@@ -2907,6 +2911,23 @@ object SparkEntry {
         |SELECT count(*) AS n_exact, true AS recall_ok,
         | 'ivf' AS decision, CAST(32 AS BIGINT) AS nlist,
         | CAST(1 AS BIGINT) AS nprobe, true AS brute_dispatch_ok FROM (
+        | SELECT q.vec_id FROM v q, v e
+        | WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
+        | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.emb, e.emb) DESC, e.vec_id) <= 5)""".stripMargin,
+    // Same clustered fixture through the ARTIFACT path; n_exact
+    // recomputed from the shared formula, serve==fresh equality and
+    // recall are live bits, and the PLANNER'S DERIVED POINT is pinned
+    // as literals (nlist 32 = sqrtNlist(2000), nprobe 1 = the sample
+    // calibration on the 32-planted-cluster fixture).
+    "ann_artifact_auto" ->
+      """WITH v AS (SELECT i AS vec_id, list_transform(range(64), d ->
+        |  CAST(((i % 32) * 37 + d * 101) % 97 - 48
+        |     + ((i * 131 + d * 17) % 13 - 6) AS DOUBLE)) AS emb
+        | FROM range(2000) t(i))
+        |SELECT count(*) AS n_exact, true AS recall_ok,
+        | true AS artifact_equals_fresh, CAST(32 AS BIGINT) AS nlist,
+        | CAST(1 AS BIGINT) AS nprobe FROM (
         | SELECT q.vec_id FROM v q, v e
         | WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
         | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id

@@ -85,6 +85,17 @@ object Graph {
     * side is always the full relation): the incremental maintenance path
     * uses this to compute exact top-k for just the increment's vectors
     * over settled ∪ increment without paying the settled queries. */
+  /** nlist here deliberately does NOT take the ANN planner's √N rule
+    * (r15, after wiring the IVF-PQ artifacts to
+    * [[Similarity.autoIndexParams]]): this build is EXACT — nlist only
+    * tunes the spherical-bound pruning, never the output — and its
+    * phase-2 bound test runs on N·nlist probe ROWS, so nlist enters
+    * the cost LINEARLY rather than as the probed-fraction denominator
+    * the √N rule optimizes. √N here would make the probe relation
+    * N^1.5; the flat default keeps it linear and the radius bound does
+    * the pruning. A corpus-derived rule for this cost shape would
+    * trade assignment flops (N·nlist) against bound-test rows — a
+    * different optimum the IvfCostModel sweep never measured. */
   private[graft] def knnBuildFrom(all: DataFrame, k: Int, nlist: Int = 16,
                                   queryPred: org.apache.spark.sql.Column = lit(true))
       : (DataFrame, DataFrame, DataFrame) = {

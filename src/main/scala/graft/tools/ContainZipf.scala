@@ -73,6 +73,9 @@ object ContainZipf {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_ZIPF_N", "2000").toLong
     val vocab = sys.env.getOrElse("SPARK_GRAFT_ZIPF_V", "50000").toInt
+    // boilerplate-doc regime (df-cap cells): every STOP-th base doc
+    // draws from the top-100 words only
+    val stop = sys.env.getOrElse("SPARK_GRAFT_ZIPF_STOP", "0").toInt
     val points = sys.env.getOrElse("SPARK_GRAFT_ZIPF_POINTS", "1,10")
       .split(",").map(_.trim.toInt).toSeq
     val ops = sys.env.getOrElse("SPARK_GRAFT_ZIPF_OPS",
@@ -90,9 +93,10 @@ object ContainZipf {
       // dir name encodes n and vocab, not just the multiplier: reruns
       // with a different SPARK_GRAFT_ZIPF_N/V must not silently reuse a
       // stale corpus (the idempotence check is dir-existence only)
-      val out = if (n == 2000L && vocab == 50000) s"target/zipf$m"
-                else s"target/zipf${m}_n${n}_v$vocab"
-      buildZipf(spark, out, n * m, vocab)
+      val out = (if (n == 2000L && vocab == 50000) s"target/zipf$m"
+                 else s"target/zipf${m}_n${n}_v$vocab") +
+        (if (stop > 0) s"_s$stop" else "")
+      buildZipf(spark, out, n * m, vocab, stop)
       // corpus shape telemetry: docs + candidate-stream volume at this
       // scale (Σ over join tokens of df_prefA·df — the term the Caesar
       // corpora never stress); plain SQL, no operator code
