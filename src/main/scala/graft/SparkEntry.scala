@@ -427,6 +427,11 @@ object SparkEntry {
     // watermarked execution — min_by/max_by on (ts, event_id) state.
     "stream_ohlc" -> ((s, d) =>
       graft.streaming.StreamingAnalytics.ohlcSpooled(s, d)),
+    // The stream family's above-sf0.1 CORRECTNESS row (r14 brief #3):
+    // the same watermarked execution over the inline 10x event corpus
+    // (copies 192h apart, epoch-µs construction the oracle replays).
+    "stream_ohlc_10x" -> ((s, d) =>
+      graft.streaming.StreamingAnalytics.ohlcSpooled10x(s, d)),
     // Volume-spike monitor: stream-maintained tumbling counts, exact
     // integer trailing-3-window comparison over the finalized windows.
     "stream_anomaly" -> ((s, d) =>
@@ -750,6 +755,33 @@ object SparkEntry {
         |         epoch_ms(ts) // 3600000 ORDER BY ts DESC, event_id DESC)
         |         AS rn_d
         |      FROM events)
+        |SELECT window_start_ms, event_type, count(*) AS n,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM e GROUP BY window_start_ms, event_type
+        |ORDER BY window_start_ms, event_type""".stripMargin,
+    // stream_ohlc's oracle over the inline 10x construction: copy c
+    // shifts epoch-µs by c·192h (691200000000 µs) and event_id by
+    // c·(max id + 1) — the same integer arithmetic the Spark
+    // construction runs, so the scaled corpus is hash-exact.
+    "stream_ohlc_10x" ->
+      """WITH shift AS (SELECT max(event_id) + 1 AS s FROM events),
+        |scaled AS (SELECT
+        |       make_timestamp(epoch_us(ts) + c * 691200000000) AS ts,
+        |       event_id + c * shift.s AS event_id, event_type, value
+        |      FROM events CROSS JOIN range(10) t(c) CROSS JOIN shift),
+        |e AS (SELECT event_type,
+        |       (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        |       ts, event_id, value,
+        |       ROW_NUMBER() OVER (PARTITION BY event_type,
+        |         epoch_ms(ts) // 3600000 ORDER BY ts, event_id) AS rn_a,
+        |       ROW_NUMBER() OVER (PARTITION BY event_type,
+        |         epoch_ms(ts) // 3600000 ORDER BY ts DESC, event_id DESC)
+        |         AS rn_d
+        |      FROM scaled)
         |SELECT window_start_ms, event_type, count(*) AS n,
         |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
         |       max(value) AS high, min(value) AS low,

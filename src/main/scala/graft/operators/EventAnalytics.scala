@@ -548,6 +548,35 @@ object EventAnalytics {
     * keys (ADVICE r12; plan-pinned in PlanShapeSpec). At 100 TB the
     * buckets ARE the retention unit, so state per key is one row and
     * the output is the compacted table itself. */
+  /** The inline 10x event corpus — the scale-correctness construction
+    * for the event/stream families (the [[graft.operators.Dedup]]
+    * docs10x convention): 10 copies of the events table, copy c's
+    * timestamps shifted c·192 h (whole hours — bucket alignment is
+    * preserved) and its event_ids shifted c·(max id + 1). The corpus
+    * SPANS more than 192 h, so copies overlap in event time and many
+    * hourly windows hold rows from several copies — deliberately: the
+    * scaled row then exercises denser per-window state, and both
+    * engines replay the identical arithmetic, so overlap costs nothing
+    * in exactness. (The spooled execution delivers all copies in batch
+    * one; the watermark only advances after it, so nothing is ever
+    * late-dropped regardless of overlap.)
+    * Epoch-µs arithmetic on both engines: the DuckDB oracle replays
+    * `epoch_us(ts) + c·691200000000` literally, so the construction is
+    * hash-exact, not merely equivalent. The 1-row max-id read is a
+    * control-plane head(), the docs10x shift precedent. */
+  private[graft] def events10x(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("ts"), col("event_id"),
+      col("event_type"), col("value"))
+    val shift = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    ev.select(explode(sequence(lit(0L), lit(9L))).as("c"), col("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .select(
+        timestamp_micros(unix_micros(col("ts")) +
+          col("c") * lit(691200000000L)).as("ts"),
+        (col("event_id") + col("c") * lit(shift)).as("event_id"),
+        col("event_type"), col("value"))
+  }
+
   def downsampleOhlc(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).select(col("event_type"),
       date_trunc("hour", col("ts")).as("bucket"),
