@@ -259,7 +259,7 @@ object Bench {
     // The gate-registered operators, timed RAW so operator-level perf
     // regressions stay visible next to the gate numbers (BASELINE.md).
     val rawOps: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "dedup_minhash"    -> ((s, d) => operators.Dedup.minhashPairsVerified(s, d)),
+      "dedup_minhash"    -> ((s, d) => operators.Dedup.minhashPairsVerifiedAuto(s, d)),
       "dedup_simhash"    -> ((s, d) => operators.Dedup.simhashPairs(s, d, maxDist = 3)),
       "text_fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprints(s, d)),
       "ann_lsh"          -> ((s, d) => operators.Similarity.lshTopK(s, d)),

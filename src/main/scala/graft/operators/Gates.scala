@@ -46,7 +46,12 @@ object Gates {
                     Gates.envBound("GRAFT_MINHASH_RECALL_BOUND", 0.95)): DataFrame = {
     val truth = s.table(Dedup.jaccardPairArtifact(s, dir, threshold))
       .select("doc_a", "doc_b")
-    val found = Dedup.minhashPairsVerifiedUnsorted(s, dir, threshold = threshold)
+    // ENGINE-CHOSEN band geometry (r15): at the registered t=0.9 the
+    // decision lands on the r14 constants (b=8, r=8) — spec-pinned —
+    // so this row's output is unchanged; at lower thresholds the
+    // S-curve midpoint moves and the geometry flips with it.
+    val found = Dedup.minhashPairsVerifiedAutoUnsorted(s, dir,
+        threshold = threshold)
       .select(col("doc_a").as("fa"), col("doc_b").as("fb"))
     truth.join(found,
         col("doc_a") === col("fa") && col("doc_b") === col("fb"), "left_outer")
