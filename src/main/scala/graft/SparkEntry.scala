@@ -2124,18 +2124,22 @@ object SparkEntry {
     // ann_auto convention): the fixture is generated and deterministic
     // (seed-free Zipf construction, exact percentile, HLL distinct —
     // all partitioning-independent), so decision drift (wrong maxDf
-    // from the coverage quantile, wrong tailDf, a capped join that
-    // stops being a value-identical subset, recall moving off
-    // 4831/4895) hash-mismatches here. recall is the live n_capped/
-    // n_true division on the Spark side and the same IEEE division of
-    // literals here.
+    // from the median-multiple fence, wrong tailDf/coverage, a capped
+    // join that stops being a value-identical subset, a covered-side
+    // pair lost — the theorem bit) hash-mismatches here. recall is the
+    // live n_capped/n_true division on the Spark side and the same
+    // IEEE division of literals here; n_covered_true == n_capped on
+    // this fixture (every kept pair has a covered small side AND every
+    // covered pair is kept — the class decomposition exactly).
     "dedup_contain_capped" ->
-      """SELECT CAST(4895 AS BIGINT) AS n_true,
-        | CAST(4831 AS BIGINT) AS n_capped,
-        | CAST(4831 AS DOUBLE) / 4895 AS recall,
-        | true AS capped_subset_of_truth, true AS recall_ok,
-        | 'capped' AS decision, CAST(306 AS BIGINT) AS max_df,
-        | CAST(7.86 AS DOUBLE) AS tail_df""".stripMargin,
+      """SELECT CAST(9959 AS BIGINT) AS n_true,
+        | CAST(8186 AS BIGINT) AS n_capped,
+        | CAST(8186 AS DOUBLE) / 9959 AS recall,
+        | true AS capped_subset_of_truth, true AS covered_pairs_kept,
+        | CAST(8186 AS BIGINT) AS n_covered_true,
+        | 'capped' AS decision, CAST(72 AS BIGINT) AS max_df,
+        | CAST(4.42 AS DOUBLE) AS tail_df,
+        | CAST(0.9636 AS DOUBLE) AS coverage""".stripMargin,
     // Character-level duplicated-substring spans (L = 40). The oracle
     // re-derives duplicated L-grams from the raw text (the Spark side
     // carries only xxhash64 anchors — a hash collision cannot hash-match

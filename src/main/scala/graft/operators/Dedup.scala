@@ -1500,10 +1500,23 @@ object Dedup {
   /** Rarest-first WITH the posting df cap — the SATURATED regime
     * (vocabulary pinned while N grows: even per-doc rarest tokens are
     * corpus-common, r14's measured Ω(N²/V) law). `maxDf` is the
-    * [[CapCoverage]] quantile of per-doc prefLen-th-smallest df (so
-    * the capped join is EXACT for ≥ CapCoverage of small sides — the
-    * theorem on [[containmentPairsRarestFromSets]]); `tailDf` and
-    * `coverage` ride along for the gate row's decision literals. */
+    * outlier fence [[CapMedianRatio]] × median over per-doc
+    * prefLen-th-smallest df; `coverage` is the MEASURED fraction of
+    * docs under the fence (exact counts — the capped join is provably
+    * exact for every one of them, the theorem on
+    * [[containmentPairsRarestFromSets]]); `tailDf` rides along for the
+    * gate row's decision literals. A RELATIVE fence, deliberately,
+    * after measuring two wrong spellings (r15): a fixed 0.98-coverage
+    * QUANTILE can never exclude more than the top 2% of docs by
+    * construction, so on a corpus whose boilerplate minority is 5% it
+    * lands INSIDE the boilerplate df range and buys nothing; a Tukey
+    * q75+3·IQR fence tracks distribution WIDTH, so on a uniformly
+    * saturated corpus (tight dfNeeded bulk, no separated outliers) it
+    * cuts INTO the bulk (measured recall 0.63 on the gate fixture).
+    * The median multiple is scale-free (dfs ∝ N cancels) and encodes
+    * the actual boilerplate signature: a document whose RAREST tokens
+    * are ≥ [[CapMedianRatio]]× more common than the typical doc's —
+    * orders apart in real mixtures, never true of the bulk itself. */
   private[graft] final case class CappedPlan(maxDf: Long, tailDf: Double,
                                              coverage: Double) extends PrefixPlan
 
@@ -1518,9 +1531,19 @@ object Dedup {
     * exactly where this statistic crosses 4. */
   private[graft] val SatTailDf = 4.0
 
-  /** Fraction of small-side docs the cap must leave provably exact:
-    * maxDf = this quantile of per-doc prefLen-th-smallest df. */
-  private[graft] val CapCoverage = 0.98
+  /** Median multiplier of the df-cap outlier fence: maxDf = this ×
+    * median(per-doc prefLen-th-smallest df). */
+  private[graft] val CapMedianRatio = 8.0
+
+  /** Minimum measured coverage for the capped plan to engage: when
+    * more than this fraction of docs sit ABOVE the fence, the
+    * "outliers" are not a boilerplate fringe — they are the corpus —
+    * and dropping their pairs is not a bounded trade (measured: on a
+    * uniformly-saturated v=2000 fixture coverage reads 0.909 and the
+    * cap would cost 37% of pairs; on a boilerplate-minority corpus it
+    * reads ≥0.96 and the cap loses only the outlier class's pairs).
+    * Below the bar the engine stays on the EXACT rarest plan. */
+  private[graft] val CapMinCoverage = 0.95
 
   /** The engine's prefix-plan decision tree (stage 1 = r14's sampled
     * ordering ratio; stage 2 = the r15 saturation statistic, computed
@@ -1530,10 +1553,11 @@ object Dedup {
     *      volume → [[CarryPlan]] (zero extra exchanges);
     *   2. else tailDf < [[SatTailDf]] → [[RarestPlan]] (the rare tail
     *      keeps postings thin; cap unnecessary);
-    *   3. else → [[CappedPlan]] with maxDf = the [[CapCoverage]]
-    *      quantile of per-doc prefLen-th-smallest df (one exact
-    *      `percentile` over the df-count relation the rarest join
-    *      builds anyway — linear, keyed, decision-time-only).
+    *   3. else → [[CappedPlan]] with maxDf = [[CapMedianRatio]] ×
+    *      the median per-doc prefLen-th-smallest df (exact
+    *      `percentile` + one coverage count over the df-count
+    *      relation the rarest join builds anyway — linear, keyed,
+    *      decision-time-only).
     *
     * Memoized per (dir, threshold) for the JVM's lifetime: the
     * statistic is a pure function of the corpus directory — an
@@ -1544,7 +1568,9 @@ object Dedup {
     * warning is about cached TABLE NAMES going stale (wrong data);
     * here a stale entry can only repeat a prior decision. Carry and
     * rarest are spec-pinned bit-identical; the capped branch is
-    * recall-bounded BY CONSTRUCTION (CapCoverage) and gate-measured —
+    * recall-bounded with MEASURED coverage (CappedPlan.coverage — the
+    * exact fraction of provably-unaffected small sides) and
+    * gate-measured recall —
     * and it only ever engages where both exact orderings are
     * quadratic. */
   private[graft] def choosePrefixPlan(s: SparkSession, dir: String,
@@ -1560,20 +1586,26 @@ object Dedup {
     if (h <= AutoPrefixRatio * math.max(r, 1.0)) CarryPlan
     else {
       val cp = cappedPlanOn(allDocs, threshold)
-      if (cp.tailDf < SatTailDf) RarestPlan else cp
+      // the cap engages only in the saturated regime AND only when the
+      // df-outlier class is a coverage fringe (see CapMinCoverage)
+      if (cp.tailDf < SatTailDf || cp.coverage < CapMinCoverage) RarestPlan
+      else cp
     }
   }
 
-  /** The saturation statistic + coverage cap, computed unconditionally
-    * — stage 2/3 of [[choosePrefixPlanOn]] and the measurement tools'
-    * entry point ([[graft.tools.MeasureCap]] prices the cap on corpora
-    * the decision tree would NOT cap, to keep the no-op claim
-    * measured). tailDf from one linear agg (count + HLL distinct over
-    * exploded distinct tokens); maxDf = the [[CapCoverage]] quantile of
-    * per-doc prefLen-th-smallest df — EXACT `percentile`, not approx:
-    * its aggregation buffer is one count per DISTINCT df value (bounded
-    * by the df range, not by N) and its result is
-    * partitioning-independent, so the gate can pin it as a literal. */
+  /** The saturation statistic + outlier-fence cap, computed
+    * unconditionally — stage 2/3 of [[choosePrefixPlanOn]] and the
+    * measurement tools' entry point ([[graft.tools.MeasureCap]] prices
+    * the cap on corpora the decision tree would NOT cap, to keep the
+    * no-op claim measured). tailDf from one linear agg (count + HLL
+    * distinct over exploded distinct tokens); maxDf = the median-multiple fence
+    * [[CapMedianRatio]] × median(per-doc prefLen-th-smallest df) —
+    * EXACT `percentile`, not approx: its aggregation buffer is one
+    * count per DISTINCT df value (bounded by the df range, not by N)
+    * and its result is partitioning-independent, so the gate can pin
+    * it as a literal. `coverage` = the exact fraction of docs under
+    * the fence (one more agg over the localCheckpoint'd n-row
+    * per-doc relation — decision-time-only, memoized). */
   private[graft] def cappedPlanOn(allDocs: DataFrame,
                                   threshold: Double): CappedPlan = {
     val sets = hashedTokenSetsOf(allDocs)
@@ -1587,13 +1619,23 @@ object Dedup {
     val dfc = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
     val prefLen =
       (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    // one long per doc; localCheckpoint: consumed by the quantile agg
+    // AND the coverage count (recomputing would re-tokenize the corpus)
     val needed = exploded.join(dfc, "tok").groupBy("doc_id", "sz")
       .agg(sort_array(collect_list(col("df"))).as("dfs"))
       .select(element_at(col("dfs"),
         least(prefLen, size(col("dfs")))).as("df_needed"))
-    val c = needed.agg(expr(s"percentile(df_needed, $CapCoverage)"))
-      .head().getDouble(0).toLong
-    CappedPlan(c, tailDf, CapCoverage)
+      .localCheckpoint()
+    val med = needed.agg(expr("percentile(df_needed, 0.5)"))
+      .head().getDouble(0)
+    val fence = math.max(1L, (CapMedianRatio * med).toLong)
+    val cov = needed.agg(count(lit(1)).as("n"),
+      sum(when(col("df_needed") <= fence, 1L).otherwise(0L)).as("ok"))
+      .head()
+    val coverage =
+      if (cov.getLong(0) == 0L) 1.0
+      else cov.getLong(1).toDouble / cov.getLong(0)
+    CappedPlan(fence, tailDf, coverage)
   }
 
   /** r14-compat view of the decision: was any non-carry ordering
@@ -1817,9 +1859,12 @@ object Dedup {
     *     uncovered (a boilerplate/stopword-only document: every token
     *     corpus-common) AND whose overlap with A's prefix is entirely
     *     above the cap. [[choosePrefixPlan]] picks maxDf as the
-    *     [[CapCoverage]] quantile of per-doc prefLen-th-smallest df,
-    *     so ≥ 98% of small sides are covered BY CONSTRUCTION and the
-    *     recall loss is confined to the quantile tail.
+    *     median-multiple fence over per-doc prefLen-th-smallest df,
+    *     so every
+    *     small side whose rarest tokens sit in the corpus BULK is
+    *     covered, the recall loss is confined to df-OUTLIER docs
+    *     (boilerplate), and the measured covered fraction ships in
+    *     the plan (CappedPlan.coverage).
     *
     * What the cap buys: the candidate stream is an equi-join on token,
     * so posting rows with df > maxDf only ever met prefix entries with
