@@ -2132,14 +2132,14 @@ object SparkEntry {
     // this fixture (every kept pair has a covered small side AND every
     // covered pair is kept — the class decomposition exactly).
     "dedup_contain_capped" ->
-      """SELECT CAST(9959 AS BIGINT) AS n_true,
-        | CAST(8186 AS BIGINT) AS n_capped,
-        | CAST(8186 AS DOUBLE) / 9959 AS recall,
+      """SELECT CAST(3061 AS BIGINT) AS n_true,
+        | CAST(2596 AS BIGINT) AS n_capped,
+        | CAST(2596 AS DOUBLE) / 3061 AS recall,
         | true AS capped_subset_of_truth, true AS covered_pairs_kept,
-        | CAST(8186 AS BIGINT) AS n_covered_true,
-        | 'capped' AS decision, CAST(72 AS BIGINT) AS max_df,
-        | CAST(4.42 AS DOUBLE) AS tail_df,
-        | CAST(0.9636 AS DOUBLE) AS coverage""".stripMargin,
+        | CAST(2596 AS BIGINT) AS n_covered_true,
+        | 'capped' AS decision, CAST(96 AS BIGINT) AS max_df,
+        | CAST(6.21 AS DOUBLE) AS tail_df,
+        | CAST(0.9545 AS DOUBLE) AS coverage""".stripMargin,
     // Character-level duplicated-substring spans (L = 40). The oracle
     // re-derives duplicated L-grams from the raw text (the Spark side
     // carries only xxhash64 anchors — a hash collision cannot hash-match

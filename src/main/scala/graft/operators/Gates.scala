@@ -348,11 +348,11 @@ object Gates {
     * value-identical SUBSET of the uncapped truth, and the class
     * decomposition of the loss must match the operator's theorem.
     *
-    * Fixture ([[Dedup.zipfDocs]] n=6000, vocab=10000, stopEvery=50 —
+    * Fixture ([[Dedup.zipfDocs]] n=2000, vocab=2500, stopEvery=40 —
     * generated, `dir` unused): a SATURATED corpus (tailDf ≥ 4) whose
     * boilerplate class (top-100-word docs + their planted partners) is
-    * a 3.64% fringe — and the fence CLASSIFIES it exactly: measured
-    * coverage 0.9636 = 1 − 160/4400 to four digits, so the measured coverage clears the
+    * a 4.55% fringe — and the fence CLASSIFIES it exactly: measured
+    * coverage 0.954545… = 1 − 100/2200 to the digit, so the measured coverage clears the
     * [[Dedup.CapMinCoverage]] guard and the auto decision engages.
     *
     * Why the row pins a CLASS DECOMPOSITION and not a recall bound
@@ -366,7 +366,13 @@ object Gates {
     * live data, bound 1.0 exactly — plus the raw recall as row data
     * for the noise-class share, and the live subset proof. */
   def containCappedGate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Dedup.zipfDocs(s, nDocs = 6000, vocab = 10000, stopEvery = 50)
+    // localCheckpoint the GENERATED corpus once: the decision statistics,
+    // both join legs and the coverage tagging are ~10 separate jobs, and
+    // each would otherwise re-evaluate the expression-generated
+    // construction (the transcendental word formula dominates the row
+    // without it)
+    val docs = Dedup.zipfDocs(s, nDocs = 2000, vocab = 2500, stopEvery = 40)
+      .localCheckpoint()
     val plan = Dedup.choosePrefixPlanOn(docs, threshold = 0.95)
     val (capVal, tailDf, coverage) = plan match {
       case Dedup.CappedPlan(c, t, cov) => (c, t, cov)

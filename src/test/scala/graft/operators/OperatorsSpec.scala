@@ -204,10 +204,10 @@ class OperatorsSpec extends SparkSpec {
       Dedup.zipfDocs(spark, nDocs = 300, vocab = 2000), 0.95) ===
       Dedup.RarestPlan)
     Dedup.choosePrefixPlanOn(
-      Dedup.zipfDocs(spark, nDocs = 6000, vocab = 10000, stopEvery = 50),
+      Dedup.zipfDocs(spark, nDocs = 2000, vocab = 2500, stopEvery = 40),
       0.95) match {
       case Dedup.CappedPlan(c, t, cov) =>
-        assert(c === 72L && t >= Dedup.SatTailDf &&
+        assert(c === 96L && t >= Dedup.SatTailDf &&
           cov >= Dedup.CapMinCoverage, s"cap=$c tailDf=$t cov=$cov")
       case other => fail(s"gate fixture must engage the cap, got $other")
     }
