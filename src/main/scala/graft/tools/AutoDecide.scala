@@ -32,6 +32,17 @@ object AutoDecide {
         f""""cand_hash":$h%.0f,"cand_rarest":$r%.0f,""" +
         f""""ratio":${h / math.max(r, 1.0)}%.2f,"rarest":$rarest,""" +
         f""""stats_sec":$sec%.3f}""")
+      // the full 3-regime plan (r15): stage 2/3 saturation + fence
+      // statistics, printed even when stage 1 already settled on carry
+      // so the tool stays a complete audit of the decision surface
+      val t1 = System.nanoTime()
+      val plan = graft.operators.Dedup.choosePrefixPlan(spark, dir, t)
+      val cp = graft.operators.Dedup.cappedPlanOn(
+        graft.operators.Tables.documents(spark, dir), t)
+      println(f"""{"metric":"auto_plan","dir":"$dir","threshold":$t,""" +
+        f""""plan":"$plan","tail_df":${cp.tailDf}%.3f,""" +
+        f""""fence_max_df":${cp.maxDf},"coverage":${cp.coverage}%.4f,""" +
+        f""""plan_sec":${(System.nanoTime() - t1) / 1e9}%.3f}""")
     }
     spark.stop()
   }
