@@ -1325,6 +1325,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got.intersect(exact).size.toDouble / exact.size >= 0.95)
   }
 
+  test("serve-regime index params: sqrt-N rule, calibration, memo (r15)") {
+    // the rule itself, including both clamps
+    assert(Similarity.sqrtNlist(2000) === 32)
+    assert(Similarity.sqrtNlist(10) === 8)              // floor clamp
+    assert(Similarity.sqrtNlist(20000) === 128)
+    assert(Similarity.sqrtNlist(10000000000L) === 65536) // ceiling clamp
+    // the artifact builders' derivation: no brute dispatch in the
+    // serve regime — the clustered fixture derives the planted point
+    val (nl, np) = Similarity.autoIndexParams(spark, "spec|auto-params",
+      Similarity.clusteredCorpus(spark))
+    assert(nl === 32 && np === 1, s"got ($nl, $np)")
+    // memoized per keyTag: a second call with a DIFFERENT (would-be
+    // contradictory) corpus under the same tag returns the memo —
+    // corpus dirs are immutable snapshots in this engine's contract
+    val (nl2, np2) = Similarity.autoIndexParams(spark, "spec|auto-params",
+      Similarity.clusteredCorpus(spark, n = 200))
+    assert(nl2 === 32 && np2 === 1)
+  }
+
   test("auto ANN planner: brute in every regime the cost model says brute") {
     // corpus at/below training-sample scale
     val small = Similarity.clusteredCorpus(spark, n = 200)
