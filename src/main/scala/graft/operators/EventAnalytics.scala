@@ -567,7 +567,13 @@ object EventAnalytics {
   private[graft] def events10x(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("ts"), col("event_id"),
       col("event_type"), col("value"))
-    val shift = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    // ADVICE r15: max() over an empty table is NULL — fail with the
+    // offending dir named instead of an opaque NPE three frames deep
+    val maxRow = ev.agg(max(col("event_id"))).head()
+    require(!maxRow.isNullAt(0),
+      s"events10x: events table under $dir is empty — no max(event_id) " +
+        "to shift copies by")
+    val shift = maxRow.getLong(0) + 1
     ev.select(explode(sequence(lit(0L), lit(9L))).as("c"), col("ts"),
         col("event_id"), col("event_type"), col("value"))
       .select(

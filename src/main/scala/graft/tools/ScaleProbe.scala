@@ -351,12 +351,88 @@ object ScaleProbe {
       (name, ts, legs)
     }
 
+    // CAPPED-REGIME exponent leg (judge r15 Next #4): the Caesar scale
+    // corpora above have content-disjoint copy vocabularies, so the
+    // auto decision picks Carry and the 1x/10x sweep NEVER ENGAGES
+    // stage-3's df cap — the capped plan's winning exponent lived only
+    // in BASELINE prose. This leg drives the dedup_contain_capped gate
+    // fixture's own corpus construction at 1x/10x doc counts (vocab
+    // and boilerplate fraction FIXED: saturation deepens with n while
+    // the df-outlier class stays a coverage fringe), VERIFIES the
+    // decision lands CappedPlan at both scales — a Carry/Rarest cell
+    // would time the wrong plan — and fits the auto path's exponent
+    // under the same bound as every other operator.
+    val zipfCapDirs = Seq(1 -> ("target/zipfcap1x", 2000L),
+      10 -> ("target/zipfcap10x", 20000L))
+    val zipfCapRow: Option[(Seq[(Int, Double)], Double)] =
+      if (points != Seq(10)) None
+      else {
+        zipfCapDirs.foreach { case (_, (d, n)) =>
+          ContainZipf.buildZipf(spark, d, nDocs = n, vocab = 2500,
+            stopEvery = 40) }
+        val plans = zipfCapDirs.map { case (_, (d, _)) =>
+          d -> graft.operators.Dedup.choosePrefixPlan(spark, d, 0.95) }
+        if (!plans.forall(_._2.isInstanceOf[graft.operators.Dedup.CappedPlan])) {
+          System.err.println(s"[scale] zipfcap leg SKIPPED: fixture did " +
+            s"not engage the cap at both scales — $plans")
+          None
+        } else {
+          val fn = probesFor(skipGates = false).toMap
+            .apply("dedup_contain_auto")
+          val cells = zipfCapDirs.map { case (k, (d, _)) =>
+            k -> (if (standalone) spawnCell("dedup_contain_auto", d)
+                  else median3(fn, d)) }
+          val exp = math.log(cells(1)._2 / cells(0)._2) / math.log(10.0)
+          System.err.println(f"[scale] dedup_contain_zipfcap   " +
+            cells.map { case (k, t) => f"${k}x ${t}%7.2f s" }.mkString("  ") +
+            f"   exp $exp%5.2f   (CappedPlan engaged at both scales)")
+          Some((cells, exp))
+        }
+      }
+
     def ms(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val json = rows.map { case (n, ts, legs) =>
       s""""$n":{"sec":[${ts.map(t => ms(t._2)).mkString(",")}],""" +
         s""""exp":[${legs.map(ms).mkString(",")}]}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","points":[${scales.map(_._1).mkString(",")}],"rows":$json,"base":"$base"}""")
+
+    // 10x BENCH comparator lane (judge r15 Next #5): cross-round
+    // regression detection AT the scale the exponents are fitted on.
+    // The probe's 10x cells ARE the lane — this block persists them as
+    // `bench10x_result.json` (committed at close, the bench_result.json
+    // protocol) with a drift_vs_prev field (median common-row ratio vs
+    // the committed artifact, Bench.driftFactor's definition), so a 10x
+    // wall-clock regression surfaces as a number the next round's close
+    // compares, not as prose.
+    if (points.headOption.contains(10)) {
+      val cur: Seq[(String, Double)] = rows.flatMap { case (n, ts, _) =>
+        ts.find(_._1 == 10).filter(_._2 > 0).map(n -> _._2) } ++
+        zipfCapRow.map { case (cells, _) =>
+          "dedup_contain_zipfcap" -> cells.last._2 }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val prevTen: Map[String, Double] = try {
+        val node = mapper.readTree(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench10x_result.json"))).path("queries")
+        val out = scala.collection.mutable.Map.empty[String, Double]
+        val it = node.fieldNames()
+        while (it.hasNext) { val k = it.next(); out(k) = node.path(k).asDouble() }
+        out.toMap
+      } catch { case _: Throwable => Map.empty }
+      val drift = graft.Bench.driftFactor(cur, prevTen)
+      val qs = cur.map { case (k, v) => s""""$k":${ms(v)}""" }
+        .mkString("{", ",", "}")
+      val line = s"""{"metric":"total10x","value":${ms(cur.map(_._2).sum)},""" +
+        s""""unit":"sec","queries":$qs,""" +
+        s""""drift_vs_prev":${drift.map(ms).getOrElse("null")},""" +
+        s""""drift_n":${cur.count { case (k, _) => prevTen.contains(k) }},""" +
+        s""""standalone":$standalone,"base":"$base"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench10x_result.json"),
+        line.getBytes("UTF-8"))
+      System.err.println(s"[scale] wrote bench10x_result.json — the 10x " +
+        s"round comparator (drift_vs_prev=${drift.map(ms).getOrElse("null")})")
+    }
     println("| operator | " + scales.map(s => s"${s._1}x (s)").mkString(" | ") +
       " | " + scales.sliding(2).map { case Seq(a, b) => s"exp ${a._1}->${b._1}" }
         .mkString(" | ") + " |")
@@ -436,7 +512,35 @@ object ScaleProbe {
         spark.stop()
         sys.exit(2)
       }
-      System.err.println(f"[scale] PASS: all ${rows.size} non-gate exponents <= $bound%.2f")
+      // capped-regime leg under the SAME bound (judge r15 Next #4),
+      // with the same fresh-JVM second opinion before failing
+      zipfCapRow.foreach { case (_, exp) =>
+        val confirmed = exp > bound && {
+          if (standalone) true
+          else {
+            val cells2 = zipfCapDirs.map { case (k, (d, _)) =>
+              k -> spawnCell("dedup_contain_auto", d) }
+            if (cells2.exists(_._2 <= 0)) true // child failed: keep FAIL
+            else {
+              val exp2 =
+                math.log(cells2(1)._2 / cells2(0)._2) / math.log(10.0)
+              System.err.println(f"[scale] dedup_contain_zipfcap " +
+                f"adjudicated in fresh JVMs: exp $exp2%5.2f" +
+                (if (exp2 <= bound) " — CLEARED (in-process inflation)"
+                 else " — CONFIRMED over bound"))
+              exp2 > bound
+            }
+          }
+        }
+        if (confirmed) {
+          System.err.println(
+            f"[scale] FAIL dedup_contain_zipfcap: exponent $exp%.2f > $bound%.2f")
+          spark.stop()
+          sys.exit(2)
+        }
+      }
+      System.err.println(f"[scale] PASS: all ${rows.size} non-gate exponents <= $bound%.2f" +
+        zipfCapRow.map(z => f" (capped-regime leg ${z._2}%.2f)").getOrElse(""))
     }
     spark.stop()
   }

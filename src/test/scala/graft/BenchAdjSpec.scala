@@ -124,6 +124,58 @@ class BenchAdjSpec extends AnyFunSuite {
     assert(Bench.driftedRows(many, prev2, 2).map(_._1) === Seq("b", "c"))
   }
 
+  test("box ratio normalizes drift thresholds (judge r15 Next #6)") {
+    // A uniformly 1.10x-slower box must NOT adjudicate uniformly
+    // 1.10x-slower rows: at boxRatio 1.10 the comparator scales with
+    // the box and nothing clears the 1.5x bar...
+    val prev = Map("a" -> 4.0, "b" -> 6.0, "c" -> 8.0)
+    val slowBox = Seq("a" -> 4.4, "b" -> 6.6, "c" -> 8.8)
+    assert(Bench.driftedRows(slowBox, prev, 4).isEmpty) // below 1.5x anyway
+    val slower = Seq("a" -> 6.4, "b" -> 9.6, "c" -> 12.8) // 1.6x everywhere
+    assert(Bench.driftedRows(slower, prev, 4).nonEmpty)
+    // ...the SAME rows under a 1.45x box ratio are within the scaled bar
+    assert(Bench.driftedRows(slower, prev, 4, boxRatio = 1.45).isEmpty)
+    // a true regression still clears the box-scaled thresholds
+    val real = Seq("a" -> 6.4, "b" -> 19.6, "c" -> 12.8)
+    assert(Bench.driftedRows(real, prev, 4, boxRatio = 1.45)
+      .map(_._1) === Seq("b"))
+    // and a FASTER box tightens the bar: a row flat vs the comparator
+    // while everything else sped up 2x is a relative regression
+    assert(Bench.driftedRows(Seq("a" -> 4.0), Map("a" -> 4.0), 4,
+      boxRatio = 0.5).map(_._1) === Seq("a"))
+  }
+
+  test("comparator box_score comes from the SAME source as the medians") {
+    // BENCH artifact carries queries AND box -> both from it
+    val d1 = tmp()
+    write(d1, "BENCH_r3.json",
+      """{"queries":{"a":1.5},"box_score":0.420}""")
+    write(d1, "bench_result.json",
+      """{"queries":{"z":9.9},"box_score":0.900}""")
+    val (q1, b1) = Bench.latestPrevComparator(d1)
+    assert(q1 === Map("a" -> 1.5) && b1.contains(0.420))
+    // BENCH artifact unusable (no queries) -> bench_result supplies
+    // BOTH, even though the BENCH tail carries a box_score literal
+    val d2 = tmp()
+    write(d2, "BENCH_r3.json",
+      """{"parsed":null,"tail":"\"box_score\":0.111,\"queries\":{\"a\":2."}""")
+    write(d2, "bench_result.json",
+      """{"queries":{"z":9.9},"box_score":0.900}""")
+    val (q2, b2) = Bench.latestPrevComparator(d2)
+    assert(q2 === Map("z" -> 9.9) && b2.contains(0.900))
+    // tail-embedded box parses when the tail also yields the queries
+    val d3 = tmp()
+    write(d3, "BENCH_r3.json",
+      """{"parsed":null,"tail":"\"queries\":{\"a\":2.5},\"box_score\":0.433,\"x\":1"}""")
+    val (q3, b3) = Bench.latestPrevComparator(d3)
+    assert(q3 === Map("a" -> 2.5) && b3.contains(0.433))
+    // pre-r15 comparator (no box anywhere): medians yes, box None
+    val d4 = tmp()
+    write(d4, "bench_result.json", """{"queries":{"a":1.0}}""")
+    val (q4, b4) = Bench.latestPrevComparator(d4)
+    assert(q4 === Map("a" -> 1.0) && b4.isEmpty)
+  }
+
   test("drift factor is the median common-row ratio, tail-insensitive") {
     val prev = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "d" -> 1.0)
     // ratios: a 1.1, b 1.1, c 1.1 — and one 10x tail that must NOT move
