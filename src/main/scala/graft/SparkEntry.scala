@@ -114,6 +114,10 @@ object SparkEntry {
     "ingest_flatten"  -> (IngestQueries.flattenDemo _),
     "ingest_validate" -> (IngestQueries.validateDemo _),
     "singer_pipeline" -> (IngestQueries.singerRoundTrip _),
+    // The SAME corpus through the live DSv2 stdin MicroBatchStream
+    // (pipe-fed, EOF-drained via Main.runLive's wait discipline) —
+    // live and batch delivery must land identical rows (r16).
+    "stream_live_ingest" -> (IngestQueries.liveIngestRoundTrip _),
     "doc_pipeline"    -> ((s, d) => DocPipeline.curate(s, d)),
     // JSONL export -> shard read-back -> per-lang content fingerprints;
     // the oracle derives the same fingerprints from the original
@@ -2026,6 +2030,12 @@ object SparkEntry {
         | '[' || chr(39) || p_brand || chr(39) || ', ' || chr(39) || p_type || chr(39) || ']' AS tags
         |FROM part ORDER BY prod__key""".stripMargin,
     "singer_pipeline" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts,
+        | user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    // Identical oracle to singer_pipeline BY DESIGN: the live DSv2
+    // delivery must land exactly the rows the batch pipeline lands.
+    "stream_live_ingest" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS ts,
         | user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,

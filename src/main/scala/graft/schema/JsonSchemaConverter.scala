@@ -84,8 +84,20 @@ object JsonSchemaConverter {
                  sampleRows: Long): StructType = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val base = recs.filter(col("rec").isNotNull).select("rec").as[String]
-    spark.read.json(if (sampleRows > 0) base.limit(sampleRows.toInt) else base).schema
+    val nonNull = recs.filter(col("rec").isNotNull)
+    // The bounded sample is the FIRST `sampleRows` records by arrival
+    // (`idx` — the Singer line order both ingest paths carry): a bare
+    // limit() took whichever partition answered first, which was only
+    // prefix-deterministic while batches arrived as one serial
+    // partition; since the r16 fan-out exchange the prefix must be
+    // spelled (TakeOrderedAndProject — top-n per partition + merge, no
+    // full sort). Relations without idx keep the unordered limit.
+    val bounded =
+      if (sampleRows <= 0) nonNull
+      else if (recs.columns.contains("idx"))
+        nonNull.orderBy(col("idx")).limit(sampleRows.toInt)
+      else nonNull.limit(sampleRows.toInt)
+    spark.read.json(bounded.select("rec").as[String]).schema
   }
 
   /** Merge an inferred record schema into the declared one: declared leaf
