@@ -43,4 +43,4 @@ echo "[close] 3/4 full Bench @ $BENCH_DIR (writes $REPO/bench_result.json — th
 echo "[close] 4/4 exponent gate (max_exp=$MAX_EXP)"
 bash "$REPO/scripts/scale_check.sh" "$MAX_EXP"
 
-echo "[close] ALL GREEN — bench_result.json is the round comparator; commit it with BASELINE.md"
+echo "[close] ALL GREEN — commit bench_result.json AND bench10x_result.json (the 1x and 10x round comparators) with BASELINE.md"
