@@ -305,7 +305,9 @@ object Bench {
       "dedup_minhash"    -> ((s, d) => operators.Dedup.minhashPairsVerifiedAuto(s, d)),
       "dedup_simhash"    -> ((s, d) => operators.Dedup.simhashPairs(s, d, maxDist = 3)),
       "text_fingerprint" -> ((s, d) => operators.TextAnalysis.fingerprints(s, d)),
-      "ann_lsh"          -> ((s, d) => operators.Similarity.lshTopK(s, d)),
+      // engine-chosen band geometry (r16); decision memoized per dir —
+      // warm after the untimed warm-up pass, same as dedup_minhash
+      "ann_lsh"          -> ((s, d) => operators.Similarity.lshTopKAuto(s, d)),
       "ann_ivf"          -> ((s, d) => operators.Similarity.ivfTopK(s, d)),
       "ann_pq"           -> ((s, d) => operators.Similarity.pqTopK(s, d)),
       "ann_ivfpq"        -> ((s, d) => operators.Similarity.ivfPqTopK(s, d)),

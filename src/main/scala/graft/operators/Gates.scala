@@ -476,10 +476,15 @@ object Gates {
         (col("mismatch") === 0).as("incr_equals_onepass"))
   }
 
-  /** Sign-LSH ANN recall gate — measured 0.96 at sf0.01 (16 bands x 4
-    * bits; see [[Similarity.lshTopK]] for the band math). */
+  /** Sign-LSH ANN recall gate — measured 0.96 at sf0.01. The band
+    * geometry is ENGINE-CHOSEN since r16
+    * ([[Similarity.chooseSignLshGeometry]]: measured p10 neighbor
+    * cosine → closed-form S-curve floor at THIS gate's own recall
+    * bound → sampled-collision argmin); on this corpus the decision
+    * re-derives the r8 constants (16 bands x 4 bits), so the row's
+    * output is bit-identical by construction (spec-pinned). */
   def annLshGate(s: SparkSession, dir: String): DataFrame =
-    annGate(s, dir, Similarity.lshTopK(s, dir),
+    annGate(s, dir, Similarity.lshTopKAuto(s, dir),
       recallBound = envBound("GRAFT_ANN_RECALL_BOUND", 0.85))
 
   /** GRAPH-ANN (NSW-family beam search) recall gate — multi-entry

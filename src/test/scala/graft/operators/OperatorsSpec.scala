@@ -1449,6 +1449,34 @@ class OperatorsSpec extends SparkSpec {
       s"scale under the derived triple ($nl, $np, $rr)")
   }
 
+  test("sign-LSH band geometry is engine-chosen (r16 — the fifth decision)") {
+    // The r8 hand calibration ("neighbors at cos ~0.4 -> 4-bit bands")
+    // as a derivation: measured p10 neighbor cosine -> closed-form
+    // S-curve floor at the family's own 0.85 gate bound -> sampled-
+    // collision argmin. On the testdata corpus the decision must
+    // re-derive the fixture constants (16 bands x 4 bits) so the
+    // registered row's output is unchanged by construction...
+    val g = Similarity.chooseSignLshGeometry(spark, "/root/testdata/sf0.001")
+    assert((g.bands, g.r) === ((16, 4)), g.toString)
+    // the conservative design point: closed-form floor clears the gate
+    // bound while the measured recall at (16,4) is 0.96 (BASELINE r16)
+    assert(g.recallAtDesign >= 0.85 && g.designCos > 0.2 && g.designCos < 0.4,
+      g.toString)
+    // ...and the auto spelling IS the manual one at the derived point
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ids(Similarity.lshTopKAuto(spark, "/root/testdata/sf0.001")) ===
+      ids(Similarity.lshTopK(spark, "/root/testdata/sf0.001", bands = 16)))
+    // high-cosine regime: on the clustered fixture (p10 neighbor cos
+    // ~0.985, per-bit collision ~0.96) the decision flips to WIDER
+    // bands — 16-bit bands are eligible there and cut the sampled
+    // collisions ~5x vs (8,8), ~13x vs (16,4)
+    val gc = Similarity.chooseSignLshGeometryOn(
+      Similarity.clusteredCorpus(spark), 64, 5, 0.85)
+    assert(gc.r >= 8, s"high-cosine corpus must widen bands, got $gc")
+    assert(gc.designCos > 0.9, gc.toString)
+  }
+
   test("auto ANN planner: brute in every regime the cost model says brute") {
     // corpus at/below training-sample scale
     val small = Similarity.clusteredCorpus(spark, n = 200)
