@@ -190,6 +190,10 @@ object SparkEntry {
     "dedup_incr_bloom" -> ((s, d) => Dedup.incrementalExactBloom(s, d)),
     "dedup_cluster"   -> ((s, d) => Dedup.clusterAssignments(s, d)),
     "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
+    // The sixth engine decision (r16) as a correctness row: shingle
+    // width derived from the sampled candidate-mass-vs-all-pairs
+    // verdict, pinned literals + bit-equality vs the manual width.
+    "dedup_shingle_auto" -> (Gates.shingleAutoGate _),
     "dedup_substr"    -> ((s, d) => Dedup.substrDupSpans(s, d)),
     "curate_substr"   -> ((s, d) => Curation.cutDuplicatedSubstrings(s, d)),
     "dedup_edit1"     -> ((s, d) => Dedup.editPairs(s, d)),
@@ -516,6 +520,10 @@ object SparkEntry {
     "search_incr_artifact" -> ((s, d) => Search.incrementalIndex(s, d)),
     "search_tfidf"  -> ((s, d) => Search.tfidfTopK(s, d)),
     "search_bm25"   -> ((s, d) => Search.bm25TopK(s, d)),
+    // The search family's first above-sf0.1 row (r16): BM25 over the
+    // shared inline 10x Caesar corpus, integer scores hash-matched
+    // against the oracle's replay of the same construction.
+    "search_bm25_10x" -> ((s, d) => Search.bm25TopK10x(s, d)),
     "search_phrase" -> ((s, d) => Search.phraseSearch(s, d)),
     // Retrieve-then-rerank: BM25 top-50 candidates re-ranked by embedding
     // cosine vs the top lexical hit's vector (rank-only, hash-exact).
@@ -1276,6 +1284,43 @@ object SparkEntry {
         |SELECT doc_id, score,
         | CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // The same BM25 CTE chain over the shared inline 10x Caesar
+    // construction (the dedup_exact_10x VALUES + translate replay):
+    // corpus statistics, query-term selection and integer scoring all
+    // recomputed at 10x in both engines.
+    "search_bm25_10x" -> {
+      val values = (0 until 10)
+        .map(k => s"($k, '${graft.operators.Dedup.caesarTo(k)}')")
+        .mkString(", ")
+      s"""WITH shift AS (SELECT max(doc_id) + 1 AS s FROM documents),
+         |scaled AS (
+         |  SELECT d.doc_id + ks.k * shift.s AS doc_id,
+         |         translate(d.text, '${graft.operators.Dedup.caesarFrom}',
+         |                   ks.to_s) AS text
+         |  FROM documents d
+         |  CROSS JOIN (VALUES $values) ks(k, to_s)
+         |  CROSS JOIN shift),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM scaled),
+         |l AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM scaled),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_len FROM l),
+         |u AS (SELECT DISTINCT doc_id, term FROM t),
+         |d AS (SELECT term, count(*) AS df FROM u GROUP BY term),
+         |q AS (SELECT term,
+         |        ((2 * st.n_docs - 2 * df + 1) * 1000000) // (2 * df + 1) AS idf_micro,
+         |        st.s_len, st.n_docs
+         |      FROM d, st ORDER BY df ASC, term ASC LIMIT 3),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         |c AS (SELECT tf.doc_id,
+         |        (q.idf_micro * ((1000000 * 36 * tf.tf * q.s_len) //
+         |          (16 * tf.tf * q.s_len + 5 * q.s_len + 15 * l.dl * q.n_docs)))
+         |         // 1000000 AS contrib
+         |      FROM tf JOIN q USING (term) JOIN l ON tf.doc_id = l.doc_id),
+         |sc AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+         |       FROM c GROUP BY doc_id)
+         |SELECT doc_id, score,
+         | CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
     // Retrieve-then-rerank: the BM25 CTE chain widened to 50 candidates,
     // then cosine re-rank vs the top hit's embedding. Rank-only output
     // (plus the BIGINT lexical score) — the bruteForceTopK precedent for
@@ -2150,6 +2195,18 @@ object SparkEntry {
         | 'capped' AS decision, CAST(96 AS BIGINT) AS max_df,
         | CAST(6.21 AS DOUBLE) AS tail_df,
         | CAST(0.9545 AS DOUBLE) AS coverage""".stripMargin,
+    // The shingle-width decision's pinned point at sf0.01 (probed via
+    // the engine's own sampler): width 3 eligible — candidate mass
+    // 13,985 vs 124,750 sample pairs (the inverted join beats
+    // enumeration 8.9×; width 2 reads 367,879 — WORSE than brute) —
+    // edit robustness 0.839193 at the chosen width, and the auto pair
+    // relation bit-equal to the manual width-3 spelling (25 pairs).
+    "dedup_shingle_auto" ->
+      """SELECT CAST(25 AS BIGINT) AS n_pairs, true AS auto_equals_manual,
+        | CAST(3 AS BIGINT) AS width, true AS eligible,
+        | CAST(13985 AS BIGINT) AS cand_mass,
+        | CAST(124750 AS BIGINT) AS sample_pairs,
+        | CAST(839193 AS BIGINT) AS edit_rob_micro""".stripMargin,
     // Character-level duplicated-substring spans (L = 40). The oracle
     // re-derives duplicated L-grams from the raw text (the Spark side
     // carries only xxhash64 anchors — a hash collision cannot hash-match

@@ -511,20 +511,181 @@ object Dedup {
     * The jaccard VALUE is a ratio of set sizes, so it is invariant to
     * the gram hash and oracle-checkable from gram strings. */
   def shinglePairs(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
-    shinglePairsUnsorted(s, dir, threshold)
+    shinglePairsAutoUnsorted(s, dir, threshold)
       .localCheckpoint() // sort sampling must not re-run the prefix join
       .orderBy("doc_a", "doc_b")
 
-  /** The ONE definition of the shingle-jaccard pair plan — consumed by
-    * [[shinglePairs]], the fingerprint gate's sequence-level truth and
-    * tools/GateMargins, so threshold/prefix-order tuning cannot drift
-    * between operator, gate and calibration tool. */
+  /** The ONE definition of the shingle-jaccard pair plan at an EXPLICIT
+    * width — consumed by [[shinglePairsAutoUnsorted]] (which derives the
+    * width), the fingerprint gate's sequence-level truth and
+    * tools/GateMargins (both pinned at the manual width 3), so
+    * threshold/prefix-order tuning cannot drift between operator, gate
+    * and calibration tool. */
   private[graft] def shinglePairsUnsorted(s: SparkSession, dir: String,
-                                          threshold: Double = 0.9): DataFrame =
-    jaccardPairsFromSets(TextAnalysis.gramSets(s, dir), threshold,
+                                          threshold: Double = 0.9,
+                                          width: Int = 3): DataFrame =
+    jaccardPairsFromSets(TextAnalysis.gramSetsAt(s, dir, width), threshold,
       // high-entropy shingles: hash order ≈ df order, and hash order
       // makes the O(1) positional prune valid (free on this path)
       rarestFirst = false, positional = true)
+
+  /** The registered shingle plan: width from [[chooseShingleWidth]]
+    * (the SIXTH engine decision, r16) and the join spelling from the
+    * plan's own eligibility verdict — the prefix join when the sampled
+    * candidate mass beats all-pairs enumeration, the broadcast
+    * merge-walk enumeration otherwise (the [[jaccardPairsBrute]] scaladoc
+    * has documented that fallback since r1: "when true near-dup density
+    * approaches all-pairs, candidates can't beat enumeration" — the
+    * decision now MEASURES that condition instead of leaving it to the
+    * caller). On the registered corpora the decision re-derives the
+    * pre-r16 width 3 with the prefix join, so the registered row's
+    * output is bit-identical by construction (spec-pinned). Falling to
+    * enumeration is LOUD (the df-cap convention): a WARN names the
+    * statistics, and the explicit-width [[shinglePairsUnsorted]] stays
+    * as the manual override. */
+  private[graft] def shinglePairsAutoUnsorted(
+      s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val plan = chooseShingleWidth(s, dir, threshold)
+    if (plan.eligible)
+      shinglePairsUnsorted(s, dir, threshold, plan.width)
+    else {
+      log.warn(s"shingle auto plan FELL BACK TO ENUMERATION on $dir " +
+        s"(threshold=$threshold, width=${plan.width}): sampled candidate " +
+        s"mass ${plan.sampledCandidates} >= ${plan.samplePairs} sample " +
+        "pairs at every width — the inverted index cannot beat " +
+        "all-pairs on this corpus; use shinglePairsUnsorted(width) to " +
+        "force the prefix join")
+      jaccardPairsBruteFromSets(
+        TextAnalysis.gramSetsAt(s, dir, plan.width), threshold)
+    }
+  }
+
+  /** The engine's shingle-width decision (r16 — the sixth engine
+    * decision; the minhash/sign-LSH recipe applied to the shingle
+    * family's one remaining fixture constant): `width` = the chosen
+    * n-gram length, `eligible` = whether the prefix join beats
+    * enumeration there, `sampledCandidates` = Σ_g C(df_g, 2) over the
+    * doc sample at the chosen width (the raw meeting volume the
+    * inverted join's cost tracks — the SAME statistic
+    * [[chooseBandGeometry]] samples per band), `samplePairs` =
+    * C(sample, 2) (what enumeration costs on the same sample),
+    * `editRobustnessMicro` = ⌊10⁶ · mean one-substitution self-jaccard⌋
+    * at the chosen width (the recall side the argmin protects). */
+  private[graft] final case class ShinglePlan(width: Int, eligible: Boolean,
+                                              sampledCandidates: Long,
+                                              samplePairs: Long,
+                                              editRobustnessMicro: Long)
+
+  /** Widths the decision searches (2..8; width 1 is token-SET jaccard —
+    * a different operator, [[jaccardPairs]]). */
+  private[graft] val ShingleWidthMax = 8
+
+  /** Per-doc token cap for the width sampler — keeps the driver-side
+    * sample O([[AutoSampleDocs]] · cap) at any document length. */
+  private[graft] val ShingleSampleMaxTokens = 4096
+
+  /** AUTO shingle width from the corpus itself. The width is SEMANTIC
+    * (it defines which gram multiset jaccard compares — the df-cap
+    * precedent, not the pure-plan band decisions), so the rule is built
+    * from the operator's contract, one bound per failure direction:
+    *
+    *   - ELIGIBILITY (discrimination): at width w, the sampled raw
+    *     candidate mass Σ_g C(df_g, 2) must be BELOW C(sample, 2) —
+    *     the inverted prefix join must beat brute enumeration on its
+    *     own sampled cost term, else the "index" meets more pairs than
+    *     all-pairs and the width cannot separate near-dups from
+    *     background (measured on the registered corpora: width 2 reads
+    *     ~3× all-pairs — WORSE than brute — width 3 reads ~0.1×).
+    *     Doc-sampling at rate p scales both sides ~p², so the verdict
+    *     is sampling-rate invariant (the prefixOrderingStats argument).
+    *   - ARGMIN (recall): among eligible widths, the SMALLEST — every
+    *     token edit destroys up to w shingles, so one-substitution
+    *     self-jaccard falls monotonically with w (measured grid in
+    *     BASELINE.md r16; the chosen width's value ships in the plan
+    *     as `editRobustnessMicro`), and at a fixed threshold a larger
+    *     width silently tightens what "near-dup" means.
+    *
+    * When NO width is eligible (saturated corpora — a bounded
+    * vocabulary's grams repeat at every width), the honest plan is
+    * enumeration: `eligible = false`, width = argmin candidate mass
+    * (ties → smaller), and [[shinglePairsAutoUnsorted]] takes the
+    * brute spelling with a WARN. Sampling is the house recipe: a
+    * ≤[[AutoSampleDocs]] hash-mod doc sample, token arrays capped at
+    * [[ShingleSampleMaxTokens]], grams computed with the OPERATOR'S OWN
+    * chain (XXH64 over pre-hashed tokens, seed 42 — byte-for-byte the
+    * [[graft.functions.HashedNGrams]] kernel, spec-pinned against it),
+    * statistics driver-side over the bounded sample. Memoized per
+    * (dir, threshold) — a stale memo repeats a decision. On the
+    * registered corpora the decision IS the pre-r16 constant 3, so the
+    * registered row is unchanged by construction. */
+  private[graft] def chooseShingleWidth(s: SparkSession, dir: String,
+                                        threshold: Double = 0.9): ShinglePlan =
+    shingleDecisions.computeIfAbsent((dir, threshold), _ => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val mod = math.max(1L, n / AutoSampleDocs)
+      val sample = (if (mod == 1L) docs
+        else docs.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0))
+        .select(col("doc_id"),
+          slice(transform(split(col("text"), " "), t => xxhash64(t)),
+            1, ShingleSampleMaxTokens).as("th"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).map(_._2) // collect order is not deterministic; doc order is
+      val ns = sample.length
+      val samplePairs = ns.toLong * (ns - 1) / 2
+      val stats = (2 to ShingleWidthMax).map { w =>
+        val df = new java.util.HashMap[Long, Long]()
+        sample.foreach(t => distinctGramsAt(t, w).foreach(g =>
+          df.merge(g, 1L, _ + _)))
+        var cand = 0L
+        df.values.forEach(c => cand += c * (c - 1) / 2)
+        w -> cand
+      }
+      val chosen = stats.find(_._2 < samplePairs)
+        .getOrElse(stats.minBy(_._2))
+      // the recall side, measured at the chosen width: mutate the middle
+      // token of (up to) the first 128 sampled docs, mean self-jaccard
+      val probes = sample.iterator.filter(_.nonEmpty).take(128).toArray
+      val robMicro =
+        if (probes.isEmpty) 1000000L
+        else {
+          val sum = probes.iterator.map { t =>
+            val m = t.clone(); m(t.length / 2) = 0x5f3759df
+            val (a, b) = (distinctGramsAt(t, chosen._1).toSet,
+              distinctGramsAt(m, chosen._1).toSet)
+            val in = a.intersect(b).size
+            in.toDouble / (a.size + b.size - in)
+          }.sum
+          math.floor(1e6 * sum / probes.length).toLong
+        }
+      ShinglePlan(chosen._1, chosen._2 < samplePairs, chosen._2,
+        samplePairs, robMicro)
+    })
+
+  /** Distinct gram hashes of a token-hash array at width w — the
+    * [[graft.functions.HashedNGrams]] chain (seed 42, XXH64 per token
+    * hash) evaluated driver-side on the bounded sample, so the decision
+    * statistics are computed under the operator's own gram identity
+    * (the sign-LSH "own hyperplanes" rule). Spec-pinned equal to the
+    * kernel's output. */
+  private[graft] def distinctGramsAt(toks: Array[Long], w: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val m = math.max(toks.length - w + 1, 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 42L
+      var j = i
+      val end = math.min(i + w, toks.length)
+      while (j < end) { h = XXH64.hashLong(toks(j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out.distinct
+  }
+
+  private[this] val shingleDecisions =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), ShinglePlan]()
 
   /** ENGINE-DERIVED df cap for the SHINGLE family (judge r15 Next #7):
     * the same median-multiple fence as the word-token family
@@ -548,9 +709,16 @@ object Dedup {
     * output) and as the degenerate-corpus fallback — when true near-dup
     * density approaches all-pairs, candidates can't beat enumeration.
     * NOT registered: quadratic, dies at 100 TB. */
-  def jaccardPairsBrute(s: SparkSession, dir: String, threshold: Double = 0.85): DataFrame = {
+  def jaccardPairsBrute(s: SparkSession, dir: String, threshold: Double = 0.85): DataFrame =
+    jaccardPairsBruteFromSets(hashedTokenSets(s, dir), threshold)
+
+  /** [[jaccardPairsBrute]] over an explicit (doc_id, toks, sz) set
+    * relation — so the shingle family's ineligible-width fallback
+    * ([[shinglePairsAutoUnsorted]]) enumerates over GRAM sets with the
+    * same spelling the token family pins against. */
+  private[graft] def jaccardPairsBruteFromSets(toks: DataFrame,
+                                               threshold: Double): DataFrame = {
     import graft.functions.ArrayOps.sortedIntersectCount
-    val toks = hashedTokenSets(s, dir)
     val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") /
       greatest(col("a.sz"), col("b.sz")) >= threshold
     toks.as("a").join(broadcast(toks.as("b")),

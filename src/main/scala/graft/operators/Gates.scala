@@ -748,4 +748,36 @@ object Gates {
         (col("mean_overlap") >= overlapBound).as("neardup_overlap_ok"),
         (col("dup_min") === 1).as("exactdup_identical"))
   }
+
+  /** SHINGLE-WIDTH gate (r16 — the sixth engine decision as a
+    * correctness row): [[Dedup.chooseShingleWidth]] on the registered
+    * corpus must (a) re-derive the pre-r16 fixture width 3 in the
+    * ELIGIBLE regime — the sampled candidate mass Σ_g C(df_g, 2)
+    * beating C(sample, 2) all-pairs enumeration, both statistics in
+    * the row — and (b) leave the registered pair relation
+    * bit-identical to the manual width-3 spelling (in-plan full-outer
+    * equality over (doc_a, doc_b, jaccard) — the artifact_equals_fresh
+    * convention). The decision literals ride in the row (the ann_auto
+    * convention), so a sampler drift, a chain-hash drift or an
+    * eligibility-rule drift hash-mismatches against the oracle's
+    * pinned values. */
+  def shingleAutoGate(s: SparkSession, dir: String): DataFrame = {
+    val plan = Dedup.chooseShingleWidth(s, dir)
+    val auto = Dedup.shinglePairsAutoUnsorted(s, dir)
+      .localCheckpoint() // bounded pair relation; feeds the equality join
+    val manual = Dedup.shinglePairsUnsorted(s, dir, width = 3)
+    auto.select(col("doc_a"), col("doc_b"), col("jaccard"),
+        lit(1).as("in_auto"))
+      .join(manual.select(col("doc_a"), col("doc_b"), col("jaccard"),
+          lit(1).as("in_manual")),
+        Seq("doc_a", "doc_b", "jaccard"), "full_outer")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("in_auto").isNull || col("in_manual").isNull,
+          1).otherwise(0)), lit(0)).as("mismatch"))
+      .select(col("n_pairs"), (col("mismatch") === 0).as("auto_equals_manual"),
+        lit(plan.width.toLong).as("width"), lit(plan.eligible).as("eligible"),
+        lit(plan.sampledCandidates).as("cand_mass"),
+        lit(plan.samplePairs).as("sample_pairs"),
+        lit(plan.editRobustnessMicro).as("edit_rob_micro"))
+  }
 }

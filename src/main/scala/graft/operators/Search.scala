@@ -138,11 +138,35 @@ object Search {
     * the global top-k is orderBy.limit (TakeOrderedAndProject) with ranks
     * windowed over the k survivors only. */
   def bm25TopK(s: SparkSession, dir: String, nTerms: Int = 3,
-               topK: Int = 10): DataFrame = {
-    val lens = Tables.documents(s, dir)
+               topK: Int = 10): DataFrame =
+    bm25TopKOn(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      nTerms, topK)
+
+  /** [[bm25TopK]] over the INLINE 10× Caesar corpus ([[Dedup.docs10x]] —
+    * the construction every `_10x` correctness row shares): the search
+    * family's first above-sf0.1 oracle row (r16). The Caesar copies
+    * keep every within-copy ranking signal exact while the corpus
+    * statistics scale 10× — n_docs, s_len and the global (df asc,
+    * term asc) query-term selection are all computed over the scaled
+    * relation, and the DuckDB oracle replays the identical VALUES +
+    * translate construction, so the integer micro-unit scores
+    * hash-match end-to-end. Scale shape unchanged: two term-keyed
+    * aggregates + a broadcast query-term join at 10× the rows. */
+  def bm25TopK10x(s: SparkSession, dir: String, nTerms: Int = 3,
+                  topK: Int = 10): DataFrame =
+    bm25TopKOn(Dedup.docs10x(s, dir), nTerms, topK)
+
+  /** The ONE BM25 definition, over an explicit (doc_id, text) relation —
+    * shared by the sf-scale row and the 10× row so the scoring formula
+    * cannot drift between them. */
+  private[graft] def bm25TopKOn(docs: DataFrame, nTerms: Int = 3,
+                                topK: Int = 10): DataFrame = {
+    val lens = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_len"))
-    val qterms = memberships(s, dir)
+    val qterms = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").asc, col("term").asc).limit(nTerms)
       .crossJoin(stats) // nTerms × 1 rows
@@ -150,7 +174,8 @@ object Search {
         expr("((2 * n_docs - 2 * df + 1) * 1000000) div (2 * df + 1)")
           .as("idf_micro"),
         col("s_len"), col("n_docs"))
-    val tf = occurrences(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val scored = tf.join(broadcast(qterms), "term")
       .join(lens, "doc_id")

@@ -207,9 +207,13 @@ object TextAnalysis {
     * one allocation + string hash per gram per row. Gram identity is a
     * different (equally injective) hash; every oracle-checked quantity
     * is hash-invariant. */
-  private def gramsExpr: Column =
+  private def gramsExpr: Column = gramsExprAt(3)
+
+  /** [[gramsExpr]] at an explicit width (shared by [[gramSetsAt]] and
+    * the width decision's sampler). */
+  private[operators] def gramsExprAt(w: Int): Column =
     graft.functions.NGramOps.hashedNGrams(
-      transform(tokens(col("text")), t => xxhash64(t)), 3)
+      transform(tokens(col("text")), t => xxhash64(t)), w)
 
   /** The full distinct fingerprint set per doc (sorted) — consumed by the
     * near-dup-overlap gate and by anyone clustering on fingerprints.
@@ -499,8 +503,17 @@ object TextAnalysis {
     * identical token sets can have unrelated word order and share zero
     * sequence fingerprints). */
   def gramSets(s: SparkSession, dir: String): DataFrame =
+    gramSetsAt(s, dir, 3)
+
+  /** [[gramSets]] at an explicit shingle width — the relation behind
+    * [[Dedup.chooseShingleWidth]]'s decision (r16): the width stops
+    * being a fixture constant and becomes the engine-derived value for
+    * the corpus at hand. Width 3 remains the manual spelling every
+    * pre-r16 pin uses. */
+  def gramSetsAt(s: SparkSession, dir: String, width: Int): DataFrame =
     documents(s, dir)
-      .select(col("doc_id"), sort_array(array_distinct(gramsExpr)).as("toks"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(gramsExprAt(width))).as("toks"))
       .withColumn("sz", size(col("toks")))
 
   /** Flesch reading-ease per document, in EXACT integer micro-units —

@@ -310,6 +310,69 @@ class OperatorsSpec extends SparkSpec {
     assert(auto == manual && auto.nonEmpty)
   }
 
+  test("auto shingle width: re-derives 3 eligible, flips on low-vocab, enumerates on saturated (r16)") {
+    // The sixth engine decision. Registered corpus: the decision must
+    // re-derive the pre-r16 constant width 3 in the eligible regime —
+    // sampled candidate mass below all-pairs — so the registered row's
+    // output is unchanged by construction.
+    val p = Dedup.chooseShingleWidth(spark, "/root/testdata/sf0.001")
+    assert(p.width === 3 && p.eligible, p.toString)
+    assert(p.sampledCandidates < p.samplePairs, p.toString)
+    // The decision statistics are computed under the operator's OWN
+    // gram identity: the driver-side chain must equal the HashedNGrams
+    // kernel byte-for-byte (seed 42, XXH64 over pre-hashed tokens).
+    val kern = TextAnalysis.gramSetsAt(spark, "/root/testdata/sf0.001", 4)
+      .orderBy("doc_id").limit(8).collect().map(_.getSeq[Long](1).toSet)
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").limit(8)
+      .select(transform(split(col("text"), " "), t => xxhash64(t)).as("th"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    assert(kern.zip(toks).forall { case (k, t) =>
+      Dedup.distinctGramsAt(t, 4).toSet == k })
+    // auto pair relation == manual width-3 bit-for-bit on the corpus
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(canon(Dedup.shinglePairsAutoUnsorted(spark, "/root/testdata/sf0.001"))
+      == canon(Dedup.shinglePairsUnsorted(spark, "/root/testdata/sf0.001")))
+    // Fixture corpora: 400 docs x 120 tokens over a bounded vocabulary.
+    // splitmix-mixed draws (true entropy) at vocab 20: width-3 grams
+    // out of 20^3 = 8000 collide above all-pairs, width 4 separates ->
+    // the decision flips to 4, still eligible. The UNMIXED golden-ratio
+    // Weyl stream at the same vocab is a low-discrepancy pattern whose
+    // grams repeat at EVERY width <= 8 -> no eligible width, and the
+    // auto path must fall back to enumeration.
+    def mk(name: String, mixed: Boolean): String = {
+      import spark.implicits._
+      val d = Files.createTempDirectory(s"graft-shw-$name").toString
+      spark.range(400).map { dd =>
+        val t = (0 until 120).map { j =>
+          val i = dd * 120 + j
+          val h = if (!mixed) i * -7046029254386353131L
+                  else { var z = i * -7046029254386353131L
+                         z ^= (z >>> 30); z *= -4658895280553007687L
+                         z ^= (z >>> 27); z *= -7723592293110705685L
+                         z ^= (z >>> 31); z }
+          "w" + (((h >>> 40) % 20 + 20) % 20)
+        }.mkString(" ")
+        (dd, t, "en", "syn", 600L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val mixDir = mk("mix", mixed = true)
+    val pm = Dedup.chooseShingleWidth(spark, mixDir)
+    assert(pm.width === 4 && pm.eligible, pm.toString)
+    val weylDir = mk("weyl", mixed = false)
+    val pw = Dedup.chooseShingleWidth(spark, weylDir)
+    assert(!pw.eligible && pw.sampledCandidates >= pw.samplePairs, pw.toString)
+    // the enumeration fallback serves the SAME pair relation the prefix
+    // join would at that width (value identity between the spellings)
+    val bruteOut = canon(Dedup.shinglePairsAutoUnsorted(spark, weylDir))
+    val prefixOut = canon(Dedup.shinglePairsUnsorted(spark, weylDir,
+      width = pw.width))
+    assert(bruteOut == prefixOut)
+  }
+
   test("buildZipf rebuilds a stale corpus instead of silently reusing it") {
     // judge r14 What's-wrong #1 / ADVICE r13 #2: the probe corpus is
     // load-bearing evidence for the engine decisions, so a rerun with a
