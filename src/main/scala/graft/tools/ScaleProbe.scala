@@ -148,7 +148,12 @@ object ScaleProbe {
       // assignment, bounded k-core peeling (iterative joins are where
       // exponents surprise), version restore scan, and the post-fix
       // range-partitioned-rank RFM
-      "curate_leaksplit", "graph_kcore", "version_restore", "events_rfm")
+      "curate_leaksplit", "graph_kcore", "version_restore", "events_rfm",
+      // r16: the shingle-width decision's serve row (the width memo is
+      // warm after median3's untimed rep, so the cells time the chosen
+      // prefix join, not the one-time sampler) and the BM25 row behind
+      // the new 10x oracle lane
+      "dedup_shingle", "search_bm25")
       .filterNot(n => skipGates && gateRows(n))
       .map(n => n -> graft.SparkEntry.queries(n)) ++ Seq[
       (String, (SparkSession, String) => DataFrame)](
@@ -405,7 +410,11 @@ object ScaleProbe {
     // the committed artifact, Bench.driftFactor's definition), so a 10x
     // wall-clock regression surfaces as a number the next round's close
     // compares, not as prose.
-    if (points.headOption.contains(10)) {
+    // Guard (r16): an SPARK_GRAFT_SCALE_OPS-restricted run must NOT
+    // overwrite the committed lane artifact — a partial queries map
+    // would poison the next round's drift_vs_prev (the truncated-
+    // comparator hazard the Bench box-ratio guard exists for).
+    if (points.headOption.contains(10) && onlyOps.isEmpty) {
       val cur: Seq[(String, Double)] = rows.flatMap { case (n, ts, _) =>
         ts.find(_._1 == 10).filter(_._2 > 0).map(n -> _._2) } ++
         zipfCapRow.map { case (cells, _) =>
