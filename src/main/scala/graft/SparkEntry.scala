@@ -192,7 +192,8 @@ object SparkEntry {
     "dedup_shingle"   -> ((s, d) => Dedup.shinglePairs(s, d)),
     // The sixth engine decision (r16) as a correctness row: shingle
     // width derived from the sampled candidate-mass-vs-all-pairs
-    // verdict, pinned literals + bit-equality vs the manual width.
+    // verdict; the oracle REPLAYS the whole decision from gram strings
+    // (hash-invariant statistics), plus bit-equality vs the manual width.
     "dedup_shingle_auto" -> (Gates.shingleAutoGate _),
     "dedup_substr"    -> ((s, d) => Dedup.substrDupSpans(s, d)),
     "curate_substr"   -> ((s, d) => Curation.cutDuplicatedSubstrings(s, d)),
@@ -2195,18 +2196,55 @@ object SparkEntry {
         | 'capped' AS decision, CAST(96 AS BIGINT) AS max_df,
         | CAST(6.21 AS DOUBLE) AS tail_df,
         | CAST(0.9545 AS DOUBLE) AS coverage""".stripMargin,
-    // The shingle-width decision's pinned point at sf0.01 (probed via
-    // the engine's own sampler): width 3 eligible — candidate mass
-    // 13,985 vs 124,750 sample pairs (the inverted join beats
-    // enumeration 8.9×; width 2 reads 367,879 — WORSE than brute) —
-    // edit robustness 0.839193 at the chosen width, and the auto pair
-    // relation bit-equal to the manual width-3 spelling (25 pairs).
+    // The shingle-width decision REPLAYED end-to-end in SQL (not pinned
+    // literals — the r16 upgrade after the sf0.001 bonus sweep): every
+    // statistic the engine samples is invariant under its injective
+    // gram hash, so DuckDB recomputes the whole decision from gram
+    // STRINGS — candidate mass Σ C(df,2) per width 2..8, the
+    // smallest-eligible-width argmin (cand_mass < C(n,2)), and the
+    // one-substitution robustness over the first 128 docs (sentinel
+    // token ⟂ vocabulary; jaccard is identity-invariant) — then the
+    // pair count at the DERIVED width. Precondition: at the oracle
+    // scale the sampler's mod = max(1, n/512) is 1, so sample ≡
+    // corpus (true at sf0.001 and sf0.01; the sf0.1 hash-mod sample
+    // is Bench territory, never oracle-compared). Verified replay:
+    // (25, true, 3, true, 13985, 124750, 839193) — byte-equal to the
+    // engine's hash-space statistics at sf0.01 AND sf0.001.
     "dedup_shingle_auto" ->
-      """SELECT CAST(25 AS BIGINT) AS n_pairs, true AS auto_equals_manual,
-        | CAST(3 AS BIGINT) AS width, true AS eligible,
-        | CAST(13985 AS BIGINT) AS cand_mass,
-        | CAST(124750 AS BIGINT) AS sample_pairs,
-        | CAST(839193 AS BIGINT) AS edit_rob_micro""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ws AS (SELECT w FROM (VALUES (2),(3),(4),(5),(6),(7),(8)) v(w)),
+        |g AS (SELECT w, doc_id, list_distinct(list_transform(
+        |        range(1, greatest(len(toks) - w + 1, 1) + 1),
+        |        i -> array_to_string(toks[i:i+w-1], chr(31)))) AS gs
+        |      FROM t CROSS JOIN ws),
+        |d AS (SELECT w, gram, count(*) AS df
+        |      FROM (SELECT w, doc_id, unnest(gs) AS gram FROM g) GROUP BY w, gram),
+        |cm AS (SELECT w, CAST(sum(df*(df-1)//2) AS BIGINT) AS cand_mass FROM d GROUP BY w),
+        |np AS (SELECT CAST(count(*)*(count(*)-1)//2 AS BIGINT) AS pairs FROM documents),
+        |ch AS (SELECT min(w) AS width FROM cm, np WHERE cand_mass < pairs),
+        |mt AS (SELECT doc_id, toks, list_concat(list_concat(toks[1:len(toks)//2],
+        |         [chr(30)||'m']), toks[len(toks)//2+2:len(toks)]) AS mtoks
+        |       FROM (SELECT * FROM t ORDER BY doc_id LIMIT 128)),
+        |rg AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(toks)-ch.width+1,1)+1),
+        |           i -> array_to_string(toks[i:i+ch.width-1], chr(31)))) AS ga,
+        |         list_distinct(list_transform(range(1, greatest(len(mtoks)-ch.width+1,1)+1),
+        |           i -> array_to_string(mtoks[i:i+ch.width-1], chr(31)))) AS gb
+        |       FROM mt, ch),
+        |rb AS (SELECT CAST(floor(1e6 * sum(
+        |         CAST(len(list_intersect(ga,gb)) AS DOUBLE) /
+        |         (len(ga)+len(gb)-len(list_intersect(ga,gb))) ORDER BY doc_id)
+        |         / count(*)) AS BIGINT) AS rob FROM rg),
+        |pr AS (SELECT count(*) AS n_pairs FROM (
+        |         SELECT a.doc_id FROM g a JOIN g b ON a.w = b.w AND a.doc_id < b.doc_id
+        |         CROSS JOIN ch
+        |         WHERE a.w = ch.width
+        |           AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |               (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.9))
+        |SELECT CAST(pr.n_pairs AS BIGINT) AS n_pairs, true AS auto_equals_manual,
+        | CAST(ch.width AS BIGINT) AS width, ch.width IS NOT NULL AS eligible,
+        | cm.cand_mass, np.pairs AS sample_pairs, rb.rob AS edit_rob_micro
+        |FROM ch, cm, np, rb, pr WHERE cm.w = ch.width""".stripMargin,
     // Character-level duplicated-substring spans (L = 40). The oracle
     // re-derives duplicated L-grams from the raw text (the Spark side
     // carries only xxhash64 anchors — a hash collision cannot hash-match

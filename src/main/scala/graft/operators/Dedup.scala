@@ -546,19 +546,53 @@ object Dedup {
   private[graft] def shinglePairsAutoUnsorted(
       s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
     val plan = chooseShingleWidth(s, dir, threshold)
-    if (plan.eligible)
-      shinglePairsUnsorted(s, dir, threshold, plan.width)
-    else {
-      log.warn(s"shingle auto plan FELL BACK TO ENUMERATION on $dir " +
-        s"(threshold=$threshold, width=${plan.width}): sampled candidate " +
-        s"mass ${plan.sampledCandidates} >= ${plan.samplePairs} sample " +
-        "pairs at every width — the inverted index cannot beat " +
-        "all-pairs on this corpus; use shinglePairsUnsorted(width) to " +
-        "force the prefix join")
-      jaccardPairsBruteFromSets(
-        TextAnalysis.gramSetsAt(s, dir, plan.width), threshold)
+    shinglePlanSpelling(plan) match {
+      case ShingleSpellPrefix =>
+        shinglePairsUnsorted(s, dir, threshold, plan.width)
+      case ShingleSpellBrute =>
+        log.warn(s"shingle auto plan FELL BACK TO ENUMERATION on $dir " +
+          s"(threshold=$threshold, width=${plan.width}): sampled candidate " +
+          s"mass ${plan.sampledCandidates} >= ${plan.samplePairs} sample " +
+          "pairs at every width — the inverted index cannot beat " +
+          "all-pairs on this corpus; use shinglePairsUnsorted(width) to " +
+          "force the prefix join")
+        jaccardPairsBruteFromSets(
+          TextAnalysis.gramSetsAt(s, dir, plan.width), threshold)
+      case ShingleSpellPrefixForced =>
+        log.warn(s"shingle auto plan: NO eligible width on $dir " +
+          s"(threshold=$threshold) but the corpus (${plan.corpusDocs} " +
+          s"docs) is past the $ShingleBruteMaxDocs-doc enumeration " +
+          "bound — the broadcast brute spelling would put the whole " +
+          "set relation on every executor, so the prefix join runs " +
+          "instead; EITHER spelling is candidates >= all-pairs here " +
+          "(the regime, not the spelling, is the scale problem)")
+        shinglePairsUnsorted(s, dir, threshold, plan.width)
     }
   }
+
+  /** The spelling [[shinglePairsAutoUnsorted]] executes for a decided
+    * plan — pulled out as a pure function of the plan so the dispatch
+    * logic is spec-pinnable without building a >[[ShingleBruteMaxDocs]]
+    * corpus: eligible → the prefix join; ineligible → broadcast
+    * enumeration ONLY while the corpus is enumeration-sized, else the
+    * prefix join again (both spellings are Ω(all-pairs) in that regime —
+    * the shuffle-based one at least cannot exhaust executor memory on
+    * the broadcast side). */
+  private[graft] sealed trait ShingleSpelling
+  private[graft] case object ShingleSpellPrefix extends ShingleSpelling
+  private[graft] case object ShingleSpellBrute extends ShingleSpelling
+  private[graft] case object ShingleSpellPrefixForced extends ShingleSpelling
+  private[graft] def shinglePlanSpelling(plan: ShinglePlan): ShingleSpelling =
+    if (plan.eligible) ShingleSpellPrefix
+    else if (plan.corpusDocs <= ShingleBruteMaxDocs) ShingleSpellBrute
+    else ShingleSpellPrefixForced
+
+  /** Corpus-size bound for the enumeration fallback: the brute spelling
+    * broadcasts the full (doc_id, toks, sz) relation, so it is only
+    * executable while that relation is executor-memory-sized (64k docs
+    * of ~kilobyte gram sets ≈ tens of MB — far under the broadcast
+    * ceiling; a 100 TB corpus is not). */
+  private[graft] val ShingleBruteMaxDocs = 65536L
 
   /** The engine's shingle-width decision (r16 — the sixth engine
     * decision; the minhash/sign-LSH recipe applied to the shingle
@@ -574,7 +608,8 @@ object Dedup {
   private[graft] final case class ShinglePlan(width: Int, eligible: Boolean,
                                               sampledCandidates: Long,
                                               samplePairs: Long,
-                                              editRobustnessMicro: Long)
+                                              editRobustnessMicro: Long,
+                                              corpusDocs: Long)
 
   /** Widths the decision searches (2..8; width 1 is token-SET jaccard —
     * a different operator, [[jaccardPairs]]). */
@@ -659,7 +694,7 @@ object Dedup {
           math.floor(1e6 * sum / probes.length).toLong
         }
       ShinglePlan(chosen._1, chosen._2 < samplePairs, chosen._2,
-        samplePairs, robMicro)
+        samplePairs, robMicro, n)
     })
 
   /** Distinct gram hashes of a token-hash array at width w — the

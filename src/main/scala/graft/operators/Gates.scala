@@ -757,10 +757,14 @@ object Gates {
     * the row — and (b) leave the registered pair relation
     * bit-identical to the manual width-3 spelling (in-plan full-outer
     * equality over (doc_a, doc_b, jaccard) — the artifact_equals_fresh
-    * convention). The decision literals ride in the row (the ann_auto
-    * convention), so a sampler drift, a chain-hash drift or an
-    * eligibility-rule drift hash-mismatches against the oracle's
-    * pinned values. */
+    * convention). The decision statistics ride in the row — and because every
+    * one of them is invariant under the operator's injective gram
+    * hash, the DuckDB oracle REPLAYS the whole decision from gram
+    * strings (widths 2..8 candidate masses, the argmin, the
+    * 128-doc one-substitution robustness, the pair count at the
+    * derived width) instead of pinning literals — a sampler drift,
+    * a chain-hash drift or an eligibility-rule drift mismatches
+    * against an independent recomputation, not a frozen constant. */
   def shingleAutoGate(s: SparkSession, dir: String): DataFrame = {
     val plan = Dedup.chooseShingleWidth(s, dir)
     val auto = Dedup.shinglePairsAutoUnsorted(s, dir)

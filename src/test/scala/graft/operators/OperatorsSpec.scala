@@ -371,6 +371,15 @@ class OperatorsSpec extends SparkSpec {
     val prefixOut = canon(Dedup.shinglePairsUnsorted(spark, weylDir,
       width = pw.width))
     assert(bruteOut == prefixOut)
+    // The spelling dispatch is a pure function of the plan, so the
+    // >64k-doc broadcast refusal is pinnable without building such a
+    // corpus: ineligible + enumeration-sized -> brute; ineligible +
+    // huge -> the prefix join again (the broadcast is the hazard, and
+    // both spellings are Omega(all-pairs) in that regime anyway).
+    assert(Dedup.shinglePlanSpelling(p) === Dedup.ShingleSpellPrefix)
+    assert(Dedup.shinglePlanSpelling(pw) === Dedup.ShingleSpellBrute)
+    assert(Dedup.shinglePlanSpelling(pw.copy(corpusDocs = 1L << 30))
+      === Dedup.ShingleSpellPrefixForced)
   }
 
   test("buildZipf rebuilds a stale corpus instead of silently reusing it") {
