@@ -43,6 +43,9 @@ object SparkEntry {
     "q22_scalar_funcs" -> (Analytics.q22ScalarFunctions _),
     "q20_approx_distinct" -> (Analytics.q20ApproxDistinctGate _),
     "q23_skew_join"   -> ((s, d) => Analytics.q23SkewJoin(s, d)),
+    // The seventh engine decision (r16): salt factor from the sampled
+    // key histogram; oracle replays the whole decision + join counts.
+    "q23_skew_auto"   -> ((s, d) => Analytics.q23SkewAuto(s, d)),
     "q24_anomaly"     -> (Analytics.q24EventAnomaly _),
     "q25_bucketed_join" -> (Bucketing.bucketedJoinQuery _),
     "q26_grouping_sets" -> (Analytics.q26GroupingSets _),
@@ -1710,6 +1713,27 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // The salt-factor decision replayed end-to-end: systematic sample
+    // (event_id % mod; mod = 1 at the oracle scale), key histogram,
+    // factor = clamp(1, 32)(ceil(top*32/rows)) at the repo-standard
+    // session parallelism 32 — all integer arithmetic — plus the join
+    // counts, which must equal the plain join in every regime (salting
+    // is output-invariant; factor 1 skips it entirely).
+    "q23_skew_auto" ->
+      """WITH n AS (SELECT count(*) AS rows FROM events),
+        |s AS (SELECT user_id, count(*) AS c
+        |      FROM events, n WHERE event_id % greatest(rows // 65536, 1) = 0
+        |      GROUP BY user_id),
+        |t AS (SELECT max(c) AS topc, sum(c) AS sr FROM s),
+        |f AS (SELECT CAST(greatest(1, least(32, (topc * 32 + sr - 1) // sr))
+        |        AS BIGINT) AS salt_factor,
+        |        CAST(topc AS BIGINT) AS top_key_rows,
+        |        CAST(sr AS BIGINT) AS sampled_rows FROM t)
+        |SELECT c_mktsegment, COUNT(*) AS n_events,
+        | f.salt_factor, f.top_key_rows, f.sampled_rows
+        |FROM events JOIN customer ON user_id = c_custkey CROSS JOIN f
+        |GROUP BY c_mktsegment, f.salt_factor, f.top_key_rows, f.sampled_rows
+        |ORDER BY c_mktsegment""".stripMargin,
     // 3-sigma spelled in exact integer arithmetic on both sides (HUGEINT
     // here, DECIMAL(38,0) in the engine) so the boolean cannot drift.
     "q24_anomaly" ->

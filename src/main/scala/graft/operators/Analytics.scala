@@ -217,6 +217,35 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** The salt-factor DECISION registered as a correctness row (r16 —
+    * the seventh engine decision): the same events⋈customer aggregate,
+    * but the factor comes from [[Skew.chooseSaltFactor]]'s sampled key
+    * histogram instead of the caller — and the decision statistics ride
+    * in every output row. The sample is systematic on `event_id % mod`
+    * (mod = 1 at the oracle scales), so the DuckDB oracle replays the
+    * ENTIRE decision in integer arithmetic — histogram, share, the
+    * ⌈topCount·P/rows⌉ clamp at the repo-standard P = 32 — alongside
+    * the join counts (which must equal the plain join in every regime:
+    * salting is output-invariant, and at factor 1 the machinery is
+    * skipped entirely — the plan improvement the decision buys on
+    * uniform corpora like this one: measured top-key share 0.86% at
+    * sf0.01 → factor 1 → no build-side explode; the sf0.001 events
+    * table IS skewed enough to salt — share 8.8% → factor 3). */
+  def q23SkewAuto(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_id"))
+    val cust = customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val (joined, plan) = Skew.saltedJoinAuto(ev, cust, "user_id",
+      sampleBy = col("event_id"), saltBy = Seq("event_id"),
+      parallelism = 32)
+    joined.groupBy("c_mktsegment").agg(count(lit(1)).as("n_events"))
+      .select(col("c_mktsegment"), col("n_events"),
+        lit(plan.factor.toLong).as("salt_factor"),
+        lit(plan.topCount).as("top_key_rows"),
+        lit(plan.sampledRows).as("sampled_rows"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Hourly event-rate anomaly detection: flag hours whose count departs
     * the event type's mean by more than 3σ. The 3σ test is spelled in
     * INTEGER arithmetic — (cnt·n − s)²·(n−1) > 9·n·(n·ss − s²) over
