@@ -270,7 +270,8 @@ object Bench {
     // artifacts (dedup prefix/df, ANN index, kNN edges) are CATALOG
     // PARQUET tables, not persisted RDDs — verified by grep and by the
     // artifact queries staying green after this hygiene pass.
-    case class MemSample(heapMb: Long, rssMb: Long, ckptRdds: Int)
+    case class MemSample(heapMb: Long, rssMb: Long, ckptRdds: Int,
+        probeMs: Long, threads: Int)
     val memory = scala.collection.mutable.LinkedHashMap[String, MemSample]()
     def rssMb: Long = try {
       val src = scala.io.Source.fromFile("/proc/self/status")
@@ -281,12 +282,27 @@ object Bench {
     def dropCheckpoints(): Unit =
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
+    // DRIVER-LATENCY PROBE (r16): iterative rows (text_bpe_dist's 256
+    // merge loop, graph LPA/components rounds) run hundreds of tiny jobs
+    // per rep, so they amplify any growth in per-job scheduling latency
+    // as the suite ages (r16 baseline: text_bpe_dist 9.6 s in-suite vs
+    // 3.3 s standalone with a FLAT heap — not memory, not plan). This
+    // times one trivial 32-task job after each query; a rising series
+    // localizes when driver-side pressure builds and which family
+    // causes it, straight from the committed artifact.
+    def probeJobMs(): Long = {
+      val t0 = System.nanoTime()
+      spark.sparkContext.parallelize(1 to 32, 32).count()
+      (System.nanoTime() - t0) / 1000000L
+    }
+    val threadBean = java.lang.management.ManagementFactory.getThreadMXBean
     def sweep(name: String): Unit = {
       dropCheckpoints()
       System.gc() // heap reading below is meaningless over uncollected garbage
       val rt = Runtime.getRuntime
       memory(name) = MemSample((rt.totalMemory - rt.freeMemory) / (1 << 20),
-        rssMb, spark.sparkContext.getPersistentRDDs.size)
+        rssMb, spark.sparkContext.getPersistentRDDs.size,
+        probeJobMs(), threadBean.getThreadCount)
     }
     def median(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val ts = Seq.fill(math.max(1, reps))(timeOnce(name, fn)).sorted
@@ -403,12 +419,13 @@ object Bench {
     val qs = obj(results.map { case (k, v) => k -> ms(v) })
     val raws = obj(rawResults.map { case (k, v) => k -> ms(v) })
     val errs = obj(errors.map { case (k, v) => k -> s""""${esc(v)}"""" })
-    // Post-query [heap_mb, rss_mb, surviving_ckpt_rdds]: a flat heap/RSS
-    // series across the suite is the evidence that per-query hygiene
-    // held; a rising one self-diagnoses JVM pressure without a judge
-    // calibration pass.
+    // Post-query [heap_mb, rss_mb, surviving_ckpt_rdds, probe_job_ms,
+    // jvm_threads]: a flat heap/RSS series across the suite is the
+    // evidence that per-query hygiene held; a rising probe_job_ms or
+    // thread count self-diagnoses driver-side pressure (see probeJobMs)
+    // without a judge calibration pass.
     val mems = obj(memory.map { case (k, m) =>
-      k -> s"[${m.heapMb},${m.rssMb},${m.ckptRdds}]" })
+      k -> s"[${m.heapMb},${m.rssMb},${m.ckptRdds},${m.probeMs},${m.threads}]" })
     // Per drifted row: [in-suite timed median, fresh-JVM standalone median]
     // (-1 standalone = child timed out / failed — the row stays flagged).
     val adjs = obj(adjudication.map { case (k, timed, alone) =>
