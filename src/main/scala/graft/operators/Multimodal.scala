@@ -748,28 +748,54 @@ object Multimodal {
     val hashes = imageAHashes(s, dir).toDF().localCheckpoint()
     def band16(c: org.apache.spark.sql.Column, sh: Int) =
       shiftright(c, sh).bitwiseAND(lit(0xFFFFL))
-    val bands = hashes.select(col("asset_id"), posexplode(array(
-      band16(col("ahash_lo"), 0), band16(col("ahash_lo"), 16),
-      band16(col("ahash_hi"), 0), band16(col("ahash_hi"), 16)))
+    // r17 (guide §2.3 aggregate-before-shuffle, §2.4 remove exchanges):
+    // pair enumeration runs over DISTINCT hash values with
+    // multiplicities, not over assets. Re-encodes/rescales of the same
+    // content decode to the SAME aHash, so one near-dup class of B
+    // assets used to put B band rows in one bucket and B² rows through
+    // the candidate self-join + a B²-row distinct + two hash re-joins;
+    // the class rollup sends ONE row per distinct hash through the band
+    // join and weights the per-asset count arithmetic by class size —
+    // per-asset output identical (n_neardup(a) = (m_class − 1) +
+    // Σ_{class' within maxDist} m_class'). The exactly-once rule also
+    // drops the old distinct: a class pair within Hamming maxDist ≤ 3
+    // of 64 bits agrees on ≥ 1 of the 4 bands (pigeonhole), and it is
+    // counted only where band_idx = its FIRST agreeing band — the
+    // [[nearDupStream]] dedup rule, here as a codegen conjunction.
+    val classes = hashes.groupBy(col("ahash_lo").as("lo"), col("ahash_hi").as("hi"))
+      .agg(count(lit(1)).as("m"))
+    val bands = classes.select(col("lo"), col("hi"), col("m"), posexplode(array(
+      band16(col("lo"), 0), band16(col("lo"), 16),
+      band16(col("hi"), 0), band16(col("hi"), 16)))
       .as(Seq("band_idx", "band_val")))
-    val cand = bands.as("x").join(bands.as("y"),
+    // class order (lo, hi) lexicographic replaces the old ia < ib: each
+    // unordered class pair meets once per agreeing band
+    val classLt = col("x.lo") < col("y.lo") ||
+      (col("x.lo") === col("y.lo") && col("x.hi") < col("y.hi"))
+    val firstBand = when(band16(col("x.lo"), 0) === band16(col("y.lo"), 0), 0)
+      .when(band16(col("x.lo"), 16) === band16(col("y.lo"), 16), 1)
+      .when(band16(col("x.hi"), 0) === band16(col("y.hi"), 0), 2)
+      .otherwise(3)
+    val classPairs = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.asset_id") < col("y.asset_id"))
-      .select(col("x.asset_id").as("ia"), col("y.asset_id").as("ib"))
-      .distinct()
-    val pairs = cand
-      .join(hashes.as("a"), col("ia") === col("a.asset_id"))
-      .join(hashes.as("b"), col("ib") === col("b.asset_id"))
-      .filter(bit_count(col("a.ahash_lo").bitwiseXOR(col("b.ahash_lo"))) +
-        bit_count(col("a.ahash_hi").bitwiseXOR(col("b.ahash_hi"))) <= maxDist)
-      .select("ia", "ib")
-    val cnt = pairs.select(col("ia").as("asset_id"))
-      .union(pairs.select(col("ib").as("asset_id")))
-      .groupBy("asset_id").agg(count(lit(1)).as("n_neardup"))
-    hashes.join(cnt, Seq("asset_id"), "left")
+          col("x.band_val") === col("y.band_val") && classLt)
+      .filter(bit_count(col("x.lo").bitwiseXOR(col("y.lo"))) +
+        bit_count(col("x.hi").bitwiseXOR(col("y.hi"))) <= maxDist)
+      .filter(col("x.band_idx") === firstBand)
+      .select(col("x.lo").as("la"), col("x.hi").as("ha"), col("x.m").as("ma"),
+        col("y.lo").as("lb"), col("y.hi").as("hb"), col("y.m").as("mb"))
+    // each side of a qualifying class pair contributes the OTHER side's
+    // multiplicity to every asset in it
+    val nbr = classPairs
+      .select(col("la").as("lo"), col("ha").as("hi"), col("mb").as("w"))
+      .unionByName(classPairs
+        .select(col("lb").as("lo"), col("hb").as("hi"), col("ma").as("w")))
+      .groupBy("lo", "hi").agg(sum(col("w")).as("nbr"))
+    hashes
+      .join(classes, col("ahash_lo") === col("lo") && col("ahash_hi") === col("hi"))
+      .join(nbr, Seq("lo", "hi"), "left")
       .select(col("asset_id"), col("ahash_lo"), col("ahash_hi"),
-        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+        (col("m") - 1L + coalesce(col("nbr"), lit(0L))).as("n_neardup"))
       .orderBy("asset_id")
   }
 }

@@ -255,7 +255,10 @@ object StreamingAnalytics {
     * live keys raises the session conf instead. The spooled runners set
     * this for the query's lifetime (the count is fixed at query start)
     * and restore the session conf after. */
-  private val SpoolStatePartitions = "8"
+  private val SpoolStatePartitions =
+    sys.props.get("graft.spoolStatePartitions")
+      .orElse(sys.env.get("SPARK_GRAFT_SPOOL_STATE_PARTITIONS"))
+      .filter(_.nonEmpty).getOrElse("8")
 
   /** State-store provider for every spooled execution, from
     * `SPARK_GRAFT_STATE_STORE`: unset → Spark's default in-memory
@@ -364,17 +367,26 @@ object StreamingAnalytics {
     * DuckDB can run — which is what finally puts a CORRECTNESS row on the
     * streaming family instead of unit pins alone.
     *
-    * Flush protocol: real events arrive in ONE micro-batch (watermark
-    * still at origin, so nothing is late-dropped); then two far-future
-    * sentinel files (user_id −1, filtered from the output) advance the
-    * watermark in two further batches — the first fires no real timeout
-    * yet (timeouts compare against the watermark computed BEFORE the
-    * sentinel arrived), the second fires every remaining real session
-    * (sentinel ts = maxTs + gap + lateness + 1 h ⇒ the batch-3 watermark
-    * exceeds every real lastSeen + gap). No data-plane collect anywhere:
-    * the corpus streams from parquet files; the only driver values are
-    * max(ts) (one aggregate row) and the session-count-sized memory sink
-    * the protocol itself defines.
+    * Flush protocol (r17 COLLAPSED — guide §1.2/§5, driver-side fixed
+    * cost): the corpus AND the two far-future sentinel rows (user_id −1,
+    * filtered from the output) are all on disk BEFORE the query starts,
+    * so batch 0 processes everything under the origin watermark (nothing
+    * is late-dropped — the batch-N watermark is computed from batch N−1,
+    * and there is no batch −1), and the engine's watermark-advance
+    * no-data batch then fires every real timeout (sentinel ts ≥ maxTs +
+    * gap + lateness + 1 h ⇒ the post-batch-0 watermark exceeds every
+    * real lastSeen + gap). `processAllAvailable` only returns after that
+    * eviction batch — MicroBatchExecution keeps constructing batches
+    * while `lastExecutionRequiresAnotherBatch` — so the memory table is
+    * complete. Two batches total where the staged r7–r16 protocol
+    * (corpus → PAA → sentinel → PAA → sentinel → PAA) paid six, each
+    * with per-batch planning + offset/commit-log + state-commit fixed
+    * cost; output is BIT-IDENTICAL (same rows into the same stateful
+    * fold, same final watermark — equality measured old-vs-new at
+    * sf0.1 and oracle-pinned at sf0.01/0.001, r17). No data-plane
+    * collect anywhere: the corpus streams from parquet files; the only
+    * driver values are max(ts) (one aggregate row) and the
+    * session-count-sized memory sink the protocol itself defines.
     *
     * Output is in epoch MILLISECONDS on both sides ([[sessionize]]'s gap
     * arithmetic runs on Timestamp.getTime, i.e. ms floors, and the oracle
@@ -398,8 +410,8 @@ object StreamingAnalytics {
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, -1L, "sentinel"))
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, -1L, "sentinel"))
         .toDF("ts", "user_id", "event_type")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
@@ -410,18 +422,14 @@ object StreamingAnalytics {
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[SessionEvent]
     val name = s"graft_sessions_$runId"
+    // collapsed flush (see scaladoc): sentinels on disk before start
+    val step = (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L
+    sentinels(maxTsNanos + step, maxTsNanos + 2 * step)
     withSpoolPartitions(s) {
       val q = sessionize(stream, gapMs, lateness)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable() // batch 1: the whole bounded corpus
-        val t1 = maxTsNanos + (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L
-        sentinel(t1)
-        q.processAllAvailable() // batch 2: watermark → maxTs − lateness
-        sentinel(t1 + (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L)
-        q.processAllAvailable() // batch 3: every real session times out
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val out = s.table(name)
       .filter(col("user_id") >= 0)
@@ -467,8 +475,8 @@ object StreamingAnalytics {
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, -1L)).toDF("ts", "user_id")
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, -1L)).toDF("ts", "user_id")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
       StructField("ts", LongType), StructField("user_id", LongType)))
@@ -476,6 +484,9 @@ object StreamingAnalytics {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("user_id"), col("ts"))
     val name = s"graft_nsessions_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note)
+    val step = (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L
+    sentinels(maxTsNanos + step, maxTsNanos + 2 * step)
     withSpoolPartitions(s) {
       val q = stream
         .withWatermark("ts", lateness)
@@ -487,15 +498,7 @@ object StreamingAnalytics {
         .select("user_id", "session_start", "session_end", "n_events")
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable()
-        val step = (gapMs + latenessMs + 60 * 60 * 1000L) * 1000000L
-        val t1 = maxTsNanos + step
-        sentinel(t1)
-        q.processAllAvailable()
-        sentinel(t1 + step)
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val out = s.table(name)
       .filter(col("user_id") >= 0)
@@ -536,8 +539,8 @@ object StreamingAnalytics {
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, "sentinel", 0.0)).toDF("ts", "event_type", "value")
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, "sentinel", 0.0)).toDF("ts", "event_type", "value")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
       StructField("ts", LongType), StructField("event_type", StringType),
@@ -545,19 +548,14 @@ object StreamingAnalytics {
     val stream = s.readStream.schema(schema).parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_wstats_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note)
+    val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+    sentinels(maxTsNanos + step, maxTsNanos + 2 * step)
     withSpoolPartitions(s) {
       val q = windowedEventStats(stream, windowLen, lateness)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable() // batch 1: the whole bounded corpus
-        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
-        val t1 = maxTsNanos + step
-        sentinel(t1)
-        q.processAllAvailable() // watermark → past every real window end
-        sentinel(t1 + step)
-        q.processAllAvailable() // emits them
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val out = s.table(name)
       .filter(col("event_type") =!= "sentinel")
@@ -617,8 +615,8 @@ object StreamingAnalytics {
     val maxTsNanos = ev
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, -1L, "sentinel", 0.0))
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, -1L, "sentinel", 0.0))
         .toDF("ts", "event_id", "event_type", "value")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
@@ -628,6 +626,9 @@ object StreamingAnalytics {
     val stream = s.readStream.schema(schema).parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_ohlc_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note)
+    val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+    sentinels(maxTsNanos + step, maxTsNanos + 2 * step)
     withSpoolPartitions(s) {
       val agg = stream
         .withWatermark("ts", lateness)
@@ -643,15 +644,7 @@ object StreamingAnalytics {
           col("sum_cents"))
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable()
-        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
-        val t1 = maxTsNanos + step
-        sentinel(t1)
-        q.processAllAvailable()
-        sentinel(t1 + step)
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val out = s.table(name)
       .filter(col("event_type") =!= "sentinel")
@@ -699,8 +692,8 @@ object StreamingAnalytics {
     val splitNanos = bounds.getLong(0) * 1000L +
       (maxTsNanos - bounds.getLong(0) * 1000L) / 2
     val latenessMs = intervalMs(lateness)
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, "sentinel", 0.0)).toDF("ts", "event_type", "value")
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, "sentinel", 0.0)).toDF("ts", "event_type", "value")
         .coalesce(1).write.mode("append").parquet(spool)
     val schema = StructType(Seq(
       StructField("ts", LongType), StructField("event_type", StringType),
@@ -720,16 +713,17 @@ object StreamingAnalytics {
         .write.mode("append").parquet(spool)
       val q1 = startQuery()
       try q1.processAllAvailable() finally q1.stop() // wave 1, then "crash"
+      // resume incarnation takes the collapsed flush
+      // ([[sessionizeSpooled]] r17 protocol note): wave 2 + both
+      // sentinels are on disk before q2 starts, so its first batch
+      // recovers state + processes everything and the watermark-advance
+      // batch flushes; the crash/recover split itself is untouched
       ev.filter(col("ts") > splitNanos).coalesce(1)
         .write.mode("append").parquet(spool)
       val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
-      val t1 = maxTsNanos + step
+      sentinels(maxTsNanos + step, maxTsNanos + 2 * step)
       val q2 = startQuery() // resume: same checkpoint, same sink
-      try {
-        q2.processAllAvailable()
-        sentinel(t1); q2.processAllAvailable()
-        sentinel(t1 + step); q2.processAllAvailable()
-      } finally q2.stop()
+      try q2.processAllAvailable() finally q2.stop()
     }
     val out = s.read.parquet(sink)
       .filter(col("event_type") =!= "sentinel")
@@ -778,27 +772,29 @@ object StreamingAnalytics {
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, "sentinel")).toDF("ts", "event_type")
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, "sentinel")).toDF("ts", "event_type")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
       StructField("ts", LongType), StructField("event_type", StringType)))
     val stream = s.readStream.schema(schema).parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_trending_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note). The
+    // chained stateful pair still finalizes fully: op-1 emits its
+    // windows in the watermark-advance no-data batch, op-2 consumes
+    // them IN that batch under the delayed (previous-batch) watermark
+    // and a second no-data batch finalizes op-2 —
+    // `lastExecutionRequiresAnotherBatch` keeps constructing batches
+    // until no operator needs one, and processAllAvailable waits for
+    // that (output equality measured old-vs-new at sf0.1, r17).
+    val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+    sentinels(maxTsNanos + step, maxTsNanos + 2 * step)
     withSpoolPartitions(s) {
       val q = trendingEventTypes(stream, windowLen, lateness)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable()
-        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
-        val t1 = maxTsNanos + step
-        sentinel(t1)
-        q.processAllAvailable()
-        sentinel(t1 + step)
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val out = s.table(name)
       .filter(col("top_type") =!= "sentinel")
@@ -850,27 +846,23 @@ object StreamingAnalytics {
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, -1L)).toDF("ts", "user_id")
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, -1L)).toDF("ts", "user_id")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
       StructField("ts", LongType), StructField("user_id", LongType)))
     val stream = s.readStream.schema(schema).parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_dist_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note); the
+    // chained dedup→count pair finalizes per the trendingSpooled note
+    val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+    sentinels(maxTsNanos + step, maxTsNanos + 2 * step)
     withSpoolPartitions(s) {
       val q = windowedDistinctUsers(stream, windowLen, lateness)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable()
-        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
-        val t1 = maxTsNanos + step
-        sentinel(t1)
-        q.processAllAvailable()
-        sentinel(t1 + step)
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val out = s.table(name)
       .select(unix_millis(col("window_start")).as("window_start_ms"),
@@ -924,27 +916,22 @@ object StreamingAnalytics {
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, -1L)).toDF("ts", "user_id")
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, -1L)).toDF("ts", "user_id")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
       StructField("ts", LongType), StructField("user_id", LongType)))
     val stream = s.readStream.schema(schema).parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_hll_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note)
+    val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+    sentinels(maxTsNanos + step, maxTsNanos + 2 * step)
     withSpoolPartitions(s) {
       val q = windowedApproxDistinctUsers(stream, windowLen, lateness, rsd)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable()
-        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
-        val t1 = maxTsNanos + step
-        sentinel(t1)
-        q.processAllAvailable()
-        sentinel(t1 + step)
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val approx = s.table(name)
       .select(unix_millis(col("window_start")).as("window_start_ms"),
@@ -1001,27 +988,22 @@ object StreamingAnalytics {
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, "sentinel")).toDF("ts", "event_type")
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, "sentinel")).toDF("ts", "event_type")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
       StructField("ts", LongType), StructField("event_type", StringType)))
     val stream = s.readStream.schema(schema).parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_hop_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note)
+    val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+    sentinels(maxTsNanos + step, maxTsNanos + 2 * step)
     withSpoolPartitions(s) {
       val q = hoppingEventStats(stream, windowLen, slide, lateness)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable()
-        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
-        val t1 = maxTsNanos + step
-        sentinel(t1)
-        q.processAllAvailable()
-        sentinel(t1 + step)
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val out = s.table(name)
       .filter(col("event_type") =!= "sentinel")
@@ -1077,27 +1059,22 @@ object StreamingAnalytics {
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, "sentinel")).toDF("ts", "event_type")
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, "sentinel")).toDF("ts", "event_type")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
       StructField("ts", LongType), StructField("event_type", StringType)))
     val stream = s.readStream.schema(schema).parquet(tmp.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_anom_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note)
+    val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+    sentinels(maxTsNanos + step, maxTsNanos + 2 * step)
     withSpoolPartitions(s) {
       val agg = anomalyWindowCounts(stream, windowLen, lateness)
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable()
-        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
-        val t1 = maxTsNanos + step
-        sentinel(t1)
-        q.processAllAvailable()
-        sentinel(t1 + step)
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val wTrail = org.apache.spark.sql.expressions.Window
       .orderBy("window_start_ms").rowsBetween(-3, -1)
@@ -1163,8 +1140,8 @@ object StreamingAnalytics {
     val maxTsNanos = graft.operators.Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val latenessMs = intervalMs(lateness)
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, -1L)).toDF("ts", "user_id")
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, -1L)).toDF("ts", "user_id")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
       StructField("ts", LongType), StructField("user_id", LongType)))
@@ -1173,19 +1150,14 @@ object StreamingAnalytics {
     val dim = graft.operators.Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val name = s"graft_enrich_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note)
+    val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
+    sentinels(maxTsNanos + step, maxTsNanos + 2 * step)
     withSpoolPartitions(s) {
       val q = enrichedSegmentStats(stream, dim, windowLen, lateness)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable() // batch 1: the whole bounded corpus
-        val step = (intervalMs(windowLen) + latenessMs + 60 * 60 * 1000L) * 1000000L
-        val t1 = maxTsNanos + step
-        sentinel(t1)
-        q.processAllAvailable() // watermark → past every real window end
-        sentinel(t1 + step)
-        q.processAllAvailable() // emits them
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val out = s.table(name)
       .select(unix_millis(col("window_start")).as("window_start_ms"),
@@ -1252,9 +1224,9 @@ object StreamingAnalytics {
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val horizonNanos =
       (intervalMs(joinWindow) + intervalMs(lateness) + 60 * 60 * 1000L) * 1000000L
-    def sentinel(tsNanos: Long): Unit = {
+    def sentinels(tsNanos: Long*): Unit = {
       import s.implicits._
-      Seq((tsNanos, -1L, "view", -1L), (tsNanos, -1L, "click", -2L))
+      tsNanos.flatMap(t => Seq((t, -1L, "view", -1L), (t, -1L, "click", -2L)))
         .toDF("ts", "user_id", "event_type", "event_id")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     }
@@ -1270,17 +1242,16 @@ object StreamingAnalytics {
       .select(col("event_id").as("click_id"), col("user_id").as("click_key"),
         col("ts").as("click_ts"))
     val name = s"graft_attr_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note); the
+    // same-ts sentinel view/click pair self-matches exactly as it did
+    // under the staged protocol (each sentinel write always carried
+    // both rows in one batch) and the imp_key >= 0 filter drops it
+    sentinels(maxTsNanos + horizonNanos, maxTsNanos + 2 * horizonNanos)
     withSpoolPartitions(s) {
       val q = clickAttribution(imp, clk, joinWindow, lateness)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable() // the whole bounded corpus
-        sentinel(maxTsNanos + horizonNanos)
-        q.processAllAvailable()
-        sentinel(maxTsNanos + 2 * horizonNanos)
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val out = s.table(name)
       .filter(col("imp_key") >= 0)
@@ -1594,8 +1565,8 @@ object StreamingAnalytics {
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val stepNanos =
       (intervalMs(settle) + intervalMs(lateness) + 60 * 60 * 1000L) * 1000000L
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, -1L, -1L, "sentinel", 0.0))
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, -1L, -1L, "sentinel", 0.0))
         .toDF("ts", "user_id", "event_id", "event_type", "value")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
@@ -1609,18 +1580,13 @@ object StreamingAnalytics {
         col("event_type"), col("value"))
       .as[UpsertEvent]
     val name = s"graft_upsert_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note)
+    sentinels(maxTsNanos + stepNanos, maxTsNanos + 2 * stepNanos)
     withSpoolPartitions(s) {
       val q = upsertStream(stream, lateness, settle)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable() // batch 1: the whole bounded corpus
-        val t1 = maxTsNanos + stepNanos
-        sentinel(t1)
-        q.processAllAvailable() // batch 2: watermark → maxTs − lateness
-        sentinel(t1 + stepNanos)
-        q.processAllAvailable() // batch 3: every real key settles
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val out = s.table(name)
       .filter(col("user_id") >= 0)
@@ -1718,8 +1684,8 @@ object StreamingAnalytics {
       .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
     val stepNanos =
       (intervalMs(settle) + intervalMs(lateness) + 60 * 60 * 1000L) * 1000000L
-    def sentinel(tsNanos: Long): Unit =
-      Seq((tsNanos, -1L, -1L, "sentinel"))
+    def sentinels(tsNanos: Long*): Unit =
+      tsNanos.map((_, -1L, -1L, "sentinel"))
         .toDF("ts", "user_id", "event_id", "event_type")
         .coalesce(1).write.mode("append").parquet(tmp.toString)
     val schema = StructType(Seq(
@@ -1732,18 +1698,15 @@ object StreamingAnalytics {
         col("event_type"))
       .as[FunnelEvent]
     val name = s"graft_funnel_$runId"
+    // collapsed flush ([[sessionizeSpooled]] r17 protocol note); the
+    // corpus still arrives in ONE batch, so the intra-batch
+    // (ts_us, event_id) sort keeps the batch-fold equivalence
+    sentinels(maxTsNanos + stepNanos, maxTsNanos + 2 * stepNanos)
     withSpoolPartitions(s) {
       val q = funnelStream(stream, steps, lateness, settle)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable() // batch 1: the whole bounded corpus
-        val t1 = maxTsNanos + stepNanos
-        sentinel(t1)
-        q.processAllAvailable() // batch 2: watermark → maxTs − lateness
-        sentinel(t1 + stepNanos)
-        q.processAllAvailable() // batch 3: every real user settles
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     val perUser = s.table(name).filter(col("user_id") >= 0)
     val totals = perUser.agg(
