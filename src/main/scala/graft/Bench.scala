@@ -239,9 +239,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // r17 (guide §2.2/§2.6/§9): let AQE size post-shuffle partitions by
+    // BYTES instead of pinning every exchange to the core count.
+    // `parallelismFirst=true` (the Spark default) makes AQE coalesce no
+    // further than default parallelism, so at sf0.1 every tiny exchange
+    // still schedules `cpus` tasks — the measured cause of the r16
+    // scaling block's ratio<0.5 rows (events_rfm 0.45, version_compact
+    // 0.46, text_unigram 0.48: 32 cores SLOWER than 8 on sub-MB
+    // shuffles). Advisory size is env-tunable because it is
+    // scale-dependent: 16m keeps compute-dense-but-small exchanges on
+    // a few tasks locally; a 100-TB deployment raises it to the guide's
+    // 256m (and gets the same bytes-first behavior). Measured A/B on
+    // the full suite in OPTIMIZATION_r17.md before adoption.
+    val aqeAdvisory = sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "16m")
+    val aqeParallelismFirst =
+      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        aqeParallelismFirst)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", aqeAdvisory)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

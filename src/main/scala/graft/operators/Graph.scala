@@ -57,8 +57,32 @@ object Graph {
     * mc_j) collapse the bound and the probe join touches the few lists
     * a query could possibly score in — measured rates in BASELINE.md. */
   private[graft] def knnDirected(s: SparkSession, dir: String, k: Int,
-                                 nlist: Int = 16): DataFrame =
+                                 nlist: Int = AutoNlist): DataFrame =
     knnBuild(s, dir, k, nlist)._3.select("src", "dst")
+
+  /** Sentinel: derive nlist from the corpus size at build time. */
+  private[graft] val AutoNlist = -1
+
+  /** Corpus-derived nlist for the EXACT branch-and-bound build — the
+    * r17 MeasureKnnNlist sweep (plans/r17/knn_nlist_sweep.txt) replaces
+    * the flat 16 the r15 note defended: phase-1's same-list self-join
+    * (Σ|list|² ≈ N²/nlist candidate dots) is the only nlist-SENSITIVE
+    * term and dominates at scale (10x: p1 11.5 s at nlist=16 → 1.8 s at
+    * 141), while the feared N·nlist probe-row growth stays cheap even
+    * at 9M rows (≤ 1.3 s) because probe rows carry no members — so the
+    * √N point wins: 10x total 27 → 17.5 s (1.54×), 1x 1.72 → 1.51 s,
+    * edge sets bit-identical at every swept nlist (the build is exact
+    * by construction; nlist only moves cost). [[Similarity.sqrtNlist]]
+    * is the shared power-of-two rule; the 16 floor keeps tiny corpora
+    * on the long-pinned geometry. One memoized count() per corpus dir
+    * (immutable snapshots — the Dedup.choosePrefixPlan convention). */
+  private[graft] def autoNlist(n: Long): Int =
+    math.max(16, Similarity.sqrtNlist(n))
+
+  private[this] val corpusCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    corpusCountMemo.computeIfAbsent(dir, _ => Similarity.corpus(s, dir).count())
 
   /** The build's three stages, exposed so tools/ProfileKnnBound can count
     * probe survival (the prune rate BASELINE.md records) without
@@ -77,25 +101,22 @@ object Graph {
         sqrt(greatest(lit(0.0), lit(1.0) - mc * mc)))
 
   private[graft] def knnBuild(s: SparkSession, dir: String, k: Int,
-                              nlist: Int = 16): (DataFrame, DataFrame, DataFrame) =
-    knnBuildFrom(Similarity.corpus(s, dir), k, nlist)
+                              nlist: Int = AutoNlist): (DataFrame, DataFrame, DataFrame) =
+    knnBuildFrom(Similarity.corpus(s, dir), k,
+      if (nlist == AutoNlist) autoNlist(corpusCount(s, dir)) else nlist)
 
   /** [[knnBuild]] over an explicit (vec_id, v, nrm) corpus relation,
     * optionally restricting the QUERY side to `queryPred` (the member
     * side is always the full relation): the incremental maintenance path
     * uses this to compute exact top-k for just the increment's vectors
     * over settled ∪ increment without paying the settled queries. */
-  /** nlist here deliberately does NOT take the ANN planner's √N rule
-    * (r15, after wiring the IVF-PQ artifacts to
-    * [[Similarity.autoIndexParams]]): this build is EXACT — nlist only
-    * tunes the spherical-bound pruning, never the output — and its
-    * phase-2 bound test runs on N·nlist probe ROWS, so nlist enters
-    * the cost LINEARLY rather than as the probed-fraction denominator
-    * the √N rule optimizes. √N here would make the probe relation
-    * N^1.5; the flat default keeps it linear and the radius bound does
-    * the pruning. A corpus-derived rule for this cost shape would
-    * trade assignment flops (N·nlist) against bound-test rows — a
-    * different optimum the IvfCostModel sweep never measured. */
+  /** nlist is the caller's (the dir-keyed entry points resolve
+    * [[AutoNlist]] through [[autoNlist]] — see its scaladoc for the r17
+    * measured curve that retired the r15 flat-16 argument: the N^1.5
+    * probe-ROW growth the flat default guarded against is real but
+    * cheap, while phase-1's N²/nlist candidate dots are the actual
+    * scale term, so √N wins at every measured point and the output is
+    * nlist-invariant by construction). */
   private[graft] def knnBuildFrom(all: DataFrame, k: Int, nlist: Int = 16,
                                   queryPred: org.apache.spark.sql.Column = lit(true))
       : (DataFrame, DataFrame, DataFrame) = {
@@ -519,7 +540,8 @@ object Graph {
     * against the settled-corpus edge artifact, itself pinned bit-equal
     * to fresh by `graphArtifactGate`. */
   private[graft] def knnIncrMaintained(s: SparkSession, dir: String,
-                                       k: Int = 5, nlist: Int = 16): DataFrame =
+                                       k: Int = 5,
+                                       nlist: Int = AutoNlist): DataFrame =
     knnIncrBuild(s, dir, k, nlist)._3
 
   /** The maintenance pass's three relations, exposed so
@@ -527,8 +549,12 @@ object Graph {
     * basis for the tracks-batch-size claim) without duplicating plan
     * logic: (settled table, update candidates, maintained top-k). */
   private[graft] def knnIncrBuild(s: SparkSession, dir: String,
-                                  k: Int = 5, nlist: Int = 16)
+                                  k: Int = 5, nlistArg: Int = AutoNlist)
       : (DataFrame, DataFrame, DataFrame) = {
+    // one derived granularity for settled build + increment IVF: both
+    // structures only drive pruning, never values (see [[autoNlist]])
+    val nlist =
+      if (nlistArg == AutoNlist) autoNlist(corpusCount(s, dir)) else nlistArg
     val all = Similarity.corpus(s, dir)
     val settled = all.filter(col("vec_id") % 10 =!= 0)
     val incr = all.filter(col("vec_id") % 10 === 0)
