@@ -251,7 +251,7 @@ object Bench {
     // a few tasks locally; a 100-TB deployment raises it to the guide's
     // 256m (and gets the same bytes-first behavior). Measured A/B on
     // the full suite in OPTIMIZATION_r17.md before adoption.
-    val aqeAdvisory = sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "16m")
+    val aqeAdvisory = sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "1m")
     val aqeParallelismFirst =
       sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false")
     val spark = SparkSession.builder()

@@ -2003,16 +2003,60 @@ object Dedup {
   /** The carry pipeline over ANY element-hashed set relation shaped
     * (doc_id, toks: sorted distinct array<long>, sz) — word token sets
     * for the registered row, the inline 10x corpus for the scale row. */
+  /** The carry join with the container side SEMI-FILTERED against the
+    * broadcast distinct prefix-token set before its exchange (guide
+    * §3.2, r17): a posting row whose token appears in NO document's
+    * prefix can never meet the prefix equi-join, so dropping it
+    * pre-shuffle cannot change the output — it only shrinks the join's
+    * dominant exchange (the container side carries the O(sz) `tb`
+    * array per posting row). The filter is selective in BOTH measured
+    * regimes, because under the global HASH order every doc's prefix
+    * is its prefLen SMALLEST hashes — the distinct prefix set
+    * concentrates on the globally-smallest-hash tokens rather than
+    * sampling the vocabulary uniformly (tools/MeasureContainSemi:
+    * sf0.1 registered corpus 40.1%% of posting rows survive, 9.71 →
+    * 8.51 s; zipf10 shared-vocab 14.2%% survive, 26.9 → 22.7 s; row
+    * counts asserted equal). Engagement is guarded by a BOUNDED count
+    * of the prefix-distinct relation ([[SemiBroadcastCap]]): past the
+    * cap the broadcast would be the new risk, so the plan falls back
+    * to the plain carry join — the guard job is `limit(cap+1).count`,
+    * never a full aggregate. */
   private[graft] def containmentPairsFromSets(sets: DataFrame,
-                                              threshold: Double): DataFrame = {
+                                              threshold: Double): DataFrame =
+    containmentPairsFromSetsImpl(sets, threshold, semiFilter = true)
+
+  /** The r16-and-earlier spelling with no semi filter — kept as the
+    * A/B twin MeasureContainSemi measures and the fallback shape. */
+  private[graft] def containmentPairsFromSetsNoSemi(sets: DataFrame,
+                                                    threshold: Double): DataFrame =
+    containmentPairsFromSetsImpl(sets, threshold, semiFilter = false)
+
+  /** Max prefix-distinct tokens the semi filter will broadcast: 4M
+    * longs ≈ 32 MB framed — comfortably under driver/executor budgets
+    * at any deployment size; a corpus whose prefix-distinct set
+    * exceeds it skips the filter rather than risk the broadcast. */
+  private[graft] val SemiBroadcastCap = 4000000L
+
+  private def containmentPairsFromSetsImpl(sets: DataFrame,
+                                           threshold: Double,
+                                           semiFilter: Boolean): DataFrame = {
     import graft.functions.ArrayOps.{sortedFirstCommon, sortedIntersectCount}
     val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
     val small = sets.select(col("doc_id").as("id_a"), col("toks").as("ta"),
         col("sz").as("sa"), slice(col("toks"), lit(1), prefLen).as("pref"))
       .select(col("id_a"), col("ta"), col("sa"), col("pref"),
         posexplode(col("pref")).as(Seq("qa", "ptok")))
-    val big = sets.select(col("doc_id").as("id_b"), col("toks").as("tb"),
+    val bigAll = sets.select(col("doc_id").as("id_b"), col("toks").as("tb"),
         col("sz").as("sb"), posexplode(col("toks")).as(Seq("qb", "tok")))
+    val big =
+      if (!semiFilter) bigAll
+      else {
+        val prefToks = sets.select(
+          explode(slice(col("toks"), lit(1), prefLen)).as("tok")).distinct()
+        if (prefToks.limit((SemiBroadcastCap + 1).toInt).count() > SemiBroadcastCap)
+          bigAll
+        else bigAll.join(broadcast(prefToks), Seq("tok"), "left_semi")
+      }
     val dirOk = col("sa") < col("sb") ||
       (col("sa") === col("sb") && col("id_a") < col("id_b"))
     val bound = lit(1) + least(col("sa") - col("qa") - 1,
@@ -2027,7 +2071,18 @@ object Dedup {
     // candidate stream without saving walk time on survivors. Both
     // orders are the same pure conjunction (identical output); this one
     // is the faster spelling in both measured regimes.
-    small.join(big, col("ptok") === col("tok") && dirOk)
+    //
+    // Join strategy PINNED to shuffled-hash with the prefix side as
+    // build (r17): with the semi filter in place Catalyst's post-semi
+    // size estimate can drop the CONTAINER side under the broadcast
+    // threshold and collect the tb-carrying relation to the driver —
+    // measured 39 s (vs 8.6) on the inline 10x row. Neither side is
+    // broadcastable at deployment scale; the documented plan for this
+    // join has always been the keyed shuffle ("shuffled hash join on
+    // token"), so the hint states it instead of leaving it to a
+    // statistics flip. Build side = the prefix relation (the smaller
+    // per-partition side by construction: prefLen/sz of the postings).
+    small.hint("shuffle_hash").join(big, col("ptok") === col("tok") && dirOk)
       .filter(col("ptok") === sortedFirstCommon(col("pref"), col("tb")))
       .filter(bound.cast("double") / col("sa") >= threshold)
       .select(col("id_a").as("doc_small"), col("id_b").as("doc_big"),
